@@ -1,0 +1,182 @@
+"""Tile pipeline tests: MVT codec roundtrip, subtree encoding vs a
+brute-force oracle, determinism (double-run hash equality, mirroring
+the reference's verify-generated-tiles.py semantic comparison)."""
+
+import gzip
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tilemaker_ray.config import DEFAULT_CONFIG, EngineConfig, LayerDef
+from tilemaker_ray.geo import tilemath as tm, wkb
+from tilemaker_ray.sources import pages
+from tilemaker_ray.stages import mvt
+from tilemaker_ray.stages.encode import make_cell_encoder
+from tilemaker_ray.stages.extract import ExtractFeatures
+from tilemaker_ray.stages.fanout import make_fanout
+from tilemaker_ray.stages.tile_encode import encode_subtree
+
+
+def test_mvt_roundtrip_point():
+    lb = mvt.LayerBuilder("place")
+    assert lb.add_feature(mvt.GEOM_POINT, [np.array([[100, 200]])],
+                          {"name": "berlin"})
+    buf = mvt.build_tile([lb])
+    dec = mvt.decode_tile(buf)
+    assert "place" in dec
+    layer = dec["place"]
+    assert layer["extent"] == 4096
+    assert layer["keys"] == ["name"]
+    assert layer["values"] == ["berlin"]
+    f = layer["features"][0]
+    assert f["type"] == mvt.GEOM_POINT
+    parts = mvt.decode_geometry(f["geometry"])
+    np.testing.assert_array_equal(parts[0], [[100, 200]])
+
+
+def test_mvt_roundtrip_polygon():
+    ring = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]])
+    lb = mvt.LayerBuilder("footprint")
+    lb.add_feature(mvt.GEOM_POLYGON, [ring], {"name": "x", "n": 3})
+    dec = mvt.decode_tile(mvt.build_tile([lb]))
+    f = dec["footprint"]["features"][0]
+    parts = mvt.decode_geometry(f["geometry"])
+    np.testing.assert_array_equal(parts[0], ring)
+    # tags decode: n=3 as sint
+    vals = dec["footprint"]["values"]
+    assert 3 in vals
+
+
+def test_mvt_multiline_delta_encoding():
+    l1 = np.array([[0, 0], [50, 60]])
+    l2 = np.array([[500, 500], [400, 300]])
+    lb = mvt.LayerBuilder("track")
+    lb.add_feature(mvt.GEOM_LINESTRING, [l1, l2], {})
+    f = mvt.decode_tile(mvt.build_tile([lb]))["track"]["features"][0]
+    parts = mvt.decode_geometry(f["geometry"])
+    np.testing.assert_array_equal(parts[0], l1)
+    np.testing.assert_array_equal(parts[1], l2)
+
+
+def _fanout_frame(n_pages=3000):
+    """pages → features → encode → fanout, all in-process."""
+    t = pages.page_batch({"id": np.arange(n_pages, dtype=np.uint64)})
+    feats = ExtractFeatures()(t)
+    enc = make_cell_encoder(DEFAULT_CONFIG)(feats)
+    fan = make_fanout(DEFAULT_CONFIG)(enc)
+    return fan.to_pandas(), enc
+
+
+def test_fanout_points_single_tile():
+    fan, enc = _fanout_frame(1000)
+    pts = fan[fan["kind"] == 1]
+    assert (pts["base_tiles"].map(len) == 1).all()
+    # z6 key is the parent of the base tile
+    bt = np.asarray([t[0] for t in pts["base_tiles"]])
+    np.testing.assert_array_equal(
+        tm.tile_id_parent(bt, DEFAULT_CONFIG.basezoom - 6),
+        pts["z6_id"].to_numpy())
+
+
+def test_fanout_lines_cover_more_tiles():
+    fan, _ = _fanout_frame(4000)
+    lines = fan[fan["kind"] == 2]
+    assert len(lines) > 0
+    assert lines["base_tiles"].map(len).max() > 1
+
+
+def test_encode_subtree_oracle_counts():
+    """Tile feature membership matches a brute-force per-zoom check."""
+    fan, _ = _fanout_frame(1500)
+    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]]
+    tiles = encode_subtree(one, DEFAULT_CONFIG)
+    assert len(tiles) > 0
+    # oracle: point features at z14 per tile
+    cfgz = DEFAULT_CONFIG.basezoom
+    pts = one[one["kind"] == 1]
+    expect = {}
+    for _, r in pts.iterrows():
+        if r["minzoom"] <= cfgz:
+            for t in r["base_tiles"]:
+                expect[t] = expect.get(t, 0) + 1
+    got = tiles[(tiles["zoom"] == cfgz)]
+    for _, r in got.iterrows():
+        tid = r["tile_id"]
+        n_points_expected = expect.get(tid, 0)
+        # decode the tile and count place-layer point geometries
+        body = gzip.decompress(r["tile_gz"])
+        dec = mvt.decode_tile(body)
+        place = dec.get("place", {"features": []})
+        n_got = sum(sum(len(p) for p in mvt.decode_geometry(f["geometry"]))
+                    for f in place["features"] if f["type"] == mvt.GEOM_POINT)
+        assert n_got == n_points_expected, (tid, n_got, n_points_expected)
+    # every expected tile with points is present
+    got_ids = set(got["tile_id"])
+    assert set(expect).issubset(got_ids)
+
+
+def test_encode_subtree_zoom_rollup():
+    """Every tile at z has a parent tile at z-1 containing it."""
+    fan, _ = _fanout_frame(800)
+    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]]
+    tiles = encode_subtree(one, DEFAULT_CONFIG)
+    by_zoom = {z: set(g["tile_id"]) for z, g in tiles.groupby("zoom")}
+    # only zooms where every feature kind is past its minzoom (place 6,
+    # track 9, footprint 11) — below that a child can legally lack a parent
+    for z in range(12, 15):
+        if z not in by_zoom or (z - 1) not in by_zoom:
+            continue
+        for tid in by_zoom[z]:
+            assert int(tm.tile_id_parent(np.asarray([tid]), 1)[0]) in by_zoom[z - 1]
+
+
+def test_encode_deterministic_under_row_order():
+    """Double-run + shuffled input rows → identical tile hashes
+    (the reference's verify-generated-tiles invariant)."""
+    fan, _ = _fanout_frame(1200)
+    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]]
+    a = encode_subtree(one, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
+    shuffled = one.sample(frac=1.0, random_state=7)
+    b = encode_subtree(shuffled, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
+    assert list(a["tile_hash"]) == list(b["tile_hash"])
+    assert list(a["n_features"]) == list(b["n_features"])
+
+
+def test_feature_limit_topk():
+    cfg = EngineConfig(layers=(LayerDef("place", minzoom=6, feature_limit=2,
+                                        feature_limit_below=15),))
+    # 5 point features in the same tile, distinct z_orders
+    lon, lat = 13.4, 52.5
+    rows = []
+    for i in range(5):
+        rows.append({"url": f"u{i}", "feature_seq": 0, "kind": 1,
+                     "layer": "place", "name": f"n{i}", "minzoom": 6,
+                     "z_order": i * 10,
+                     "geom_wkb": wkb.point_wkb(lon, lat),
+                     "z6_id": 0,
+                     "base_tiles": tm.tile_id(
+                         14, tm.lon2tilex(np.array([lon]), 14),
+                         tm.lat2tiley(np.array([lat]), 14))})
+    df = pd.DataFrame(rows)
+    tiles = encode_subtree(df, cfg)
+    z14 = tiles[tiles["zoom"] == 14]
+    assert (z14["n_features"] == 2).all()
+    # top-k by z_order desc → names n4, n3 kept
+    body = gzip.decompress(z14.iloc[0]["tile_gz"])
+    dec = mvt.decode_tile(body)
+    assert set(dec["place"]["values"]) == {"n4", "n3"}
+
+
+def test_salted_merge_equivalence():
+    """Encoding salted sub-groups merged back == unsalted encoding."""
+    fan, _ = _fanout_frame(1500)
+    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]].reset_index(drop=True)
+    plain = encode_subtree(one, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
+    # simulate a salted shuffle: split rows by url hash, re-merge
+    from tilemaker_ray.stages.fanout import _fnv
+    salts = one["url"].map(lambda u: _fnv(u) % 3)
+    merged = pd.concat([one[salts == s] for s in range(3)])
+    salted = encode_subtree(merged, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
+    assert list(plain["tile_hash"]) == list(salted["tile_hash"])

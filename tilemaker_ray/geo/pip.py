@@ -204,6 +204,39 @@ class PolygonIndex:
             return True
         return line_crosses_rings(coords, rings)
 
+    def bbox_candidates(self, xmin, ymin, xmax, ymax) -> np.ndarray:
+        """Polygon ids whose bbox overlaps the query bbox (grid walk +
+        bbox refine) — candidate generation for non-point geometries."""
+        cx0, cy0 = self._cell(xmin, ymin)
+        cx1, cy1 = self._cell(xmax, ymax)
+        if xmax < self.x0 or xmin > self.x1 or ymax < self.y0 or ymin > self.y1:
+            return np.empty(0, dtype=np.int64)
+        ids = []
+        for cy in range(cy0, cy1 + 1):
+            for cx in range(cx0, cx1 + 1):
+                b = self.buckets.get(cy * self.grid + cx)
+                if b is not None:
+                    ids.append(b)
+        if not ids:
+            return np.empty(0, dtype=np.int64)
+        cand = np.unique(np.concatenate(ids))
+        bb = self.bboxes[cand]
+        ok = (bb[:, 0] <= xmax) & (bb[:, 2] >= xmin) & (bb[:, 1] <= ymax) & (bb[:, 3] >= ymin)
+        return cand[ok]
+
+    def polygon_intersects(self, rings: list, poly_idx: int) -> bool:
+        """Polygon ∩ polygon (Intersects/AreaIntersecting candidate
+        semantics): any vertex of A in B, any vertex of B in A, or any
+        edge crossing."""
+        mine = self.rings[poly_idx]
+        for r in rings:
+            if points_in_polygon(r[:, 0], r[:, 1], mine).any():
+                return True
+            if line_crosses_rings(r, mine):
+                return True
+        allpts = np.vstack(mine)
+        return points_in_polygon(allpts[:, 0], allpts[:, 1], rings).any()
+
     def covered_by(self, coords: np.ndarray, poly_idx: int) -> bool:
         """CoveredBy semantics: all vertices inside and no edge crossing
         (/root/reference/src/osm_lua_processing.cpp:467-502 analog)."""

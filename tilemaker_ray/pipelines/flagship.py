@@ -1,0 +1,74 @@
+"""The flagship pipeline: web pages → extracted geo features → cell
+encode → PIP join → tile shuffle → MVT tiles.
+
+The Ray-Data re-expression of tilemaker's main run
+(/root/reference/src/tilemaker.cpp:90-566, traced in SURVEY.md §3.1):
+
+    read pages (Parquet / generated)          # the PBF read phases
+     └─ map_batches(ExtractFeatures, actors)  # the per-entity Lua UDF
+     └─ map_batches(cell_encoder)             # latpLon2index + H3/S2
+     └─ map_batches(PIPTagger, actors)        # Intersects("admin")
+     └─ map_batches(fanout)                   # insertIntermediateTiles
+     └─ groupby(z6_id).map_groups(encode)     # THE shuffle + tile_worker
+     └─ write_parquet(partition by zoom)      # MBTiles/PMTiles analog
+
+Everything before the groupby is streaming map_batches over zero-copy
+Arrow; the one all-to-all exchange is the z6 shuffle, mirroring the
+reference's single z6-bucketed feature store.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..sources import polygons as _polygons
+from ..stages.encode import make_cell_encoder
+from ..stages.extract import ExtractFeatures
+from ..stages.fanout import make_fanout
+from ..stages.join import PIPTagger
+from ..stages.tile_encode import encode_subtree
+
+
+def features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                      concurrency: int | None = None):
+    """pages Dataset → encoded feature Dataset (no join, no shuffle)."""
+    # autoscaling pool (1, N): never reserves every CPU, so downstream
+    # stateless stages can't starve even on small sessions
+    ds = pages_ds.map_batches(ExtractFeatures, batch_format="pyarrow",
+                              batch_size=4096,
+                              concurrency=(1, concurrency or 4))
+    return ds.map_batches(make_cell_encoder(cfg), batch_format="pyarrow",
+                          batch_size=16384)
+
+
+def joined_features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                             polygons_table: pa.Table | None = None,
+                             concurrency: int | None = None):
+    """features + admin-membership tags (the Intersects() step)."""
+    import ray
+    poly = polygons_table if polygons_table is not None else _polygons.admin_polygons()
+    poly_ref = ray.put(poly)  # broadcast ONCE; actors ray.get in __init__
+    ds = features_pipeline(pages_ds, cfg, concurrency)
+    return ds.map_batches(PIPTagger, batch_format="pyarrow", batch_size=8192,
+                          fn_constructor_args=(poly_ref,),
+                          concurrency=(1, concurrency or 4))
+
+
+def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
+                   polygons_table: pa.Table | None = None,
+                   concurrency: int | None = None):
+    """Full pipeline → tile Dataset (zoom, x, y, tile_id, n_features,
+    tile_gz, tile_hash)."""
+    ds = joined_features_pipeline(pages_ds, cfg, polygons_table, concurrency)
+    ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
+                        batch_size=8192)
+    enc = functools.partial(encode_subtree, cfg=cfg)
+    return ds.groupby("z6_id").map_groups(enc, batch_format="pandas")
+
+
+def write_tiles(tiles_ds, out_dir: str):
+    """Partitioned, resumable tile output (one dir per zoom)."""
+    tiles_ds.write_parquet(out_dir, partition_cols=["zoom"])

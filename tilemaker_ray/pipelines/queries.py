@@ -1,0 +1,411 @@
+"""The driver-checkable query suite.
+
+Each ``q_*`` function takes ``sf_dir`` and runs a Ray Data pipeline
+over the driver's parquet tables; ``ORACLE_SQL`` carries the ANSI-SQL
+equivalent DuckDB runs on the same files. Column names match exactly
+(the driver hashes values under sorted column names).
+
+Geospatial queries derive exact lattice coordinates from integer keys
+(see functions.derived) so numpy and DuckDB produce bit-identical
+doubles — verified by tests/test_queries_oracle.py before the driver
+ever runs them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG
+from ..functions import derived as dv
+from ..geo import tilemath as tm
+from ..geo import wkb as _wkb
+from ..stages.join import KNNJoin, PIPJoinPairs
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _nation_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"])
+    return t.sort_by("n_nationkey")
+
+
+def _nation_diamonds(sf_dir: str) -> pa.Table:
+    """Small-side polygon layer derived from nation keys: one diamond
+    per nation (SQL-expressible via abs(), genuinely non-rectangular)."""
+    nt = _nation_table(sf_dir)
+    keys = nt["n_nationkey"].to_numpy()
+    names = nt["n_name"].to_pylist()
+    lon, lat = dv.nation_lonlat(keys)
+    wkbs = [_wkb.polygon_wkb(np.array(
+        [[lon[i] - dv.NA_W, lat[i]], [lon[i], lat[i] - dv.NA_H],
+         [lon[i] + dv.NA_W, lat[i]], [lon[i], lat[i] + dv.NA_H],
+         [lon[i] - dv.NA_W, lat[i]]])) for i in range(len(keys))]
+    return pa.table({
+        "layer": pa.array(["admin"] * len(keys)),
+        "name": pa.array(names, pa.string()),
+        "class": pa.array(["boundary"] * len(keys)),
+        "minzoom": pa.array([2] * len(keys), pa.int8()),
+        "geom_wkb": pa.array(wkbs, pa.binary()),
+    })
+
+
+def _event_points(sf_dir: str):
+    """events → (event_id, lon, lat) with derived lattice coords."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        lon, lat = dv.event_lonlat(batch["event_id"].to_numpy())
+        return (batch.append_column("lon", pa.array(lon, pa.float64()))
+                     .append_column("lat", pa.array(lat, pa.float64())))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q1: tile assignment + per-tile count (latpLon2index + A3 gather analog)
+# ---------------------------------------------------------------------------
+
+def q_tile_count_z10(sf_dir: str):
+    ds = _event_points(sf_dir)
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        tx = tm.lon2tilex(lon, 10)
+        ty = tm.lat2tiley(lat, 10)
+        return pa.table({"tile_x": pa.array(tx, pa.int64()),
+                         "tile_y": pa.array(ty, pa.int64())})
+
+    return (ds.map_batches(tiles, batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y"]).count()
+            .rename_columns({"count()": "n_events"}))
+
+
+# ---------------------------------------------------------------------------
+# Q2: point-in-polygon join (J4 analog: FindIntersecting over diamonds)
+# ---------------------------------------------------------------------------
+
+def q_pip_admin_events(sf_dir: str):
+    import ray
+    poly_ref = ray.put(_nation_diamonds(sf_dir))
+    ds = _event_points(sf_dir)
+    ds = ds.map_batches(PIPJoinPairs, batch_format="pyarrow", batch_size=8192,
+                        fn_constructor_args=(poly_ref,), concurrency=(1, 4))
+    return ds.select_columns(["event_id", "polygon_name"])
+
+
+# ---------------------------------------------------------------------------
+# Q3: kNN join (north-rule requirement; no tilemaker analog)
+# ---------------------------------------------------------------------------
+
+def q_knn_customer_nation(sf_dir: str):
+    import ray
+    nt = _nation_table(sf_dir)
+    lon, lat = dv.nation_lonlat(nt["n_nationkey"].to_numpy())
+    centers_ref = ray.put({"lon": lon, "lat": lat,
+                           "name": nt["n_name"].to_pylist()})
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        lo, la = dv.customer_lonlat(batch["c_custkey"].to_numpy())
+        return (batch.append_column("lon", pa.array(lo, pa.float64()))
+                     .append_column("lat", pa.array(la, pa.float64())))
+
+    ds = ds.map_batches(add, batch_format="pyarrow")
+    ds = ds.map_batches(KNNJoin, batch_format="pyarrow", batch_size=8192,
+                        fn_constructor_args=(centers_ref, 3), concurrency=(1, 4))
+    return ds.select_columns(["c_custkey", "rank", "neighbor_name",
+                              "neighbor_dist2"])
+
+
+# ---------------------------------------------------------------------------
+# Q4: per-tile top-k (A4 per-tile sort + A5 feature_limit analog)
+# ---------------------------------------------------------------------------
+
+def q_tile_topk_z8(sf_dir: str):
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        lon, lat = dv.event_lonlat(batch["event_id"].to_numpy())
+        tx = tm.lon2tilex(lon, 8)
+        ty = tm.lat2tiley(lat, 8)
+        return (batch.append_column("tile_x", pa.array(tx, pa.int64()))
+                     .append_column("tile_y", pa.array(ty, pa.int64())))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="stable").head(3)
+        g = g.copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (ds.map_batches(tiles, batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y"])
+            .map_groups(topk, batch_format="pandas")
+            .select_columns(["tile_x", "tile_y", "rk", "event_id", "value"]))
+
+
+# ---------------------------------------------------------------------------
+# Q5: distinct-tiles-per-zoom rollup (A2 bitmap rollup analog)
+# ---------------------------------------------------------------------------
+
+def q_tile_rollup(sf_dir: str):
+    ds = _event_points(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        tx = tm.lon2tilex(lon, 10)
+        ty = tm.lat2tiley(lat, 10)
+        zooms, txs, tys = [], [], []
+        for z in range(4, 11):
+            dz = 10 - z
+            # halving rollup — exact integer shift, tile_data.cpp:169-174
+            zooms.append(np.full(len(tx), z, dtype=np.int64))
+            txs.append(tx >> dz)
+            tys.append(ty >> dz)
+        return pa.table({"zoom": np.concatenate(zooms),
+                         "tile_x": np.concatenate(txs),
+                         "tile_y": np.concatenate(tys)})
+
+    # distinct (zoom, x, y) then count per zoom — two small shuffles
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["zoom", "tile_x", "tile_y"]).count()
+            .groupby("zoom").count()
+            .rename_columns({"count()": "n_tiles"}))
+
+
+# ---------------------------------------------------------------------------
+# Q6: exact dedup (dedup family; hash-group keep-first)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(sf_dir: str):
+    import hashlib
+    from ray.data.aggregate import Count, Min
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha1(t.encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text_sha": pa.array(hashes, pa.string())})
+
+    return (ds.map_batches(h, batch_format="pyarrow")
+            .groupby("text_sha")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups"))
+            .select_columns(["doc_id", "n_dups"]))
+
+
+# ---------------------------------------------------------------------------
+# Q7: token counting (text-analysis family)
+# ---------------------------------------------------------------------------
+
+def q_token_count_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        # n_tokens = spaces + 1 (single-space corpus; the SQL mirror uses
+        # the identical definition so results are exact)
+        n_spaces = pc.count_substring(batch["text"], " ")
+        n_chars = pc.utf8_length(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.add(pc.cast(n_spaces, pa.int64()), 1),
+            "n_chars": pc.cast(n_chars, pa.int64())})
+
+    return ds.map_batches(toks, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q8: per-language stats (pre-aggregated groupby — A-family)
+# ---------------------------------------------------------------------------
+
+def q_lang_stats_docs(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return (ds.groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars"),
+                       Min("n_chars", alias_name="min_chars"),
+                       Max("n_chars", alias_name="max_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Q9: tumbling-window count (events; the batch-window analog)
+# ---------------------------------------------------------------------------
+
+def q_window_events(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def w(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())  # epoch micros
+        wstart = pc.divide(us, 3_600_000_000)  # integer hours — exact
+        return pa.table({"user_id": batch["user_id"],
+                         "window_start": pc.cast(wstart, pa.int64())})
+
+    return (ds.map_batches(w, batch_format="pyarrow")
+            .groupby(["user_id", "window_start"]).count()
+            .rename_columns({"count()": "n_events"}))
+
+
+# ---------------------------------------------------------------------------
+# Q10: brute-force ANN top-5 (similarity-search family)
+# ---------------------------------------------------------------------------
+
+def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
+    import pyarrow.parquet as pq
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    mask = pc.less(qt["vec_id"], n_queries)
+    qt = qt.filter(mask).sort_by("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt["embedding"].to_pylist()])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qt["vec_id"].to_numpy()
+    import ray
+    q_ref = ray.put((qids, Qn))
+
+    class PartialTopK:
+        """Per-batch top-k vs the broadcast query matrix — the partial
+        the final merge combines (sketch-style pre-aggregation)."""
+
+        def __init__(self, q_ref, k):
+            self.qids, self.Qn = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch["embedding"].to_pylist()])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = self.Qn @ Vn.T                      # (nq, nb)
+            ids = batch["vec_id"].to_numpy()
+            k = min(self.k, sims.shape[1])
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            rows = {"query_id": [], "neighbor_id": [], "sim": []}
+            for qi in range(len(self.qids)):
+                rows["query_id"].extend([int(self.qids[qi])] * k)
+                rows["neighbor_id"].extend(ids[part[qi]].tolist())
+                rows["sim"].extend(sims[qi, part[qi]].tolist())
+            return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                             "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                             "sim": pa.array(rows["sim"], pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(PartialTopK, batch_format="pyarrow",
+                             batch_size=4096,
+                             fn_constructor_args=(q_ref, k),
+                             concurrency=(1, 4))
+    # final merge: tiny (n_batches × n_queries × k rows)
+    pdf = partial.to_pandas()
+    pdf = pdf.sort_values(["query_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="stable")
+    out = pdf.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL — one entry per query above, same column names
+# ---------------------------------------------------------------------------
+
+_TX10 = "(" + dv.tilex_sql(dv.EV_LON_SQL, 10) + ")"
+_TY10 = "(" + dv.tiley_sql(dv.EV_LAT_SQL, 10) + ")"
+
+ORACLE_SQL = {
+    "tile_count_z10": f"""
+        SELECT {_TX10} AS tile_x, {_TY10} AS tile_y,
+               COUNT(*) AS n_events
+        FROM events e GROUP BY 1, 2""",
+    "pip_admin_events": f"""
+        SELECT e.event_id, n.n_name AS polygon_name
+        FROM events e CROSS JOIN nation n
+        WHERE abs({dv.EV_LON_SQL} - {dv.NA_LON_SQL}) / {dv.NA_W}
+            + abs({dv.EV_LAT_SQL} - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0""",
+    "knn_customer_nation": f"""
+        WITH d AS (
+          SELECT c.c_custkey, n.n_name,
+                 ({dv.CU_LON_SQL} - {dv.NA_LON_SQL}) * ({dv.CU_LON_SQL} - {dv.NA_LON_SQL})
+               + ({dv.CU_LAT_SQL} - {dv.NA_LAT_SQL}) * ({dv.CU_LAT_SQL} - {dv.NA_LAT_SQL})
+                 AS neighbor_dist2,
+                 n.n_nationkey
+          FROM customer c CROSS JOIN nation n)
+        SELECT c_custkey,
+               CAST(row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY neighbor_dist2, n_nationkey) AS INT) AS rank,
+               n_name AS neighbor_name, neighbor_dist2
+        FROM d QUALIFY rank <= 3""",
+    "tile_topk_z8": f"""
+        WITH t AS (
+          SELECT ({dv.tilex_sql(dv.EV_LON_SQL, 8)}) AS tile_x,
+                 ({dv.tiley_sql(dv.EV_LAT_SQL, 8)}) AS tile_y,
+                 e.event_id, e.value
+          FROM events e)
+        SELECT tile_x, tile_y,
+               row_number() OVER (PARTITION BY tile_x, tile_y
+                                  ORDER BY value DESC, event_id) AS rk,
+               event_id, value
+        FROM t QUALIFY rk <= 3""",
+    "tile_rollup": f"""
+        WITH t AS (
+          SELECT {_TX10} AS tx, {_TY10} AS ty FROM events e),
+        z AS (SELECT unnest(generate_series(4, 10)) AS zoom)
+        SELECT z.zoom,
+               COUNT(DISTINCT (tx // CAST(pow(2, 10 - z.zoom) AS BIGINT),
+                               ty // CAST(pow(2, 10 - z.zoom) AS BIGINT)))
+                 AS n_tiles
+        FROM t CROSS JOIN z GROUP BY z.zoom""",
+    "dedup_exact_docs": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY text""",
+    "token_count_docs": """
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars
+        FROM documents""",
+    "lang_stats_docs": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang""",
+    "window_events": """
+        SELECT user_id, epoch_us(ts) // 3600000000 AS window_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2""",
+    "ann_top5": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e)
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+               neighbor_id
+        FROM s QUALIFY rank <= 5""",
+}
+
+QUERIES = {
+    "tile_count_z10": q_tile_count_z10,
+    "pip_admin_events": q_pip_admin_events,
+    "knn_customer_nation": q_knn_customer_nation,
+    "tile_topk_z8": q_tile_topk_z8,
+    "tile_rollup": q_tile_rollup,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "token_count_docs": q_token_count_docs,
+    "lang_stats_docs": q_lang_stats_docs,
+    "window_events": q_window_events,
+    "ann_top5": q_ann_top5,
+}

@@ -1,0 +1,154 @@
+"""Page → feature extraction (the per-record UDF host).
+
+The analog of tilemaker's per-entity Lua UDF stage
+(/root/reference/src/osm_lua_processing.cpp:1110-1239 — node_function /
+way_function / relation_function): each input record yields 0..N
+feature emissions ``(layer, geometry, attributes, minzoom, z_order)``.
+Here the "entities" are web pages and the "tags" are machine-readable
+geo signals in the HTML head:
+
+- ``<meta name="geo.position" content="lat;lon">``   → point  (layer place)
+- ``<meta name="geo.track"    content="lat,lon ...">`` → line  (layer track)
+- ``<meta name="geo.footprint" content="lat,lon ...">`` → polygon (layer footprint)
+
+:class:`ExtractFeatures` is an actor-pool callable: regexes are
+compiled once per actor in ``__init__`` (the reference builds one Lua
+VM per thread the same way, src/tilemaker.cpp:316-321) and each
+``__call__`` flat-maps one Arrow batch of pages into a feature batch.
+
+``extract_text`` is the reference text extractor whose output must be
+byte-identical to the ``text`` column per url (BASELINE.json
+input_hint; enforced by tests/test_pages.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import wkb as _wkb
+
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.S)
+_BODY_RE = re.compile(rb"<body>(.*?)</body>", re.S)
+
+
+def extract_text(html: bytes) -> str:
+    """The reference extractor: visible text = the page's <p> paragraphs
+    joined by newlines. Byte-identical to the generator's ``text``."""
+    body = _BODY_RE.search(html)
+    if body is None:
+        return ""
+    paras = _P_RE.findall(body.group(1))
+    return b"\n".join(paras).decode("utf-8")
+
+
+FEATURE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("feature_seq", pa.int32()),
+    ("kind", pa.int8()),          # 1 point, 2 line, 3 polygon (WKB type ids)
+    ("layer", pa.string()),
+    ("name", pa.string()),        # city slug from the url path
+    ("lang", pa.string()),
+    ("lon", pa.float64()),        # representative point (point itself /
+    ("lat", pa.float64()),        #   first vertex) — drives cell encode
+    ("geom_wkb", pa.binary()),
+    ("minzoom", pa.int8()),
+    ("z_order", pa.int16()),
+])
+
+_LAYER_BY_KIND = {1: "place", 2: "track", 3: "footprint"}
+_MINZOOM_BY_KIND = {1: 6, 2: 9, 3: 11}
+
+
+class ExtractFeatures:
+    """Actor-pool flat-map: pages batch → features batch.
+
+    Use with ``ds.map_batches(ExtractFeatures, batch_format="pyarrow",
+    concurrency=N)``. Drops the wide ``html`` column on output (project
+    early — SURVEY.md §7.5)."""
+
+    def __init__(self):
+        self.pos_re = re.compile(
+            rb'<meta name="geo\.position" content="(-?[\d.]+);(-?[\d.]+)">')
+        self.track_re = re.compile(rb'<meta name="geo\.track" content="([^"]+)">')
+        self.foot_re = re.compile(rb'<meta name="geo\.footprint" content="([^"]+)">')
+        self.slug_re = re.compile(r"https?://[^/]+/([^/]+)/")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        langs = batch["lang"].to_pylist()
+
+        out = {k: [] for k in ("url", "feature_seq", "kind", "layer", "name",
+                               "lang", "lon", "lat", "geom_wkb", "minzoom",
+                               "z_order")}
+
+        def emit(url, seq, kind, name, lang, lon, lat, geom):
+            out["url"].append(url)
+            out["feature_seq"].append(seq)
+            out["kind"].append(kind)
+            out["layer"].append(_LAYER_BY_KIND[kind])
+            out["name"].append(name)
+            out["lang"].append(lang)
+            out["lon"].append(lon)
+            out["lat"].append(lat)
+            out["geom_wkb"].append(geom)
+            out["minzoom"].append(_MINZOOM_BY_KIND[kind])
+            # deterministic z_order from the url hash, sqrt-compressed to
+            # int16 like the reference (include/output_object.h:54-62)
+            out["z_order"].append(hash_z_order(url))
+
+        for url, html, lang in zip(urls, htmls, langs):
+            name_m = self.slug_re.match(url)
+            name = name_m.group(1) if name_m else ""
+            seq = 0
+            for m in self.pos_re.finditer(html):
+                lat, lon = float(m.group(1)), float(m.group(2))
+                emit(url, seq, 1, name, lang, lon, lat, _wkb.point_wkb(lon, lat))
+                seq += 1
+            for m in self.track_re.finditer(html):
+                coords = _parse_latlon_list(m.group(1))
+                if len(coords) >= 2:
+                    emit(url, seq, 2, name, lang, coords[0, 0], coords[0, 1],
+                         _wkb.linestring_wkb(coords))
+                    seq += 1
+            for m in self.foot_re.finditer(html):
+                coords = _parse_latlon_list(m.group(1))
+                if len(coords) >= 3:
+                    emit(url, seq, 3, name, lang, coords[0, 0], coords[0, 1],
+                         _wkb.polygon_wkb(coords))
+                    seq += 1
+        return pa.table(
+            {k: pa.array(v, FEATURE_SCHEMA.field(k).type) for k, v in out.items()},
+            schema=FEATURE_SCHEMA)
+
+
+def _parse_latlon_list(content: bytes) -> np.ndarray:
+    """'lat,lon lat,lon ...' → (N,2) array of (lon, lat)."""
+    vals = np.array(
+        [float(v) for pair in content.split(b" ") for v in pair.split(b",")])
+    if len(vals) < 2:
+        return np.empty((0, 2))
+    ll = vals.reshape(-1, 2)
+    return np.stack([ll[:, 1], ll[:, 0]], axis=1)  # → (lon, lat)
+
+
+def hash_z_order(url: str) -> int:
+    """Deterministic int16 z-order from a stable url hash (python hash()
+    is salted per process — use fnv1a instead)."""
+    h = 2166136261
+    for b in url.encode():
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return (h % 2001) - 1000
+
+
+class ExtractText:
+    """Text-extraction stage (batch → batch + extracted_text column):
+    used by the byte-identity check and by the text-analysis operators
+    so they can run on raw pages."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        return batch.append_column("extracted_text", pa.array(texts, pa.string()))
