@@ -1,0 +1,110 @@
+"""Benchmark harness.
+
+Default: runs the flagship pages→tiles pipeline plus every driver query
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the headline pipeline in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the north
+rule's N-vs-4N cluster criterion).
+
+Pages input is generated once into /tmp (deterministic, cached) so the
+timed run measures the pipeline, not synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from tilemaker_ray.pipelines import flagship
+    from tilemaker_ray.pipelines.queries import QUERIES
+    from tilemaker_ray.sources import pages
+
+    n_pages = pages.n_pages_for_sf_dir(sf_dir)
+    pages_path = pages.ensure_pages_parquet(n_pages)
+
+    # warm the page cache (untimed read) so we measure compute + shuffle
+    rd.read_parquet(pages_path).count()
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(pages_path)
+    tiles = flagship.tiles_pipeline(ds, concurrency=max(2, num_cpus // 2))
+    n_tiles = tiles.count()
+    headline = time.perf_counter() - t0
+
+    qtimes = {}
+    for name, fn in QUERIES.items():
+        tq = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()  # force execution
+        qtimes[name] = round(time.perf_counter() - tq, 3)
+
+    result = {
+        "metric": ("end-to-end docs/sec: extract -> cell encode -> PIP join "
+                   "-> tile shuffle -> MVT encode (pages table, sf-scaled)"),
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_tiles": n_tiles,
+        "docs_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "scaling efficiency (32 vs 8 cpus, same input)",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": r_hi["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

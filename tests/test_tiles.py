@@ -69,15 +69,23 @@ def _fanout_frame(n_pages=3000):
     return fan.to_pandas(), enc
 
 
-def test_fanout_points_single_tile():
+def test_fanout_points_banded():
     fan, enc = _fanout_frame(1000)
     pts = fan[fan["kind"] == 1]
     assert (pts["base_tiles"].map(len) == 1).all()
-    # z6 key is the parent of the base tile
+    # one row per band; each shard key is the band-anchor parent
+    n_points = enc.filter(
+        __import__("pyarrow").compute.equal(enc["kind"], 1)).num_rows
+    from tilemaker_ray.stages.fanout import BANDS
+    assert len(pts) == n_points * len(BANDS)
     bt = np.asarray([t[0] for t in pts["base_tiles"]])
-    np.testing.assert_array_equal(
-        tm.tile_id_parent(bt, DEFAULT_CONFIG.basezoom - 6),
-        pts["z6_id"].to_numpy())
+    sk = pts["shard_key"].to_numpy()
+    az = sk >> np.int64(tm.ZOOM_SHIFT)
+    for _, _, anchor in BANDS:
+        sel = az == anchor
+        np.testing.assert_array_equal(
+            tm.tile_id_parent(bt[sel], DEFAULT_CONFIG.basezoom - anchor),
+            sk[sel])
 
 
 def test_fanout_lines_cover_more_tiles():
@@ -90,8 +98,9 @@ def test_fanout_lines_cover_more_tiles():
 def test_encode_subtree_oracle_counts():
     """Tile feature membership matches a brute-force per-zoom check."""
     fan, _ = _fanout_frame(1500)
-    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]]
-    tiles = encode_subtree(one, DEFAULT_CONFIG)
+    z12 = fan[(fan["shard_key"].to_numpy() >> tm.ZOOM_SHIFT) == 12]
+    one = fan[fan["shard_key"] == z12["shard_key"].mode()[0]]
+    tiles = encode_subtree(one, DEFAULT_CONFIG, zmin=13, zmax=14).to_pandas()
     assert len(tiles) > 0
     # oracle: point features at z14 per tile
     cfgz = DEFAULT_CONFIG.basezoom
@@ -117,11 +126,17 @@ def test_encode_subtree_oracle_counts():
     assert set(expect).issubset(got_ids)
 
 
+def _z6_shard(fan, pick=0):
+    z6 = fan[(fan["shard_key"].to_numpy() >> tm.ZOOM_SHIFT) == 6]
+    key = z6["shard_key"].value_counts().index[pick]
+    return fan[fan["shard_key"] == key]
+
+
 def test_encode_subtree_zoom_rollup():
     """Every tile at z has a parent tile at z-1 containing it."""
     fan, _ = _fanout_frame(800)
-    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]]
-    tiles = encode_subtree(one, DEFAULT_CONFIG)
+    one = _z6_shard(fan)
+    tiles = encode_subtree(one, DEFAULT_CONFIG, zmin=6, zmax=14).to_pandas()
     by_zoom = {z: set(g["tile_id"]) for z, g in tiles.groupby("zoom")}
     # only zooms where every feature kind is past its minzoom (place 6,
     # track 9, footprint 11) — below that a child can legally lack a parent
@@ -136,10 +151,12 @@ def test_encode_deterministic_under_row_order():
     """Double-run + shuffled input rows → identical tile hashes
     (the reference's verify-generated-tiles invariant)."""
     fan, _ = _fanout_frame(1200)
-    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]]
-    a = encode_subtree(one, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
+    one = _z6_shard(fan)
+    a = encode_subtree(one, DEFAULT_CONFIG, zmin=6, zmax=14).to_pandas()\
+        .sort_values("tile_id").reset_index(drop=True)
     shuffled = one.sample(frac=1.0, random_state=7)
-    b = encode_subtree(shuffled, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
+    b = encode_subtree(shuffled, DEFAULT_CONFIG, zmin=6, zmax=14).to_pandas()\
+        .sort_values("tile_id").reset_index(drop=True)
     assert list(a["tile_hash"]) == list(b["tile_hash"])
     assert list(a["n_features"]) == list(b["n_features"])
 
@@ -151,16 +168,15 @@ def test_feature_limit_topk():
     lon, lat = 13.4, 52.5
     rows = []
     for i in range(5):
-        rows.append({"url": f"u{i}", "feature_seq": 0, "kind": 1,
+        rows.append({"fuid": i, "kind": 1,
                      "layer": "place", "name": f"n{i}", "minzoom": 6,
-                     "z_order": i * 10,
+                     "z_order": i * 10, "lon": lon, "lat": lat,
                      "geom_wkb": wkb.point_wkb(lon, lat),
-                     "z6_id": 0,
                      "base_tiles": tm.tile_id(
                          14, tm.lon2tilex(np.array([lon]), 14),
-                         tm.lat2tiley(np.array([lat]), 14))})
+                         tm.lat2tiley(np.array([lat]), 14)).tolist()})
     df = pd.DataFrame(rows)
-    tiles = encode_subtree(df, cfg)
+    tiles = encode_subtree(df, cfg, zmin=14, zmax=14).to_pandas()
     z14 = tiles[tiles["zoom"] == 14]
     assert (z14["n_features"] == 2).all()
     # top-k by z_order desc → names n4, n3 kept
@@ -169,14 +185,18 @@ def test_feature_limit_topk():
     assert set(dec["place"]["values"]) == {"n4", "n3"}
 
 
-def test_salted_merge_equivalence():
-    """Encoding salted sub-groups merged back == unsalted encoding."""
+def test_banded_shards_equal_monolithic():
+    """Union of per-shard banded encoding == one-task full-pyramid
+    encoding (skew splitting must not change output bytes)."""
+    from tilemaker_ray.stages.tile_encode import encode_shard
     fan, _ = _fanout_frame(1500)
-    one = fan[fan["z6_id"] == fan["z6_id"].mode()[0]].reset_index(drop=True)
-    plain = encode_subtree(one, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
-    # simulate a salted shuffle: split rows by url hash, re-merge
-    from tilemaker_ray.stages.fanout import _fnv
-    salts = one["url"].map(lambda u: _fnv(u) % 3)
-    merged = pd.concat([one[salts == s] for s in range(3)])
-    salted = encode_subtree(merged, DEFAULT_CONFIG).sort_values("tile_id").reset_index(drop=True)
-    assert list(plain["tile_hash"]) == list(salted["tile_hash"])
+    # monolithic: z6-anchor rows carry the full base tile set
+    z6_rows = fan[(fan["shard_key"].to_numpy() >> tm.ZOOM_SHIFT) == 6]
+    mono = encode_subtree(z6_rows, DEFAULT_CONFIG, zmin=6, zmax=14).to_pandas()\
+        .sort_values("tile_id").reset_index(drop=True)
+    # banded: encode each shard with its band's zoom range
+    parts = [encode_shard(g, DEFAULT_CONFIG).to_pandas()
+             for _, g in fan.groupby("shard_key")]
+    banded = pd.concat(parts).sort_values("tile_id").reset_index(drop=True)
+    assert list(mono["tile_hash"]) == list(banded["tile_hash"])
+    assert list(mono["n_features"]) == list(banded["n_features"])

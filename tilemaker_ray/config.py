@@ -62,9 +62,10 @@ DEFAULT_LAYERS = (
     LayerDef("place", minzoom=6, feature_limit=256, feature_limit_below=13,
              combine_points=True),
     LayerDef("track", minzoom=9, simplify_below=14, simplify_level=1.0,
-             combine_lines=True),
+             feature_limit=512, feature_limit_below=13, combine_lines=True),
     LayerDef("footprint", minzoom=11, simplify_below=14, simplify_level=0.5,
-             filter_below=13, filter_area=4.0, combine_polygons=True),
+             filter_below=13, filter_area=4.0,
+             feature_limit=512, feature_limit_below=13, combine_polygons=True),
     LayerDef("admin", minzoom=2, simplify_below=12, simplify_level=1.0),
     LayerDef("landuse", minzoom=5, simplify_below=13, simplify_level=1.0,
              filter_below=12, filter_area=8.0),

@@ -29,7 +29,7 @@ from ..stages.encode import make_cell_encoder
 from ..stages.extract import ExtractFeatures
 from ..stages.fanout import make_fanout
 from ..stages.join import PIPTagger
-from ..stages.tile_encode import encode_subtree
+from ..stages.tile_encode import encode_shard
 
 
 def features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -62,11 +62,16 @@ def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
                    concurrency: int | None = None):
     """Full pipeline → tile Dataset (zoom, x, y, tile_id, n_features,
     tile_gz, tile_hash)."""
+    import ray
     ds = joined_features_pipeline(pages_ds, cfg, polygons_table, concurrency)
     ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
                         batch_size=8192)
-    enc = functools.partial(encode_subtree, cfg=cfg)
-    return ds.groupby("z6_id").map_groups(enc, batch_format="pandas")
+    # enough reduce partitions that hot shards don't co-schedule; the
+    # scrambled key spreads spatially-adjacent hot shards across them
+    n_blocks = max(48, int(ray.cluster_resources().get("CPU", 16)) * 2)
+    ds = ds.repartition(n_blocks)
+    enc = functools.partial(encode_shard, cfg=cfg)
+    return ds.groupby("shard_scram").map_groups(enc, batch_format="pyarrow")
 
 
 def write_tiles(tiles_ds, out_dir: str):

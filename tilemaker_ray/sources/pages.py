@@ -178,11 +178,12 @@ def page_batch(batch: dict) -> pa.Table:
 
 
 def n_pages_for_sf_dir(sf_dir: str) -> int:
-    """Page count scales with the driver's sf tables: 4× documents rows
-    (sf0.001 → 2k pages, sf0.01 → 20k, sf0.1 → 200k)."""
+    """Page count scales with the driver's sf tables: lineitem/3
+    (sf0.001 → ~2k pages, sf0.01 → ~20k, sf0.1 → ~200k). lineitem is
+    the only table that scales across all three sf dirs."""
     import pyarrow.parquet as pq
-    docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
-    return int(docs.metadata.num_rows) * 4
+    li = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet"))
+    return max(1000, int(li.metadata.num_rows) // 3)
 
 
 def pages_dataset(n: int, parallelism: int = -1):

@@ -46,6 +46,12 @@ def extract_text(html: bytes) -> str:
 
 FEATURE_SCHEMA = pa.schema([
     ("url", pa.string()),
+    ("fuid", pa.int64()),         # compact feature uid: fnv1a64(url) ⊕ seq —
+                                  # the shuffle-side identity (url itself never
+                                  # enters the tile shuffle; SURVEY §7.5 wide-
+                                  # records rule). 64-bit collision odds are
+                                  # negligible below ~10^9 features per shard;
+                                  # widen to two int64s beyond that.
     ("feature_seq", pa.int32()),
     ("kind", pa.int8()),          # 1 point, 2 line, 3 polygon (WKB type ids)
     ("layer", pa.string()),
@@ -81,12 +87,13 @@ class ExtractFeatures:
         htmls = batch["html"].to_pylist()
         langs = batch["lang"].to_pylist()
 
-        out = {k: [] for k in ("url", "feature_seq", "kind", "layer", "name",
-                               "lang", "lon", "lat", "geom_wkb", "minzoom",
-                               "z_order")}
+        out = {k: [] for k in ("url", "fuid", "feature_seq", "kind", "layer",
+                               "name", "lang", "lon", "lat", "geom_wkb",
+                               "minzoom", "z_order")}
 
         def emit(url, seq, kind, name, lang, lon, lat, geom):
             out["url"].append(url)
+            out["fuid"].append(feature_uid(url, seq))
             out["feature_seq"].append(seq)
             out["kind"].append(kind)
             out["layer"].append(_LAYER_BY_KIND[kind])
@@ -96,9 +103,13 @@ class ExtractFeatures:
             out["lat"].append(lat)
             out["geom_wkb"].append(geom)
             out["minzoom"].append(_MINZOOM_BY_KIND[kind])
-            # deterministic z_order from the url hash, sqrt-compressed to
-            # int16 like the reference (include/output_object.h:54-62)
-            out["z_order"].append(hash_z_order(url))
+            # points: z_order 0 (no salience ordering) so combine_points
+            # can merge whole same-name runs into one multipoint — the
+            # reference merges adjacent features with identical
+            # (geomType, z_order, attributes) (tile_worker.cpp:323-370);
+            # lines/polygons: deterministic url-hash z_order, int16
+            # compressed like include/output_object.h:54-62
+            out["z_order"].append(0 if kind == 1 else hash_z_order(url))
 
         for url, html, lang in zip(urls, htmls, langs):
             name_m = self.slug_re.match(url)
@@ -133,6 +144,16 @@ def _parse_latlon_list(content: bytes) -> np.ndarray:
         return np.empty((0, 2))
     ll = vals.reshape(-1, 2)
     return np.stack([ll[:, 1], ll[:, 0]], axis=1)  # → (lon, lat)
+
+
+def feature_uid(url: str, seq: int) -> int:
+    """64-bit fnv1a of the url, mixed with the emission seq — stable
+    across processes (python hash() is salted)."""
+    h = 0xCBF29CE484222325
+    for b in url.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    h ^= (seq * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 63)  # signed int64 range for Arrow
 
 
 def hash_z_order(url: str) -> int:

@@ -1,27 +1,33 @@
-"""Tile fan-out: feature → (z6 subtree, base-zoom tile list) rows.
+"""Tile fan-out: feature → (zoom-band shard, base-zoom tile list) rows.
 
 The analog of the reference's feature→tile indexing
 (insertIntermediateTiles supercover + fillCoveredTiles,
 /root/reference/src/coordinates_geom.cpp:111-189,
-src/coordinates.cpp:52) and its z6-bucket clustering
-(/root/reference/include/tile_data.h:279-288): every feature is
-rasterized ONCE at the base zoom, and the resulting tile set is keyed
-by its z6 ancestor(s). The tile shuffle then groups by ``z6_id`` so one
-``map_groups`` task owns an entire z6 subtree — giving the same
-clip/sort locality the reference gets from its clustering sort
-(src/tile_sorting.cpp:8-60) and clip cache (include/clip_cache.h).
+src/coordinates.cpp:52) and its z6-bucket clustering with low-zoom
+copies (/root/reference/include/tile_data.h:26-66 — the reference also
+duplicates features into per-zoom lists at finalize). Every feature is
+rasterized ONCE at the base zoom; lower-zoom tile sets derive EXACTLY
+by halving tile coords (src/tile_data.cpp:169-174).
 
-Lower-zoom tile sets (z6..basezoom-1) derive EXACTLY from the
-base-zoom set by halving tile coords (a z-tile intersects the geometry
-iff one of its base-zoom descendants does), mirroring
-src/tile_data.cpp:169-174 — so rasterization happens once, not per
-zoom.
+Skew handling — zoom-banded sharding: one z6 subtree of a dense city
+(zipf head) would serialize the whole pyramid in one task. Instead the
+zoom range is split into bands, each keyed at a finer anchor zoom:
 
-Skew handling: features in a z6 subtree whose row count exceeds
-``hot_tile_rows`` can be salted into ``(z6_id, salt)`` sub-groups by a
-deterministic url hash; the encode stage merges salted sub-groups
-before the per-tile sort so output is independent of salting (see
-tile_encode.merge_salted).
+    band 0: zooms 6..10  keyed by the z6 ancestor
+    band 1: zooms 11..12 keyed by the z10 ancestor
+    band 2: zooms 13..basezoom keyed by the z12 ancestor
+
+Low bands are cheap because feature_limit caps dense tiles; high bands
+are uncapped but finely partitioned — so no single shard holds more
+than a z12-subtree's worth of uncapped work. The shard key is the
+anchor tile id itself (zoom is embedded), so one groupby covers all
+bands. This is the data-driven replacement for the reference's
+hand-tuned geographic store shards (src/sharded_node_store.cpp:52-83)
+and zoom-weighted tile batches (src/tilemaker.cpp:463-481).
+
+Shuffle volume cost: one row per feature per band (≈3× the feature
+count, each row a slim reference + WKB) — the same trade the reference
+makes materializing low-zoom copies of every feature.
 """
 
 from __future__ import annotations
@@ -33,16 +39,25 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..geo import raster, tilemath as tm
 from ..geo import wkb as _wkb
 
-FANOUT_FIELDS = ["url", "feature_seq", "kind", "layer", "name", "minzoom",
-                 "z_order", "geom_wkb"]
+FANOUT_FIELDS = ["fuid", "kind", "layer", "name", "minzoom",
+                 "z_order", "lon", "lat", "geom_wkb"]
+
+# (zmin, zmax, anchor_zoom) per band; basezoom fills the last band's zmax
+BANDS = ((6, 10, 6), (11, 12, 10), (13, None, 12))
+
+
+def band_for_anchor_zoom(az: int, basezoom: int):
+    for zmin, zmax, anchor in BANDS:
+        if anchor == az:
+            return zmin, (zmax if zmax is not None else basezoom)
+    raise ValueError(f"no band anchored at zoom {az}")
 
 
 def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
     """map_batches body: encoded features → fan-out rows with
-    ``z6_id`` (shuffle key) and ``base_tiles`` (list<int64> of
-    base-zoom tile ids inside that z6 subtree)."""
+    ``shard_key`` (anchor tile id; the shuffle key) and ``base_tiles``
+    (list<int64> of base-zoom tile ids inside that shard)."""
     basezoom = cfg.basezoom
-    dz = basezoom - 6
 
     def fanout(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -51,28 +66,28 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
         ys = batch["tile_y"].to_numpy(zero_copy_only=False)
 
         feat_rows: list[int] = []
-        z6_ids: list[int] = []
+        shard_keys: list[int] = []
         base_tiles: list[np.ndarray] = []
 
-        # points: single tile, fully vectorized
+        # points: single tile → one row per band, fully vectorized keys
         pt = np.flatnonzero(kinds == 1)
         if len(pt):
             tid = tm.tile_id(basezoom, xs[pt], ys[pt])
-            z6 = tm.tile_id_parent(tid, dz)
-            feat_rows.extend(pt.tolist())
-            z6_ids.extend(z6.tolist())
-            base_tiles.extend(np.asarray([t]) for t in tid.tolist())
+            for _zmin, _zmax, anchor in BANDS:
+                anc = tm.tile_id_parent(tid, basezoom - anchor)
+                feat_rows.extend(pt.tolist())
+                shard_keys.extend(anc.tolist())
+                base_tiles.extend(np.asarray([t]) for t in tid.tolist())
 
-        # lines/polygons: rasterize, then split tile set by z6 ancestor
+        # lines/polygons: rasterize once, split tile set per band anchor
         geo = np.flatnonzero(kinds != 1)
         if len(geo):
             wkbs = batch["geom_wkb"].take(pa.array(geo)).to_pylist()
             for row, buf in zip(geo.tolist(), wkbs):
                 gt, payload = _wkb.parse_wkb(buf)
                 if gt == _wkb.LINESTRING:
-                    coords = payload
-                    ft = np.stack([tm.lon2tilex_f(coords[:, 0], basezoom),
-                                   tm.lat2tiley_f(coords[:, 1], basezoom)], axis=1)
+                    ft = np.stack([tm.lon2tilex_f(payload[:, 0], basezoom),
+                                   tm.lat2tiley_f(payload[:, 1], basezoom)], axis=1)
                     tiles = raster.line_tiles(ft, basezoom)
                 else:
                     rings = [np.stack([tm.lon2tilex_f(r[:, 0], basezoom),
@@ -82,18 +97,24 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
                 if len(tiles) == 0:
                     continue
                 tids = tm.tile_id(basezoom, tiles[:, 0], tiles[:, 1])
-                z6 = tm.tile_id_parent(tids, dz)
-                for z6v in np.unique(z6):
-                    feat_rows.append(row)
-                    z6_ids.append(int(z6v))
-                    base_tiles.append(tids[z6 == z6v])
+                for _zmin, _zmax, anchor in BANDS:
+                    anc = tm.tile_id_parent(tids, basezoom - anchor)
+                    for av in np.unique(anc):
+                        feat_rows.append(row)
+                        shard_keys.append(int(av))
+                        base_tiles.append(tids[anc == av])
 
         if not feat_rows:
             out = batch.slice(0, 0).select(FANOUT_FIELDS)
-            return (out.append_column("z6_id", pa.array([], pa.int64()))
-                       .append_column("base_tiles", pa.array([], pa.list_(pa.int64()))))
+            return (out.append_column("shard_key", pa.array([], pa.int64()))
+                       .append_column("shard_scram", pa.array([], pa.int64()))
+                       .append_column("base_tiles",
+                                      pa.array([], pa.list_(pa.int64()))))
         out = batch.take(pa.array(feat_rows)).select(FANOUT_FIELDS)
-        return (out.append_column("z6_id", pa.array(z6_ids, pa.int64()))
+        sk = np.asarray(shard_keys, dtype=np.int64)
+        return (out.append_column("shard_key", pa.array(sk, pa.int64()))
+                   .append_column("shard_scram",
+                                  pa.array(_scramble(sk), pa.int64()))
                    .append_column("base_tiles",
                                   pa.array([t.tolist() for t in base_tiles],
                                            pa.list_(pa.int64()))))
@@ -101,25 +122,15 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
     return fanout
 
 
-def add_salt(batch: pa.Table, hot_z6: dict, n_salt: int = 4) -> pa.Table:
-    """Add a ``salt`` column: 0 everywhere except rows whose z6_id is in
-    ``hot_z6`` (a broadcast dict of hot subtree ids), which spread over
-    ``n_salt`` deterministic buckets by url hash. The shuffle key then
-    becomes (z6_id, salt) — the data-driven version of the reference's
-    hand-tuned geographic shards (src/sharded_node_store.cpp:52-83)."""
-    z6 = batch["z6_id"].to_numpy(zero_copy_only=False)
-    salt = np.zeros(len(z6), dtype=np.int32)
-    if hot_z6:
-        hot = np.isin(z6, np.fromiter(hot_z6.keys(), dtype=np.int64))
-        if hot.any():
-            urls = np.asarray(batch["url"].to_pylist(), dtype=object)[hot]
-            h = np.asarray([_fnv(u) % n_salt for u in urls], dtype=np.int32)
-            salt[hot] = h
-    return batch.append_column("salt", pa.array(salt, pa.int32()))
-
-
-def _fnv(s: str) -> int:
-    h = 2166136261
-    for b in s.encode():
-        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
-    return h
+def _scramble(keys: np.ndarray) -> np.ndarray:
+    """Bijective mix of the shard key. The tile shuffle RANGE-partitions
+    its sort key; morton shard keys of a dense city are adjacent, so
+    un-mixed they pile into one reduce partition and re-serialize the
+    skew that banding just split. Scrambling spreads hot shards evenly
+    while keeping group identity 1:1."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x.astype(np.int64)

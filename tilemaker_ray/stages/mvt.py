@@ -49,8 +49,45 @@ def _len_delim(field: int, payload: bytes) -> bytes:
 
 
 def _packed_u32(field: int, values) -> bytes:
-    body = b"".join(_varint(int(v)) for v in values)
+    if isinstance(values, np.ndarray):
+        body = varints_array(values)
+    else:
+        body = b"".join(_varint(int(v)) for v in values)
     return _len_delim(field, body)
+
+
+def varints_array(vals: np.ndarray) -> bytes:
+    """Vectorized varint encoding of a uint array (values < 2^42) —
+    the hot path for packed geometry commands."""
+    v = np.asarray(vals, dtype=np.uint64)
+    nb = (np.uint64(1) + (v >= 1 << 7) + (v >= 1 << 14) + (v >= 1 << 21)
+          + (v >= 1 << 28) + (v >= 1 << 35)).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(nb)])
+    out = np.zeros(offs[-1], dtype=np.uint8)
+    for j in range(6):
+        need = nb > j
+        if not need.any():
+            break
+        byte = ((v[need] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[need] > j + 1)
+        byte = byte | (more.astype(np.uint8) << 7)
+        out[offs[:-1][need] + j] = byte
+    return out.tobytes()
+
+
+def multipoint_commands(pts: np.ndarray) -> np.ndarray:
+    """Command-integer array for an N-point MoveTo (zigzag deltas),
+    fully vectorized."""
+    p = np.asarray(pts, dtype=np.int64).reshape(-1, 2)
+    d = np.empty_like(p)
+    d[0] = p[0]
+    d[1:] = np.diff(p, axis=0)
+    zz = (d << 1) ^ (d >> 63)
+    cmds = np.empty(1 + 2 * len(p), dtype=np.uint64)
+    cmds[0] = (len(p) << 3) | CMD_MOVETO
+    cmds[1::2] = zz[:, 0]
+    cmds[2::2] = zz[:, 1]
+    return cmds
 
 
 def geometry_commands(parts: list, geom_type: int) -> list:
@@ -121,8 +158,14 @@ class LayerBuilder:
 
     def add_feature(self, geom_type: int, parts: list, attrs: dict,
                     feature_id: int | None = None):
-        cmds = geometry_commands(parts, geom_type)
-        if not cmds:
+        if geom_type == GEOM_POINT:
+            pts = parts[0] if len(parts) == 1 else np.vstack(parts)
+            if len(pts) == 0:
+                return False
+            cmds = multipoint_commands(pts)  # vectorized fast path
+        else:
+            cmds = geometry_commands(parts, geom_type)
+        if len(cmds) == 0:
             return False
         tags = []
         for k, v in attrs.items():

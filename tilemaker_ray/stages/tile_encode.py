@@ -1,28 +1,34 @@
-"""Per-z6-subtree tile encoding — the engine's main `map_groups` body.
+"""Per-shard tile encoding — the engine's main `map_groups` body.
 
-One group = one z6 subtree (shuffle key ``z6_id`` from
-stages.fanout). The group task derives every (zoom, x, y) tile of the
-subtree for zooms 6..basezoom by halving the base-zoom tile sets (the
+One group = one zoom-band shard (shuffle key ``shard_key`` from
+stages.fanout: a z6/z10/z12 anchor tile id that selects both the
+subtree and the zoom band to encode). The task derives every
+(zoom, x, y) tile of its band by halving the base-zoom tile sets (the
 reference's bitmap rollup, /root/reference/src/tile_data.cpp:151-185),
 then per tile runs the reference's ProcessObjects ladder
 (/root/reference/src/tile_worker.cpp:303-505):
 
-  canonical sort → adjacent dedup → feature_limit top-k →
-  clip to tile(+margin) → quantize to the extent grid →
-  simplify (DP / Visvalingam below simplify_below) →
+  canonical sort → dedup → feature_limit top-k → clip to tile(+margin)
+  → quantize to the extent grid → simplify below simplify_below →
   drop small parts (filter_area) → combine_points/lines/polygons →
   MVT encode → gzip.
 
-Determinism: the per-tile sort key (layer, z_order, kind, name, url,
-feature_seq) is total, so output bytes are independent of block
-arrival order and of salting (mirrors the canonical sort in
-src/tile_sorting.cpp:76-96 that makes the reference's double-run tile
-hashes match).
+Hot-path layout (what matters at 100 TB):
+- input arrives as a zero-copy Arrow table (``batch_format="pyarrow"``
+  in the groupby — pandas group conversion measured 10× slower);
+- the base_tiles list column is consumed through its Arrow
+  offsets/values buffers, no per-row Python;
+- canonical sort, feature_limit cumcount and point grid transforms
+  are single numpy passes over all (tile, feature) pairs of a zoom;
+- non-point WKB is parsed ONCE per feature per shard (the
+  share-nothing analog of the reference's geometry cache,
+  include/geometry_cache.h); whole-geometry-inside-tile skips
+  clipping entirely (the clip-cache dividend, include/clip_cache.h).
 
-Salted groups: when the shuffle key is (z6_id, salt) for hot subtrees,
-each salted task emits *feature-list* rows instead of tiles, and a
-second, small groupby(tile) merges + encodes — output is byte-identical
-to the unsalted path because the merge re-sorts canonically.
+Determinism: the per-tile sort key (layer, ±z_order, kind, name, fuid)
+is total (fuid = per-feature uid), so output bytes are independent of
+block arrival order and of shard banding (mirrors the canonical sort
+in src/tile_sorting.cpp:76-96).
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import gzip
 import hashlib
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..geo import clip as _clip
@@ -40,152 +46,251 @@ from ..geo import tilemath as tm
 from ..geo import wkb as _wkb
 from . import mvt
 
+TILE_SCHEMA = pa.schema([
+    ("zoom", pa.int32()), ("x", pa.int32()), ("y", pa.int32()),
+    ("tile_id", pa.int64()), ("n_features", pa.int32()),
+    ("tile_gz", pa.binary()), ("tile_hash", pa.string()),
+])
 
-def encode_subtree(group: pd.DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-                   zmin: int | None = None, zmax: int | None = None) -> pd.DataFrame:
-    """map_groups body: all fan-out rows of one z6 subtree → tile rows
-    (zoom, x, y, tile_id, n_features, tile_gz, tile_hash)."""
+
+def encode_shard(group, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """map_groups body for the zoom-banded shuffle: the shard key's own
+    zoom selects which zoom band this task encodes (stages.fanout)."""
+    from .fanout import band_for_anchor_zoom
+    group = _as_table(group)
+    if group.num_rows == 0:
+        return _empty_tiles()
+    anchor_zoom = int(group["shard_key"][0].as_py()) >> tm.ZOOM_SHIFT
+    zmin, zmax = band_for_anchor_zoom(anchor_zoom, cfg.basezoom)
+    return encode_subtree(group, cfg, zmin=max(zmin, cfg.minzoom),
+                          zmax=min(zmax, cfg.basezoom))
+
+
+def _as_table(group) -> pa.Table:
+    if isinstance(group, pa.Table):
+        return group
+    import pandas as pd
+    if isinstance(group, pd.DataFrame):
+        return pa.Table.from_pandas(group, preserve_index=False)
+    raise TypeError(type(group))
+
+
+def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
+                   zmin: int | None = None, zmax: int | None = None) -> pa.Table:
     basezoom = cfg.basezoom
     zmin = max(cfg.minzoom, 6) if zmin is None else zmin
     zmax = basezoom if zmax is None else zmax
 
-    # 1. dedup features (a feature may arrive once per z6 tile it
-    #    touches; within one group its rows are duplicates except when
-    #    salted inputs were merged — concat their base_tiles)
-    feats = _dedup_features(group)
-
-    # 2. explode (feature, base_tile)
-    fi = np.repeat(np.arange(len(feats)), [len(t) for t in feats["base_tiles"]])
-    bt = (np.concatenate(list(feats["base_tiles"]))
-          if len(feats) else np.empty(0, dtype=np.int64))
-
-    out_rows = []
-    minzooms = feats["minzoom"].to_numpy() if len(feats) else np.empty(0, dtype=np.int8)
-    for z in range(zmin, zmax + 1):
-        keys = tm.tile_id_parent(bt, basezoom - z) if len(bt) else bt
-        # unique (tile, feature) pairs, honoring per-feature minzoom
-        ok = minzooms[fi] <= z
-        pairs = np.unique(np.stack([keys[ok], fi[ok]], axis=1), axis=0) \
-            if ok.any() else np.empty((0, 2), dtype=np.int64)
-        if len(pairs) == 0:
-            continue
-        tile_keys = pairs[:, 0]
-        bounds = np.flatnonzero(np.diff(tile_keys)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(pairs)]])
-        for s, e in zip(starts, ends):
-            tid = int(tile_keys[s])
-            rows = pairs[s:e, 1]
-            row = _encode_tile(tid, z, feats, rows, cfg)
-            if row["n_features"] > 0:  # skip empty tiles (reference: only
-                out_rows.append(row)   # populated tiles are enumerated)
-    if not out_rows:
+    t = _dedup_features(_as_table(group))
+    n = t.num_rows
+    if n == 0:
         return _empty_tiles()
-    return pd.DataFrame(out_rows)
+
+    # ---- per-feature columns as flat arrays (one-time, mostly zero-copy) ----
+    fuids = t["fuid"].to_numpy(zero_copy_only=False)
+    kinds = t["kind"].to_numpy(zero_copy_only=False)
+    names = np.asarray(t["name"].to_pylist(), dtype=object)
+    minzooms = t["minzoom"].to_numpy(zero_copy_only=False)
+    zorders = t["z_order"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lons = t["lon"].to_numpy(zero_copy_only=False)
+    lats = t["lat"].to_numpy(zero_copy_only=False)
+    layer_names = np.asarray(t["layer"].to_pylist(), dtype=object)
+
+    # base_tiles through Arrow list offsets — no per-row Python
+    bt_col = t["base_tiles"].combine_chunks()
+    if isinstance(bt_col, pa.ChunkedArray):
+        bt_col = bt_col.chunk(0)
+    offsets = bt_col.offsets.to_numpy(zero_copy_only=False)
+    bt_all = bt_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    fi_all = np.repeat(np.arange(n), counts)
+    bt_all = bt_all & ((1 << tm.ZOOM_SHIFT) - 1)  # strip zoom bits → morton
+
+    # layer policy lookup tables
+    layer_order = {l.name: i for i, l in enumerate(cfg.layers)}
+    ldefs = {l.name: l for l in cfg.layers}
+    for ln in set(layer_names.tolist()):
+        if ln not in ldefs:
+            from ..config import LayerDef
+            ldefs[ln] = LayerDef(name=ln)
+            layer_order[ln] = len(layer_order)
+    layer_rank = np.asarray([layer_order[l] for l in layer_names], dtype=np.int64)
+    zdir = np.asarray([1 if ldefs[l].z_order_ascending else -1
+                       for l in layer_names], dtype=np.int64)
+    lay_minz = np.asarray([ldefs[l].minzoom for l in layer_names], dtype=np.int8)
+    lay_maxz = np.asarray([ldefs[l].maxzoom for l in layer_names], dtype=np.int8)
+    lay_limit = np.asarray([ldefs[l].feature_limit or 1 << 30
+                            for l in layer_names], dtype=np.int64)
+    lay_limit_below = np.asarray([ldefs[l].feature_limit_below
+                                  for l in layer_names], dtype=np.int8)
+
+    # canonical feature order within any tile (total: fuid unique)
+    canon = np.lexsort((fuids, names, kinds, zorders * zdir, layer_rank))
+    canon_rank = np.empty(n, dtype=np.int64)
+    canon_rank[canon] = np.arange(n)
+
+    # parsed non-point geometry cache (feature idx → parsed payload)
+    geom_cache: dict[int, tuple] = {}
+    wkb_py = None
+
+    def parsed(fi: int):
+        nonlocal wkb_py
+        g = geom_cache.get(fi)
+        if g is None:
+            if wkb_py is None:
+                wkb_py = t["geom_wkb"].to_pylist()
+            g = geom_cache[fi] = _wkb.parse_wkb(wkb_py[fi])
+        return g
+
+    out = {k: [] for k in ("zoom", "x", "y", "tile_id", "n_features",
+                           "tile_gz", "tile_hash")}
+
+    for z in range(zmin, zmax + 1):
+        dz = basezoom - z
+        keys = bt_all >> np.int64(2 * dz)
+        vis = (minzooms[fi_all] <= z) & (lay_minz[fi_all] <= z) \
+            & (lay_maxz[fi_all] >= z)
+        if not vis.any():
+            continue
+        pairs = np.unique(np.stack([keys[vis], fi_all[vis]], axis=1), axis=0)
+        tkey, fidx = pairs[:, 0], pairs[:, 1]
+
+        order = np.lexsort((canon_rank[fidx], tkey))
+        tkey, fidx = tkey[order], fidx[order]
+
+        # feature_limit: cumcount within (tile, layer) runs
+        run_break = np.empty(len(tkey), dtype=bool)
+        run_break[0] = True
+        run_break[1:] = (np.diff(tkey) != 0) | (np.diff(layer_rank[fidx]) != 0)
+        idx = np.arange(len(tkey))
+        start = np.maximum.accumulate(np.where(run_break, idx, 0))
+        cum = idx - start
+        limit_applies = z < lay_limit_below[fidx]
+        keep = ~limit_applies | (cum < lay_limit[fidx])
+        tkey, fidx = tkey[keep], fidx[keep]
+        if len(tkey) == 0:
+            continue
+
+        tx, ty = tm.morton_decode(tkey.astype(np.uint64))
+        tx = tx.astype(np.int64)
+        ty = ty.astype(np.int64)
+
+        extent = cfg.tile_extent
+        margin = cfg.tile_margin * extent
+        is_pt = kinds[fidx] == 1
+        ui = np.zeros(len(tkey), dtype=np.int64)
+        vi = np.zeros(len(tkey), dtype=np.int64)
+        in_tile = np.ones(len(tkey), dtype=bool)
+        if is_pt.any():
+            pf = fidx[is_pt]
+            u = (tm.lon2tilex_f(lons[pf], z) - tx[is_pt]) * extent
+            v = (tm.lat2tiley_f(lats[pf], z) - ty[is_pt]) * extent
+            ui[is_pt] = np.round(u).astype(np.int64)
+            vi[is_pt] = np.round(v).astype(np.int64)
+            in_tile[is_pt] = ((u >= -margin) & (u <= extent + margin)
+                              & (v >= -margin) & (v <= extent + margin))
+
+        bounds = np.flatnonzero(np.diff(tkey)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tkey)]])
+        for s, e in zip(starts, ends):
+            row = _assemble_tile(
+                z, int(tx[s]), int(ty[s]), slice(s, e), fidx, is_pt, in_tile,
+                ui, vi, layer_names, names, zorders, parsed,
+                ldefs, layer_order, cfg)
+            if row is not None:
+                out["zoom"].append(z)
+                out["x"].append(int(tx[s]))
+                out["y"].append(int(ty[s]))
+                out["tile_id"].append(int(tm.tile_id(z, np.asarray([tx[s]]),
+                                                     np.asarray([ty[s]]))[0]))
+                out["n_features"].append(row[0])
+                out["tile_gz"].append(row[1])
+                out["tile_hash"].append(row[2])
+
+    if not out["zoom"]:
+        return _empty_tiles()
+    return pa.table({k: pa.array(v, TILE_SCHEMA.field(k).type)
+                     for k, v in out.items()}, schema=TILE_SCHEMA)
 
 
-def _dedup_features(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values(["url", "feature_seq"], kind="stable")
-    dup = g.duplicated(["url", "feature_seq"], keep=False)
-    if not dup.any():
-        return g.reset_index(drop=True)
-    # merge base_tiles of duplicate (salted / multi-z6) rows
-    agg = {c: "first" for c in g.columns if c not in ("url", "feature_seq", "base_tiles")}
-    merged = (g.groupby(["url", "feature_seq"], as_index=False, sort=True)
-              .agg({**agg, "base_tiles": lambda ts: np.unique(np.concatenate(list(ts)))}))
-    return merged
-
-
-def _canonical_order(feats: pd.DataFrame, rows: np.ndarray,
-                     cfg: EngineConfig) -> np.ndarray:
-    """Total per-tile sort (src/tile_sorting.cpp:76-96 analog):
-    (layer, ±z_order, kind, name, url, feature_seq)."""
-    sub = feats.iloc[rows]
-    zord = sub["z_order"].to_numpy(dtype=np.int64)
-    # per-layer z-order direction
-    zdir = np.asarray([1 if cfg.layer(l).z_order_ascending else -1
-                       for l in sub["layer"]])
-    keys = np.lexsort((sub["feature_seq"].to_numpy(), sub["url"].to_numpy(),
-                       sub["name"].to_numpy(), sub["kind"].to_numpy(),
-                       zord * zdir, sub["layer"].to_numpy()))
-    return rows[keys]
-
-
-_KIND_TO_MVT = {1: mvt.GEOM_POINT, 2: mvt.GEOM_LINESTRING, 3: mvt.GEOM_POLYGON}
-
-
-def _encode_tile(tid: int, z: int, feats: pd.DataFrame, rows: np.ndarray,
-                 cfg: EngineConfig) -> dict:
-    _, xs, ys = tm.tile_id_decode(np.asarray([tid]))
-    x, y = int(xs[0]), int(ys[0])
+def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
+                   layer_names, names, zorders, parsed,
+                   ldefs, layer_order, cfg):
+    """Build one tile's MVT from precomputed pair arrays (already in
+    canonical order, already feature-limited)."""
     extent = cfg.tile_extent
     margin = cfg.tile_margin * extent
-
-    rows = _canonical_order(feats, rows, cfg)
-    sub = feats.iloc[rows]
-
-    # feature_limit top-k per layer (after canonical sort → deterministic,
-    # src/tile_worker.cpp:495)
-    kept_parts = []
-    per_layer_seen: dict[str, int] = {}
-    n_encoded = 0
+    idxs = np.arange(sl.start, sl.stop)
     layers: dict[str, mvt.LayerBuilder] = {}
-    for _, f in sub.iterrows():
-        ldef = cfg.layer(f["layer"])
-        if not (ldef.minzoom <= z <= ldef.maxzoom):
+    n_encoded = 0
+
+    f_sl = fidx[idxs]
+    pt_sl = is_pt[idxs]
+    ln_sl = layer_names[f_sl]
+    nm_sl = names[f_sl]
+    zo_sl = zorders[f_sl]
+    combine_ok = np.asarray([ldefs[l].combine_points for l in ln_sl])
+    brk = np.ones(len(idxs), dtype=bool)
+    if len(idxs) > 1:
+        same = ((ln_sl[1:] == ln_sl[:-1]) & (nm_sl[1:] == nm_sl[:-1])
+                & (zo_sl[1:] == zo_sl[:-1]) & pt_sl[1:] & pt_sl[:-1]
+                & combine_ok[1:])
+        brk[1:] = ~same
+    run_starts = np.flatnonzero(brk)
+    run_ends = np.concatenate([run_starts[1:], [len(idxs)]])
+
+    for s, e in zip(run_starts, run_ends):
+        fi = f_sl[s]
+        lname = ln_sl[s]
+        ldef = ldefs[lname]
+        if pt_sl[s]:
+            run_a = idxs[s:e]
+            ok = in_tile[run_a]
+            if ok.any():
+                pts = np.stack([ui[run_a[ok]], vi[run_a[ok]]], axis=1)
+                lb = layers.get(lname)
+                if lb is None:
+                    lb = layers[lname] = mvt.LayerBuilder(lname, extent)
+                if lb.add_feature(mvt.GEOM_POINT, [pts], {"name": nm_sl[s]}):
+                    n_encoded += 1
             continue
-        if ldef.feature_limit and z < ldef.feature_limit_below:
-            seen = per_layer_seen.get(f["layer"], 0)
-            if seen >= ldef.feature_limit:
-                continue
-        parts, gtype = _tile_geometry(f, z, x, y, extent, margin, ldef)
-        if not parts:
-            continue
-        per_layer_seen[f["layer"]] = per_layer_seen.get(f["layer"], 0) + 1
-        kept_parts.append((f["layer"], gtype, parts,
-                           {"name": f["name"]}, int(f["z_order"])))
-    # combine_* passes: merge adjacent compatible features
-    kept_parts = _combine(kept_parts, cfg)
-    for layer_name, gtype, parts, attrs, _z in kept_parts:
-        lb = layers.get(layer_name)
-        if lb is None:
-            lb = layers[layer_name] = mvt.LayerBuilder(layer_name, extent)
-        if lb.add_feature(gtype, parts, attrs):
-            n_encoded += 1
-    ordered = [layers[l.name] for l in cfg.layers if l.name in layers]
-    ordered += [v for k, v in layers.items() if all(l.name != k for l in cfg.layers)]
+        gt, payload = parsed(int(fi))
+        parts, gtype = _geom_parts(gt, payload, z, x, y, extent, margin, ldef)
+        if parts:
+            lb = layers.get(lname)
+            if lb is None:
+                lb = layers[lname] = mvt.LayerBuilder(lname, extent)
+            if lb.add_feature(gtype, parts, {"name": nm_sl[s]}):
+                n_encoded += 1
+
+    if n_encoded == 0:
+        return None
+    ordered = sorted(layers.values(), key=lambda lb: layer_order[lb.name])
     body = mvt.build_tile(ordered)
     gz = gzip.compress(body, 6, mtime=0) if cfg.compress_tiles else body
-    return {"zoom": np.int32(z), "x": np.int32(x), "y": np.int32(y),
-            "tile_id": np.int64(tid), "n_features": np.int32(n_encoded),
-            "tile_gz": gz,
-            "tile_hash": hashlib.md5(body).hexdigest()}
+    return n_encoded, gz, hashlib.md5(body).hexdigest()
 
 
-def _tile_geometry(f, z: int, x: int, y: int, extent: int, margin: float,
-                   ldef) -> tuple:
-    """WKB → clipped, quantized, simplified tile-grid parts."""
-    gt, payload = _wkb.parse_wkb(f["geom_wkb"])
-
+def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
+                margin: float, ldef) -> tuple:
     def to_grid(coords: np.ndarray) -> np.ndarray:
         u = (tm.lon2tilex_f(coords[:, 0], z) - x) * extent
         v = (tm.lat2tiley_f(coords[:, 1], z) - y) * extent
         return np.stack([u, v], axis=1)
 
-    if gt == _wkb.POINT:
-        g = to_grid(payload.reshape(1, 2))
-        if not (-margin <= g[0, 0] <= extent + margin
-                and -margin <= g[0, 1] <= extent + margin):
-            return [], 0
-        return [np.round(g).astype(np.int64)], mvt.GEOM_POINT
+    def inside(g: np.ndarray) -> bool:
+        return bool((g[:, 0] >= -margin).all() and (g[:, 0] <= extent + margin).all()
+                    and (g[:, 1] >= -margin).all() and (g[:, 1] <= extent + margin).all())
 
     if gt in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
         lines = [payload] if gt == _wkb.LINESTRING else payload
         parts = []
         for line in lines:
             g = to_grid(line)
-            for run in _clip.clip_linestring(g, -margin, -margin,
-                                             extent + margin, extent + margin):
+            runs = [g] if inside(g) else _clip.clip_linestring(
+                g, -margin, -margin, extent + margin, extent + margin)
+            for run in runs:
                 if ldef.simplify_below and z < ldef.simplify_below:
                     run = _simplify_part(run, ldef)
                 q = _quantize(run)
@@ -198,7 +303,8 @@ def _tile_geometry(f, z: int, x: int, y: int, extent: int, margin: float,
     for rings in polys:
         for i, ring in enumerate(rings):
             g = to_grid(ring)
-            c = _clip.clip_ring(g, -margin, -margin, extent + margin, extent + margin)
+            c = g if inside(g) else _clip.clip_ring(
+                g, -margin, -margin, extent + margin, extent + margin)
             if c is None:
                 continue
             if ldef.simplify_below and z < ldef.simplify_below:
@@ -211,11 +317,8 @@ def _tile_geometry(f, z: int, x: int, y: int, extent: int, margin: float,
                 continue  # RemovePartsBelowSize (tile_worker.cpp:79-96)
             q = _quantize(c, close=True)
             if len(q) >= 4:
-                # enforce winding: exterior CW, holes CCW in tile coords
-                # (y grows down → CW on screen = positive shoelace here)
                 area = _clip.ring_area(q.astype(np.float64))
-                is_hole = i > 0
-                if (area > 0) != is_hole:
+                if (area > 0) != (i > 0):  # winding: ext vs hole
                     q = q[::-1]
                 parts.append(q)
     return parts, mvt.GEOM_POLYGON
@@ -237,39 +340,26 @@ def _quantize(coords: np.ndarray, close: bool = False) -> np.ndarray:
     return q
 
 
-def _combine(kept: list, cfg: EngineConfig) -> list:
-    """combine_points → one multipoint per (layer, attrs, z_order) run;
-    combine_lines → one multilinestring; combine_polygons → one
-    multipolygon (src/tile_worker.cpp:323-405 analog, over the
-    canonically sorted run so output is deterministic)."""
-    out = []
-    i = 0
-    while i < len(kept):
-        layer, gtype, parts, attrs, zord = kept[i]
-        ldef = cfg.layer(layer)
-        do = ((gtype == mvt.GEOM_POINT and ldef.combine_points)
-              or (gtype == mvt.GEOM_LINESTRING and ldef.combine_lines)
-              or (gtype == mvt.GEOM_POLYGON and ldef.combine_polygons))
-        if not do:
-            out.append(kept[i])
-            i += 1
-            continue
-        j = i + 1
-        merged = list(parts)
-        while j < len(kept) and kept[j][0] == layer and kept[j][1] == gtype \
-                and kept[j][3] == attrs and kept[j][4] == zord:
-            merged.extend(kept[j][2])
-            j += 1
-        out.append((layer, gtype, merged, attrs, zord))
-        i = j
-    return out
+def _dedup_features(t: pa.Table) -> pa.Table:
+    """Within one shard each fuid appears once by construction; if a
+    caller hands merged/legacy rows, collapse duplicates by merging
+    their base_tiles (salt-merge semantics)."""
+    fuids = t["fuid"].to_numpy(zero_copy_only=False)
+    uniq, first, cnt = np.unique(fuids, return_index=True, return_counts=True)
+    if len(uniq) == t.num_rows:
+        return t
+    import pandas as pd
+    df = t.to_pandas()
+    agg = {c: "first" for c in df.columns if c not in ("fuid", "base_tiles")}
+    merged = (df.groupby("fuid", as_index=False, sort=True)
+              .agg({**agg,
+                    "base_tiles": lambda ts: np.unique(np.concatenate(
+                        [np.asarray(v, dtype=np.int64) for v in ts]))}))
+    merged["base_tiles"] = merged["base_tiles"].map(lambda a: a.tolist())
+    return pa.Table.from_pandas(merged[ [c for c in df.columns] ],
+                                preserve_index=False)
 
 
-def _empty_tiles() -> pd.DataFrame:
-    return pd.DataFrame({"zoom": pd.Series(dtype=np.int32),
-                         "x": pd.Series(dtype=np.int32),
-                         "y": pd.Series(dtype=np.int32),
-                         "tile_id": pd.Series(dtype=np.int64),
-                         "n_features": pd.Series(dtype=np.int32),
-                         "tile_gz": pd.Series(dtype=object),
-                         "tile_hash": pd.Series(dtype=object)})
+def _empty_tiles() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in TILE_SCHEMA},
+                    schema=TILE_SCHEMA)
