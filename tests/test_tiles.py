@@ -98,8 +98,8 @@ def test_fanout_lines_cover_more_tiles():
 def test_encode_subtree_oracle_counts():
     """Tile feature membership matches a brute-force per-zoom check."""
     fan, _ = _fanout_frame(1500)
-    z12 = fan[(fan["shard_key"].to_numpy() >> tm.ZOOM_SHIFT) == 12]
-    one = fan[fan["shard_key"] == z12["shard_key"].mode()[0]]
+    z13 = fan[(fan["shard_key"].to_numpy() >> tm.ZOOM_SHIFT) == 13]
+    one = fan[fan["shard_key"] == z13["shard_key"].mode()[0]]
     tiles = encode_subtree(one, DEFAULT_CONFIG, zmin=13, zmax=14).to_pandas()
     assert len(tiles) > 0
     # oracle: point features at z14 per tile

@@ -34,12 +34,17 @@ from ..stages.tile_encode import encode_shard
 
 def features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
                       concurrency: int | None = None):
-    """pages Dataset → encoded feature Dataset (no join, no shuffle)."""
-    # autoscaling pool (1, N): never reserves every CPU, so downstream
-    # stateless stages can't starve even on small sessions
-    ds = pages_ds.map_batches(ExtractFeatures, batch_format="pyarrow",
-                              batch_size=4096,
-                              concurrency=(1, concurrency or 4))
+    """pages Dataset → encoded feature Dataset (no join, no shuffle).
+
+    Stateless tasks with worker-global state caches instead of actor
+    pools: setup still runs once per worker, but the whole
+    read→extract→encode→tag→fanout chain fuses into one task per block
+    and reuses warm workers — the actor-pool variant measured ~4s of
+    pool spin-up per run, which capped scaling efficiency on short
+    jobs."""
+    from ..stages.extract import extract_features_batch
+    ds = pages_ds.map_batches(extract_features_batch, batch_format="pyarrow",
+                              batch_size=4096)
     return ds.map_batches(make_cell_encoder(cfg), batch_format="pyarrow",
                           batch_size=16384)
 
@@ -49,12 +54,13 @@ def joined_features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
                              concurrency: int | None = None):
     """features + admin-membership tags (the Intersects() step)."""
     import ray
+
+    from ..stages.join import make_tagger_fn
     poly = polygons_table if polygons_table is not None else _polygons.admin_polygons()
-    poly_ref = ray.put(poly)  # broadcast ONCE; actors ray.get in __init__
+    poly_ref = ray.put(poly)  # broadcast ONCE; workers build the index once
     ds = features_pipeline(pages_ds, cfg, concurrency)
-    return ds.map_batches(PIPTagger, batch_format="pyarrow", batch_size=8192,
-                          fn_constructor_args=(poly_ref,),
-                          concurrency=(1, concurrency or 4))
+    return ds.map_batches(make_tagger_fn(poly_ref, cfg.hex_res),
+                          batch_format="pyarrow", batch_size=8192)
 
 
 def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -77,3 +83,22 @@ def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
 def write_tiles(tiles_ds, out_dir: str):
     """Partitioned, resumable tile output (one dir per zoom)."""
     tiles_ds.write_parquet(out_dir, partition_cols=["zoom"])
+
+
+def resumable_tiles_pipeline(pages_ds, out_dir: str,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             polygons_table: pa.Table | None = None,
+                             concurrency: int | None = None,
+                             n_partitions: int = 64):
+    """Checkpointed flagship: per-partition tile outputs + lineage
+    manifest under ``out_dir``; a rerun skips completed partitions
+    before the shuffle (their rows never move). Returns
+    (new_tiles_dataset, reused_partition_keys)."""
+    from ..state.checkpoint import resumable_tiles
+    ds = joined_features_pipeline(pages_ds, cfg, polygons_table, concurrency)
+    ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
+                        batch_size=8192)
+    import ray
+    n_blocks = max(48, int(ray.cluster_resources().get("CPU", 16)) * 2)
+    ds = ds.repartition(n_blocks)
+    return resumable_tiles(ds, out_dir, cfg, n_partitions)

@@ -23,7 +23,7 @@ from ..config import DEFAULT_CONFIG
 from ..functions import derived as dv
 from ..geo import tilemath as tm
 from ..geo import wkb as _wkb
-from ..stages.join import KNNJoin, PIPJoinPairs
+from ..stages.join import make_knn_fn, make_pip_pairs_fn
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -99,8 +99,8 @@ def q_pip_admin_events(sf_dir: str):
     import ray
     poly_ref = ray.put(_nation_diamonds(sf_dir))
     ds = _event_points(sf_dir)
-    ds = ds.map_batches(PIPJoinPairs, batch_format="pyarrow", batch_size=8192,
-                        fn_constructor_args=(poly_ref,), concurrency=(1, 4))
+    ds = ds.map_batches(make_pip_pairs_fn(poly_ref), batch_format="pyarrow",
+                        batch_size=8192)
     return ds.select_columns(["event_id", "polygon_name"])
 
 
@@ -122,8 +122,8 @@ def q_knn_customer_nation(sf_dir: str):
                      .append_column("lat", pa.array(la, pa.float64())))
 
     ds = ds.map_batches(add, batch_format="pyarrow")
-    ds = ds.map_batches(KNNJoin, batch_format="pyarrow", batch_size=8192,
-                        fn_constructor_args=(centers_ref, 3), concurrency=(1, 4))
+    ds = ds.map_batches(make_knn_fn(centers_ref, 3), batch_format="pyarrow",
+                        batch_size=8192)
     return ds.select_columns(["c_custkey", "rank", "neighbor_name",
                               "neighbor_dist2"])
 

@@ -204,7 +204,11 @@ def ensure_pages_parquet(n: int, cache_root: str = "/tmp/tilemaker_ray_cache") -
     tmp = out + ".tmp"
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
-    pages_dataset(n).write_parquet(tmp)
+    # many small files so a later read (and its fused map chain) can
+    # parallelize past the writer's CPU count
+    n_blocks = max(64, n // 4096)
+    pages_dataset(n, parallelism=n_blocks).write_parquet(
+        tmp, max_rows_per_file=4096)
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     with open(done, "w") as f:

@@ -165,6 +165,20 @@ def hash_z_order(url: str) -> int:
     return (h % 2001) - 1000
 
 
+_EXTRACTOR: "ExtractFeatures | None" = None
+
+
+def extract_features_batch(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches body with worker-process-global extractor
+    state (regexes compiled once per worker, like an actor's __init__ —
+    but fusable with neighboring stages and free of actor-pool
+    startup latency)."""
+    global _EXTRACTOR
+    if _EXTRACTOR is None:
+        _EXTRACTOR = ExtractFeatures()
+    return _EXTRACTOR(batch)
+
+
 class ExtractText:
     """Text-extraction stage (batch → batch + extracted_text column):
     used by the byte-identity check and by the text-analysis operators

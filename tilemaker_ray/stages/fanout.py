@@ -42,8 +42,10 @@ from ..geo import wkb as _wkb
 FANOUT_FIELDS = ["fuid", "kind", "layer", "name", "minzoom",
                  "z_order", "lon", "lat", "geom_wkb"]
 
-# (zmin, zmax, anchor_zoom) per band; basezoom fills the last band's zmax
-BANDS = ((6, 10, 6), (11, 12, 10), (13, None, 12))
+# (zmin, zmax, anchor_zoom) per band; basezoom fills the last band's zmax.
+# The uncapped high band anchors at z13 (not z12): 4× more shards, so the
+# densest city-core shard stays under ~1s of encode work.
+BANDS = ((6, 10, 6), (11, 12, 10), (13, None, 13))
 
 
 def band_for_anchor_zoom(az: int, basezoom: int):

@@ -168,6 +168,52 @@ class PIPTagger:
                      .append_column("in_layer", pa.array(counts > 0, pa.bool_())))
 
 
+_STATE_CACHE: dict = {}
+
+
+def make_tagger_fn(poly_ref, hex_res: int = DEFAULT_CONFIG.hex_res):
+    """Stateless-task variant of PIPTagger: the polygon index is built
+    once per WORKER PROCESS (module-global cache keyed by the broadcast
+    ref) instead of once per actor — same amortization, but the stage
+    fuses with its neighbors and needs no actor-pool spin-up."""
+    key = ("tagger", str(poly_ref), hex_res)
+
+    def tag_batch(batch: pa.Table) -> pa.Table:
+        tagger = _STATE_CACHE.get(key)
+        if tagger is None:
+            tagger = _STATE_CACHE[key] = PIPTagger(poly_ref, hex_res)
+        return tagger(batch)
+
+    return tag_batch
+
+
+def make_pip_pairs_fn(poly_ref, hex_res: int = DEFAULT_CONFIG.hex_res,
+                      predicate: str = "intersects"):
+    """Stateless-task variant of PIPJoinPairs (worker-global index)."""
+    key = ("pairs", str(poly_ref), hex_res, predicate)
+
+    def pip_pairs_batch(batch: pa.Table) -> pa.Table:
+        j = _STATE_CACHE.get(key)
+        if j is None:
+            j = _STATE_CACHE[key] = PIPJoinPairs(poly_ref, hex_res, predicate)
+        return j(batch)
+
+    return pip_pairs_batch
+
+
+def make_knn_fn(centers_ref, k: int = DEFAULT_CONFIG.knn_k):
+    """Stateless-task variant of KNNJoin (worker-global centers)."""
+    key = ("knn", str(centers_ref), k)
+
+    def knn_batch(batch: pa.Table) -> pa.Table:
+        j = _STATE_CACHE.get(key)
+        if j is None:
+            j = _STATE_CACHE[key] = KNNJoin(centers_ref, k)
+        return j(batch)
+
+    return knn_batch
+
+
 class KNNJoin:
     """k-nearest-neighbor join against a broadcast set of reference
     points (no tilemaker analog — a north-rule requirement). Brute-force
