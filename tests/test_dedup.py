@@ -1,0 +1,155 @@
+"""Dedup + text-analysis operators vs brute-force oracles on planted
+corpora (the LSH paths must find every planted near-dup and nothing
+spurious after verification)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tilemaker_ray.stages import dedup, textstats
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lamda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def corpus(n=60, seed=7):
+    """Random docs + planted near-dup pairs (ids 1000+i ≈ copy of i
+    with one word changed) + exact dups (2000+i == i)."""
+    rng = np.random.RandomState(seed)
+    ids, texts = [], []
+    for i in range(n):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(WORDS, 40)))
+    for i in range(6):
+        t = texts[i].split()
+        t[5] = "REPLACED"
+        ids.append(1000 + i)
+        texts.append(" ".join(t))
+    for i in range(4):
+        ids.append(2000 + i)
+        texts.append(texts[i])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def brute_jaccard_pairs(t, k, threshold):
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    sh = [dedup._shingle_hashes(x, k) for x in texts]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if dedup.jaccard(sh[i], sh[j]) >= threshold:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(corpus())
+
+
+def test_minhash_finds_planted_dups(docs_ds):
+    t = corpus()
+    got = dedup.minhash_near_dups(docs_ds, t, threshold=0.7)
+    got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    expect = brute_jaccard_pairs(t, 5, 0.7)
+    # verification removes false positives → got ⊆ expect
+    assert got_pairs.issubset(expect)
+    # planted exact dups must all be found (sig identical → same buckets)
+    for i in range(4):
+        assert (i, 2000 + i) in got_pairs
+    # near-dups (1 word / 40 changed → jac ≈ 0.75) overwhelmingly found
+    planted = {(i, 1000 + i) for i in range(6)} & expect
+    found = planted & got_pairs
+    assert len(found) >= len(planted) - 1
+
+
+def test_minhash_signature_jaccard_estimate():
+    h = dedup.MinHasher(128)
+    a = dedup._shingle_hashes(" ".join(WORDS * 3), 3)
+    t2 = " ".join(WORDS * 3) + " extra words here now"
+    b = dedup._shingle_hashes(t2, 3)
+    true_j = dedup.jaccard(a, b)
+    est = (h.signature(a) == h.signature(b)).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_dups(docs_ds):
+    got = dedup.simhash_near_dups(docs_ds, max_hamming=3).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # exact dups: hamming 0
+    for i in range(4):
+        assert (i, 2000 + i) in pairs
+    ham = dict(zip(zip(got["doc_a"], got["doc_b"]), got["hamming"]))
+    for i in range(4):
+        assert ham[(i, 2000 + i)] == 0
+    # brute-force check: every reported pair truly within hamming 3
+    t = corpus()
+    sigs = dict(zip(t["doc_id"].to_pylist(),
+                    dedup.simhash64(t["text"].to_pylist()).tolist()))
+    for a, b in pairs:
+        x = np.uint64(sigs[a]) ^ np.uint64(sigs[b])
+        assert bin(int(x)).count("1") <= 3
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    V = rng.normal(size=(50, 16)).astype(np.float32)
+    V[40] = V[0] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    V[41] = V[1]                                    # planted exact dup
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in V],
+                                        pa.list_(pa.float32()))})
+    got = dedup.embedding_near_dups(rd.from_arrow(t), dim=16,
+                                    threshold=0.95).to_pandas()
+    pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert (0, 40) in pairs and (1, 41) in pairs
+    # verify: all reported pairs truly ≥ threshold
+    Vn = V.astype(np.float64)
+    Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+    for a, b in pairs:
+        assert Vn[a] @ Vn[b] >= 0.95
+
+
+def test_langid():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([
+                      "the cat and the dog sat in the garden of the house",
+                      "der Hund und die Katze ist nicht in der Küche",
+                      "xyzzy qwerty plugh"], pa.string())})
+    out = textstats.make_langid_fn()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "und"]
+
+
+def test_quality():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([
+                      "a sensible document with plenty of normal words here",
+                      "!!! ??? ... ###"], pa.string())})
+    out = textstats.make_quality_fn()(t)
+    assert out["quality_keep"].to_pylist() == [True, False]
+    assert out["n_words"].to_pylist()[0] == 9
+
+
+def test_fingerprint_stability_and_md5():
+    import hashlib
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["hello world " * 20,
+                                    "hello world " * 20,
+                                    "different text " * 20], pa.string())})
+    out = textstats.make_fingerprint_fn()(t)
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+    assert out["content_md5"].to_pylist()[0] == hashlib.md5(
+        ("hello world " * 20).encode()).hexdigest()
+
+
+def test_token_counts():
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["one two three four"], pa.string())})
+    out = textstats.token_count_fn(t)
+    assert out["n_ws_tokens"].to_pylist() == [4]
+    assert out["n_subword_est"].to_pylist()[0] >= 4

@@ -318,6 +318,66 @@ def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
 
 
 # ---------------------------------------------------------------------------
+# Q11+: dedup family / text analysis / similarity (stages.dedup,
+# stages.textstats)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over documents (rows-only check:
+    LSH is not SQL-expressible; exactness is pytest-verified against a
+    brute-force all-pairs Jaccard oracle on planted dups)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import minhash_near_dups
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return minhash_near_dups(ds, docs, threshold=0.7)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from ..stages.dedup import simhash_near_dups
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import embedding_near_dups
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"])["embedding"][0].as_py())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, dim=dim, threshold=0.9)
+
+
+def q_langid_docs(sf_dir: str):
+    from ..stages.textstats import make_langid_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(make_langid_fn(), batch_format="pyarrow")
+
+
+def q_quality_docs(sf_dir: str):
+    from ..stages.textstats import make_quality_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(make_quality_fn(), batch_format="pyarrow")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from ..stages.textstats import make_fingerprint_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(make_fingerprint_fn(), batch_format="pyarrow")
+            .select_columns(["doc_id", "content_md5"]))
+
+
+def q_subword_count_docs(sf_dir: str):
+    from ..stages.textstats import token_count_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(token_count_fn, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_ws_tokens", "n_subword_est"]))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -395,6 +455,12 @@ ORACLE_SQL = {
                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
                neighbor_id
         FROM s QUALIFY rank <= 5""",
+    "fingerprint_docs": """
+        SELECT doc_id, md5(text) AS content_md5 FROM documents""",
+    # minhash/simhash/embedding near-dups, langid, quality and the
+    # subword estimate are not ANSI-SQL-expressible → rows-only driver
+    # checks; their exactness is pytest-verified against brute-force
+    # oracles (tests/test_dedup.py).
 }
 
 QUERIES = {
@@ -408,4 +474,11 @@ QUERIES = {
     "lang_stats_docs": q_lang_stats_docs,
     "window_events": q_window_events,
     "ann_top5": q_ann_top5,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "langid_docs": q_langid_docs,
+    "quality_docs": q_quality_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "subword_count_docs": q_subword_count_docs,
 }

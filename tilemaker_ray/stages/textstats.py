@@ -1,0 +1,161 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+These are the webtext-side function library (no tilemaker analog —
+its scalar library is geometric, SURVEY.md §2.9); implemented as
+vectorized/compiled-once map_batches bodies so they run at corpus
+scale. Heuristics are deliberately simple, deterministic and
+SQL-mirrorable where the driver oracle needs them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public common-word lists)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "je", "pas", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "no", "que", "de"},
+    "pt": {"o", "a", "os", "e", "um", "uma", "que", "de", "para", "com"},
+    "ru": {"и", "в", "не", "на", "что", "я", "с", "это", "как", "но"},
+}
+
+_WORD_RE = re.compile(r"[^\W\d_]+", re.U)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.U)
+
+
+def make_langid_fn(id_col: str = "doc_id", text_col: str = "text"):
+    """Stopword-profile language scorer: argmax over per-language hit
+    ratios; 'und' (undetermined) when no profile scores."""
+
+    def langid(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            words = _WORD_RE.findall(t.lower())
+            if not words:
+                langs.append("und")
+                scores.append(0.0)
+                continue
+            wset = words if len(words) < 64 else words[:64]
+            best, best_score = "und", 0.0
+            for lang, prof in _LANG_PROFILES.items():
+                s = sum(w in prof for w in wset) / len(wset)
+                if s > best_score:
+                    best, best_score = lang, s
+            langs.append(best if best_score > 0 else "und")
+            scores.append(best_score)
+        return pa.table({id_col: batch[id_col],
+                         "lang_pred": pa.array(langs, pa.string()),
+                         "lang_score": pa.array(scores, pa.float64())})
+
+    return langid
+
+
+def make_quality_fn(id_col: str = "doc_id", text_col: str = "text"):
+    """Quality heuristics (the usual pre-training filters): length,
+    mean word length, punctuation ratio, stopword ratio, digit ratio,
+    and a composite keep/drop flag."""
+
+    def quality(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, dtype=np.int64)
+        n_words = np.empty(n, dtype=np.int64)
+        mean_wlen = np.empty(n, dtype=np.float64)
+        punct_ratio = np.empty(n, dtype=np.float64)
+        stop_ratio = np.empty(n, dtype=np.float64)
+        digit_ratio = np.empty(n, dtype=np.float64)
+        en_stop = _LANG_PROFILES["en"]
+        for i, t in enumerate(texts):
+            n_chars[i] = len(t)
+            words = t.split()
+            n_words[i] = len(words)
+            mean_wlen[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
+            punct_ratio[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
+            stop_ratio[i] = (sum(w.lower() in en_stop for w in words)
+                             / len(words)) if words else 0.0
+            digit_ratio[i] = sum(c.isdigit() for c in t) / max(1, len(t))
+        keep = ((n_words >= 5) & (mean_wlen > 2.0) & (mean_wlen < 12.0)
+                & (punct_ratio < 0.2) & (digit_ratio < 0.3))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chars_q": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_wlen, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "digit_ratio": pa.array(digit_ratio, pa.float64()),
+            "quality_keep": pa.array(keep, pa.bool_()),
+        })
+
+    return quality
+
+
+def make_fingerprint_fn(id_col: str = "doc_id", text_col: str = "text",
+                        window: int = 8):
+    """Winnowing-style document fingerprint: rolling polynomial hash
+    over bytes, min-sampled per window → a compact stable fingerprint
+    (int64) plus the full content sha1. Vectorized rolling hash."""
+
+    B = np.uint64(257)
+    MODMASK = np.uint64((1 << 61) - 1)
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        import hashlib
+        texts = batch[text_col].to_pylist()
+        fps = np.empty(len(texts), dtype=np.int64)
+        shas = []
+        for i, t in enumerate(texts):
+            raw = t.encode()
+            # md5 so the DuckDB oracle (md5(text)) can verify it exactly
+            shas.append(hashlib.md5(raw).hexdigest())
+            if len(raw) < window:
+                fps[i] = len(raw)
+                continue
+            a = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                # rolling hash of each window via prefix powers
+                h = np.zeros(len(a), dtype=np.uint64)
+                acc = np.uint64(0)
+                pw = np.uint64(1)
+                for _ in range(window):
+                    pw = (pw * B) & MODMASK
+                # vectorized: cumulative polynomial then windowed diff
+                pows = np.empty(window, dtype=np.uint64)
+                p = np.uint64(1)
+                for k in range(window):
+                    pows[k] = p
+                    p = (p * B) & MODMASK
+                wins = np.lib.stride_tricks.sliding_window_view(a, window)
+                hv = (wins * pows[::-1][None, :]).sum(axis=1) & MODMASK
+            # winnow: xor of per-chunk minima (order-insensitive)
+            fp = np.uint64(0)
+            for c in np.array_split(hv, max(1, len(hv) // 64)):
+                fp ^= c.min()
+            fps[i] = np.int64(fp.astype(np.int64))
+        return pa.table({id_col: batch[id_col],
+                         "fingerprint": pa.array(fps, pa.int64()),
+                         "content_md5": pa.array(shas, pa.string())})
+
+    return fingerprint
+
+
+def token_count_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + a BPE-ish subword estimate (regex pieces:
+    word chunks of ≤4 chars, digits, punctuation — a deterministic
+    proxy for tokenizer load without a tokenizer dependency)."""
+    texts = batch[text_col]
+    ws = pc.add(pc.count_substring(texts, " "), 1)
+    piece_re = re.compile(r"\w{1,4}|[^\w\s]", re.U)
+    pieces = np.asarray([len(piece_re.findall(t)) for t in texts.to_pylist()],
+                        dtype=np.int64)
+    return (batch.append_column("n_ws_tokens", pc.cast(ws, pa.int64()))
+                 .append_column("n_subword_est", pa.array(pieces, pa.int64())))
