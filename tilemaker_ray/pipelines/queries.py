@@ -378,6 +378,77 @@ def q_subword_count_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q18+: entity assembly joins (J1/J6) + significant-tags prefilter (M1)
+# ---------------------------------------------------------------------------
+
+def q_assemble_ways(sf_dir: str):
+    """J1: lineitem plays way membership (way_id=l_orderkey,
+    seq=l_linenumber, node=l_partkey); nodes' coords derive from the
+    key. groupby(way_id) reassembly; integer-micro-degree lengths so
+    the SQL oracle matches bit-exactly."""
+    from ..stages.assembly import assemble_ways
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"way_id": batch["l_orderkey"],
+                         "seq": batch["l_linenumber"],
+                         "node_id": batch["l_partkey"]})
+
+    return assemble_ways(ds.map_batches(rename, batch_format="pyarrow"))
+
+
+def q_assemble_ways_join(sf_dir: str):
+    """J1 via a genuine two-table distributed hash join (Dataset.join
+    membership ⋈ part-derived nodes). Same output as q_assemble_ways
+    → same oracle."""
+    from ..stages.assembly import assemble_ways_join, node_lonlat
+    mem = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"way_id": batch["l_orderkey"],
+                         "seq": batch["l_linenumber"],
+                         "node_id": batch["l_partkey"]})
+
+    nodes = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def mknodes(batch: pa.Table) -> pa.Table:
+        lon, lat = node_lonlat(batch["p_partkey"].to_numpy())
+        return pa.table({"node_id": batch["p_partkey"],
+                         "lon": pa.array(lon, pa.float64()),
+                         "lat": pa.array(lat, pa.float64())})
+
+    return assemble_ways_join(
+        mem.map_batches(rename, batch_format="pyarrow"),
+        nodes.map_batches(mknodes, batch_format="pyarrow"))
+
+
+def q_used_nodes(sf_dir: str):
+    """J6 semi-join key set: distinct node ids referenced by any way."""
+    from ..stages.assembly import used_nodes
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node_id": batch["l_partkey"]})
+
+    return used_nodes(ds.map_batches(rename, batch_format="pyarrow"))
+
+
+SIGFILTER_SPEC = ["lang=en", "lang=de", "~source=src2"]
+
+
+def q_sigfilter_docs(sf_dir: str):
+    """M1 significant-tags prefilter over documents: accept lang en/de,
+    veto source src2 (reference grammar key=value / ~key=value)."""
+    from ..stages.sigfilter import make_sigfilter_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return (ds.map_batches(make_sigfilter_fn(SIGFILTER_SPEC),
+                           batch_format="pyarrow")
+            .select_columns(["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -457,11 +528,45 @@ ORACLE_SQL = {
         FROM s QUALIFY rank <= 5""",
     "fingerprint_docs": """
         SELECT doc_id, md5(text) AS content_md5 FROM documents""",
+    "assemble_ways": """
+        WITH m AS (
+          SELECT l_orderkey AS way_id, l_linenumber AS seq,
+                 l_partkey AS node_id,
+                 ((l_partkey * 69621) % 360000) / 1000.0 - 180.0 AS lon,
+                 ((l_partkey * 10007) % 170000) / 1000.0 - 85.0 AS lat
+          FROM lineitem),
+        o AS (
+          SELECT way_id, seq, node_id, lon, lat,
+                 CAST(seq AS BIGINT) * 4294967296 + node_id AS ord,
+                 lag(lon) OVER (PARTITION BY way_id
+                                ORDER BY seq, node_id) AS plon,
+                 lag(lat) OVER (PARTITION BY way_id
+                                ORDER BY seq, node_id) AS plat
+          FROM m)
+        SELECT way_id,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(arg_min(node_id, ord) AS BIGINT) AS first_node,
+               CAST(arg_max(node_id, ord) AS BIGINT) AS last_node,
+               CAST(SUM(CASE WHEN plon IS NULL THEN 0 ELSE
+                 CAST(floor(sqrt((lon - plon) * (lon - plon)
+                                 + (lat - plat) * (lat - plat))
+                            * 1000000) AS BIGINT) END) AS BIGINT)
+                 AS length_um
+        FROM o GROUP BY way_id""",
+    "used_nodes": """
+        SELECT DISTINCT l_partkey AS node_id FROM lineitem""",
+    # the join-based variant computes the identical result
+    "assemble_ways_join": None,  # filled below (same SQL as assemble_ways)
+    "sigfilter_docs": """
+        SELECT doc_id FROM documents
+        WHERE lang IN ('en', 'de') AND source <> 'src2'""",
     # minhash/simhash/embedding near-dups, langid, quality and the
     # subword estimate are not ANSI-SQL-expressible → rows-only driver
     # checks; their exactness is pytest-verified against brute-force
     # oracles (tests/test_dedup.py).
 }
+
+ORACLE_SQL["assemble_ways_join"] = ORACLE_SQL["assemble_ways"]
 
 QUERIES = {
     "tile_count_z10": q_tile_count_z10,
@@ -481,4 +586,8 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
+    "assemble_ways": q_assemble_ways,
+    "assemble_ways_join": q_assemble_ways_join,
+    "used_nodes": q_used_nodes,
+    "sigfilter_docs": q_sigfilter_docs,
 }

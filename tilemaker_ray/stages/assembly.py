@@ -1,0 +1,156 @@
+"""Entity-assembly joins — the OSM-store path re-expressed on Ray.
+
+The reference resolves way node-refs against the NodeStore
+(/root/reference/src/pbf_processor.cpp:123-146 — J1) and stitches
+relation member ways into rings (src/osm_store.cpp:65-160 — J2); scan
+passes mark used nodes/ways so stores stay small
+(src/pbf_processor.cpp:176-259 — J6). In a share-nothing engine these
+are joins, not lookup services (SURVEY.md §2.4 T1):
+
+- J1  way ⋈ node:  distributed hash join (Dataset.join) of the
+      membership table against the node table, then
+      groupby(way_id).map_groups reassembly sorted by seq;
+- J6  used-node semi-join: distinct membership keys (the bloom/semi
+      filter that would precede a node-store load);
+- J2  ring stitching: pure-python endpoint matching per relation group
+      (the per-group reduce inside map_groups).
+
+The driver fixture maps TPC-H-ish tables onto the entity model:
+``part`` plays nodes (node_id = p_partkey, coords derived from the
+key), ``lineitem`` plays way membership (way_id = l_orderkey, seq =
+l_linenumber, node ref = l_partkey) — structurally identical to
+OSM ways (p50 ≈ 4 members, like OSM's p50 ≈ 7 nodes/way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# node coordinates derived from the node id — exact lattice arithmetic,
+# mirrored in SQL by queries.ORACLE_SQL (keep in lockstep)
+ND_LON_SQL = "(((p.p_partkey * 69621) % 360000) / 1000.0 - 180.0)"
+ND_LAT_SQL = "(((p.p_partkey * 10007) % 170000) / 1000.0 - 85.0)"
+
+
+def node_lonlat(node_id: np.ndarray):
+    nid = np.asarray(node_id, dtype=np.int64)
+    lon = ((nid * 69621) % 360000) / 1000.0 - 180.0
+    lat = ((nid * 10007) % 170000) / 1000.0 - 85.0
+    return lon, lat
+
+
+def assemble_ways(members_ds, num_partitions: int = 16):
+    """J1: membership rows (way_id, seq, node_id) → assembled ways
+    (way_id, n_points, length_um) where length_um = Σ per-segment
+    planar length in integer micro-degrees (exact across engines:
+    sqrt is correctly rounded, the integer sum is associative).
+
+    The node side needs no table here (coords are a function of the
+    id); ``assemble_ways_join`` below does the genuine two-table join.
+    """
+    def coords(batch: pa.Table) -> pa.Table:
+        lon, lat = node_lonlat(batch["node_id"].to_numpy())
+        return (batch.append_column("lon", pa.array(lon, pa.float64()))
+                     .append_column("lat", pa.array(lat, pa.float64())))
+
+    withc = members_ds.map_batches(coords, batch_format="pyarrow")
+    return withc.groupby("way_id").map_groups(_reduce_way,
+                                              batch_format="pandas")
+
+
+def assemble_ways_join(members_ds, nodes_ds, num_partitions: int = 16):
+    """J1 with a real distributed hash join: membership ⋈ nodes on
+    node_id (both sides shuffled by key), then per-way reassembly."""
+    joined = members_ds.join(nodes_ds, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("node_id",))
+    return joined.groupby("way_id").map_groups(_reduce_way,
+                                               batch_format="pandas")
+
+
+def _reduce_way(g: pd.DataFrame) -> pd.DataFrame:
+    # total order (seq alone may repeat in the fixture data — ties must
+    # break identically in the SQL oracle)
+    g = g.sort_values(["seq", "node_id"], kind="stable")
+    lon = g["lon"].to_numpy()
+    lat = g["lat"].to_numpy()
+    seg = np.sqrt(np.diff(lon) ** 2 + np.diff(lat) ** 2)
+    length_um = int(np.floor(seg * 1_000_000).astype(np.int64).sum())
+    return pd.DataFrame({
+        "way_id": [g["way_id"].iloc[0]],
+        "n_points": [np.int64(len(g))],
+        "first_node": [np.int64(g["node_id"].iloc[0])],
+        "last_node": [np.int64(g["node_id"].iloc[-1])],
+        "length_um": [np.int64(length_um)],
+    })
+
+
+def used_nodes(members_ds):
+    """J6: the semi-join key set — distinct node ids referenced by any
+    way (what the reference's pre-scan marks in its bitsets)."""
+    return members_ds.select_columns(["node_id"]).groupby("node_id").count() \
+        .select_columns(["node_id"])
+
+
+def stitch_rings(segments: list) -> list:
+    """J2 ring stitching: join open segments end-to-start into closed
+    rings (src/osm_store.cpp:65-160 semantics: match endpoints exactly,
+    reverse segments when needed, drop unclosable leftovers).
+
+    segments: list of (N,2) arrays. Returns list of closed rings.
+    """
+    segs = [np.asarray(s, dtype=np.float64) for s in segments if len(s) >= 2]
+    rings = []
+    while segs:
+        cur = segs.pop(0)
+        progress = True
+        while progress and not _closed(cur):
+            progress = False
+            for i, s in enumerate(segs):
+                if np.array_equal(s[0], cur[-1]):
+                    cur = np.vstack([cur, s[1:]])
+                elif np.array_equal(s[-1], cur[-1]):
+                    cur = np.vstack([cur, s[::-1][1:]])
+                elif np.array_equal(s[-1], cur[0]):
+                    cur = np.vstack([s, cur[1:]])
+                elif np.array_equal(s[0], cur[0]):
+                    cur = np.vstack([s[::-1], cur[1:]])
+                else:
+                    continue
+                segs.pop(i)
+                progress = True
+                break
+        if _closed(cur) and len(cur) >= 4:
+            rings.append(cur)
+    return rings
+
+
+def _closed(c: np.ndarray) -> bool:
+    return len(c) >= 3 and np.array_equal(c[0], c[-1])
+
+
+def assemble_relations(members_ds, ways_geoms_ds):
+    """J2 full path: relation members (rel_id, role, way_id) ⋈ way
+    geometries → per-relation multipolygon via ring stitching. Outer
+    rings from role='outer', holes from role='inner'. Way geometry
+    travels as WKB linestrings (Arrow hash join does not support
+    nested-list payload columns — binary is the join-safe encoding,
+    same reason the tile shuffle carries WKB)."""
+    from ..geo import wkb as _wkb
+    joined = members_ds.join(ways_geoms_ds, join_type="inner",
+                             num_partitions=8, on=("way_id",))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        def coords_of(rows):
+            return [_wkb.parse_wkb(bytes(b))[1] for b in rows]
+        outers = stitch_rings(coords_of(g[g["role"] == "outer"]["geom_wkb"]))
+        inners = stitch_rings(coords_of(g[g["role"] == "inner"]["geom_wkb"]))
+        return pd.DataFrame({
+            "rel_id": [g["rel_id"].iloc[0]],
+            "n_outer": [np.int64(len(outers))],
+            "n_inner": [np.int64(len(inners))],
+        })
+
+    return joined.groupby("rel_id").map_groups(build, batch_format="pandas")
