@@ -449,6 +449,94 @@ def q_sigfilter_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q22+: covered-by join, haversine measures, multimodal features
+# ---------------------------------------------------------------------------
+
+SQ_HALF = 0.011  # half-width of the probe squares (off-lattice boundary)
+
+
+def q_covered_by_squares(sf_dir: str):
+    """CoveredBy/FindCovering analog (J4, predicate covered_by): a
+    small square around each event point must lie entirely within a
+    nation diamond. Convexity makes the SQL oracle exact: all four
+    corners inside ⇔ covered."""
+    import ray
+
+    from ..stages.join import make_pip_pairs_fn
+    poly_ref = ray.put(_nation_diamonds(sf_dir))
+    ds = _event_points(sf_dir)
+
+    def mksquares(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        wkbs = [
+            _wkb.polygon_wkb(np.array(
+                [[lon[i] - SQ_HALF, lat[i] - SQ_HALF],
+                 [lon[i] + SQ_HALF, lat[i] - SQ_HALF],
+                 [lon[i] + SQ_HALF, lat[i] + SQ_HALF],
+                 [lon[i] - SQ_HALF, lat[i] + SQ_HALF],
+                 [lon[i] - SQ_HALF, lat[i] - SQ_HALF]]))
+            for i in range(batch.num_rows)]
+        return (batch.append_column("kind", pa.array([3] * batch.num_rows,
+                                                     pa.int8()))
+                     .append_column("geom_wkb", pa.array(wkbs, pa.binary())))
+
+    ds = ds.map_batches(mksquares, batch_format="pyarrow")
+    ds = ds.map_batches(make_pip_pairs_fn(poly_ref, predicate="covered_by"),
+                        batch_format="pyarrow", batch_size=8192)
+    return ds.select_columns(["event_id", "polygon_name"])
+
+
+def q_way_length_haversine(sf_dir: str):
+    """Length() analog (src/osm_lua_processing.cpp:581-590): haversine
+    way lengths in integer millimeters per segment (floor per segment →
+    exact integer sum, bit-identical to the SQL mirror since numpy and
+    DuckDB share this host's libm)."""
+    import pandas as pd
+
+    from ..geo.tilemath import haversine_m
+    from ..stages.assembly import node_lonlat
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        lon, lat = node_lonlat(batch["l_partkey"].to_numpy())
+        return pa.table({"way_id": batch["l_orderkey"],
+                         "seq": batch["l_linenumber"],
+                         "node_id": batch["l_partkey"],
+                         "lon": pa.array(lon, pa.float64()),
+                         "lat": pa.array(lat, pa.float64())})
+
+    def reduce_way(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seq", "node_id"], kind="stable")
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        if len(g) < 2:
+            mm = 0
+        else:
+            m = haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+            mm = int(np.floor(m * 1000.0).astype(np.int64).sum())
+        return pd.DataFrame({"way_id": [g["way_id"].iloc[0]],
+                             "length_hav_mm": [np.int64(mm)]})
+
+    return (ds.map_batches(rename, batch_format="pyarrow")
+            .groupby("way_id").map_groups(reduce_way, batch_format="pandas"))
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): synthetic binary media column →
+    actor-pool decode/feature stage. Row count scales with documents."""
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import MediaFeatures, media_dataset
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")) \
+        .metadata.num_rows
+    ds = media_dataset(n)
+    return ds.map_batches(MediaFeatures, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -560,6 +648,44 @@ ORACLE_SQL = {
     "sigfilter_docs": """
         SELECT doc_id FROM documents
         WHERE lang IN ('en', 'de') AND source <> 'src2'""",
+    "covered_by_squares": f"""
+        SELECT e.event_id, n.n_name AS polygon_name
+        FROM events e CROSS JOIN nation n
+        WHERE abs(({dv.EV_LON_SQL} - 0.011) - {dv.NA_LON_SQL}) / {dv.NA_W}
+            + abs(({dv.EV_LAT_SQL} - 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0
+          AND abs(({dv.EV_LON_SQL} + 0.011) - {dv.NA_LON_SQL}) / {dv.NA_W}
+            + abs(({dv.EV_LAT_SQL} - 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0
+          AND abs(({dv.EV_LON_SQL} - 0.011) - {dv.NA_LON_SQL}) / {dv.NA_W}
+            + abs(({dv.EV_LAT_SQL} + 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0
+          AND abs(({dv.EV_LON_SQL} + 0.011) - {dv.NA_LON_SQL}) / {dv.NA_W}
+            + abs(({dv.EV_LAT_SQL} + 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0""",
+    "way_length_haversine": """
+        WITH m AS (
+          SELECT l_orderkey AS way_id, l_linenumber AS seq,
+                 l_partkey AS node_id,
+                 ((l_partkey * 69621) % 360000) / 1000.0 - 180.0 AS lon,
+                 ((l_partkey * 10007) % 170000) / 1000.0 - 85.0 AS lat
+          FROM lineitem),
+        o AS (
+          SELECT way_id, lon, lat,
+                 lag(lon) OVER (PARTITION BY way_id
+                                ORDER BY seq, node_id) AS plon,
+                 lag(lat) OVER (PARTITION BY way_id
+                                ORDER BY seq, node_id) AS plat
+          FROM m),
+        s AS (
+          SELECT way_id,
+                 CASE WHEN plon IS NULL THEN 0 ELSE CAST(floor(
+                   ((2.0 * 6371008.8) * asin(sqrt(
+                      sin((radians(lat) - radians(plat)) / 2.0)
+                    * sin((radians(lat) - radians(plat)) / 2.0)
+                    + cos(radians(plat)) * cos(radians(lat))
+                    * (sin(radians(lon - plon) / 2.0)
+                       * sin(radians(lon - plon) / 2.0))
+                   ))) * 1000.0) AS BIGINT) END AS seg_mm
+          FROM o)
+        SELECT way_id, CAST(SUM(seg_mm) AS BIGINT) AS length_hav_mm
+        FROM s GROUP BY way_id""",
     # minhash/simhash/embedding near-dups, langid, quality and the
     # subword estimate are not ANSI-SQL-expressible → rows-only driver
     # checks; their exactness is pytest-verified against brute-force
@@ -590,4 +716,7 @@ QUERIES = {
     "assemble_ways_join": q_assemble_ways_join,
     "used_nodes": q_used_nodes,
     "sigfilter_docs": q_sigfilter_docs,
+    "covered_by_squares": q_covered_by_squares,
+    "way_length_haversine": q_way_length_haversine,
+    "media_features": q_media_features,
 }

@@ -1,0 +1,188 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+No reference analog (tilemaker is geometry-only) — this is the
+training-data-pipeline surface the engine adds: opaque ``binary``
+payload columns with typed metadata, processed by actor-pool
+map_batches stages sized for large rows (small batch_size, Arrow all
+the way — SURVEY.md wide-records rule).
+
+The container has no image/audio codecs (no PIL/ffmpeg), so payloads
+use a deterministic FAKE raw format and the decode stage is the real
+Ray-side plumbing with a stub kernel, clearly marked:
+
+    FAKI | u16 w | u16 h | w*h gray bytes          (image)
+    FAKA | u32 n | n int16 samples                 (audio)
+    FAKV | u16 w | u16 h | u16 nframes | frames    (video)
+
+``decode_external()`` raises NotImplementedError — the branch a real
+deployment replaces with PIL/libav; everything around it (schemas,
+batch sizing, actor lifecycle, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),       # image | audio | video
+    ("payload", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),
+])
+
+
+def synth_media_batch(batch: dict) -> pa.Table:
+    """Deterministic synthetic media rows from range() ids."""
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "n_frames")}
+    for i in ids.tolist():
+        kind = ("image", "audio", "video")[i % 3]
+        rng = np.random.RandomState(i % (2**31))
+        if kind == "image":
+            w, h = 16 + (i % 16), 16 + (i % 8)
+            px = rng.randint(0, 256, w * h, dtype=np.uint8)
+            payload = b"FAKI" + struct.pack("<HH", w, h) + px.tobytes()
+            nf = 1
+        elif kind == "audio":
+            n = 256 + (i % 256)
+            samples = rng.randint(-32768, 32767, n, dtype=np.int16)
+            payload = b"FAKA" + struct.pack("<I", n) + samples.tobytes()
+            w = h = 0
+            nf = 0
+        else:
+            w, h, nf = 8, 8, 4 + (i % 4)
+            px = rng.randint(0, 256, w * h * nf, dtype=np.uint8)
+            payload = b"FAKV" + struct.pack("<HHH", w, h, nf) + px.tobytes()
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(nf)
+    return pa.table({k: pa.array(v, MEDIA_SCHEMA.field(k).type)
+                     for k, v in rows.items()}, schema=MEDIA_SCHEMA)
+
+
+def media_dataset(n: int):
+    import ray.data as rd
+    # large binary rows → small blocks; keep batches modest
+    return rd.range(n).map_batches(synth_media_batch, batch_format="numpy",
+                                   batch_size=512)
+
+
+def decode_external(payload: bytes):
+    """The codec branch a real deployment implements (PIL / libav).
+    STUB: this environment ships no media codecs."""
+    raise NotImplementedError(
+        "real image/audio decode requires PIL/libav — not available in "
+        "this container; synthetic FAK* payloads are decoded natively")
+
+
+def _decode(payload: bytes):
+    magic = payload[:4]
+    if magic == b"FAKI":
+        w, h = struct.unpack_from("<HH", payload, 4)
+        px = np.frombuffer(payload, dtype=np.uint8, offset=8, count=w * h)
+        return "image", px.reshape(h, w)
+    if magic == b"FAKA":
+        n = struct.unpack_from("<I", payload, 4)[0]
+        return "audio", np.frombuffer(payload, dtype=np.int16, offset=8,
+                                      count=n)
+    if magic == b"FAKV":
+        w, h, nf = struct.unpack_from("<HHH", payload, 4)
+        px = np.frombuffer(payload, dtype=np.uint8, offset=10,
+                           count=w * h * nf)
+        return "video", px.reshape(nf, h, w)
+    return decode_external(payload)  # pragma: no cover — stub branch
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode + per-item feature extraction. State
+    (none heavy here; a model would load in __init__) amortized per
+    actor. Output: metadata + numeric features, payload DROPPED (wide
+    columns leave the pipeline as early as possible)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.calls += 1
+        feats = {"media_id": [], "kind": [], "mean_val": [], "std_val": [],
+                 "n_elems": []}
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            k, arr = _decode(payload)
+            feats["media_id"].append(mid)
+            feats["kind"].append(k)
+            feats["mean_val"].append(float(arr.mean()))
+            feats["std_val"].append(float(arr.std()))
+            feats["n_elems"].append(int(arr.size))
+        return pa.table({
+            "media_id": pa.array(feats["media_id"], pa.int64()),
+            "kind": pa.array(feats["kind"], pa.string()),
+            "mean_val": pa.array(feats["mean_val"], pa.float64()),
+            "std_val": pa.array(feats["std_val"], pa.float64()),
+            "n_elems": pa.array(feats["n_elems"], pa.int64()),
+        })
+
+
+class ImageResize:
+    """Actor-pool stage: 2× average-pool downsample of image payloads
+    (the resize slot; re-encodes the FAK format)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "payload": [], "width": [], "height": []}
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "image":
+                continue
+            _, img = _decode(payload)
+            h2, w2 = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+            small = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2) \
+                .mean(axis=(1, 3)).astype(np.uint8)
+            out["media_id"].append(mid)
+            out["payload"].append(b"FAKI"
+                                  + struct.pack("<HH", small.shape[1],
+                                                small.shape[0])
+                                  + small.tobytes())
+            out["width"].append(small.shape[1])
+            out["height"].append(small.shape[0])
+        return pa.table({"media_id": pa.array(out["media_id"], pa.int64()),
+                         "payload": pa.array(out["payload"], pa.binary()),
+                         "width": pa.array(out["width"], pa.int32()),
+                         "height": pa.array(out["height"], pa.int32())})
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every k-th frame of video payloads →
+    one image row per sampled frame (flat-map 1→N)."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "payload": []}
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "video":
+                continue
+            _, frames = _decode(payload)
+            for fi in range(0, frames.shape[0], self.every):
+                img = frames[fi]
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["payload"].append(
+                    b"FAKI" + struct.pack("<HH", img.shape[1], img.shape[0])
+                    + img.tobytes())
+        return pa.table({"media_id": pa.array(out["media_id"], pa.int64()),
+                         "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                         "payload": pa.array(out["payload"], pa.binary())})
