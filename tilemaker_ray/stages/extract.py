@@ -62,6 +62,7 @@ FEATURE_SCHEMA = pa.schema([
     ("geom_wkb", pa.binary()),
     ("minzoom", pa.int8()),
     ("z_order", pa.int16()),
+    ("attrs_json", pa.string()),  # extra MVT attributes from the UDF path
 ])
 
 _LAYER_BY_KIND = {1: "place", 2: "track", 3: "footprint"}
@@ -89,7 +90,7 @@ class ExtractFeatures:
 
         out = {k: [] for k in ("url", "fuid", "feature_seq", "kind", "layer",
                                "name", "lang", "lon", "lat", "geom_wkb",
-                               "minzoom", "z_order")}
+                               "minzoom", "z_order", "attrs_json")}
 
         def emit(url, seq, kind, name, lang, lon, lat, geom):
             out["url"].append(url)
@@ -110,6 +111,7 @@ class ExtractFeatures:
             # lines/polygons: deterministic url-hash z_order, int16
             # compressed like include/output_object.h:54-62
             out["z_order"].append(0 if kind == 1 else hash_z_order(url))
+            out["attrs_json"].append("")
 
         for url, html, lang in zip(urls, htmls, langs):
             name_m = self.slug_re.match(url)

@@ -40,7 +40,7 @@ from ..geo import raster, tilemath as tm
 from ..geo import wkb as _wkb
 
 FANOUT_FIELDS = ["fuid", "kind", "layer", "name", "minzoom",
-                 "z_order", "lon", "lat", "geom_wkb"]
+                 "z_order", "lon", "lat", "geom_wkb", "attrs_json"]
 
 # (zmin, zmax, anchor_zoom) per band; basezoom fills the last band's zmax.
 # The uncapped high band anchors at z13 (not z12): 4× more shards, so the

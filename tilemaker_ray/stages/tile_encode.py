@@ -95,6 +95,11 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
     lons = t["lon"].to_numpy(zero_copy_only=False)
     lats = t["lat"].to_numpy(zero_copy_only=False)
     layer_names = np.asarray(t["layer"].to_pylist(), dtype=object)
+    attrs_json = (np.asarray(t["attrs_json"].to_pylist(), dtype=object)
+                  if "attrs_json" in t.column_names
+                  else np.asarray([""] * n, dtype=object))
+    attrs_json = np.asarray(["" if a is None else a for a in attrs_json],
+                            dtype=object)
 
     # base_tiles through Arrow list offsets — no per-row Python
     bt_col = t["base_tiles"].combine_chunks()
@@ -196,7 +201,7 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
         for s, e in zip(starts, ends):
             row = _assemble_tile(
                 z, int(tx[s]), int(ty[s]), slice(s, e), fidx, is_pt, in_tile,
-                ui, vi, layer_names, names, zorders, parsed,
+                ui, vi, layer_names, names, zorders, attrs_json, parsed,
                 ldefs, layer_order, cfg)
             if row is not None:
                 out["zoom"].append(z)
@@ -215,7 +220,7 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
 
 
 def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
-                   layer_names, names, zorders, parsed,
+                   layer_names, names, zorders, attrs_json, parsed,
                    ldefs, layer_order, cfg):
     """Build one tile's MVT from precomputed pair arrays (already in
     canonical order, already feature-limited)."""
@@ -230,12 +235,13 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
     ln_sl = layer_names[f_sl]
     nm_sl = names[f_sl]
     zo_sl = zorders[f_sl]
+    aj_sl = attrs_json[f_sl]
     combine_ok = np.asarray([ldefs[l].combine_points for l in ln_sl])
     brk = np.ones(len(idxs), dtype=bool)
     if len(idxs) > 1:
         same = ((ln_sl[1:] == ln_sl[:-1]) & (nm_sl[1:] == nm_sl[:-1])
-                & (zo_sl[1:] == zo_sl[:-1]) & pt_sl[1:] & pt_sl[:-1]
-                & combine_ok[1:])
+                & (zo_sl[1:] == zo_sl[:-1]) & (aj_sl[1:] == aj_sl[:-1])
+                & pt_sl[1:] & pt_sl[:-1] & combine_ok[1:])
         brk[1:] = ~same
     run_starts = np.flatnonzero(brk)
     run_ends = np.concatenate([run_starts[1:], [len(idxs)]])
@@ -252,7 +258,8 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
                 lb = layers.get(lname)
                 if lb is None:
                     lb = layers[lname] = mvt.LayerBuilder(lname, extent)
-                if lb.add_feature(mvt.GEOM_POINT, [pts], {"name": nm_sl[s]}):
+                if lb.add_feature(mvt.GEOM_POINT, [pts],
+                                  _attrs_of(nm_sl[s], aj_sl[s])):
                     n_encoded += 1
             continue
         gt, payload = parsed(int(fi))
@@ -261,7 +268,7 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
             lb = layers.get(lname)
             if lb is None:
                 lb = layers[lname] = mvt.LayerBuilder(lname, extent)
-            if lb.add_feature(gtype, parts, {"name": nm_sl[s]}):
+            if lb.add_feature(gtype, parts, _attrs_of(nm_sl[s], aj_sl[s])):
                 n_encoded += 1
 
     if n_encoded == 0:
@@ -270,6 +277,16 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
     body = mvt.build_tile(ordered)
     gz = gzip.compress(body, 6, mtime=0) if cfg.compress_tiles else body
     return n_encoded, gz, hashlib.md5(body).hexdigest()
+
+
+def _attrs_of(name, attrs_json_str):
+    """MVT attributes: the canonical name plus UDF-supplied extras
+    (sorted-key JSON → deterministic key order)."""
+    attrs = {"name": name}
+    if attrs_json_str:
+        import json
+        attrs.update(json.loads(attrs_json_str))
+    return attrs
 
 
 def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
