@@ -77,7 +77,10 @@ def test_fanout_points_banded():
     n_points = enc.filter(
         __import__("pyarrow").compute.equal(enc["kind"], 1)).num_rows
     from tilemaker_ray.stages.fanout import BANDS
-    assert len(pts) == n_points * len(BANDS)
+    # points (minzoom ≥ 6) skip the low-zoom band
+    vis_bands = [b for b in BANDS
+                 if (b[1] if b[1] is not None else 14) >= 6]
+    assert len(pts) == n_points * len(vis_bands)
     bt = np.asarray([t[0] for t in pts["base_tiles"]])
     sk = pts["shard_key"].to_numpy()
     az = sk >> np.int64(tm.ZOOM_SHIFT)
@@ -190,9 +193,9 @@ def test_banded_shards_equal_monolithic():
     encoding (skew splitting must not change output bytes)."""
     from tilemaker_ray.stages.tile_encode import encode_shard
     fan, _ = _fanout_frame(1500)
-    # monolithic: z6-anchor rows carry the full base tile set
-    z6_rows = fan[(fan["shard_key"].to_numpy() >> tm.ZOOM_SHIFT) == 6]
-    mono = encode_subtree(z6_rows, DEFAULT_CONFIG, zmin=6, zmax=14).to_pandas()\
+    # monolithic: ALL rows in one task — encode_subtree dedups by fuid
+    # and merges base_tiles, yielding each feature's full tile set
+    mono = encode_subtree(fan, DEFAULT_CONFIG, zmin=6, zmax=14).to_pandas()\
         .sort_values("tile_id").reset_index(drop=True)
     # banded: encode each shard with its band's zoom range
     parts = [encode_shard(g, DEFAULT_CONFIG).to_pandas()

@@ -49,6 +49,11 @@ class EngineConfig:
     compress_tiles: bool = True
     # skew handling: groups larger than this are salted into sub-groups
     hot_tile_rows: int = 50_000
+    # large-object guard: a feature whose bbox would fan out to more
+    # base-zoom tiles than this gets its raster zoom coarsened (it stops
+    # appearing beyond that zoom) — the bounded-fan-out replacement for
+    # the reference's large-object R-tree path (src/tile_data.cpp:524-531)
+    max_raster_tiles: int = 16384
     layers: tuple = field(default_factory=tuple)
 
     def layer(self, name: str) -> LayerDef:

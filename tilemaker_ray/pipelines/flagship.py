@@ -65,11 +65,23 @@ def joined_features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
 
 def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
                    polygons_table: pa.Table | None = None,
-                   concurrency: int | None = None):
+                   concurrency: int | None = None,
+                   include_layer_tiles: bool = False):
     """Full pipeline → tile Dataset (zoom, x, y, tile_id, n_features,
-    tile_gz, tile_hash)."""
+    tile_gz, tile_hash). ``include_layer_tiles`` also tiles the external
+    polygon layers themselves (z0..5 low-zoom pyramid + their own
+    zoom range), like the reference's shapefile layers."""
     import ray
     ds = joined_features_pipeline(pages_ds, cfg, polygons_table, concurrency)
+    if include_layer_tiles:
+        import ray.data as rd
+
+        from ..sources.polygons import layers_as_features
+        from ..stages.encode import make_cell_encoder
+        poly_feats = make_cell_encoder(cfg)(layers_as_features())
+        cols = [c for c in ds.schema().names if c in poly_feats.column_names]
+        ds = ds.select_columns(cols).union(
+            rd.from_arrow(poly_feats.select(cols)))
     ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
                         batch_size=8192)
     # enough reduce partitions that hot shards don't co-schedule; the

@@ -99,3 +99,38 @@ def landuse_polygons() -> pa.Table:
 
 def all_layers() -> pa.Table:
     return pa.concat_tables([admin_polygons(), landuse_polygons()])
+
+
+def layers_as_features(poly_table: pa.Table | None = None) -> pa.Table:
+    """External polygon layers → engine feature rows, so they tile like
+    any other feature (the reference indexes shapefile layers into the
+    same OutputObject stream, /root/reference/src/shp_processor.cpp:145-174).
+    Carries per-feature minzoom (the ``_minzoom`` attribute analog)."""
+    import json
+
+    from ..geo import wkb as _gwkb
+    from ..stages.extract import FEATURE_SCHEMA, feature_uid
+    t = poly_table if poly_table is not None else all_layers()
+    rows = {f.name: [] for f in FEATURE_SCHEMA}
+    for i in range(t.num_rows):
+        name = t["name"][i].as_py()
+        buf = t["geom_wkb"][i].as_py()
+        gt, payload = _gwkb.parse_wkb(buf)
+        first = (payload[0][0] if gt == _gwkb.POLYGON else payload[0][0][0])
+        url = f"layer://{t['layer'][i].as_py()}/{name}"
+        rows["url"].append(url)
+        rows["fuid"].append(feature_uid(url, 0))
+        rows["feature_seq"].append(0)
+        rows["kind"].append(3)
+        rows["layer"].append(t["layer"][i].as_py())
+        rows["name"].append(name)
+        rows["lang"].append("")
+        rows["lon"].append(float(first[0]))
+        rows["lat"].append(float(first[1]))
+        rows["geom_wkb"].append(buf)
+        rows["minzoom"].append(int(t["minzoom"][i].as_py()))
+        rows["z_order"].append(0)
+        rows["attrs_json"].append(json.dumps(
+            {"class": t["class"][i].as_py()}, sort_keys=True))
+    return pa.table({k: pa.array(v, FEATURE_SCHEMA.field(k).type)
+                     for k, v in rows.items()}, schema=FEATURE_SCHEMA)

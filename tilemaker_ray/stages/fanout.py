@@ -45,7 +45,11 @@ FANOUT_FIELDS = ["fuid", "kind", "layer", "name", "minzoom",
 # (zmin, zmax, anchor_zoom) per band; basezoom fills the last band's zmax.
 # The uncapped high band anchors at z13 (not z12): 4× more shards, so the
 # densest city-core shard stays under ~1s of encode work.
-BANDS = ((6, 10, 6), (11, 12, 10), (13, None, 13))
+# Band (0,5,0) is the low-zoom pyramid: a single z0-anchored shard fed
+# ONLY by features whose minzoom ≤ 5 (the external polygon layers) —
+# the analog of the reference's heavyweight low-zoom tile batches
+# (weight 1000, src/tilemaker.cpp:463-481).
+BANDS = ((0, 5, 0), (6, 10, 6), (11, 12, 10), (13, None, 13))
 
 
 def band_for_anchor_zoom(az: int, basezoom: int):
@@ -61,55 +65,96 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
     (list<int64> of base-zoom tile ids inside that shard)."""
     basezoom = cfg.basezoom
 
+    max_tiles = cfg.max_raster_tiles
+    lay_maxz = {l.name: l.maxzoom for l in cfg.layers}
+
+    def raster_zoom_for(buf, layer) -> tuple:
+        """Finest zoom ≤ min(basezoom, layer maxzoom) whose bbox tile
+        fan-out stays under the large-object cap."""
+        x0, y0, x1, y1 = _wkb.wkb_bbox(buf)
+        rz = min(basezoom, lay_maxz.get(layer, basezoom))
+        while rz > 0:
+            nx = int(tm.lon2tilex(np.float64(x1), rz)
+                     - tm.lon2tilex(np.float64(x0), rz)) + 1
+            ny = int(tm.lat2tiley(np.float64(y0), rz)
+                     - tm.lat2tiley(np.float64(y1), rz)) + 1
+            if nx * ny <= max_tiles:
+                return rz
+            rz -= 1
+        return 0
+
     def fanout(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        minzooms = batch["minzoom"].to_numpy(zero_copy_only=False)
+        layers = batch["layer"].to_pylist()
         xs = batch["tile_x"].to_numpy(zero_copy_only=False)
         ys = batch["tile_y"].to_numpy(zero_copy_only=False)
 
         feat_rows: list[int] = []
         shard_keys: list[int] = []
         base_tiles: list[np.ndarray] = []
+        raster_zooms: list[int] = []
 
         # points: single tile → one row per band, fully vectorized keys
         pt = np.flatnonzero(kinds == 1)
         if len(pt):
             tid = tm.tile_id(basezoom, xs[pt], ys[pt])
-            for _zmin, _zmax, anchor in BANDS:
-                anc = tm.tile_id_parent(tid, basezoom - anchor)
-                feat_rows.extend(pt.tolist())
+            for _zmin, zmax, anchor in BANDS:
+                zmax = basezoom if zmax is None else zmax
+                # skip bands entirely above the feature's minzoom
+                sel = minzooms[pt] <= zmax
+                if not sel.any():
+                    continue
+                anc = tm.tile_id_parent(tid[sel], basezoom - anchor)
+                feat_rows.extend(pt[sel].tolist())
                 shard_keys.extend(anc.tolist())
-                base_tiles.extend(np.asarray([t]) for t in tid.tolist())
+                base_tiles.extend(np.asarray([t]) for t in tid[sel].tolist())
+                raster_zooms.extend([basezoom] * int(sel.sum()))
 
-        # lines/polygons: rasterize once, split tile set per band anchor
+        # lines/polygons: rasterize ONCE at the feature's raster zoom,
+        # split the tile set per band anchor
         geo = np.flatnonzero(kinds != 1)
         if len(geo):
             wkbs = batch["geom_wkb"].take(pa.array(geo)).to_pylist()
             for row, buf in zip(geo.tolist(), wkbs):
                 gt, payload = _wkb.parse_wkb(buf)
-                if gt == _wkb.LINESTRING:
-                    ft = np.stack([tm.lon2tilex_f(payload[:, 0], basezoom),
-                                   tm.lat2tiley_f(payload[:, 1], basezoom)], axis=1)
-                    tiles = raster.line_tiles(ft, basezoom)
+                rz = raster_zoom_for(buf, layers[row])
+                if rz < minzooms[row]:
+                    continue  # coarsened below its own minzoom → invisible
+                if gt in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
+                    lines = [payload] if gt == _wkb.LINESTRING else payload
+                    tiles = [raster.line_tiles(
+                        np.stack([tm.lon2tilex_f(l[:, 0], rz),
+                                  tm.lat2tiley_f(l[:, 1], rz)], axis=1),
+                        rz) for l in lines]
+                    tiles = np.unique(np.vstack(tiles), axis=0)
                 else:
-                    rings = [np.stack([tm.lon2tilex_f(r[:, 0], basezoom),
-                                       tm.lat2tiley_f(r[:, 1], basezoom)], axis=1)
-                             for r in payload]
-                    tiles = raster.polygon_tiles(rings, basezoom)
+                    polys = [payload] if gt == _wkb.POLYGON else payload
+                    tiles = [raster.polygon_tiles(
+                        [np.stack([tm.lon2tilex_f(r[:, 0], rz),
+                                   tm.lat2tiley_f(r[:, 1], rz)], axis=1)
+                         for r in rings], rz) for rings in polys]
+                    tiles = np.unique(np.vstack(tiles), axis=0)
                 if len(tiles) == 0:
                     continue
-                tids = tm.tile_id(basezoom, tiles[:, 0], tiles[:, 1])
-                for _zmin, _zmax, anchor in BANDS:
-                    anc = tm.tile_id_parent(tids, basezoom - anchor)
+                tids = tm.tile_id(rz, tiles[:, 0], tiles[:, 1])
+                for _zmin, zmax, anchor in BANDS:
+                    zmax = basezoom if zmax is None else zmax
+                    if minzooms[row] > zmax or anchor > rz:
+                        continue
+                    anc = tm.tile_id_parent(tids, rz - anchor)
                     for av in np.unique(anc):
                         feat_rows.append(row)
                         shard_keys.append(int(av))
                         base_tiles.append(tids[anc == av])
+                        raster_zooms.append(rz)
 
         if not feat_rows:
             out = batch.slice(0, 0).select(FANOUT_FIELDS)
             return (out.append_column("shard_key", pa.array([], pa.int64()))
                        .append_column("shard_scram", pa.array([], pa.int64()))
+                       .append_column("raster_zoom", pa.array([], pa.int8()))
                        .append_column("base_tiles",
                                       pa.array([], pa.list_(pa.int64()))))
         out = batch.take(pa.array(feat_rows)).select(FANOUT_FIELDS)
@@ -117,6 +162,8 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
         return (out.append_column("shard_key", pa.array(sk, pa.int64()))
                    .append_column("shard_scram",
                                   pa.array(_scramble(sk), pa.int64()))
+                   .append_column("raster_zoom",
+                                  pa.array(raster_zooms, pa.int8()))
                    .append_column("base_tiles",
                                   pa.array([t.tolist() for t in base_tiles],
                                            pa.list_(pa.int64()))))

@@ -110,6 +110,11 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
     counts = np.diff(offsets)
     fi_all = np.repeat(np.arange(n), counts)
     bt_all = bt_all & ((1 << tm.ZOOM_SHIFT) - 1)  # strip zoom bits → morton
+    # per-feature raster zoom (large objects rasterize coarser and stop
+    # appearing beyond it; default = basezoom)
+    rzs = (t["raster_zoom"].to_numpy(zero_copy_only=False).astype(np.int64)
+           if "raster_zoom" in t.column_names
+           else np.full(n, basezoom, dtype=np.int64))
 
     # layer policy lookup tables
     layer_order = {l.name: i for i, l in enumerate(cfg.layers)}
@@ -151,9 +156,9 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
                            "tile_gz", "tile_hash")}
 
     for z in range(zmin, zmax + 1):
-        dz = basezoom - z
-        keys = bt_all >> np.int64(2 * dz)
-        vis = (minzooms[fi_all] <= z) & (lay_minz[fi_all] <= z) \
+        shift = 2 * (rzs[fi_all] - z)
+        keys = bt_all >> np.maximum(shift, 0)
+        vis = (shift >= 0) & (minzooms[fi_all] <= z) & (lay_minz[fi_all] <= z) \
             & (lay_maxz[fi_all] >= z)
         if not vis.any():
             continue
