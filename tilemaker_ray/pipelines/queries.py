@@ -537,6 +537,67 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q25+: windows + relation membership propagation
+# ---------------------------------------------------------------------------
+
+def q_sliding_window(sf_dir: str):
+    from ..stages.windows import sliding_window_counts
+    return sliding_window_counts(_read(sf_dir, "events",
+                                       columns=["user_id", "ts"]))
+
+
+def q_session_windows(sf_dir: str):
+    from ..stages.windows import session_windows
+    return session_windows(_read(sf_dir, "events",
+                                 columns=["user_id", "ts", "event_id"]))
+
+
+def q_relation_region_tag(sf_dir: str):
+    """J3+M6+M7: nation/region form a nested relation tree (nation's
+    parent = region); tag propagation bounces region_name down; the
+    broadcast member map tags each customer — a FindInRelation lookup,
+    no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.relations import (build_member_map,
+                                    make_membership_tagger,
+                                    propagate_tags, scan_relations)
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    # relation table: regions (roots, carry region_name) + nations
+    # (children, inherit region_name via post-scan)
+    rel = pa.table({
+        "rel_id": pa.array(
+            [1000 + k for k in region["r_regionkey"].to_pylist()]
+            + nation["n_nationkey"].to_pylist(), pa.int64()),
+        "parent_id": pa.array(
+            [None] * region.num_rows
+            + [1000 + k for k in nation["n_regionkey"].to_pylist()],
+            pa.int64()),
+        "region_name": pa.array(
+            region["r_name"].to_pylist() + [None] * nation.num_rows,
+            pa.string()),
+    })
+    rels = propagate_tags(scan_relations(rel), ["region_name"])
+    # membership: customer → its nation relation
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    member_map = build_member_map(
+        pa.table({"member": cust["c_custkey"], "rel": cust["c_nationkey"]}),
+        rels, "member", "rel")
+    import ray as _ray
+    ref = _ray.put(member_map)
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+    ds = ds.map_batches(make_membership_tagger(ref, "c_custkey",
+                                               ["region_name"]),
+                        batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "region_name"])
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -694,6 +755,41 @@ ORACLE_SQL = {
 
 ORACLE_SQL["assemble_ways_join"] = ORACLE_SQL["assemble_ways"]
 
+ORACLE_SQL["sliding_window"] = """
+    WITH k AS (SELECT unnest([0, 1]) AS off),
+    w AS (SELECT e.user_id,
+                 (epoch_us(e.ts) // 1800000000 - k.off) * 1800000000
+                   AS window_start
+          FROM events e CROSS JOIN k)
+    SELECT user_id, window_start, COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2"""
+
+ORACLE_SQL["session_windows"] = """
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 3600000000 THEN 1
+                  WHEN lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY 1, 2"""
+
+ORACLE_SQL["relation_region_tag"] = """
+    SELECT c.c_custkey, r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey"""
+
 QUERIES = {
     "tile_count_z10": q_tile_count_z10,
     "pip_admin_events": q_pip_admin_events,
@@ -719,4 +815,7 @@ QUERIES = {
     "covered_by_squares": q_covered_by_squares,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
+    "sliding_window": q_sliding_window,
+    "session_windows": q_session_windows,
+    "relation_region_tag": q_relation_region_tag,
 }
