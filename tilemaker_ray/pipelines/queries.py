@@ -540,6 +540,23 @@ def q_media_features(sf_dir: str):
 # Q25+: windows + relation membership propagation
 # ---------------------------------------------------------------------------
 
+def q_ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """IVF approximate ANN (rows-only: approximate by design; exactness
+    at full probe + recall bounds are pytest-verified)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ivf_topk
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qt["vec_id"].to_numpy(), Q, k=k,
+                   n_clusters=16, nprobe=4)
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
 def q_sliding_window(sf_dir: str):
     from ..stages.windows import sliding_window_counts
     return sliding_window_counts(_read(sf_dir, "events",
@@ -818,4 +835,5 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "relation_region_tag": q_relation_region_tag,
+    "ann_ivf": q_ann_ivf,
 }

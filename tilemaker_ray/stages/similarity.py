@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k lives in pipelines.queries.q_ann_top5 (the
+baseline); this module adds the scale path:
+
+- :func:`kmeans` — deterministic numpy Lloyd's iterations (seeded
+  init), run driver-side on a sample;
+- :func:`ivf_topk` — IVF: centroids broadcast, vectors assigned to
+  their nearest centroid in map_batches, queries probe only the
+  ``nprobe`` nearest clusters; per-batch partial top-k (the mergeable
+  "sketch") then a tiny driver-side merge. With nprobe == n_clusters
+  the result equals brute force exactly; at lower nprobe recall is the
+  standard IVF trade (tested ≥ 0.9 at nprobe=4/16 on the fixtures).
+
+At 10¹² rows the probe side streams; only (query, candidate, sim)
+partials move — no all-to-all shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def kmeans(X: np.ndarray, k: int, n_iter: int = 10, seed: int = 42):
+    """Deterministic Lloyd's: seeded point init, empty clusters re-seeded
+    from the farthest points."""
+    rng = np.random.RandomState(seed)
+    X = np.asarray(X, dtype=np.float64)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+            else:
+                C[j] = X[d2.min(axis=1).argmax()]
+    return C
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_topk(emb_ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
+             n_clusters: int = 16, nprobe: int = 4, train_sample: int = 2048,
+             seed: int = 42):
+    """IVF approximate top-k cosine neighbors.
+
+    Returns a pandas DataFrame (query_id, rank, neighbor_id, sim) with
+    deterministic ordering (sim desc, neighbor_id asc).
+    """
+    import ray
+
+    # 1. train centroids on a driver-side sample (normalized space)
+    sample = emb_ds.take_batch(train_sample, batch_format="pyarrow")
+    Xs = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in sample["embedding"].to_pylist()]))
+    C = _normalize(kmeans(Xs, n_clusters, seed=seed))
+
+    # 2. probe set per query
+    Qn = _normalize(np.asarray(Q, dtype=np.float64))
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    state_ref = ray.put((np.asarray(query_ids), Qn, C, probe, k))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, Qn_, C_, probe_, k_ = ray.get(state_ref)
+        V = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in batch["embedding"].to_pylist()]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vc = (V @ C_.T).argmax(axis=1)  # cluster of each vector
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(qids)):
+            mask = np.isin(vc, probe_[qi])
+            if not mask.any():
+                continue
+            sims = V[mask] @ Qn_[qi]
+            cand_ids = ids[mask]
+            kk = min(k_, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            rows["query_id"].extend([int(qids[qi])] * kk)
+            rows["neighbor_id"].extend(cand_ids[part].tolist())
+            rows["sim"].extend(sims[part].tolist())
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                         "sim": pa.array(rows["sim"], pa.float64())})
+
+    pdf = emb_ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096).to_pandas()
+    pdf = pdf.sort_values(["query_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="stable")
+    out = pdf.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "neighbor_id", "sim"]].reset_index(drop=True)
