@@ -143,16 +143,32 @@ def q_tile_topk_z8(sf_dir: str):
         return (batch.append_column("tile_x", pa.array(tx, pa.int64()))
                      .append_column("tile_y", pa.array(ty, pa.int64())))
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True],
-                          kind="stable").head(3)
-        g = g.copy()
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["tile_x"].to_numpy() * 31 + batch["tile_y"].to_numpy()) % 256
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def topk_bucket(g: pa.Table) -> pa.Table:
+        tx = g["tile_x"].to_numpy(zero_copy_only=False)
+        ty = g["tile_y"].to_numpy(zero_copy_only=False)
+        ev = g["event_id"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, -val, ty, tx))
+        tx, ty, ev, val = tx[order], ty[order], ev[order], val[order]
+        brk = np.empty(len(tx), dtype=bool)
+        brk[0] = True
+        brk[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        idx = np.arange(len(tx))
+        cum = idx - np.maximum.accumulate(np.where(brk, idx, 0))
+        keep = cum < 3
+        return pa.table({"tile_x": pa.array(tx[keep], pa.int64()),
+                         "tile_y": pa.array(ty[keep], pa.int64()),
+                         "rk": pa.array(cum[keep] + 1, pa.int64()),
+                         "event_id": pa.array(ev[keep], pa.int64()),
+                         "value": pa.array(val[keep], pa.float64())})
 
     return (ds.map_batches(tiles, batch_format="pyarrow")
-            .groupby(["tile_x", "tile_y"])
-            .map_groups(topk, batch_format="pandas")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(topk_bucket, batch_format="pyarrow")
             .select_columns(["tile_x", "tile_y", "rk", "event_id", "value"]))
 
 
@@ -171,10 +187,12 @@ def q_tile_rollup(sf_dir: str):
         zooms, txs, tys = [], [], []
         for z in range(4, 11):
             dz = 10 - z
-            # halving rollup — exact integer shift, tile_data.cpp:169-174
-            zooms.append(np.full(len(tx), z, dtype=np.int64))
-            txs.append(tx >> dz)
-            tys.append(ty >> dz)
+            # halving rollup — exact integer shift, tile_data.cpp:169-174;
+            # per-batch distinct (combiner) before the shuffle
+            u = np.unique(np.stack([tx >> dz, ty >> dz], axis=1), axis=0)
+            zooms.append(np.full(len(u), z, dtype=np.int64))
+            txs.append(u[:, 0])
+            tys.append(u[:, 1])
         return pa.table({"zoom": np.concatenate(zooms),
                          "tile_x": np.concatenate(txs),
                          "tile_y": np.concatenate(tys)})
@@ -507,20 +525,35 @@ def q_way_length_haversine(sf_dir: str):
                          "lon": pa.array(lon, pa.float64()),
                          "lat": pa.array(lat, pa.float64())})
 
-    def reduce_way(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["seq", "node_id"], kind="stable")
-        lon = g["lon"].to_numpy()
-        lat = g["lat"].to_numpy()
-        if len(g) < 2:
-            mm = 0
-        else:
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = batch["way_id"].to_numpy() % 256
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        way = g["way_id"].to_numpy(zero_copy_only=False)
+        seq = g["seq"].to_numpy(zero_copy_only=False)
+        nid = g["node_id"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, seq, way))
+        way, lon, lat = way[order], lon[order], lat[order]
+        same = np.empty(len(way), dtype=bool)
+        same[0] = False
+        same[1:] = way[1:] == way[:-1]
+        seg = np.zeros(len(way), dtype=np.int64)
+        if len(way) > 1:
             m = haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
-            mm = int(np.floor(m * 1000.0).astype(np.int64).sum())
-        return pd.DataFrame({"way_id": [g["way_id"].iloc[0]],
-                             "length_hav_mm": [np.int64(mm)]})
+            seg[1:] = np.where(same[1:],
+                               np.floor(m * 1000.0).astype(np.int64), 0)
+        starts = np.flatnonzero(~same)
+        return pa.table({"way_id": pa.array(way[starts], pa.int64()),
+                         "length_hav_mm": pa.array(
+                             np.add.reduceat(seg, starts), pa.int64())})
 
     return (ds.map_batches(rename, batch_format="pyarrow")
-            .groupby("way_id").map_groups(reduce_way, batch_format="pandas"))
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pyarrow"))
 
 
 def q_media_features(sf_dir: str):

@@ -41,49 +41,74 @@ def node_lonlat(node_id: np.ndarray):
     return lon, lat
 
 
-def assemble_ways(members_ds, num_partitions: int = 16):
+def assemble_ways(members_ds, num_buckets: int = 256):
     """J1: membership rows (way_id, seq, node_id) → assembled ways
     (way_id, n_points, length_um) where length_um = Σ per-segment
     planar length in integer micro-degrees (exact across engines:
     sqrt is correctly rounded, the integer sum is associative).
 
-    The node side needs no table here (coords are a function of the
-    id); ``assemble_ways_join`` below does the genuine two-table join.
+    Shuffle shape: groupby a BUCKET of way ids (way_id % num_buckets),
+    then one vectorized multi-way segment reduction per bucket — one
+    pandas/python group per ~thousand ways instead of per way (per-group
+    overhead dominated the naive groupby(way_id) by 10×).
     """
     def coords(batch: pa.Table) -> pa.Table:
         lon, lat = node_lonlat(batch["node_id"].to_numpy())
+        bucket = batch["way_id"].to_numpy() % num_buckets
         return (batch.append_column("lon", pa.array(lon, pa.float64()))
-                     .append_column("lat", pa.array(lat, pa.float64())))
+                     .append_column("lat", pa.array(lat, pa.float64()))
+                     .append_column("bucket", pa.array(bucket, pa.int64())))
 
     withc = members_ds.map_batches(coords, batch_format="pyarrow")
-    return withc.groupby("way_id").map_groups(_reduce_way,
-                                              batch_format="pandas")
+    return withc.groupby("bucket").map_groups(_reduce_ways_bucket,
+                                              batch_format="pyarrow")
 
 
-def assemble_ways_join(members_ds, nodes_ds, num_partitions: int = 16):
+def assemble_ways_join(members_ds, nodes_ds, num_partitions: int = 16,
+                       num_buckets: int = 256):
     """J1 with a real distributed hash join: membership ⋈ nodes on
-    node_id (both sides shuffled by key), then per-way reassembly."""
+    node_id (both sides shuffled by key), then bucketed reassembly."""
     joined = members_ds.join(nodes_ds, join_type="inner",
                              num_partitions=num_partitions,
                              on=("node_id",))
-    return joined.groupby("way_id").map_groups(_reduce_way,
-                                               batch_format="pandas")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = batch["way_id"].to_numpy() % num_buckets
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return (joined.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(_reduce_ways_bucket,
+                                          batch_format="pyarrow"))
 
 
-def _reduce_way(g: pd.DataFrame) -> pd.DataFrame:
-    # total order (seq alone may repeat in the fixture data — ties must
-    # break identically in the SQL oracle)
-    g = g.sort_values(["seq", "node_id"], kind="stable")
-    lon = g["lon"].to_numpy()
-    lat = g["lat"].to_numpy()
-    seg = np.sqrt(np.diff(lon) ** 2 + np.diff(lat) ** 2)
-    length_um = int(np.floor(seg * 1_000_000).astype(np.int64).sum())
-    return pd.DataFrame({
-        "way_id": [g["way_id"].iloc[0]],
-        "n_points": [np.int64(len(g))],
-        "first_node": [np.int64(g["node_id"].iloc[0])],
-        "last_node": [np.int64(g["node_id"].iloc[-1])],
-        "length_um": [np.int64(length_um)],
+def _reduce_ways_bucket(g: pa.Table) -> pa.Table:
+    """Vectorized reduction of ALL ways in one bucket: lexsort by
+    (way_id, seq, node_id) — the same total tie-break order as the SQL
+    oracle — then segment math with boundary masks."""
+    way = g["way_id"].to_numpy(zero_copy_only=False)
+    seq = g["seq"].to_numpy(zero_copy_only=False)
+    nid = g["node_id"].to_numpy(zero_copy_only=False)
+    lon = g["lon"].to_numpy(zero_copy_only=False)
+    lat = g["lat"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nid, seq, way))
+    way, nid, lon, lat = way[order], nid[order], lon[order], lat[order]
+    same_way = np.empty(len(way), dtype=bool)
+    same_way[0] = False
+    same_way[1:] = way[1:] == way[:-1]
+    seg_um = np.zeros(len(way), dtype=np.int64)
+    if len(way) > 1:
+        d = np.sqrt(np.diff(lon) ** 2 + np.diff(lat) ** 2)
+        seg_um[1:] = np.where(same_way[1:],
+                              np.floor(d * 1_000_000).astype(np.int64), 0)
+    starts = np.flatnonzero(~same_way)
+    ends = np.concatenate([starts[1:], [len(way)]])
+    length_um = np.add.reduceat(seg_um, starts)
+    return pa.table({
+        "way_id": pa.array(way[starts], pa.int64()),
+        "n_points": pa.array((ends - starts).astype(np.int64), pa.int64()),
+        "first_node": pa.array(nid[starts], pa.int64()),
+        "last_node": pa.array(nid[ends - 1], pa.int64()),
+        "length_um": pa.array(length_um, pa.int64()),
     })
 
 

@@ -32,21 +32,39 @@ import pyarrow as pa
 _MERSENNE = (1 << 61) - 1
 
 
+_WORD_HASH_CACHE: dict = {}
+
+
+def _word_hash(w: str) -> int:
+    """fnv1a64 of a word, memoized (corpora repeat words heavily)."""
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        h = 0xCBF29CE484222325
+        for b in w.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        if len(_WORD_HASH_CACHE) < 1_000_000:  # bound the memo
+            _WORD_HASH_CACHE[w] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-gram (word-level) fnv1a64 hashes of a document."""
+    """Distinct k-gram (word-level) hashes: per-word fnv1a64 (memoized)
+    combined into gram hashes by a vectorized rolling polynomial —
+    ~10× cheaper than hashing each gram's characters."""
     words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
+                     count=len(words))
     if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        with np.errstate(over="ignore"):
-            for b in g.encode():
-                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return np.unique(out)
+        k = len(words)
+    win = np.lib.stride_tricks.sliding_window_view(wh, k)
+    with np.errstate(over="ignore"):
+        P = np.uint64(1099511628211)
+        gram = np.zeros(len(win), dtype=np.uint64)
+        for c in range(k):
+            gram = gram * P ^ win[:, c]
+    return np.unique(gram)
 
 
 class MinHasher:
