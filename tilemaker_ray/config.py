@@ -49,6 +49,10 @@ class EngineConfig:
     compress_tiles: bool = True
     # skew handling: groups larger than this are salted into sub-groups
     hot_tile_rows: int = 50_000
+    # optional clipping box (lon_w, lat_s, lon_e, lat_n): only tiles
+    # intersecting it are produced (reference --bbox,
+    # src/tilemaker.cpp:130-165)
+    bbox: tuple | None = None
     # large-object guard: a feature whose bbox would fan out to more
     # base-zoom tiles than this gets its raster zoom coarsened (it stops
     # appearing beyond that zoom) — the bounded-fan-out replacement for

@@ -68,6 +68,22 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
     max_tiles = cfg.max_raster_tiles
     lay_maxz = {l.name: l.maxzoom for l in cfg.layers}
 
+    # clipping box → inclusive base-zoom tile range (reference --bbox
+    # restricts the tile set, src/tilemaker.cpp:366-458)
+    if cfg.bbox is not None:
+        bx0, by0, bx1, by1 = cfg.bbox
+        tx_lo = int(tm.lon2tilex(np.float64(bx0), basezoom))
+        tx_hi = int(tm.lon2tilex(np.float64(bx1), basezoom))
+        ty_lo = int(tm.lat2tiley(np.float64(by1), basezoom))
+        ty_hi = int(tm.lat2tiley(np.float64(by0), basezoom))
+    else:
+        tx_lo = ty_lo = 0
+        tx_hi = ty_hi = (1 << basezoom) - 1
+
+    def in_box(txa: np.ndarray, tya: np.ndarray) -> np.ndarray:
+        return ((txa >= tx_lo) & (txa <= tx_hi)
+                & (tya >= ty_lo) & (tya <= ty_hi))
+
     def raster_zoom_for(buf, layer) -> tuple:
         """Finest zoom ≤ min(basezoom, layer maxzoom) whose bbox tile
         fan-out stays under the large-object cap."""
@@ -98,6 +114,8 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
 
         # points: single tile → one row per band, fully vectorized keys
         pt = np.flatnonzero(kinds == 1)
+        if len(pt) and cfg.bbox is not None:
+            pt = pt[in_box(xs[pt], ys[pt])]
         if len(pt):
             tid = tm.tile_id(basezoom, xs[pt], ys[pt])
             for _zmin, zmax, anchor in BANDS:
@@ -138,6 +156,15 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
                     tiles = np.unique(np.vstack(tiles), axis=0)
                 if len(tiles) == 0:
                     continue
+                if cfg.bbox is not None:
+                    sh = basezoom - rz
+                    keep = (((tiles[:, 0] << sh) <= tx_hi)
+                            & ((((tiles[:, 0] + 1) << sh) - 1) >= tx_lo)
+                            & ((tiles[:, 1] << sh) <= ty_hi)
+                            & ((((tiles[:, 1] + 1) << sh) - 1) >= ty_lo))
+                    tiles = tiles[keep]
+                    if len(tiles) == 0:
+                        continue
                 tids = tm.tile_id(rz, tiles[:, 0], tiles[:, 1])
                 for _zmin, zmax, anchor in BANDS:
                     zmax = basezoom if zmax is None else zmax

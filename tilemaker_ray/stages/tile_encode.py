@@ -237,16 +237,22 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
 
     f_sl = fidx[idxs]
     pt_sl = is_pt[idxs]
+    kd_sl = np.asarray([1 if p else 0 for p in pt_sl])
     ln_sl = layer_names[f_sl]
     nm_sl = names[f_sl]
     zo_sl = zorders[f_sl]
     aj_sl = attrs_json[f_sl]
-    combine_ok = np.asarray([ldefs[l].combine_points for l in ln_sl])
+    # a run = adjacent compatible features of a combining layer; the
+    # combine knob that applies depends on the geometry kind
+    combine_ok = np.asarray(
+        [(ldefs[l].combine_points if pt_sl[i] else
+          (ldefs[l].combine_lines or ldefs[l].combine_polygons))
+         for i, l in enumerate(ln_sl)])
     brk = np.ones(len(idxs), dtype=bool)
     if len(idxs) > 1:
         same = ((ln_sl[1:] == ln_sl[:-1]) & (nm_sl[1:] == nm_sl[:-1])
                 & (zo_sl[1:] == zo_sl[:-1]) & (aj_sl[1:] == aj_sl[:-1])
-                & pt_sl[1:] & pt_sl[:-1] & combine_ok[1:])
+                & (kd_sl[1:] == kd_sl[:-1]) & combine_ok[1:] & combine_ok[:-1])
         brk[1:] = ~same
     run_starts = np.flatnonzero(brk)
     run_ends = np.concatenate([run_starts[1:], [len(idxs)]])
@@ -267,13 +273,26 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
                                   _attrs_of(nm_sl[s], aj_sl[s])):
                     n_encoded += 1
             continue
-        gt, payload = parsed(int(fi))
-        parts, gtype = _geom_parts(gt, payload, z, x, y, extent, margin, ldef)
-        if parts:
+        # non-point: clip/simplify each feature of the run; combining
+        # layers merge the run's parts into one multi-geometry feature
+        # (combine_lines → ReorderMultiLinestring endpoint linking,
+        # src/tile_worker.cpp:29-77,381-405)
+        all_parts: list = []
+        gtype = 0
+        for j in range(s, e):
+            gt, payload = parsed(int(f_sl[j]))
+            parts, gtype = _geom_parts(gt, payload, z, x, y, extent,
+                                       margin, ldef)
+            all_parts.extend(parts)
+        if all_parts:
+            if gtype == mvt.GEOM_LINESTRING and ldef.combine_lines \
+                    and len(all_parts) > 1:
+                all_parts = reorder_multilinestring(all_parts)
             lb = layers.get(lname)
             if lb is None:
                 lb = layers[lname] = mvt.LayerBuilder(lname, extent)
-            if lb.add_feature(gtype, parts, _attrs_of(nm_sl[s], aj_sl[s])):
+            if lb.add_feature(gtype, all_parts,
+                              _attrs_of(nm_sl[s], aj_sl[s])):
                 n_encoded += 1
 
     if n_encoded == 0:
@@ -282,6 +301,34 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
     body = mvt.build_tile(ordered)
     gz = gzip.compress(body, 6, mtime=0) if cfg.compress_tiles else body
     return n_encoded, gz, hashlib.md5(body).hexdigest()
+
+
+def reorder_multilinestring(parts: list, max_pts: int = 6000) -> list:
+    """Link linestring parts end-to-start where endpoints coincide
+    (ReorderMultiLinestring, /root/reference/src/tile_worker.cpp:29-77;
+    size-capped like the reference). Greedy, deterministic (input order
+    is canonical)."""
+    if sum(len(p) for p in parts) > max_pts:
+        return parts
+    segs = [np.asarray(p) for p in parts]
+    out = []
+    while segs:
+        cur = segs.pop(0)
+        linked = True
+        while linked:
+            linked = False
+            for i, sgm in enumerate(segs):
+                if (sgm[0] == cur[-1]).all():
+                    cur = np.vstack([cur, sgm[1:]])
+                elif (sgm[-1] == cur[0]).all():
+                    cur = np.vstack([sgm, cur[1:]])
+                else:
+                    continue
+                segs.pop(i)
+                linked = True
+                break
+        out.append(cur)
+    return out
 
 
 def _attrs_of(name, attrs_json_str):
