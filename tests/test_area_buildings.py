@@ -1,0 +1,101 @@
+"""AreaIntersecting (convex clip) + simplify_buildings."""
+
+import numpy as np
+import pytest
+
+from tilemaker_ray.geo import clip, pip, simplify, wkb
+
+
+def square(cx, cy, half):
+    return np.array([[cx - half, cy - half], [cx + half, cy - half],
+                     [cx + half, cy + half], [cx - half, cy + half],
+                     [cx - half, cy - half]])
+
+
+def diamond(cx, cy, w, h):
+    return np.array([[cx - w, cy], [cx, cy - h], [cx + w, cy],
+                     [cx, cy + h], [cx - w, cy]])
+
+
+def grid_area_oracle(subject, other, n=400):
+    """Numeric intersection-area oracle by dense grid sampling."""
+    xs = np.linspace(subject[:, 0].min(), subject[:, 0].max(), n)
+    ys = np.linspace(subject[:, 1].min(), subject[:, 1].max(), n)
+    gx, gy = np.meshgrid(xs, ys)
+    px, py = gx.ravel(), gy.ravel()
+    in_s = pip.points_in_polygon(px, py, [subject])
+    in_o = pip.points_in_polygon(px, py, [other])
+    cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+    return (in_s & in_o).sum() * cell
+
+
+def test_convex_clip_area_vs_grid_oracle():
+    s = square(0, 0, 4)
+    d = diamond(2, 0, 4, 4)
+    inter = clip.intersection_area_convex(s, d)
+    approx = grid_area_oracle(s, d)
+    assert inter == pytest.approx(approx, rel=0.02)
+    # fully inside / fully outside
+    assert clip.intersection_area_convex(square(0, 0, 1), square(0, 0, 10)) \
+        == pytest.approx(4.0)
+    assert clip.intersection_area_convex(square(100, 100, 1), square(0, 0, 2)) \
+        == 0.0
+
+
+def test_area_fraction_via_index():
+    idx = pip.PolygonIndex([wkb.polygon_wkb(diamond(0, 0, 4, 4))])
+    # small square at the diamond center: fully inside
+    assert idx.area_fraction([square(0, 0, 0.5)], 0) == pytest.approx(1.0)
+    # half-overlapping square
+    frac = idx.area_fraction([square(4, 0, 2)], 0)
+    oracle = grid_area_oracle(square(4, 0, 2), diamond(0, 0, 4, 4)) / 16.0
+    assert frac == pytest.approx(oracle, rel=0.05)
+    # far square: 0
+    assert idx.area_fraction([square(50, 50, 1)], 0) == 0.0
+
+
+def test_area_intersects_predicate():
+    from tilemaker_ray.stages.join import PIPJoinPairs
+    import pyarrow as pa
+    poly = pa.table({
+        "layer": ["admin"], "name": ["d"], "class": ["b"],
+        "minzoom": pa.array([2], pa.int8()),
+        "geom_wkb": pa.array([wkb.polygon_wkb(diamond(0, 0, 4, 4))],
+                             pa.binary())})
+    j = PIPJoinPairs(poly, predicate="area_intersects")
+    batch = pa.table({
+        "lon": pa.array([0.0, 3.9]), "lat": pa.array([0.0, 0.0]),
+        "kind": pa.array([3, 3], pa.int8()),
+        "h3_cell": pa.array([0, 0], pa.int64()),
+        "geom_wkb": pa.array([wkb.polygon_wkb(square(0, 0, 1)),
+                              wkb.polygon_wkb(square(3.9, 0, 1))],
+                             pa.binary())})
+    # force prefilter pass-through by recomputing cells from lon/lat
+    batch = batch.drop_columns(["h3_cell"])
+    out = j(batch)
+    # first square: fraction 1 → hit; second mostly outside → miss
+    assert out.num_rows == 1
+
+
+def test_simplify_buildings_snaps_and_removes_notch():
+    # rectangle with a tiny notch and slightly off-axis edges
+    ring = np.array([[0, 0], [10, 0.02], [10, 4], [6, 4.01], [6, 4.2],
+                     [5.8, 4.2], [5.8, 4.0], [0, 4], [0, 0]], dtype=float)
+    out = simplify.simplify_buildings(ring, tolerance=0.3)
+    assert out is not None
+    # result is closed, mostly axis-aligned, and smaller than input
+    assert (out[0] == out[-1]).all()
+    assert len(out) <= len(ring)
+    dx = np.abs(np.diff(out[:, 0]))
+    dy = np.abs(np.diff(out[:, 1]))
+    axis_aligned = ((dx < 1e-9) | (dy < 1e-9)).mean()
+    assert axis_aligned >= 0.75
+    # area approximately preserved
+    a_in = abs(clip.ring_area(ring))
+    a_out = abs(clip.ring_area(out))
+    assert a_out == pytest.approx(a_in, rel=0.05)
+
+
+def test_simplify_buildings_degenerate():
+    assert simplify.simplify_buildings(np.array([[0, 0], [1, 0], [0, 0]]),
+                                       0.1) is None

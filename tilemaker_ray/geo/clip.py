@@ -116,3 +116,50 @@ def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area (planar, in coordinate units²)."""
     x, y = ring[:, 0], ring[:, 1]
     return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def clip_ring_convex(subject: np.ndarray, convex: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of ``subject`` against an arbitrary CONVEX
+    clip ring (counter-clockwise). Generalizes the box clip; backs the
+    AreaIntersecting predicate when the layer polygons are convex
+    (reference AreaIntersecting: exact intersection area,
+    src/osm_lua_processing.cpp:488-502)."""
+    pts = np.asarray(subject, dtype=np.float64)
+    if len(pts) and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    cv = np.asarray(convex, dtype=np.float64)
+    if len(cv) and (cv[0] == cv[-1]).all():
+        cv = cv[:-1]
+    if ring_area(np.vstack([cv, cv[:1]])) < 0:
+        cv = cv[::-1]  # ensure CCW so "inside" = left of each edge
+    for i in range(len(cv)):
+        a, b = cv[i], cv[(i + 1) % len(cv)]
+        if len(pts) == 0:
+            return None
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        # signed side: >0 left (inside)
+        side = ex * (pts[:, 1] - a[1]) - ey * (pts[:, 0] - a[0])
+        inside = side >= 0
+        prev = np.roll(inside, 1)
+        prev_pts = np.roll(pts, 1, axis=0)
+        prev_side = np.roll(side, 1)
+        out = []
+        for j in range(len(pts)):
+            if inside[j]:
+                if not prev[j]:
+                    t = prev_side[j] / (prev_side[j] - side[j])
+                    out.append(prev_pts[j] + t * (pts[j] - prev_pts[j]))
+                out.append(pts[j])
+            elif prev[j]:
+                t = prev_side[j] / (prev_side[j] - side[j])
+                out.append(prev_pts[j] + t * (pts[j] - prev_pts[j]))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return None
+    return np.vstack([pts, pts[:1]])
+
+
+def intersection_area_convex(subject: np.ndarray, convex: np.ndarray) -> float:
+    """|subject ∩ convex| for a simple subject ring vs a convex ring."""
+    c = clip_ring_convex(subject, convex)
+    return abs(ring_area(c)) if c is not None else 0.0

@@ -224,6 +224,46 @@ class PolygonIndex:
         ok = (bb[:, 0] <= xmax) & (bb[:, 2] >= xmin) & (bb[:, 1] <= ymax) & (bb[:, 3] >= ymin)
         return cand[ok]
 
+    def area_fraction(self, rings: list, poly_idx: int) -> float:
+        """AreaIntersecting analog
+        (/root/reference/src/osm_lua_processing.cpp:488-502): fraction
+        of the subject polygon's area inside this layer polygon. Exact
+        (Sutherland–Hodgman) when the layer polygon is convex — the
+        common admin/landuse case; for concave layer polygons falls
+        back to the vertex-inside fraction (documented approximation;
+        exact general polygon∩polygon needs a clipping library)."""
+        from . import clip as _clip
+        ext = self.rings[poly_idx][0]
+        subject = rings[0]
+        a_subj = abs(_clip.ring_area(np.vstack([subject, subject[:1]])
+                                     if not np.array_equal(subject[0], subject[-1])
+                                     else subject))
+        if a_subj == 0:
+            return 0.0
+        if self._is_convex(poly_idx):
+            inter = _clip.intersection_area_convex(subject, ext)
+            return min(1.0, inter / a_subj)
+        inside = points_in_polygon(subject[:, 0], subject[:, 1],
+                                   self.rings[poly_idx])
+        return float(inside.mean())
+
+    def _is_convex(self, poly_idx: int) -> bool:
+        cached = getattr(self, "_convex_cache", None)
+        if cached is None:
+            cached = self._convex_cache = {}
+        v = cached.get(poly_idx)
+        if v is None:
+            ring = self.rings[poly_idx][0]
+            p = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+            nxt = np.roll(p, -1, axis=0)
+            nxt2 = np.roll(p, -2, axis=0)
+            cross = ((nxt[:, 0] - p[:, 0]) * (nxt2[:, 1] - nxt[:, 1])
+                     - (nxt[:, 1] - p[:, 1]) * (nxt2[:, 0] - nxt[:, 0]))
+            v = bool((cross >= -1e-12).all() or (cross <= 1e-12).all())
+            v = v and len(self.rings[poly_idx]) == 1  # no holes
+            cached[poly_idx] = v
+        return v
+
     def polygon_intersects(self, rings: list, poly_idx: int) -> bool:
         """Polygon ∩ polygon (Intersects/AreaIntersecting candidate
         semantics): any vertex of A in B, any vertex of B in A, or any

@@ -62,6 +62,51 @@ def simplify_ring(ring: np.ndarray, tolerance: float,
     return out
 
 
+def simplify_buildings(ring: np.ndarray, tolerance: float) -> np.ndarray | None:
+    """Rectilinearity-preserving building-outline simplification
+    (reference: src/simplify_buildings.cpp, reimplemented from the
+    behavior, not the code): snap nearly-axis-aligned edges to exact
+    axis alignment, then remove notches/jogs whose span is below
+    ``tolerance`` by merging the neighboring collinear edges. Returns
+    the simplified closed ring, or None if it collapses."""
+    p = np.asarray(ring, dtype=np.float64)
+    if len(p) and (p[0] == p[-1]).all():
+        p = p[:-1]
+    if len(p) < 4:
+        return None
+    # 1. snap near-axis edges: if |dx| or |dy| of an edge is below
+    #    tolerance, make it exactly 0 by averaging the coordinates
+    for _ in range(2):
+        n = len(p)
+        q = p.copy()
+        for i in range(n):
+            j = (i + 1) % n
+            dx = abs(p[j, 0] - p[i, 0])
+            dy = abs(p[j, 1] - p[i, 1])
+            if 0 < dx <= tolerance and dy > tolerance:
+                m = (p[i, 0] + p[j, 0]) / 2.0
+                q[i, 0] = q[j, 0] = m
+            elif 0 < dy <= tolerance and dx > tolerance:
+                m = (p[i, 1] + p[j, 1]) / 2.0
+                q[i, 1] = q[j, 1] = m
+        p = q
+        # 2. drop duplicate + collinear vertices
+        keep = []
+        n = len(p)
+        for i in range(n):
+            a, b, c = p[(i - 1) % n], p[i], p[(i + 1) % n]
+            if (b == a).all():
+                continue
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if abs(cross) < 1e-12:
+                continue
+            keep.append(i)
+        p = p[keep]
+        if len(p) < 4:
+            return None
+    return np.vstack([p, p[:1]])
+
+
 def visvalingam(coords: np.ndarray, min_area: float) -> np.ndarray:
     """Visvalingam–Whyatt: repeatedly remove the vertex forming the
     smallest triangle until all remaining triangles ≥ min_area."""

@@ -114,6 +114,11 @@ class PIPJoinPairs:
                 for p in self.index.bbox_candidates(x0, y0, x1, y1):
                     if self.predicate == "covered_by":
                         hit = self.index.covered_by(coords, int(p))
+                    elif self.predicate == "area_intersects":
+                        # AreaIntersecting: majority of the subject's
+                        # area inside (osm_lua_processing.cpp:488-502)
+                        hit = (gt not in (_wkb.LINESTRING,)
+                               and self.index.area_fraction(rings, int(p)) > 0.5)
                     elif gt == _wkb.LINESTRING:
                         hit = self.index.line_intersects(coords, int(p))
                     else:
