@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("--output", required=True,
                    help="out.mbtiles | out.tmra | out_dir/")
     p.add_argument("--config", default=None, help="JSON config path")
+    p.add_argument("--process", default=None,
+                   help="user page-function as 'module.path:function' "
+                        "(the --process script.lua analog)")
     p.add_argument("--merge", action="store_true",
                    help="merge into an existing .mbtiles")
     p.add_argument("--checkpoint-dir", default=None)
@@ -130,7 +133,13 @@ def main(argv=None):
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+    page_function = None
+    if args.process:
+        import importlib
+        mod_name, fn_name = args.process.split(":")
+        page_function = getattr(importlib.import_module(mod_name), fn_name)
     summary = run(args.input, args.output, config=args.config,
+                  page_function=page_function,
                   merge=args.merge, checkpoint_dir=args.checkpoint_dir,
                   concurrency=args.threads)
     print(json.dumps(summary))

@@ -404,6 +404,17 @@ def _quantize(coords: np.ndarray, close: bool = False) -> np.ndarray:
     keep = np.ones(len(q), dtype=bool)
     keep[1:] = np.abs(np.diff(q, axis=0)).sum(axis=1) > 0
     q = q[keep]
+    # remove_spikes (reference geom cleanups, src/tile_worker.cpp:239-244):
+    # collapse A-B-A zero-width spikes created by quantization
+    while len(q) >= 3:
+        spike = np.zeros(len(q), dtype=bool)
+        spike[1:-1] = (q[:-2] == q[2:]).all(axis=1)
+        if not spike.any():
+            break
+        q = q[~spike]
+        keep = np.ones(len(q), dtype=bool)
+        keep[1:] = np.abs(np.diff(q, axis=0)).sum(axis=1) > 0
+        q = q[keep]
     if close and len(q) >= 3 and (q[0] != q[-1]).any():
         q = np.vstack([q, q[:1]])
     return q
