@@ -140,26 +140,81 @@ def _minhasher_cached(n_perm: int) -> MinHasher:
     return h
 
 
+def bucket_pairs_from_runs(g: pa.Table, key_cols: list, id_col: str,
+                           max_bucket: int = 200,
+                           payload_cols: list | None = None) -> pa.Table:
+    """Shared LSH-pairing kernel: one BUCKET of whole hash-buckets →
+    candidate (a, b) pairs. lexsort by key_cols, find runs, emit
+    triu pairs per run (vectorized per run; runs with ≥2 members are
+    the rare case so the Python loop touches few)."""
+    n = g.num_rows
+    keys = [g[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    ids = g[id_col].to_numpy(zero_copy_only=False)
+    payloads = {c: g[c].to_numpy(zero_copy_only=False)
+                for c in (payload_cols or [])}
+    order = np.lexsort(tuple([ids] + keys[::-1]))
+    keys = [k[order] for k in keys]
+    ids = ids[order]
+    payloads = {c: v[order] for c, v in payloads.items()}
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        same = np.ones(n - 1, dtype=bool)
+        for k in keys:
+            same &= k[1:] == k[:-1]
+        brk[1:] = ~same
+    starts = np.flatnonzero(brk)
+    ends = np.concatenate([starts[1:], [n]])
+    out_a, out_b = [], []
+    pay_a = {c: [] for c in payloads}
+    pay_b = {c: [] for c in payloads}
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2 or m > max_bucket:
+            continue
+        a, b = np.triu_indices(m, k=1)
+        out_a.append(ids[s + a])
+        out_b.append(ids[s + b])
+        for c in payloads:
+            pay_a[c].append(payloads[c][s + a])
+            pay_b[c].append(payloads[c][s + b])
+    if not out_a:
+        cols = {"doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}
+        for c in payloads:
+            cols[f"{c}_a"] = pa.array([], pa.int64())
+            cols[f"{c}_b"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    cols = {"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64())}
+    for c in payloads:
+        cols[f"{c}_a"] = pa.array(np.concatenate(pay_a[c]), pa.int64())
+        cols[f"{c}_b"] = pa.array(np.concatenate(pay_b[c]), pa.int64())
+    return pa.table(cols)
+
+
 def minhash_candidate_pairs(docs_ds, n_perm=64, n_bands=16, shingle_k=5):
     """documents Dataset → Dataset of candidate (doc_a, doc_b) pairs
-    (doc_a < doc_b), deduplicated. The shuffle moves only
-    (doc_id, band, band_hash) rows."""
-    import pandas as pd
+    (doc_a < doc_b), deduplicated. The shuffle moves only slim
+    (doc_id, band, band_hash) rows, grouped by a BUCKET of whole hash
+    buckets (per-tiny-group map_groups overhead dominated otherwise)."""
     bands = docs_ds.map_batches(
         make_minhash_bands_fn(n_perm, n_bands, shingle_k),
         batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # degenerate giant bucket guard
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def add_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (b["band_hash"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + b["band"].to_numpy().astype(np.uint64))
+        return b.append_column("bkt", pa.array(
+            (h % np.uint64(256)).astype(np.int64), pa.int64()))
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    def pairs(g: pa.Table) -> pa.Table:
+        return bucket_pairs_from_runs(g, ["band", "band_hash"], "doc_id")
+
+    cand = (bands.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(pairs, batch_format="pyarrow"))
     # distinct pairs (a pair can match in several bands)
-    from ray.data.aggregate import Count
     return (cand.groupby(["doc_a", "doc_b"]).count()
             .select_columns(["doc_a", "doc_b"]))
 
@@ -262,27 +317,36 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                          "key": np.concatenate(out_k),
                          "simhash": np.concatenate(out_s)})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        s = g["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, s = ids[order], s[order]
-        if len(ids) < 2 or len(ids) > 500:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        x = s[a] ^ s[b]
+    def add_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (b["key"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + b["band"].to_numpy().astype(np.uint64))
+        return b.append_column("bkt", pa.array(
+            (h % np.uint64(256)).astype(np.int64), pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        cand = bucket_pairs_from_runs(g, ["band", "key"], "doc_id",
+                                      max_bucket=500,
+                                      payload_cols=["simhash"])
+        a = cand["doc_a"].to_numpy(zero_copy_only=False)
+        b = cand["doc_b"].to_numpy(zero_copy_only=False)
+        sa = cand["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = cand["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = sa ^ sb
         ham = np.zeros(len(x), dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        keep &= ids[a] != ids[b]
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-                             "hamming": ham[keep]})
+        keep = (ham <= max_hamming) & (a != b)
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(b[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
 
     from ray.data.aggregate import Min
     return (sigs.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
 

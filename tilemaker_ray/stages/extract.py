@@ -149,11 +149,11 @@ def _parse_latlon_list(content: bytes) -> np.ndarray:
 
 
 def feature_uid(url: str, seq: int) -> int:
-    """64-bit fnv1a of the url, mixed with the emission seq — stable
-    across processes (python hash() is salted)."""
-    h = 0xCBF29CE484222325
-    for b in url.encode():
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    """64 bits of md5(url) mixed with the emission seq — stable across
+    processes (python hash() is salted) and C-speed (a pure-python
+    fnv1a loop was the hottest line of the extract stage)."""
+    import hashlib
+    h = int.from_bytes(hashlib.md5(url.encode()).digest()[:8], "little")
     h ^= (seq * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
     return h - (1 << 63)  # signed int64 range for Arrow
 
