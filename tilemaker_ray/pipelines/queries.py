@@ -590,6 +590,42 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5):
     return out[["query_id", "rank", "neighbor_id"]]
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast join + per-batch partial aggregation (the SURVEY
+    'aggregation at scale' pattern): orders ⋈ broadcast customer→nation
+    map, partial (nation, cents, n) per batch, tiny final groupby.
+    Money in integer cents (floor per row) so the sum is exact."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cmap_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                cust["c_nationkey"].to_pylist())))
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        nk = np.asarray([cmap.get(c, -1)
+                         for c in batch["o_custkey"].to_pylist()],
+                        dtype=np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        csum = np.zeros(len(uniq), dtype=np.int64)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(csum, inv, cents)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"n_nationkey": pa.array(uniq, pa.int64()),
+                         "cents": pa.array(csum, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_nationkey")
+            .aggregate(Sum("cents", alias_name="revenue_cents"),
+                       Sum("n", alias_name="n_orders")))
+
+
 def q_sliding_window(sf_dir: str):
     from ..stages.windows import sliding_window_counts
     return sliding_window_counts(_read(sf_dir, "events",
@@ -834,6 +870,14 @@ ORACLE_SQL["session_windows"] = """
            MIN(us) AS start_us, MAX(us) AS end_us
     FROM s GROUP BY 1, 2"""
 
+ORACLE_SQL["revenue_by_nation"] = """
+    SELECT c.c_nationkey AS n_nationkey,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1"""
+
 ORACLE_SQL["relation_region_tag"] = """
     SELECT c.c_custkey, r.r_name AS region_name
     FROM customer c
@@ -869,4 +913,5 @@ QUERIES = {
     "session_windows": q_session_windows,
     "relation_region_tag": q_relation_region_tag,
     "ann_ivf": q_ann_ivf,
+    "revenue_by_nation": q_revenue_by_nation,
 }
