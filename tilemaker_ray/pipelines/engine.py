@@ -122,6 +122,8 @@ def main(argv=None):
     p.add_argument("--process", default=None,
                    help="user page-function as 'module.path:function' "
                         "(the --process script.lua analog)")
+    p.add_argument("--bbox", default=None,
+                   help="clipping box 'lonW,latS,lonE,latN'")
     p.add_argument("--merge", action="store_true",
                    help="merge into an existing .mbtiles")
     p.add_argument("--checkpoint-dir", default=None)
@@ -138,7 +140,13 @@ def main(argv=None):
         import importlib
         mod_name, fn_name = args.process.split(":")
         page_function = getattr(importlib.import_module(mod_name), fn_name)
-    summary = run(args.input, args.output, config=args.config,
+    config = args.config
+    if args.bbox:
+        import dataclasses
+        cfg = (config_from_json(config) if config else DEFAULT_CONFIG)
+        config = dataclasses.replace(
+            cfg, bbox=tuple(float(v) for v in args.bbox.split(",")))
+    summary = run(args.input, args.output, config=config,
                   page_function=page_function,
                   merge=args.merge, checkpoint_dir=args.checkpoint_dir,
                   concurrency=args.threads)

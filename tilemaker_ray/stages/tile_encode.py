@@ -303,6 +303,35 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
     return n_encoded, gz, hashlib.md5(body).hexdigest()
 
 
+def _ring_self_intersects(ring: np.ndarray, max_check: int = 64) -> bool:
+    """Non-adjacent segment crossing test (O(n²), size-capped — rings
+    past the cap skip the guard, like the reference's R-tree fallback
+    bounds)."""
+    p = ring[:-1] if len(ring) and (ring[0] == ring[-1]).all() else ring
+    n = len(p)
+    if n < 4 or n > max_check:
+        return False
+    from ..geo.pip import segments_cross
+    a0 = p
+    a1 = np.roll(p, -1, axis=0)
+    for i in range(n - 2):
+        js = np.arange(i + 2, n if i > 0 else n - 1)
+        if len(js) == 0:
+            continue
+        hit = segments_cross(a0[i, 0], a0[i, 1], a1[i, 0], a1[i, 1],
+                             a0[js, 0], a0[js, 1], a1[js, 0], a1[js, 1])
+        # shared endpoints between consecutive ring segments are fine;
+        # segments_cross counts touches, so exclude exact-endpoint-only
+        # contacts by re-testing proper crossing
+        if np.asarray(hit).any():
+            for j in js[np.asarray(hit).nonzero()[0]]:
+                # ignore touching at shared vertices
+                pts = {tuple(a0[i]), tuple(a1[i])} & {tuple(a0[j]), tuple(a1[j])}
+                if not pts:
+                    return True
+    return False
+
+
 def reorder_multilinestring(parts: list, max_pts: int = 6000) -> list:
     """Link linestring parts end-to-start where endpoints coincide
     (ReorderMultiLinestring, /root/reference/src/tile_worker.cpp:29-77;
@@ -380,7 +409,11 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
                 c2 = _simplify.simplify_ring(c, ldef.simplify_level)
                 if c2 is None:
                     continue
-                c = c2
+                # self-intersection guard (the reference's DP refuses
+                # removals that create crossings, src/geom.cpp:17-138;
+                # here: reject the simplified ring and keep the
+                # original if it crosses itself)
+                c = c2 if not _ring_self_intersects(c2) else c
             if ldef.filter_below and z < ldef.filter_below \
                     and abs(_clip.ring_area(c)) < ldef.filter_area:
                 continue  # RemovePartsBelowSize (tile_worker.cpp:79-96)
