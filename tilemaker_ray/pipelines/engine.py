@@ -87,6 +87,15 @@ def run(input_path: str, output: str, config: EngineConfig | str | dict | None =
     elif checkpoint_dir:
         tiles, reused = flagship.resumable_tiles_pipeline(
             pages_ds, checkpoint_dir, cfg, concurrency=concurrency)
+        if reused:
+            # the sink must also receive the checkpointed tiles of
+            # reused partitions — they were filtered out before the
+            # shuffle (review finding: a resumed run otherwise wrote an
+            # incomplete tileset)
+            from ..state.checkpoint import read_partition
+            old = pa.concat_tables([read_partition(checkpoint_dir, k)
+                                    for k in reused])
+            tiles = tiles.union(rd.from_arrow(old))
     else:
         tiles = flagship.tiles_pipeline(pages_ds, cfg,
                                         concurrency=concurrency)

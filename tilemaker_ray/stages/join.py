@@ -60,7 +60,62 @@ def build_polygon_state(poly_table: pa.Table, hex_res: int):
     return idx, all_cells, classes
 
 
-class PIPJoinPairs:
+def _normalize_geom(buf: bytes):
+    """WKB → (lines, polys, all_coords): lines = list of (N,2) arrays,
+    polys = list of ring-lists; handles single and multi geometries
+    uniformly (multi probes previously crashed on np.vstack of ragged
+    nested payloads)."""
+    gt, payload = _wkb.parse_wkb(buf)
+    lines: list = []
+    polys: list = []
+    if gt == _wkb.LINESTRING:
+        lines = [payload]
+    elif gt == _wkb.MULTILINESTRING:
+        lines = list(payload)
+    elif gt == _wkb.POLYGON:
+        polys = [payload]
+    elif gt == _wkb.MULTIPOLYGON:
+        polys = list(payload)
+    elif gt in (_wkb.POINT,):
+        lines = [payload.reshape(1, 2)]
+    coords = np.vstack([c for c in lines]
+                       + [r for rings in polys for r in rings])
+    return lines, polys, coords
+
+
+class _GeomTester:
+    """Mixin: exact predicate over normalized (lines, polys)."""
+
+    def _test_geom(self, lines, polys, coords, p: int) -> bool:
+        if self.predicate == "covered_by":
+            return self.index.covered_by(coords, p)
+        if self.predicate == "area_intersects":
+            # AreaIntersecting: majority of the subject's total area
+            # inside (osm_lua_processing.cpp:488-502); multipolygon =
+            # area-weighted over members
+            if not polys:
+                return False
+            from ..geo import clip as _clip
+            tot = inter = 0.0
+            for rings in polys:
+                ext = rings[0]
+                closed = ext if np.array_equal(ext[0], ext[-1]) \
+                    else np.vstack([ext, ext[:1]])
+                a = abs(_clip.ring_area(closed))
+                tot += a
+                inter += a * self.index.area_fraction(rings, p)
+            return tot > 0 and inter / tot > 0.5
+        for line in lines:
+            if self.index.line_intersects(line, p):
+                return True
+        for rings in polys:
+            if self.index.polygon_intersects(rings, p):
+                return True
+        return False
+
+
+
+class PIPJoinPairs(_GeomTester):
     """FindIntersecting analog — flat-map each feature to its matching
     polygons: output = feature columns + (polygon_name, polygon_class).
 
@@ -82,19 +137,20 @@ class PIPJoinPairs:
             return _empty_pairs(batch)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        # bitmap-analog prefilter: drop rows whose hex cell is outside
-        # every polygon's cover (vectorized; most of the planet)
+        kinds = (batch["kind"].to_numpy(zero_copy_only=False)
+                 if "kind" in batch.column_names else np.ones(n, dtype=np.int8))
+        # bitmap-analog prefilter — POINTS ONLY: a line/polygon's
+        # representative vertex can sit far from the part that
+        # intersects, so non-point rows always reach the bbox test
         if "h3_cell" in batch.column_names:
             cells = batch["h3_cell"].to_numpy(zero_copy_only=False)
         else:
             cells = tm.hex_cell(lon, lat, self.hex_res)
-        maybe = np.isin(cells, self.cover)
+        maybe = np.isin(cells, self.cover) | (kinds != 1)
         cand_rows = np.flatnonzero(maybe)
         if len(cand_rows) == 0:
             return _empty_pairs(batch)
 
-        kinds = (batch["kind"].to_numpy(zero_copy_only=False)
-                 if "kind" in batch.column_names else np.ones(n, dtype=np.int8))
         pt_rows = cand_rows[kinds[cand_rows] == 1]
         out_rows, out_polys = [], []
         if len(pt_rows):
@@ -106,23 +162,11 @@ class PIPJoinPairs:
         if len(geo_rows):
             wkbs = batch["geom_wkb"].take(pa.array(geo_rows)).to_pylist()
             for row, buf in zip(geo_rows, wkbs):
-                gt, payload = _wkb.parse_wkb(buf)
-                coords = payload if gt == _wkb.LINESTRING else np.vstack(payload)
-                rings = None if gt == _wkb.LINESTRING else payload
+                lines, polys_g, coords = _normalize_geom(buf)
                 x0, y0 = coords[:, 0].min(), coords[:, 1].min()
                 x1, y1 = coords[:, 0].max(), coords[:, 1].max()
                 for p in self.index.bbox_candidates(x0, y0, x1, y1):
-                    if self.predicate == "covered_by":
-                        hit = self.index.covered_by(coords, int(p))
-                    elif self.predicate == "area_intersects":
-                        # AreaIntersecting: majority of the subject's
-                        # area inside (osm_lua_processing.cpp:488-502)
-                        hit = (gt not in (_wkb.LINESTRING,)
-                               and self.index.area_fraction(rings, int(p)) > 0.5)
-                    elif gt == _wkb.LINESTRING:
-                        hit = self.index.line_intersects(coords, int(p))
-                    else:
-                        hit = self.index.polygon_intersects(rings, int(p))
+                    hit = self._test_geom(lines, polys_g, coords, int(p))
                     if hit:
                         out_rows.append(np.array([row]))
                         out_polys.append(np.array([int(p)]))
@@ -145,11 +189,13 @@ def _empty_pairs(batch: pa.Table) -> pa.Table:
                  .append_column("polygon_class", pa.array([], pa.string())))
 
 
-class PIPTagger:
+class PIPTagger(_GeomTester):
     """Intersects/CoveredBy boolean analog — adds ``n_matches`` (int32)
     and ``in_layer`` (bool) columns instead of fanning out rows.
     (Lua ``Intersects(layer)`` returns a boolean,
     osm_lua_processing.cpp:409-423.)"""
+
+    predicate = "intersects"
 
     def __init__(self, polygons, hex_res: int = DEFAULT_CONFIG.hex_res):
         poly = _resolve(polygons)
@@ -162,13 +208,28 @@ class PIPTagger:
         if n and len(self.index.rings):
             lon = batch["lon"].to_numpy(zero_copy_only=False)
             lat = batch["lat"].to_numpy(zero_copy_only=False)
+            kinds = (batch["kind"].to_numpy(zero_copy_only=False)
+                     if "kind" in batch.column_names
+                     else np.ones(n, dtype=np.int8))
             cells = (batch["h3_cell"].to_numpy(zero_copy_only=False)
                      if "h3_cell" in batch.column_names
                      else tm.hex_cell(lon, lat, self.hex_res))
-            maybe = np.flatnonzero(np.isin(cells, self.cover))
+            maybe = np.flatnonzero(np.isin(cells, self.cover) & (kinds == 1))
             if len(maybe):
                 pts, _polys = self.index.contains_pairs(lon[maybe], lat[maybe])
                 np.add.at(counts, maybe[pts], 1)
+            # non-point features: test the FULL geometry (the
+            # representative-vertex shortcut missed crossing lines)
+            geo_rows = np.flatnonzero(kinds != 1)
+            if len(geo_rows) and "geom_wkb" in batch.column_names:
+                wkbs = batch["geom_wkb"].take(pa.array(geo_rows)).to_pylist()
+                for row, buf in zip(geo_rows, wkbs):
+                    lines, polys_g, coords = _normalize_geom(buf)
+                    x0, y0 = coords[:, 0].min(), coords[:, 1].min()
+                    x1, y1 = coords[:, 0].max(), coords[:, 1].max()
+                    for p in self.index.bbox_candidates(x0, y0, x1, y1):
+                        if self._test_geom(lines, polys_g, coords, int(p)):
+                            counts[row] += 1
         return (batch.append_column("n_matches", pa.array(counts, pa.int32()))
                      .append_column("in_layer", pa.array(counts > 0, pa.bool_())))
 

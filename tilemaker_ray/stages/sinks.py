@@ -114,20 +114,19 @@ def write_archive(tiles_ds, path: str, metadata: dict | None = None) -> int:
     t = _collect_sorted(tiles_ds)
     blobs = t["tile_gz"].to_pylist()
     tids = t["tile_id"].to_numpy(zero_copy_only=False)
-    offsets = {}
-    blob_parts = []
+    offsets: dict = {}  # keyed by the blob BYTES — a 64-bit hash key
+    blob_parts = []     # could alias two distinct tiles (review finding)
     pos = 0
     entries = []
     for tid, blob in zip(tids, blobs):
-        key = hash(blob)
-        found = offsets.get(key)
-        if found is None or found[1] != len(blob):
-            offsets[key] = (pos, len(blob))
+        found = offsets.get(blob)
+        if found is None:
+            offsets[blob] = pos
             blob_parts.append(blob)
             entry_off = pos
             pos += len(blob)
         else:
-            entry_off = found[0]
+            entry_off = found
         entries.append((int(tid), entry_off, len(blob)))
     meta = json.dumps({"name": "tilemaker_ray", **(metadata or {})}).encode()
     with open(path, "wb") as f:
@@ -245,8 +244,8 @@ def merge_tile_bytes(old_gz: bytes, new_gz: bytes) -> bytes:
     src/tile_worker.cpp:453-465). Returns gzipped MVT."""
     old = _mvt.decode_tile(gzip.decompress(old_gz))
     new_body = gzip.decompress(new_gz)
-    keep = [name for name in old if name not in
-            _mvt.decode_tile(new_body)]
+    new_layers = _mvt.decode_tile(new_body)
+    keep = [name for name in old if name not in new_layers]
     if not keep:
         return new_gz
     # re-encode kept old layers and append to the new tile body

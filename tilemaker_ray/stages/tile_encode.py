@@ -206,8 +206,8 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
         for s, e in zip(starts, ends):
             row = _assemble_tile(
                 z, int(tx[s]), int(ty[s]), slice(s, e), fidx, is_pt, in_tile,
-                ui, vi, layer_names, names, zorders, attrs_json, parsed,
-                ldefs, layer_order, cfg)
+                ui, vi, kinds, layer_names, names, zorders, attrs_json,
+                parsed, ldefs, layer_order, cfg)
             if row is not None:
                 out["zoom"].append(z)
                 out["x"].append(int(tx[s]))
@@ -224,7 +224,7 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
                      for k, v in out.items()}, schema=TILE_SCHEMA)
 
 
-def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
+def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
                    layer_names, names, zorders, attrs_json, parsed,
                    ldefs, layer_order, cfg):
     """Build one tile's MVT from precomputed pair arrays (already in
@@ -237,7 +237,8 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi,
 
     f_sl = fidx[idxs]
     pt_sl = is_pt[idxs]
-    kd_sl = np.asarray([1 if p else 0 for p in pt_sl])
+    kd_sl = kinds[f_sl]  # TRUE kind: a line and a polygon must never
+    # merge into one feature (they'd corrupt the MVT geometry type)
     ln_sl = layer_names[f_sl]
     nm_sl = names[f_sl]
     zo_sl = zorders[f_sl]

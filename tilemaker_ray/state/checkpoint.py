@@ -14,10 +14,14 @@ Design (the FIXTURES.md §4 manifest schema):
   (stage, partition_key, input_fingerprint, rows_in, rows_out,
   wall_ms, completed_at) is appended as one parquet file per
   partition under ``<out>/_manifest/``;
-- on restart, completed partition keys (manifest present AND matching
-  input fingerprint) are skipped — their outputs are reused verbatim;
-- the input fingerprint is a deterministic hash of the partition's
-  input rows, so a changed input invalidates stale checkpoints.
+- on restart, completed partition keys (manifest row present AND the
+  partition directory on disk) are skipped — their outputs are reused
+  verbatim. The skip is PRESENCE-based: validating the stored input
+  fingerprint would require recomputing the partition's input, which
+  defeats the resume. The fingerprint is recorded for post-hoc audit
+  (``fingerprint_table`` over a recomputed partition input must match
+  the manifest row); a run whose INPUT changed must use a fresh
+  checkpoint dir.
 """
 
 from __future__ import annotations
