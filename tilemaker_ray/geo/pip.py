@@ -131,9 +131,13 @@ class PolygonIndex:
         self.buckets = {k: np.asarray(v, dtype=np.int64) for k, v in buckets.items()}
 
     def _cell(self, x, y):
-        cx = int(np.clip((x - self.x0) / self.gw, 0, self.grid - 1))
-        cy = int(np.clip((y - self.y0) / self.gh, 0, self.grid - 1))
-        return cx, cy
+        # pure-python clamps: numpy scalar clip cost ~7µs/call and this
+        # runs 2× per bbox_candidates probe
+        cx = int((x - self.x0) / self.gw)
+        cy = int((y - self.y0) / self.gh)
+        g = self.grid - 1
+        return (0 if cx < 0 else (g if cx > g else cx),
+                0 if cy < 0 else (g if cy > g else cy))
 
     def _cells_of_points(self, px, py):
         cx = np.clip(((px - self.x0) / self.gw).astype(np.int64), 0, self.grid - 1)
