@@ -60,6 +60,34 @@ def build_polygon_state(poly_table: pa.Table, hex_res: int):
     return idx, all_cells, classes
 
 
+GEO_PAD_CELLS = 2   # small-geometry prefilter pad, in hex circumradii
+GEO_RES_OFFSET = 3  # geometry prefilter runs 3 resolutions coarser than
+                    # the point prefilter: ~64x fewer cover cells to
+                    # build per worker, pad stays >> typical geometry
+
+
+def geo_cover_res(hex_res: int) -> int:
+    return max(2, hex_res - GEO_RES_OFFSET)
+
+
+def build_geo_cover(poly_table: pa.Table, hex_res: int) -> set:
+    """Expanded hex cover for prefiltering SMALL non-point geometries:
+    cells within each polygon's bbox + pad, where pad = GEO_PAD_CELLS
+    hex radii at the (coarser) geometry-cover resolution. Sound for
+    geometries whose bbox fits within pad: an intersecting geometry's
+    bbox-center cell is then always in this cover (center within pad of
+    the intersection point, cell center within one radius of it)."""
+    res = geo_cover_res(hex_res)
+    pad = tm.hex_radius(res) * GEO_PAD_CELLS
+    cells: set = set()
+    for buf in poly_table["geom_wkb"].to_pylist():
+        x0, y0, x1, y1 = _wkb.wkb_bbox(buf)
+        cells.update(tm.hex_cells_in_bbox(x0 - pad, max(y0 - pad, -85.05),
+                                          x1 + pad, min(y1 + pad, 85.05),
+                                          res).tolist())
+    return cells
+
+
 def _normalize_geom(buf: bytes):
     """WKB → (lines, polys, all_coords): lines = list of (N,2) arrays,
     polys = list of ring-lists; handles single and multi geometries
@@ -85,6 +113,43 @@ def _normalize_geom(buf: bytes):
 
 class _GeomTester:
     """Mixin: exact predicate over normalized (lines, polys)."""
+
+    def _geom_prefilter_pass(self, buf: bytes):
+        """Cheap drop test for non-point geometries: a SMALL geometry
+        (bbox within the pad) whose bbox-center cell is outside the
+        expanded cover cannot intersect any polygon. Large geometries
+        always pass (they go to the bbox-candidates walk). Returns the
+        geometry bbox when passing (reused by the caller), else None.
+        Pure scalar math — numpy scalar ops cost ~30µs/row here."""
+        import math
+        bb = _wkb.wkb_bbox(buf)
+        res = geo_cover_res(self.hex_res)
+        R = tm.hex_radius(res)
+        pad = R * GEO_PAD_CELLS
+
+        def latp(lat):
+            lat = max(-tm.MAX_LAT, min(tm.MAX_LAT, lat))
+            return math.degrees(math.log(math.tan(math.radians(lat) / 2.0
+                                                  + math.pi / 4.0)))
+
+        y0, y1 = latp(bb[1]), latp(bb[3])
+        if (bb[2] - bb[0]) <= pad and (y1 - y0) <= pad:
+            x = (bb[0] + bb[2]) / 2.0
+            y = (y0 + y1) / 2.0
+            qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / R
+            rf = (2.0 / 3.0 * y) / R
+            # scalar cube rounding
+            q, r, s = round(qf), round(rf), round(-qf - rf)
+            dq, dr, ds = abs(q - qf), abs(r - rf), abs(s - (-qf - rf))
+            if dq > dr and dq > ds:
+                q = -r - s
+            elif dr > ds:
+                r = -q - s
+            cell = ((res << 56) | ((int(q) + (1 << 27)) << 28)
+                    | (int(r) + (1 << 27)))
+            if cell not in self.geo_cover:
+                return None
+        return bb
 
     def _test_geom(self, lines, polys, coords, p: int) -> bool:
         if self.predicate == "covered_by":
@@ -128,6 +193,7 @@ class PIPJoinPairs(_GeomTester):
                  predicate: str = "intersects"):
         poly = _resolve(polygons)
         self.index, self.cover, self.classes = build_polygon_state(poly, hex_res)
+        self.geo_cover = build_geo_cover(poly, hex_res)
         self.hex_res = hex_res
         self.predicate = predicate
 
@@ -162,10 +228,14 @@ class PIPJoinPairs(_GeomTester):
         if len(geo_rows):
             wkbs = batch["geom_wkb"].take(pa.array(geo_rows)).to_pylist()
             for row, buf in zip(geo_rows, wkbs):
+                bb = self._geom_prefilter_pass(buf)
+                if bb is None:
+                    continue
+                cands = self.index.bbox_candidates(*bb)
+                if len(cands) == 0:
+                    continue
                 lines, polys_g, coords = _normalize_geom(buf)
-                x0, y0 = coords[:, 0].min(), coords[:, 1].min()
-                x1, y1 = coords[:, 0].max(), coords[:, 1].max()
-                for p in self.index.bbox_candidates(x0, y0, x1, y1):
+                for p in cands:
                     hit = self._test_geom(lines, polys_g, coords, int(p))
                     if hit:
                         out_rows.append(np.array([row]))
@@ -200,6 +270,7 @@ class PIPTagger(_GeomTester):
     def __init__(self, polygons, hex_res: int = DEFAULT_CONFIG.hex_res):
         poly = _resolve(polygons)
         self.index, self.cover, _ = build_polygon_state(poly, hex_res)
+        self.geo_cover = build_geo_cover(poly, hex_res)
         self.hex_res = hex_res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -224,10 +295,14 @@ class PIPTagger(_GeomTester):
             if len(geo_rows) and "geom_wkb" in batch.column_names:
                 wkbs = batch["geom_wkb"].take(pa.array(geo_rows)).to_pylist()
                 for row, buf in zip(geo_rows, wkbs):
+                    bb = self._geom_prefilter_pass(buf)
+                    if bb is None:
+                        continue
+                    cands = self.index.bbox_candidates(*bb)
+                    if len(cands) == 0:
+                        continue
                     lines, polys_g, coords = _normalize_geom(buf)
-                    x0, y0 = coords[:, 0].min(), coords[:, 1].min()
-                    x1, y1 = coords[:, 0].max(), coords[:, 1].max()
-                    for p in self.index.bbox_candidates(x0, y0, x1, y1):
+                    for p in cands:
                         if self._test_geom(lines, polys_g, coords, int(p)):
                             counts[row] += 1
         return (batch.append_column("n_matches", pa.array(counts, pa.int32()))
