@@ -167,6 +167,20 @@ def hash_z_order(url: str) -> int:
     return (h % 2001) - 1000
 
 
+def compress_z_order(z: float) -> int:
+    """Fold an unbounded z-order into int16: linear within ±1000,
+    sqrt-compressed beyond (the reference's scheme,
+    /root/reference/include/output_object.h:54-62)."""
+    import math
+    if -1000 <= z <= 1000:
+        v = int(z)
+    elif z > 1000:
+        v = min(32767, 1000 + int(math.sqrt(z - 1000) * 100))
+    else:
+        v = max(-32768, -1000 - int(math.sqrt(-z - 1000) * 100))
+    return v
+
+
 _EXTRACTOR: "ExtractFeatures | None" = None
 
 

@@ -253,9 +253,10 @@ class PageContext:
         if self._current is not None:
             self._current["minzoom"] = int(z)
 
-    def ZOrder(self, z: int):
+    def ZOrder(self, z: float):
         if self._current is not None:
-            self._current["z_order"] = max(-32768, min(32767, int(z)))
+            from .stages.extract import compress_z_order
+            self._current["z_order"] = compress_z_order(z)
 
     # -- global KV (T6) ------------------------------------------------------
     def GetData(self, key: str):
