@@ -23,7 +23,7 @@ class LayerDef:
     # simplify_level × tile-units (reference: simplify_below/simplify_level)
     simplify_below: int = 0
     simplify_level: float = 1.0
-    simplify_algorithm: str = "douglas_peucker"  # or "visvalingam"
+    simplify_algorithm: str = "douglas_peucker"  # or "visvalingam" / "buildings"
     # drop polygon parts below filter_area (tile-unit²) below filter_below zoom
     filter_below: int = 0
     filter_area: float = 0.0

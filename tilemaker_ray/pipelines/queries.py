@@ -590,6 +590,19 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5):
     return out[["query_id", "rank", "neighbor_id"]]
 
 
+def q_flagship_tiles(sf_dir: str):
+    """The flagship pages→tiles pipeline itself (rows-only: MVT bytes
+    aren't SQL-expressible; determinism and per-tile counts are
+    pytest-verified). Row count + tile_hash column give the driver a
+    cross-round regression signal on the whole tiling path."""
+    from ..sources import pages as _pages
+    from . import flagship as _flagship
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    tiles = _flagship.tiles_pipeline(_pages.pages_dataset(n))
+    return tiles.select_columns(["zoom", "x", "y", "tile_id",
+                                 "n_features", "tile_hash"])
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Broadcast join + per-batch partial aggregation (the SURVEY
     'aggregation at scale' pattern): orders ⋈ broadcast customer→nation
@@ -914,4 +927,5 @@ QUERIES = {
     "relation_region_tag": q_relation_region_tag,
     "ann_ivf": q_ann_ivf,
     "revenue_by_nation": q_revenue_by_nation,
+    "flagship_tiles": q_flagship_tiles,
 }

@@ -407,7 +407,10 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
             if c is None:
                 continue
             if ldef.simplify_below and z < ldef.simplify_below:
-                c2 = _simplify.simplify_ring(c, ldef.simplify_level)
+                if ldef.simplify_algorithm == "buildings":
+                    c2 = _simplify.simplify_buildings(c, ldef.simplify_level)
+                else:
+                    c2 = _simplify.simplify_ring(c, ldef.simplify_level)
                 if c2 is None:
                     continue
                 # self-intersection guard (the reference's DP refuses
