@@ -57,6 +57,8 @@ def run_bench() -> dict:
 
     qtimes = {}
     for name, fn in QUERIES.items():
+        if name == "flagship_tiles":
+            continue  # the headline above IS this pipeline
         tq = time.perf_counter()
         res = fn(sf_dir)
         if hasattr(res, "count"):
