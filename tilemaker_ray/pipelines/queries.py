@@ -177,31 +177,32 @@ def q_tile_topk_z8(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_tile_rollup(sf_dir: str):
+    """Distinct tiles per zoom 4..10. ONE shuffle: per-batch distinct
+    z10 tiles (combiner) → groupby distinct; coarser zooms derive on
+    the driver by halving the SMALL distinct set (≤ 4^10 rows) — the
+    bitmap rollup (tile_data.cpp:151-176) is a pure bit-shift, so no
+    second exchange is needed."""
     ds = _event_points(sf_dir)
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def distinct10(batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
-        tx = tm.lon2tilex(lon, 10)
-        ty = tm.lat2tiley(lat, 10)
-        zooms, txs, tys = [], [], []
-        for z in range(4, 11):
-            dz = 10 - z
-            # halving rollup — exact integer shift, tile_data.cpp:169-174;
-            # per-batch distinct (combiner) before the shuffle
-            u = np.unique(np.stack([tx >> dz, ty >> dz], axis=1), axis=0)
-            zooms.append(np.full(len(u), z, dtype=np.int64))
-            txs.append(u[:, 0])
-            tys.append(u[:, 1])
-        return pa.table({"zoom": np.concatenate(zooms),
-                         "tile_x": np.concatenate(txs),
-                         "tile_y": np.concatenate(tys)})
+        u = np.unique(np.stack([tm.lon2tilex(lon, 10),
+                                tm.lat2tiley(lat, 10)], axis=1), axis=0)
+        return pa.table({"tile_x": u[:, 0], "tile_y": u[:, 1]})
 
-    # distinct (zoom, x, y) then count per zoom — two small shuffles
-    return (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby(["zoom", "tile_x", "tile_y"]).count()
-            .groupby("zoom").count()
-            .rename_columns({"count()": "n_tiles"}))
+    d10 = (ds.map_batches(distinct10, batch_format="pyarrow")
+           .groupby(["tile_x", "tile_y"]).count().to_pandas())
+    tx = d10["tile_x"].to_numpy()
+    ty = d10["tile_y"].to_numpy()
+    zooms, counts = [], []
+    for z in range(4, 11):
+        dz = 10 - z
+        zooms.append(z)
+        counts.append(len(np.unique(np.stack([tx >> dz, ty >> dz],
+                                             axis=1), axis=0)))
+    return pa.table({"zoom": pa.array(zooms, pa.int64()),
+                     "n_tiles": pa.array(counts, pa.int64())})
 
 
 # ---------------------------------------------------------------------------
