@@ -48,15 +48,21 @@ def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
 
 
 def simplify_ring(ring: np.ndarray, tolerance: float,
-                  min_perimeter_factor: float = 3.0) -> np.ndarray | None:
-    """DP on a closed ring; drops rings whose perimeter is below
-    ``min_perimeter_factor × tolerance`` (the reference's small-ring
-    drop rule, src/geom.cpp:79-96) or that collapse below 4 points."""
+                  min_perimeter_factor: float = 3.0,
+                  algorithm: str = "douglas-peucker") -> np.ndarray | None:
+    """Simplify a closed ring with the configured algorithm
+    (``douglas-peucker`` or ``visvalingam``); drops rings whose
+    perimeter is below ``min_perimeter_factor × tolerance`` (the
+    reference's small-ring drop rule, src/geom.cpp:79-96) or that
+    collapse below 4 points."""
     ring = np.asarray(ring, dtype=np.float64)
     perim = float(np.abs(np.diff(ring, axis=0)).sum())
     if perim < min_perimeter_factor * tolerance:
         return None
-    out = douglas_peucker(ring, tolerance)
+    if algorithm == "visvalingam":
+        out = visvalingam(ring, tolerance ** 2)
+    else:
+        out = douglas_peucker(ring, tolerance)
     if len(out) < 4:  # closed ring: 3 distinct + closing point
         return None
     return out

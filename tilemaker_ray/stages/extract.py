@@ -168,17 +168,22 @@ def hash_z_order(url: str) -> int:
 
 
 def compress_z_order(z: float) -> int:
-    """Fold an unbounded z-order into int16: linear within ±1000,
-    sqrt-compressed beyond (the reference's scheme,
-    /root/reference/include/output_object.h:54-62)."""
+    """Fold an unbounded z-order into int16 exactly as the reference
+    (/root/reference/include/output_object.h:47-61): ``floor(z*10)``
+    within ±1000, ``±(sqrt((|z|-1000)*10)+10000)`` beyond, and 0 for
+    any non-finite input (``finite_cast``). Floor semantics (toward
+    -inf, not toward zero) match ``std::floor`` + ``static_cast``."""
     import math
-    if -1000 <= z <= 1000:
-        v = int(z)
-    elif z > 1000:
-        v = min(32767, 1000 + int(math.sqrt(z - 1000) * 100))
+    if not math.isfinite(z):
+        return 0
+    if z > 1000:
+        v = math.floor(math.sqrt((z - 1000) * 10) + 10000)
+    elif z < -1000:
+        v = math.floor(-10000 - math.sqrt((abs(z) - 1000) * 10))
     else:
-        v = max(-32768, -1000 - int(math.sqrt(-z - 1000) * 100))
-    return v
+        v = math.floor(z * 10)
+    # C short cast wraps; clamp instead (inputs past ±~5.3e8 only)
+    return max(-32768, min(32767, int(v)))
 
 
 _EXTRACTOR: "ExtractFeatures | None" = None

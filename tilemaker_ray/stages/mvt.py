@@ -125,7 +125,10 @@ def geometry_commands(parts: list, geom_type: int) -> list:
             cmds.append(_zigzag(int(y) - cy))
             cx, cy = int(x), int(y)
         if geom_type == GEOM_POLYGON:
-            cmds.append(CMD_CLOSEPATH)
+            # MVT 2.1: ClosePath carries command count 1, so the wire
+            # integer is (1<<3)|7 = 15 (vtzero emits exactly this,
+            # include/vtzero/geometry.hpp:103-105 in the reference tree).
+            cmds.append((1 << 3) | CMD_CLOSEPATH)
     return cmds
 
 

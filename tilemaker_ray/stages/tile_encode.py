@@ -410,7 +410,9 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
                 if ldef.simplify_algorithm == "buildings":
                     c2 = _simplify.simplify_buildings(c, ldef.simplify_level)
                 else:
-                    c2 = _simplify.simplify_ring(c, ldef.simplify_level)
+                    c2 = _simplify.simplify_ring(
+                        c, ldef.simplify_level,
+                        algorithm=ldef.simplify_algorithm)
                 if c2 is None:
                     continue
                 # self-intersection guard (the reference's DP refuses
