@@ -52,8 +52,8 @@ def docs_ds(ray_session):
 
 def test_minhash_finds_planted_dups(docs_ds):
     t = corpus()
-    got = dedup.minhash_near_dups(docs_ds, t, threshold=0.7)
-    got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    got = dedup.minhash_near_dups(docs_ds, threshold=0.7).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
     expect = brute_jaccard_pairs(t, 5, 0.7)
     # verification removes false positives → got ⊆ expect
     assert got_pairs.issubset(expect)

@@ -345,13 +345,9 @@ def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-duplicate pairs over documents (rows-only check:
     LSH is not SQL-expressible; exactness is pytest-verified against a
     brute-force all-pairs Jaccard oracle on planted dups)."""
-    import pyarrow.parquet as pq
-
     from ..stages.dedup import minhash_near_dups
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    return minhash_near_dups(ds, docs, threshold=0.7)
+    return minhash_near_dups(ds, threshold=0.7)
 
 
 def q_simhash_near_dups(sf_dir: str):

@@ -219,42 +219,175 @@ def minhash_candidate_pairs(docs_ds, n_perm=64, n_bands=16, shingle_k=5):
             .select_columns(["doc_a", "doc_b"]))
 
 
-def minhash_near_dups(docs_ds, docs_table: pa.Table, threshold: float = 0.7,
-                      n_perm=64, n_bands=16, shingle_k=5):
-    """Full near-dup pipeline → pa.Table (doc_a, doc_b, jac ≥ threshold).
+def make_shingle_set_fn(shingle_k: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """map_batches body: documents → (doc_id, sh) where sh is the
+    sorted-unique shingle-hash set packed as a binary blob of
+    little-endian uint64s — binary because Acero's hash join (what
+    Dataset.join lowers to) rejects list<> payload columns."""
 
-    The verify step broadcasts the text of candidate docs only (small
-    side at realistic dup rates); at 100 TB the candidate text fetch
-    would be a hash-join against the corpus instead — the LSH shuffle
-    shape is identical.
+    def shingles(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sh = pa.array([_shingle_hashes(t, shingle_k).tobytes()
+                       for t in texts], pa.binary())
+        return pa.table({id_col: batch[id_col], "sh": sh})
+
+    return shingles
+
+
+_VERIFY_SCHEMA = pa.schema([
+    ("lkey", pa.int64()),    # lookup key: a doc id (side rows ask for it,
+                             # shingle rows carry its set)
+    ("doc_a", pa.int64()),   # null on shingle rows
+    ("doc_b", pa.int64()),
+    ("sh", pa.binary()),     # null on side rows
+    ("kbkt", pa.int64()),
+])
+
+
+def minhash_near_dups(docs_ds, docs_table=None, threshold: float = 0.7,
+                      n_perm=64, n_bands=16, shingle_k=5,
+                      num_buckets: int = 256):
+    """Full near-dup pipeline → Dataset (doc_a, doc_b, jac ≥ threshold).
+    Fully distributed — no driver-side materialization anywhere, so the
+    100-TB shape is the sf0.01 shape:
+
+    1. LSH: docs → slim (doc_id, band, band_hash) rows → bucketed
+       groupby → raw candidate pairs (possibly repeated across bands);
+    2. pair↔shingle resolution as a bucketed union-groupby (the repo's
+       standard distributed-lookup pattern — measured ~2× cheaper than
+       two ``Dataset.join`` operators at small scale, same shuffle
+       volume at large): each raw pair emits two side rows keyed by
+       doc_a / doc_b, unioned with (doc_id, shingle-set-blob) rows and
+       grouped by key bucket, where each side row picks up its blob;
+    3. verify: regroup by pair bucket, dedup repeated pairs, exact
+       Jaccard from the two blobs, filter ≥ threshold.
+
+    Raw-pair dedup happens in stage 3 (free — the rows are already
+    co-located), so the LSH stage needs no distinct-pairs exchange.
+    ``docs_table`` is accepted and ignored (round-1 signature compat).
     """
-    cand = minhash_candidate_pairs(docs_ds, n_perm, n_bands, shingle_k)
-    pairs = cand.to_pandas()
-    if len(pairs) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jac": pa.array([], pa.float64())})
-    texts = dict(zip(docs_table["doc_id"].to_pylist(),
-                     docs_table["text"].to_pylist()))
-    sh_cache: dict = {}
+    bands = docs_ds.map_batches(
+        make_minhash_bands_fn(n_perm, n_bands, shingle_k),
+        batch_format="pyarrow")
 
-    def sh(d):
-        s = sh_cache.get(d)
-        if s is None:
-            s = sh_cache[d] = _shingle_hashes(texts[d], shingle_k)
-        return s
+    def add_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (b["band_hash"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 + b["band"].to_numpy().astype(np.uint64))
+        return b.append_column("bkt", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()))
 
-    keep_a, keep_b, jacs = [], [], []
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        j = jaccard(sh(int(a)), sh(int(b)))
-        if j >= threshold:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-            jacs.append(j)
-    order = np.lexsort((keep_b, keep_a))
-    return pa.table({"doc_a": pa.array(np.asarray(keep_a)[order], pa.int64()),
-                     "doc_b": pa.array(np.asarray(keep_b)[order], pa.int64()),
-                     "jac": pa.array(np.asarray(jacs)[order], pa.float64())})
+    def raw_pairs_to_sides(g: pa.Table) -> pa.Table:
+        cand = bucket_pairs_from_runs(g, ["band", "band_hash"], "doc_id")
+        a = cand["doc_a"].to_numpy(zero_copy_only=False)
+        b = cand["doc_b"].to_numpy(zero_copy_only=False)
+        lkey = np.concatenate([a, b])
+        da = np.concatenate([a, a])
+        db = np.concatenate([b, b])
+        return pa.table({
+            "lkey": pa.array(lkey, pa.int64()),
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "sh": pa.nulls(len(lkey), pa.binary()),
+            "kbkt": pa.array(_mix_bucket(lkey, num_buckets), pa.int64()),
+        }, schema=_VERIFY_SCHEMA)
+
+    sides = (bands.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bkt").map_groups(raw_pairs_to_sides,
+                                        batch_format="pyarrow"))
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        t = make_shingle_set_fn(shingle_k)(batch)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lkey": pa.array(ids, pa.int64()),
+            "doc_a": pa.nulls(len(ids), pa.int64()),
+            "doc_b": pa.nulls(len(ids), pa.int64()),
+            "sh": t["sh"],
+            "kbkt": pa.array(_mix_bucket(ids, num_buckets), pa.int64()),
+        }, schema=_VERIFY_SCHEMA)
+
+    sh_rows = docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def resolve(g: pa.Table) -> pa.Table:
+        """side rows pick up the shingle blob of their lkey."""
+        sh_col = g["sh"].combine_chunks()
+        is_sh = np.asarray(sh_col.is_valid())
+        lkey = g["lkey"].to_numpy(zero_copy_only=False)
+        blob = {int(k): sh_col[i].as_py()
+                for i, k in enumerate(lkey) if is_sh[i]}
+        idx = np.flatnonzero(~is_sh)
+        da = g["doc_a"].to_numpy(zero_copy_only=False)[idx]
+        db = g["doc_b"].to_numpy(zero_copy_only=False)[idx]
+        side_sh = pa.array([blob[int(k)] for k in lkey[idx]], pa.binary())
+        with np.errstate(over="ignore"):
+            pair_key = ((da.astype(np.uint64) * np.uint64(0x9E3779B9))
+                        ^ db.astype(np.uint64))
+        return pa.table({
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "lkey": pa.array(lkey[idx], pa.int64()),
+            "sh": side_sh,
+            "pbkt": pa.array(_mix_bucket(pair_key, num_buckets), pa.int64()),
+        })
+
+    resolved = (sides.union(sh_rows).groupby("kbkt")
+                .map_groups(resolve, batch_format="pyarrow"))
+
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jac": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        da = g["doc_a"].to_numpy(zero_copy_only=False)
+        db = g["doc_b"].to_numpy(zero_copy_only=False)
+        lk = g["lkey"].to_numpy(zero_copy_only=False)
+        sh_col = g["sh"].combine_chunks()
+        order = np.lexsort((lk, db, da))
+        da, db, lk = da[order], db[order], lk[order]
+        # per distinct pair: rows with lkey==doc_a and lkey==doc_b
+        # (each possibly repeated across bands — blobs identical)
+        out_a, out_b, out_j = [], [], []
+        i, n = 0, len(da)
+        while i < n:
+            j = i
+            while j < n and da[j] == da[i] and db[j] == db[i]:
+                j += 1
+            sa = sb = None
+            for r in range(i, j):
+                if lk[r] == da[i] and sa is None:
+                    sa = np.frombuffer(sh_col[int(order[r])].as_buffer(),
+                                       dtype=np.uint64)
+                elif lk[r] == db[i] and sb is None:
+                    sb = np.frombuffer(sh_col[int(order[r])].as_buffer(),
+                                       dtype=np.uint64)
+            if sa is not None and sb is not None:
+                jac = jaccard(sa, sb)
+                if jac >= threshold:
+                    out_a.append(da[i])
+                    out_b.append(db[i])
+                    out_j.append(jac)
+            i = j
+        if not out_a:
+            return empty
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jac": pa.array(out_j, pa.float64())})
+
+    return resolved.groupby("pbkt").map_groups(verify,
+                                               batch_format="pyarrow")
+
+
+def _mix_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Hash-mix ids into shuffle buckets (ids may be sequential — a
+    plain modulo would range-partition poorly)."""
+    with np.errstate(over="ignore"):
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -262,28 +395,31 @@ def minhash_near_dups(docs_ds, docs_table: pa.Table, threshold: float = 0.7,
 # ---------------------------------------------------------------------------
 
 def simhash64(texts: list) -> np.ndarray:
-    """64-bit simhash per text (word-feature hashing, vectorized
-    bit-vote accumulation)."""
-    out = np.empty(len(texts), dtype=np.uint64)
+    """64-bit simhash per text: per-word fnv1a64 through the memoized
+    ``_word_hash`` (same values as before — corpora repeat words
+    heavily), then one batch-wide bit-unpack + segmented vote reduce
+    (``np.add.reduceat`` over document boundaries). No per-character
+    or per-bit Python in the path."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    word_lists = [t.split() for t in texts]
+    counts = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    hs = np.fromiter((_word_hash(w) for ws in word_lists for w in ws),
+                     dtype=np.uint64, count=total)
     bitpos = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = t.split()
-        if not words:
-            out[i] = 0
-            continue
-        hs = np.empty(len(words), dtype=np.uint64)
-        for j, w in enumerate(words):
-            h = np.uint64(0xCBF29CE484222325)
-            with np.errstate(over="ignore"):
-                for b in w.encode():
-                    h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-            hs[j] = h
-        bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for bp in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(bp)
-        out[i] = sig
+    ones = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ne = counts > 0
+    seg_ones = np.add.reduceat(ones, starts[ne], axis=0)
+    # bit set when strictly more 1-votes than 0-votes: sum(2b-1) > 0
+    votes_pos = (2 * seg_ones) > counts[ne, None]
+    out[ne] = (votes_pos.astype(np.uint64) << bitpos[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
     return out
 
 
@@ -355,42 +491,81 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 # Embedding cosine near-dup (random-hyperplane LSH + exact verify)
 # ---------------------------------------------------------------------------
 
+def _emb_matrix(col: pa.ChunkedArray, dim: int) -> np.ndarray:
+    """list<float> column → (N, dim) float64 matrix via the flat value
+    buffer (zero-copy until the final dtype cast) — no per-row
+    pylist/np.stack."""
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(-1, dim)
+
+
 def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.9,
-                        n_planes: int = 12, seed: int = 42):
+                        n_planes: int = 12, seed: int = 42,
+                        n_sets: int = 4, max_bucket: int = 2000):
     """vectors whose cosine similarity ≥ threshold, via hyperplane-LSH
     buckets (vectors agreeing on all n_planes signs land together) +
-    exact cosine verify inside each bucket. Recall is per-bucket (the
-    standard LSH trade); raise recall by unioning several plane sets."""
-    import pandas as pd
+    exact cosine verify inside each bucket, Arrow end-to-end.
+
+    Recall: a single plane set misses pairs split by any hyperplane;
+    ``n_sets`` independent sets are unioned (each vector goes through
+    the shuffle once per set — the standard recall/bandwidth trade,
+    miss probability ≈ (1-(1-θ/π)^p)^s), and duplicate hits are
+    collapsed by a final (vec_a, vec_b) groupby-max."""
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_planes))
+    planes = rng.normal(size=(n_sets, dim, n_planes))
+    shifts = np.arange(n_planes, dtype=np.int64)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        V = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["embedding"].to_pylist()])
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"]})
+        V = _emb_matrix(batch["embedding"], dim)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        signs = (Vn @ planes) > 0
-        key = np.zeros(len(V), dtype=np.int64)
-        for p in range(n_planes):
-            key |= signs[:, p].astype(np.int64) << p
-        return pa.table({"vec_id": batch["vec_id"],
-                         "bucket": pa.array(key, pa.int64()),
-                         "embedding": batch["embedding"]})
+        keys = []
+        for s in range(n_sets):
+            signs = (Vn @ planes[s]) > 0
+            key = (signs.astype(np.int64) << shifts[None, :]).sum(axis=1)
+            keys.append(key | (s << n_planes))  # set id in high bits
+        ids = pa.concat_arrays(
+            [batch["vec_id"].combine_chunks()] * n_sets)
+        emb = pa.concat_arrays(
+            [batch["embedding"].combine_chunks()] * n_sets)
+        return pa.table({"vec_id": ids,
+                         "bucket": pa.array(np.concatenate(keys), pa.int64()),
+                         "embedding": emb})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        n = g.num_rows
+        if n < 2 or n > max_bucket:
+            return empty
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids = ids[order]
-        V = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in g["embedding"].to_numpy()[order]])
-        if len(ids) < 2 or len(ids) > 2000:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        V = _emb_matrix(g["embedding"], dim)[order]
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         S = Vn @ Vn.T
-        a, b = np.triu_indices(len(ids), k=1)
+        a, b = np.triu_indices(n, k=1)
         keep = S[a, b] >= threshold
-        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep],
-                             "cos": S[a, b][keep]})
+        return pa.table({"vec_a": pa.array(ids[a][keep], pa.int64()),
+                         "vec_b": pa.array(ids[b][keep], pa.int64()),
+                         "cos": pa.array(S[a, b][keep], pa.float64())})
 
-    return (emb_ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("bucket").map_groups(pairs, batch_format="pandas"))
+    from ray.data.aggregate import Max
+    import ray.data as rd
+    out = (emb_ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+           .groupby(["vec_a", "vec_b"])
+           .aggregate(Max("cos", alias_name="cos")))
+    # anchor the schema with one empty typed block — an all-empty
+    # aggregate otherwise yields zero columns (driver contract wants a
+    # stable schema even for a 0-row result)
+    anchor = rd.from_arrow(pa.table({"vec_a": pa.array([], pa.int64()),
+                                     "vec_b": pa.array([], pa.int64()),
+                                     "cos": pa.array([], pa.float64())}))
+    return out.union(anchor)
