@@ -65,3 +65,32 @@ def test_simplify_ring_honors_visvalingam():
     # tolerance 3 removes it (offset 1 < 3). They must genuinely differ
     # so the dispatch is observable.
     assert len(vis) != len(dp)
+
+
+def test_extract_fast_path_byte_identical():
+    """The vectorized single-position fast path must produce exactly the
+    same rows (values AND order) as the per-page Python loop."""
+    import pyarrow as pa
+    from tilemaker_ray.stages.extract import ExtractFeatures, FEATURE_SCHEMA
+
+    pages = [
+        ("https://ex.com/berlin/a", b'<head><meta name="geo.position" content="52.5;13.4"></head><body><p>x</p></body>'),
+        ("https://ex.com/none/b", b"<body><p>no geo</p></body>"),
+        ("https://ex.com/two/c", b'<meta name="geo.position" content="1.5;2.5"><meta name="geo.position" content="-3.25;4">'),
+        ("https://ex.com/trk/d", b'<meta name="geo.track" content="1,2 3,4 5,6">'),
+        ("https://ex.com/mix/e", b'<meta name="geo.position" content="9;8"><meta name="geo.footprint" content="0,0 0,1 1,1 1,0">'),
+        ("https://ex.com/pt/f", b'<meta name="geo.position" content="-45.125;170.0">'),
+        ("badurl", b'<meta name="geo.position" content="7;7">'),
+    ]
+    batch = pa.table({
+        "url": pa.array([u for u, _ in pages], pa.string()),
+        "html": pa.array([h for _, h in pages], pa.binary()),
+        "lang": pa.array(["en"] * len(pages), pa.string()),
+    })
+    ex = ExtractFeatures()
+    fast = ex(batch)
+    slow = ex._slow_path(batch, np.arange(len(pages))) \
+        .drop_columns(["_pageidx"]).cast(FEATURE_SCHEMA)
+    assert fast.schema.equals(slow.schema)
+    assert fast.equals(slow), (
+        f"fast path diverged:\n{fast.to_pydict()}\nvs\n{slow.to_pydict()}")

@@ -83,7 +83,78 @@ class ExtractFeatures:
         self.foot_re = re.compile(rb'<meta name="geo\.footprint" content="([^"]+)">')
         self.slug_re = re.compile(r"https?://[^/]+/([^/]+)/")
 
+    # RE2 variants of the compiled patterns for the Arrow kernels
+    _POS_PAT = r'<meta name="geo\.position" content="(?P<lat>-?[\d.]+);(?P<lon>-?[\d.]+)">'
+    _POS_COUNT = r'<meta name="geo\.position" content="-?[\d.]+;-?[\d.]+">'
+    _TRK_COUNT = r'<meta name="geo\.track" content="[^"]+">'
+    _FPT_COUNT = r'<meta name="geo\.footprint" content="[^"]+">'
+    _SLUG_PAT = r'^https?://[^/]+/(?P<slug>[^/]+)/'
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized fast path for the dominant page shape (exactly one
+        geo.position, no track/footprint): Arrow ``extract_regex`` +
+        numpy WKB construction, no per-page Python. Pages with multiple
+        or non-point emissions fall back to the per-page loop; output
+        row order is restored to the original (page, seq) order so the
+        result is byte-identical to the all-Python path."""
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        html = batch["html"]
+        n_pos = pc.count_substring_regex(html, self._POS_COUNT).to_numpy()
+        n_trk = pc.count_substring_regex(html, self._TRK_COUNT).to_numpy()
+        n_fpt = pc.count_substring_regex(html, self._FPT_COUNT).to_numpy()
+        fast = (n_pos == 1) & (n_trk == 0) & (n_fpt == 0)
+        silent = (n_pos == 0) & (n_trk == 0) & (n_fpt == 0)
+        slow_idx = np.flatnonzero(~fast & ~silent)
+        fast_idx = np.flatnonzero(fast)
+
+        tables = []
+        if len(fast_idx):
+            sub = batch.take(pa.array(fast_idx))
+            ex = pc.extract_regex(sub["html"], self._POS_PAT)
+            lat = pc.cast(pc.cast(pc.struct_field(ex, "lat"), pa.string()),
+                          pa.float64()).to_numpy()
+            lon = pc.cast(pc.cast(pc.struct_field(ex, "lon"), pa.string()),
+                          pa.float64()).to_numpy()
+            slug = pc.struct_field(
+                pc.extract_regex(sub["url"], self._SLUG_PAT), "slug")
+            name = pc.fill_null(slug, "")
+            urls_f = sub["url"].to_pylist()
+            fuid = np.fromiter((feature_uid(u, 0) for u in urls_f),
+                               dtype=np.int64, count=len(urls_f))
+            m = len(fast_idx)
+            geom = _points_binary_array(lon, lat)
+            tables.append(pa.table({
+                "url": sub["url"],
+                "fuid": pa.array(fuid, pa.int64()),
+                "feature_seq": pa.array(np.zeros(m, np.int32), pa.int32()),
+                "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                "layer": pa.array(["place"] * m, pa.string()),
+                "name": pc.cast(name, pa.string()),
+                "lang": sub["lang"],
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "geom_wkb": geom,
+                "minzoom": pa.array(
+                    np.full(m, _MINZOOM_BY_KIND[1], np.int8), pa.int8()),
+                "z_order": pa.array(np.zeros(m, np.int16), pa.int16()),
+                "attrs_json": pa.array([""] * m, pa.string()),
+                "_pageidx": pa.array(fast_idx, pa.int64()),
+            }, schema=_SCHEMA_WITH_IDX))
+        if len(slow_idx):
+            sub = batch.take(pa.array(slow_idx))
+            tables.append(self._slow_path(sub, slow_idx))
+        if not tables:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in FEATURE_SCHEMA},
+                schema=FEATURE_SCHEMA)
+        t = pa.concat_tables(tables)
+        order = np.lexsort((t["feature_seq"].to_numpy(zero_copy_only=False),
+                            t["_pageidx"].to_numpy(zero_copy_only=False)))
+        return t.take(pa.array(order)).drop_columns(["_pageidx"]) \
+            .cast(FEATURE_SCHEMA)
+
+    def _slow_path(self, batch: pa.Table, page_idx: np.ndarray) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         langs = batch["lang"].to_pylist()
@@ -91,8 +162,12 @@ class ExtractFeatures:
         out = {k: [] for k in ("url", "fuid", "feature_seq", "kind", "layer",
                                "name", "lang", "lon", "lat", "geom_wkb",
                                "minzoom", "z_order", "attrs_json")}
+        out["_pageidx"] = []
+
+        cur_idx = [0]
 
         def emit(url, seq, kind, name, lang, lon, lat, geom):
+            out["_pageidx"].append(cur_idx[0])
             out["url"].append(url)
             out["fuid"].append(feature_uid(url, seq))
             out["feature_seq"].append(seq)
@@ -113,7 +188,8 @@ class ExtractFeatures:
             out["z_order"].append(0 if kind == 1 else hash_z_order(url))
             out["attrs_json"].append("")
 
-        for url, html, lang in zip(urls, htmls, langs):
+        for pidx, url, html, lang in zip(page_idx, urls, htmls, langs):
+            cur_idx[0] = int(pidx)
             name_m = self.slug_re.match(url)
             name = name_m.group(1) if name_m else ""
             seq = 0
@@ -134,8 +210,27 @@ class ExtractFeatures:
                          _wkb.polygon_wkb(coords))
                     seq += 1
         return pa.table(
-            {k: pa.array(v, FEATURE_SCHEMA.field(k).type) for k, v in out.items()},
-            schema=FEATURE_SCHEMA)
+            {k: pa.array(v, _SCHEMA_WITH_IDX.field(k).type)
+             for k, v in out.items()},
+            schema=_SCHEMA_WITH_IDX)
+
+
+_SCHEMA_WITH_IDX = FEATURE_SCHEMA.append(pa.field("_pageidx", pa.int64()))
+
+
+def _points_binary_array(lon: np.ndarray, lat: np.ndarray) -> pa.Array:
+    """N (lon, lat) pairs → Arrow binary array of 21-byte point WKBs,
+    built from one flat buffer (no per-row bytes objects)."""
+    n = len(lon)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1                       # little-endian flag
+    buf[:, 1:5] = np.frombuffer(np.uint32(1).tobytes(), dtype=np.uint8)
+    buf[:, 5:13] = np.asarray(lon, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.asarray(lat, dtype="<f8").view(np.uint8).reshape(n, 8)
+    offsets = np.arange(0, (n + 1) * 21, 21, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())])
 
 
 def _parse_latlon_list(content: bytes) -> np.ndarray:
