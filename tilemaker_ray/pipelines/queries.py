@@ -346,7 +346,13 @@ def q_minhash_near_dups(sf_dir: str):
     LSH is not SQL-expressible; exactness is pytest-verified against a
     brute-force all-pairs Jaccard oracle on planted dups)."""
     from ..stages.dedup import minhash_near_dups
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    import ray.data as rd
+    # right-size read blocks: the pipeline has three sort-exchanges and
+    # each pays per-block scheduling overhead — 64 tiny blocks of a
+    # small table cost 4x the wall time of 8 (at full scale blocks are
+    # target_max_block_size-bound and this override is a no-op-ish hint)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"], override_num_blocks=8)
     return minhash_near_dups(ds, threshold=0.7)
 
 
