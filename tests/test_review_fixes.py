@@ -106,18 +106,27 @@ def test_line_and_polygon_never_combine():
 def test_archive_dedup_by_bytes(tmp_path):
     """Directory entries point at the right bytes even when lengths
     collide (dedup keys on content, not hash)."""
-    from tilemaker_ray.stages import sinks
+    from tilemaker_ray.geo import tilemath as tm
+    from tilemaker_ray.stages import pmtiles, sinks
     blobs = [b"AAAAAAA", b"BBBBBBB", b"AAAAAAA"]  # same length, 2 distinct
-    t = pa.table({"zoom": pa.array([1, 1, 1], pa.int32()),
-                  "x": pa.array([0, 1, 0], pa.int32()),
-                  "y": pa.array([0, 0, 1], pa.int32()),
-                  "tile_id": pa.array([10, 20, 30], pa.int64()),
+    zs = np.array([1, 1, 1])
+    xs = np.array([0, 1, 0])
+    ys = np.array([0, 0, 1])
+    tids = tm.tile_id(zs.astype(np.int64), xs.astype(np.int64),
+                      ys.astype(np.int64))
+    t = pa.table({"zoom": pa.array(zs, pa.int32()),
+                  "x": pa.array(xs, pa.int32()),
+                  "y": pa.array(ys, pa.int32()),
+                  "tile_id": pa.array(tids, pa.int64()),
                   "tile_gz": pa.array(blobs, pa.binary())})
-    path = str(tmp_path / "a.tmra")
+    path = str(tmp_path / "a.pmtiles")
     sinks.write_archive(t, path)
-    assert sinks.read_archive_tile(path, 10) == b"AAAAAAA"
-    assert sinks.read_archive_tile(path, 20) == b"BBBBBBB"
-    assert sinks.read_archive_tile(path, 30) == b"AAAAAAA"
+    assert sinks.read_archive_tile(path, int(tids[0])) == b"AAAAAAA"
+    assert sinks.read_archive_tile(path, int(tids[1])) == b"BBBBBBB"
+    assert sinks.read_archive_tile(path, int(tids[2])) == b"AAAAAAA"
+    assert pmtiles.read_pmtiles(path, 1, 1, 1) is None
+    # content dedup: 2 distinct blobs stored
+    assert pmtiles.read_header(path)["n_contents"] == 2
 
 
 def test_engine_resume_writes_complete_tileset(ray_session, tmp_path):

@@ -97,79 +97,25 @@ def read_mbtiles(path: str) -> pa.Table:
                      "tile_gz": pa.array([r[3] for r in rows], pa.binary())})
 
 
-# -- PMTiles-style clustered archive ----------------------------------------
-
-_PMT_MAGIC = b"TMRA"  # tilemaker_ray archive, v1
-
+# -- PMTiles archive (spec v3 — see stages/pmtiles.py) -----------------------
 
 def write_archive(tiles_ds, path: str, metadata: dict | None = None) -> int:
-    """Clustered single-file archive: tiles sorted by hierarchical tile
-    id (ancestors adjacent — the pmtiles clustering property), identical
-    blobs stored once (content dedup ≈ the reference's RLE of identical
-    tiles, src/pmtiles.cpp:25-47). Layout:
-      magic | u32 meta_len | meta JSON |
-      u64 n_entries | n × (i64 tile_id, u64 offset, u32 length) |
-      blob section
-    Directory is sorted by tile_id → binary-searchable."""
-    t = _collect_sorted(tiles_ds)
-    blobs = t["tile_gz"].to_pylist()
-    tids = t["tile_id"].to_numpy(zero_copy_only=False)
-    offsets: dict = {}  # keyed by the blob BYTES — a 64-bit hash key
-    blob_parts = []     # could alias two distinct tiles (review finding)
-    pos = 0
-    entries = []
-    for tid, blob in zip(tids, blobs):
-        found = offsets.get(blob)
-        if found is None:
-            offsets[blob] = pos
-            blob_parts.append(blob)
-            entry_off = pos
-            pos += len(blob)
-        else:
-            entry_off = found
-        entries.append((int(tid), entry_off, len(blob)))
-    meta = json.dumps({"name": "tilemaker_ray", **(metadata or {})}).encode()
-    with open(path, "wb") as f:
-        f.write(_PMT_MAGIC)
-        f.write(struct.pack("<I", len(meta)))
-        f.write(meta)
-        f.write(struct.pack("<Q", len(entries)))
-        for tid, off, ln in entries:
-            f.write(struct.pack("<qQI", tid, off, ln))
-        for b in blob_parts:
-            f.write(b)
-    return len(entries)
+    """Spec-compliant PMTiles v3 archive (replaces the round-1 custom
+    "TMRA" layout): Hilbert tile ids, varint delta directories with RLE
+    of identical adjacent tiles, root+leaf split, gzip'd sections.
+    Streaming build — distributed sort + iter_batches, tile bytes
+    spooled, never the full tile table on the driver."""
+    from . import pmtiles
+    return pmtiles.write_pmtiles(tiles_ds, path, metadata)
 
 
 def read_archive_tile(path: str, tile_id: int) -> bytes | None:
-    """Random access by binary search over the sorted directory."""
-    with open(path, "rb") as f:
-        assert f.read(4) == _PMT_MAGIC
-        meta_len = struct.unpack("<I", f.read(4))[0]
-        f.seek(meta_len, 1)
-        n = struct.unpack("<Q", f.read(8))[0]
-        dir_start = f.tell()
-        entry_sz = struct.calcsize("<qQI")
-        lo, hi = 0, n - 1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            f.seek(dir_start + mid * entry_sz)
-            tid, off, ln = struct.unpack("<qQI", f.read(entry_sz))
-            if tid == tile_id:
-                f.seek(dir_start + n * entry_sz + off)
-                return f.read(ln)
-            if tid < tile_id:
-                lo = mid + 1
-            else:
-                hi = mid - 1
-    return None
-
-
-def _collect_sorted(tiles_ds) -> pa.Table:
-    if isinstance(tiles_ds, pa.Table):
-        return tiles_ds.sort_by("tile_id")
-    return pa.Table.from_pandas(
-        tiles_ds.sort("tile_id").to_pandas(), preserve_index=False)
+    """Random access by the repo's morton tile id (decoded to z/x/y,
+    then looked up via the spec Hilbert directory)."""
+    from ..geo import tilemath as tm
+    from . import pmtiles
+    z, x, y = tm.tile_id_decode(np.asarray([tile_id], dtype=np.int64))
+    return pmtiles.read_pmtiles(path, int(z[0]), int(x[0]), int(y[0]))
 
 
 # -- distributed file tree ---------------------------------------------------
