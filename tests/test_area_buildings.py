@@ -99,3 +99,51 @@ def test_simplify_buildings_snaps_and_removes_notch():
 def test_simplify_buildings_degenerate():
     assert simplify.simplify_buildings(np.array([[0, 0], [1, 0], [0, 0]]),
                                        0.1) is None
+
+
+def test_polygon_intersection_area_concave_exact():
+    """General Green's-theorem clipper: concave, holes, shared
+    boundaries, vs dense-grid oracle."""
+    L = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]],
+                 dtype=float)
+    sq = square(2, 2, 2)  # covers all of L
+    assert clip.polygon_intersection_area([L], [sq]) == pytest.approx(7.0)
+    assert clip.polygon_intersection_area([sq], [L]) == pytest.approx(7.0)
+    # concave ∩ concave (mirrored L): exact 4.0
+    L2 = np.array([[0, 0], [4, 0], [4, 4], [3, 4], [3, 1], [0, 1], [0, 0]],
+                  dtype=float)
+    assert clip.polygon_intersection_area([L], [L2]) == pytest.approx(4.0)
+    # identical polygons / external touching
+    assert clip.polygon_intersection_area([L], [L]) == pytest.approx(7.0)
+    assert clip.polygon_intersection_area(
+        [square(0, 0, 1)], [square(2, 0, 1)]) == 0.0
+    # layer polygon with a hole
+    big, hole = square(0, 0, 3), square(0, 0, 1)
+    half = np.array([[-3, -3], [0, -3], [0, 3], [-3, 3], [-3, -3]], float)
+    assert clip.polygon_intersection_area([big, hole], [half]) \
+        == pytest.approx(16.0)
+    # generic-position concave star vs grid oracle
+    ang = np.linspace(0, 2 * np.pi, 13)[:-1]
+    rad = np.where(np.arange(12) % 2 == 0, 2.0, 0.7)
+    star = np.stack([rad * np.cos(ang), rad * np.sin(ang)], 1)
+    star = np.vstack([star, star[:1]])
+    got = clip.polygon_intersection_area([star], [square(0.5, 0.2, 1.3)])
+    approx = grid_area_oracle(square(0.5, 0.2, 1.3), star, n=900)
+    assert got == pytest.approx(approx, rel=0.02)
+
+
+def test_area_fraction_concave_layer_exact():
+    """PolygonIndex.area_fraction is now exact for concave layer
+    polygons (the round-1 vertex-fraction approximation is gone)."""
+    L = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]],
+                 dtype=float)
+    idx = pip.PolygonIndex([wkb.polygon_wkb(L)])
+    # square [0,2]x[0,2]: overlap with L = 2*1 + 1*1 = 3 of area 4
+    assert idx.area_fraction([square(1, 1, 1)], 0) == pytest.approx(0.75)
+    # vertex-fraction would give 1/4 = 0.25 here (only corner (0.5,0.5)
+    # region inside): a square whose 4 corners are mostly outside but
+    # with real overlap
+    s = square(1.5, 1.5, 1.0)  # [0.5,2.5]^2; overlap = 0.5*1 + 1*... 
+    frac = idx.area_fraction([s], 0)
+    oracle = grid_area_oracle(s, L, n=800) / 4.0
+    assert frac == pytest.approx(oracle, rel=0.02)

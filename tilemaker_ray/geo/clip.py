@@ -163,3 +163,108 @@ def intersection_area_convex(subject: np.ndarray, convex: np.ndarray) -> float:
     """|subject ∩ convex| for a simple subject ring vs a convex ring."""
     c = clip_ring_convex(subject, convex)
     return abs(ring_area(c)) if c is not None else 0.0
+
+
+# -- exact general polygon ∩ polygon area ------------------------------------
+
+def _close(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def _normalize_rings(rings: list) -> list:
+    """Exterior CCW (positive area), holes CW — the orientation under
+    which summing each ring's Green integral yields the polygon's net
+    area (even-odd semantics)."""
+    out = []
+    for i, ring in enumerate(rings):
+        r = _close(ring)
+        if len(r) < 4:
+            continue
+        a = ring_area(r)
+        want_ccw = (i == 0)
+        if (a > 0) != want_ccw and a != 0:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
+def _edges(rings: list):
+    P = np.concatenate([r[:-1] for r in rings])
+    Q = np.concatenate([r[1:] for r in rings])
+    return P, Q
+
+
+def _portion_integral(rings_from: list, rings_region: list, eps: float,
+                      primary: bool) -> float:
+    """Σ over edges of ``rings_from`` of ∮(x dy − y dx) along the edge
+    portions belonging to ∂(A∩B). Each edge is split at its
+    intersections with the region's edges, then each sub-segment's
+    midpoint is tested DISPLACED by ±eps along the edge's left normal
+    (interior side — rings are normalized so the polygon interior is
+    left of every edge):
+
+    - primary pass (∂A vs B): count iff the interior-side displaced
+      midpoint is inside B — handles strictly-inside pieces and
+      boundary-coincident pieces (counted exactly when the interiors
+      locally agree), and rejects external touching;
+    - secondary pass (∂B vs A): count iff BOTH displaced midpoints are
+      inside A — i.e. strictly interior pieces only, so coincident
+      pieces (already decided in the primary pass) are not
+      double-counted.
+    """
+    from .pip import points_in_polygon
+    P, Q = _edges(rings_from)
+    A, B = _edges(rings_region)
+    total = 0.0
+    for i in range(len(P)):
+        p, q = P[i], Q[i]
+        d = q - p
+        L = np.hypot(d[0], d[1])
+        if L == 0:
+            continue
+        nrm = np.array([-d[1], d[0]]) / L  # left normal (interior side)
+        e = B - A
+        denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+        w = A - p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (w[:, 0] * e[:, 1] - w[:, 1] * e[:, 0]) / denom
+            s = (w[:, 0] * d[1] - w[:, 1] * d[0]) / denom
+        ok = (denom != 0) & (t > 0) & (t < 1) & (s >= 0) & (s <= 1)
+        ts = np.sort(t[ok])
+        cuts = np.concatenate([[0.0], ts, [1.0]])
+        mids = p[None, :] + (0.5 * (cuts[:-1] + cuts[1:]))[:, None] * d[None, :]
+        m_in = mids + eps * nrm[None, :]
+        inside = points_in_polygon(m_in[:, 0], m_in[:, 1], rings_region)
+        if not primary:
+            m_out = mids - eps * nrm[None, :]
+            inside &= points_in_polygon(m_out[:, 0], m_out[:, 1],
+                                        rings_region)
+        if not inside.any():
+            continue
+        t0 = cuts[:-1][inside]
+        t1 = cuts[1:][inside]
+        # ∫ x dy − y dx over p+t·d for t∈[t0,t1] = (t1−t0)·cross(p, d)
+        total += float(np.sum(t1 - t0)) * (p[0] * d[1] - p[1] * d[0])
+    return total
+
+
+def polygon_intersection_area(rings_a: list, rings_b: list) -> float:
+    """Exact |A ∩ B| for two simple polygons with optional holes
+    (even-odd), concave or convex — Green's theorem over the boundary
+    of A∩B, which is (∂A inside B) ∪ (∂B strictly inside A), with
+    boundary-coincident pieces resolved by local interior agreement
+    (displaced-midpoint tests, see _portion_integral). Backs
+    AreaIntersecting exactly like the reference
+    (src/osm_lua_processing.cpp:488-502 via boost::geometry)."""
+    ra = _normalize_rings(rings_a)
+    rb = _normalize_rings(rings_b)
+    if not ra or not rb:
+        return 0.0
+    span = max(float(np.abs(np.concatenate(ra + rb)).max()), 1.0)
+    eps = 1e-9 * span
+    total = (_portion_integral(ra, rb, eps, primary=True)
+             + _portion_integral(rb, ra, eps, primary=False))
+    return max(0.0, 0.5 * total)

@@ -232,24 +232,23 @@ class PolygonIndex:
         """AreaIntersecting analog
         (/root/reference/src/osm_lua_processing.cpp:488-502): fraction
         of the subject polygon's area inside this layer polygon. Exact
-        (Sutherland–Hodgman) when the layer polygon is convex — the
-        common admin/landuse case; for concave layer polygons falls
-        back to the vertex-inside fraction (documented approximation;
-        exact general polygon∩polygon needs a clipping library)."""
+        for ANY layer polygon: Sutherland–Hodgman on the convex fast
+        path, Green's-theorem general clipping
+        (clip.polygon_intersection_area) for concave — including layer
+        polygons with holes."""
         from . import clip as _clip
-        ext = self.rings[poly_idx][0]
         subject = rings[0]
-        a_subj = abs(_clip.ring_area(np.vstack([subject, subject[:1]])
-                                     if not np.array_equal(subject[0], subject[-1])
-                                     else subject))
-        if a_subj == 0:
+        a_subj = sum(_clip.ring_area(r)
+                     for r in _clip._normalize_rings(rings))
+        if a_subj <= 0:
             return 0.0
-        if self._is_convex(poly_idx):
-            inter = _clip.intersection_area_convex(subject, ext)
-            return min(1.0, inter / a_subj)
-        inside = points_in_polygon(subject[:, 0], subject[:, 1],
-                                   self.rings[poly_idx])
-        return float(inside.mean())
+        if self._is_convex(poly_idx) and len(self.rings[poly_idx]) == 1:
+            inter = _clip.intersection_area_convex(subject,
+                                                   self.rings[poly_idx][0])
+        else:
+            inter = _clip.polygon_intersection_area(rings,
+                                                    self.rings[poly_idx])
+        return min(1.0, inter / a_subj)
 
     def _is_convex(self, poly_idx: int) -> bool:
         cached = getattr(self, "_convex_cache", None)

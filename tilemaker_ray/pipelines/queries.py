@@ -508,6 +508,52 @@ def q_covered_by_squares(sf_dir: str):
     return ds.select_columns(["event_id", "polygon_name"])
 
 
+# concave-L AreaIntersecting layer polygon: union of two disjoint
+# axis-aligned rectangles (bottom bar + left column) so the ANSI-SQL
+# oracle can compute the exact intersection area with clamp arithmetic,
+# while the Ray side runs the general concave Green's-theorem clipper.
+# Edges sit on a .0005 offset so they never coincide with the 0.001
+# event lattice or the ±0.011 probe-square edges (no degenerate shared
+# boundaries; FIXTURES.md §5 boundary-avoidance posture).
+L_X0, L_XM, L_X1 = 10.0005, 20.0005, 30.0005
+L_Y0, L_YM, L_Y1 = 10.0005, 20.0005, 40.0005
+
+
+def q_area_concave_events(sf_dir: str):
+    """Exact intersection AREA of each event's probe square with a
+    CONCAVE L-shaped layer polygon (AreaIntersecting semantics,
+    /root/reference/src/osm_lua_processing.cpp:488-502) — computed by
+    the general polygon∩polygon clipper (geo/clip.py
+    polygon_intersection_area), oracle-checked against the rectangle
+    decomposition in SQL. area_e8 = round(area · 1e8)."""
+    from ..geo import clip as gclip
+    L = np.array([[L_X0, L_Y0], [L_X1, L_Y0], [L_X1, L_YM], [L_XM, L_YM],
+                  [L_XM, L_Y1], [L_X0, L_Y1], [L_X0, L_Y0]])
+    ds = _event_points(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        eid = batch["event_id"].to_numpy()
+        cand = ((lon + SQ_HALF > L_X0) & (lon - SQ_HALF < L_X1)
+                & (lat + SQ_HALF > L_Y0) & (lat - SQ_HALF < L_Y1))
+        out_id, out_area = [], []
+        for i in np.flatnonzero(cand):
+            sq = np.array([[lon[i] - SQ_HALF, lat[i] - SQ_HALF],
+                           [lon[i] + SQ_HALF, lat[i] - SQ_HALF],
+                           [lon[i] + SQ_HALF, lat[i] + SQ_HALF],
+                           [lon[i] - SQ_HALF, lat[i] + SQ_HALF],
+                           [lon[i] - SQ_HALF, lat[i] - SQ_HALF]])
+            a = gclip.polygon_intersection_area([sq], [L])
+            if a > 0:
+                out_id.append(int(eid[i]))
+                out_area.append(int(round(a * 1e8)))
+        return pa.table({"event_id": pa.array(out_id, pa.int64()),
+                         "area_e8": pa.array(out_area, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_way_length_haversine(sf_dir: str):
     """Length() analog (src/osm_lua_processing.cpp:581-590): haversine
     way lengths in integer millimeters per segment (floor per segment →
@@ -822,6 +868,21 @@ ORACLE_SQL = {
             + abs(({dv.EV_LAT_SQL} + 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0
           AND abs(({dv.EV_LON_SQL} + 0.011) - {dv.NA_LON_SQL}) / {dv.NA_W}
             + abs(({dv.EV_LAT_SQL} + 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0""",
+    "area_concave_events": f"""
+        WITH a AS (
+          SELECT e.event_id,
+                 GREATEST(0, LEAST({dv.EV_LON_SQL} + 0.011, {L_X1})
+                           - GREATEST({dv.EV_LON_SQL} - 0.011, {L_X0}))
+               * GREATEST(0, LEAST({dv.EV_LAT_SQL} + 0.011, {L_YM})
+                           - GREATEST({dv.EV_LAT_SQL} - 0.011, {L_Y0}))
+               + GREATEST(0, LEAST({dv.EV_LON_SQL} + 0.011, {L_XM})
+                           - GREATEST({dv.EV_LON_SQL} - 0.011, {L_X0}))
+               * GREATEST(0, LEAST({dv.EV_LAT_SQL} + 0.011, {L_Y1})
+                           - GREATEST({dv.EV_LAT_SQL} - 0.011, {L_YM}))
+                 AS area
+          FROM events e)
+        SELECT event_id, CAST(ROUND(area * 1e8) AS BIGINT) AS area_e8
+        FROM a WHERE area > 0""",
     "way_length_haversine": """
         WITH m AS (
           SELECT l_orderkey AS way_id, l_linenumber AS seq,
@@ -923,6 +984,7 @@ QUERIES = {
     "used_nodes": q_used_nodes,
     "sigfilter_docs": q_sigfilter_docs,
     "covered_by_squares": q_covered_by_squares,
+    "area_concave_events": q_area_concave_events,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,
