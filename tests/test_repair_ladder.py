@@ -1,0 +1,78 @@
+"""Geometry repair ladder: self-intersecting input polygons dissolve
+into simple lobes and render, with the ≥50% area-preservation guard
+(reference tile_data.cpp:380-426, geom.cpp:140-224)."""
+
+import gzip
+
+import numpy as np
+import pandas as pd
+
+from tilemaker_ray.config import EngineConfig, LayerDef
+from tilemaker_ray.geo import dissolve, tilemath as tm, wkb
+from tilemaker_ray.stages import mvt
+from tilemaker_ray.stages.tile_encode import (_ring_self_intersects,
+                                              encode_subtree)
+
+
+def test_dissolve_bowtie_two_lobes():
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)
+    parts = dissolve.dissolve_ring(bow)
+    assert len(parts) == 2
+    areas = sorted(abs(dissolve._signed_area(p)) for p in parts)
+    assert areas == [1.0, 1.0]
+    for p in parts:
+        assert not _ring_self_intersects(p)
+
+
+def test_dissolve_pinched_spur():
+    spur = np.array([[0, 0], [4, 0], [4, 4], [2, 4], [2.5, 5], [1.5, 5],
+                     [2, 4], [0, 4], [0, 0]], float)
+    parts = dissolve.dissolve_ring(spur)
+    areas = sorted(abs(dissolve._signed_area(p)) for p in parts)
+    assert areas == [0.5, 16.0]
+
+
+def test_repair_guard_keeps_original_when_collapsing():
+    """If the dissolved area loses >50%, the ORIGINAL invalid ring is
+    kept (reference keeps `p` when repair_one_polygon fails)."""
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    got = dissolve.repair_ring(sq, lambda r: False)
+    assert len(got) == 1 and np.array_equal(got[0], sq)
+    # forced failure path: claim self-intersection but dissolve returns
+    # the same simple ring -> area preserved -> accepted
+    got = dissolve.repair_ring(sq, lambda r: True)
+    assert sum(abs(dissolve._signed_area(p)) for p in got) >= 8.0
+
+
+def test_self_intersecting_footprint_renders():
+    """The VERDICT round-2 done-criterion: a bowtie input polygon that
+    previously vanished from tiles (near-zero net shoelace area → the
+    winding/size filters ate it) now renders as its two lobes."""
+    cfg = EngineConfig(layers=(LayerDef("footprint", minzoom=6),))
+    lon, lat = 13.4, 52.5
+    x = tm.lon2tilex(np.array([lon]), 14)
+    y = tm.lat2tiley(np.array([lat]), 14)
+    tiles_list = tm.tile_id(14, x, y).tolist()
+    d = 0.0008
+    # bowtie: near-zero net signed area, definite real area
+    bow = np.array([[lon, lat], [lon + d, lat + d], [lon + d, lat],
+                    [lon, lat + d], [lon, lat]])
+    rows = pd.DataFrame([
+        {"fuid": 7, "kind": 3, "layer": "footprint", "name": "bow",
+         "minzoom": 6, "z_order": 0, "lon": lon, "lat": lat,
+         "geom_wkb": wkb.polygon_wkb(bow), "attrs_json": "",
+         "base_tiles": tiles_list},
+    ])
+    tiles = encode_subtree(rows, cfg, zmin=14, zmax=14).to_pandas()
+    assert len(tiles) == 1
+    dec = mvt.decode_tile(gzip.decompress(tiles.iloc[0]["tile_gz"]))
+    feats = dec["footprint"]["features"]
+    assert len(feats) == 1
+    rings = mvt.decode_geometry(feats[0]["geometry"])
+    # two simple lobes survive as two rings
+    assert len(rings) == 2
+    for r in rings:
+        tot = 0.0
+        xx, yy = r[:, 0].astype(float), r[:, 1].astype(float)
+        tot = 0.5 * (np.dot(xx[:-1], yy[1:]) - np.dot(xx[1:], yy[:-1]))
+        assert abs(tot) > 0

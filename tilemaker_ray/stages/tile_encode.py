@@ -41,6 +41,7 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..geo import clip as _clip
+from ..geo import dissolve as _dissolve
 from ..geo import simplify as _simplify
 from ..geo import tilemath as tm
 from ..geo import wkb as _wkb
@@ -402,34 +403,46 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
     for rings in polys:
         for i, ring in enumerate(rings):
             g = to_grid(ring)
-            c = g if inside(g) else _clip.clip_ring(
+            c0 = g if inside(g) else _clip.clip_ring(
                 g, -margin, -margin, extent + margin, extent + margin)
-            if c is None:
+            if c0 is None:
                 continue
-            if ldef.simplify_below and z < ldef.simplify_below:
-                if ldef.simplify_algorithm == "buildings":
-                    c2 = _simplify.simplify_buildings(c, ldef.simplify_level)
-                else:
-                    c2 = _simplify.simplify_ring(
-                        c, ldef.simplify_level,
-                        algorithm=ldef.simplify_algorithm)
-                if c2 is None:
-                    continue
-                # self-intersection guard (the reference's DP refuses
-                # removals that create crossings, src/geom.cpp:17-138;
-                # here: reject the simplified ring and keep the
-                # original if it crosses itself)
-                c = c2 if not _ring_self_intersects(c2) else c
-            if ldef.filter_below and z < ldef.filter_below \
-                    and abs(_clip.ring_area(c)) < ldef.filter_area:
-                continue  # RemovePartsBelowSize (tile_worker.cpp:79-96)
-            q = _quantize(c, close=True)
-            if len(q) >= 4:
-                area = _clip.ring_area(q.astype(np.float64))
-                if (area > 0) != (i > 0):  # winding: ext vs hole
-                    q = q[::-1]
-                parts.append(q)
+            # repair ladder (reference tile_data.cpp:380-426 +
+            # geom.cpp:140-224): dissolve a self-intersecting ring into
+            # simple lobes, accept only if ≥50% of the shoelace area
+            # survives, else keep the invalid ring (never drop)
+            for c in _dissolve.repair_ring(c0, _ring_self_intersects):
+                q = _finish_ring(c, i, z, ldef)
+                if q is not None:
+                    parts.append(q)
     return parts, mvt.GEOM_POLYGON
+
+
+def _finish_ring(c: np.ndarray, i: int, z: int, ldef) -> np.ndarray | None:
+    """Simplify / size-filter / quantize / orient one (simple) ring;
+    ``i`` is the source ring's exterior(0)/hole(>0) role."""
+    if ldef.simplify_below and z < ldef.simplify_below:
+        if ldef.simplify_algorithm == "buildings":
+            c2 = _simplify.simplify_buildings(c, ldef.simplify_level)
+        else:
+            c2 = _simplify.simplify_ring(
+                c, ldef.simplify_level, algorithm=ldef.simplify_algorithm)
+        if c2 is None:
+            return None
+        # self-intersection guard (the reference's DP refuses removals
+        # that create crossings, src/geom.cpp:17-138; here: reject the
+        # simplified ring and keep the original if it crosses itself)
+        c = c2 if not _ring_self_intersects(c2) else c
+    if ldef.filter_below and z < ldef.filter_below \
+            and abs(_clip.ring_area(c)) < ldef.filter_area:
+        return None  # RemovePartsBelowSize (tile_worker.cpp:79-96)
+    q = _quantize(c, close=True)
+    if len(q) < 4:
+        return None
+    area = _clip.ring_area(q.astype(np.float64))
+    if (area > 0) != (i > 0):  # winding: ext vs hole
+        q = q[::-1]
+    return q
 
 
 def _simplify_part(run: np.ndarray, ldef) -> np.ndarray:
