@@ -114,3 +114,74 @@ def test_engine_run_and_config(ray_session, tmp_path):
     # merge run on top of the same file
     summary2 = engine.run(pages_path, out, config=cfg, merge=True)
     assert summary2["tiles"] == summary["tiles"]
+
+
+def test_relation_iterator_udf_api(ray_session):
+    """Accept/NextRelation/RestartRelations/FindInRelation/SetTag/
+    ModifyId on the UDF surface (reference
+    osm_lua_processing.cpp:1044-1108), end-to-end through
+    UDFExtractor."""
+    import json
+
+    import ray
+    from tilemaker_ray.stages.relations import (postscan_relations_udf,
+                                                scan_relations_udf)
+    from tilemaker_ray.udf import UDFExtractor
+
+    rel = pa.table({
+        "rel_id": pa.array([100, 1, 2, 99], pa.int64()),
+        "parent_id": pa.array([None, 100, 100, None], pa.int64()),
+        "region_name": pa.array(["EMEA", None, None, "REJECTED"],
+                                pa.string()),
+    })
+
+    def scan(ctx):
+        if ctx.Find("region_name") != "REJECTED":
+            ctx.Accept()
+
+    rels = scan_relations_udf(rel, scan)
+    assert 99 not in rels and set(rels) == {100, 1, 2}
+
+    def postscan(ctx):
+        if not ctx.Find("region_name"):
+            while ctx.NextRelation() is not None:
+                v = ctx.FindInRelation("region_name")
+                if v:
+                    ctx.SetTag("region_name", v)
+                    break
+
+    rels = postscan_relations_udf(rels, postscan)
+    assert rels[1]["tags"]["region_name"] == "EMEA"
+    assert rels[2]["tags"]["region_name"] == "EMEA"
+
+    memberships = {"page://a": [(1, "member"), (2, "other")],
+                   "page://b": []}
+
+    def page_function(page):
+        page.RestartRelations()
+        roles = []
+        while (nxt := page.NextRelation()) is not None:
+            roles.append(nxt[1])
+        assert roles in ([], ["member", "other"])
+        page.RestartRelations()
+        if page.NextRelation() is None:
+            return
+        page.ModifyId("custom-id-42")
+        page.SetTag("injected", "yes")
+        page.Layer("poi", point=(1.0, 2.0))
+        page.Attribute("region", page.FindInRelation("region_name"))
+        page.Attribute("tag", page.Find("injected"))
+
+    ex = UDFExtractor(page_function, relations=rels,
+                      memberships=memberships)
+    batch = pa.table({
+        "url": pa.array(["page://a", "page://b"], pa.string()),
+        "lang": pa.array(["", ""], pa.string()),
+        "html": pa.array([b"", b""], pa.binary()),
+        "text": pa.array(["", ""], pa.string()),
+    })
+    out = ex(batch)
+    assert out.num_rows == 1
+    assert out["url"].to_pylist() == ["custom-id-42"]  # ModifyId applied
+    attrs = json.loads(out["attrs_json"][0].as_py())
+    assert attrs == {"region": "EMEA", "tag": "yes"}

@@ -519,6 +519,100 @@ L_X0, L_XM, L_X1 = 10.0005, 20.0005, 30.0005
 L_Y0, L_YM, L_Y1 = 10.0005, 20.0005, 40.0005
 
 
+def q_relation_udf_tag(sf_dir: str):
+    """The relation-iterator UDF API end-to-end (M6+M7+J3 through
+    PageContext, /root/reference/src/osm_lua_processing.cpp:1044-1108):
+    relation_scan_function Accept()s region/nation relations,
+    relation_postscan_function bounces region_name down the tree with
+    NextRelation/FindInRelation/SetTag, and a page_function reads its
+    membership with RestartRelations/NextRelation/FindInRelation +
+    ModifyId. Oracle: customer ⋈ nation ⋈ region in SQL."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.relations import (postscan_relations_udf,
+                                    scan_relations_udf)
+    from ..udf import UDFExtractor
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rel = pa.table({
+        "rel_id": pa.array(
+            [1000 + k for k in region["r_regionkey"].to_pylist()]
+            + nation["n_nationkey"].to_pylist(), pa.int64()),
+        "parent_id": pa.array(
+            [None] * region.num_rows
+            + [1000 + k for k in nation["n_regionkey"].to_pylist()],
+            pa.int64()),
+        "region_name": pa.array(
+            region["r_name"].to_pylist() + [None] * nation.num_rows,
+            pa.string()),
+    })
+
+    def relation_scan(ctx):
+        ctx.Accept()  # keep every region/nation relation
+
+    def relation_postscan(ctx):
+        if not ctx.Find("region_name"):
+            while (nxt := ctx.NextRelation()) is not None:
+                v = ctx.FindInRelation("region_name")
+                if v:
+                    ctx.SetTag("region_name", v)
+                    break
+
+    rels = postscan_relations_udf(scan_relations_udf(rel, relation_scan),
+                                  relation_postscan)
+    # memberships: customer page url -> its nation relation
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    memberships = {f"cust://{k}": [(n, "member")]
+                   for k, n in zip(cust["c_custkey"].to_pylist(),
+                                   cust["c_nationkey"].to_pylist())}
+    rel_ref = ray.put(rels)
+    mem_ref = ray.put(memberships)
+
+    def page_function(page):
+        page.RestartRelations()
+        nxt = page.NextRelation()
+        if nxt is None:
+            return
+        rid, role = nxt
+        page.ModifyId(f"cust://{page.Id().rsplit('/', 1)[-1]}/tagged")
+        page.Layer("poi", point=(0.0, 0.0))
+        page.Attribute("region_name", page.FindInRelation("region_name"))
+
+    def as_pages(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy()
+        urls = [f"cust://{k}" for k in keys]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "lang": pa.array([""] * len(urls), pa.string()),
+            "html": pa.array([b""] * len(urls), pa.binary()),
+            "text": pa.array([""] * len(urls), pa.string()),
+        })
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+    feats = (ds.map_batches(as_pages, batch_format="pyarrow")
+             .map_batches(UDFExtractor,
+                          fn_constructor_kwargs={
+                              "page_function": page_function,
+                              "relations": rel_ref,
+                              "memberships": mem_ref},
+                          batch_format="pyarrow", concurrency=2))
+
+    def project(batch: pa.Table) -> pa.Table:
+        import json
+        urls = batch["url"].to_pylist()
+        keys = [int(u.split("//")[1].split("/")[0]) for u in urls]
+        regions = [json.loads(a or "{}").get("region_name", "")
+                   for a in batch["attrs_json"].to_pylist()]
+        return pa.table({"c_custkey": pa.array(keys, pa.int64()),
+                         "region_name": pa.array(regions, pa.string())})
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_area_concave_events(sf_dir: str):
     """Exact intersection AREA of each event's probe square with a
     CONCAVE L-shaped layer polygon (AreaIntersecting semantics,
@@ -868,6 +962,11 @@ ORACLE_SQL = {
             + abs(({dv.EV_LAT_SQL} + 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0
           AND abs(({dv.EV_LON_SQL} + 0.011) - {dv.NA_LON_SQL}) / {dv.NA_W}
             + abs(({dv.EV_LAT_SQL} + 0.011) - {dv.NA_LAT_SQL}) / {dv.NA_H} < 1.0""",
+    "relation_udf_tag": """
+        SELECT c.c_custkey, r.r_name AS region_name
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey""",
     "area_concave_events": f"""
         WITH a AS (
           SELECT e.event_id,
@@ -985,6 +1084,7 @@ QUERIES = {
     "sigfilter_docs": q_sigfilter_docs,
     "covered_by_squares": q_covered_by_squares,
     "area_concave_events": q_area_concave_events,
+    "relation_udf_tag": q_relation_udf_tag,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,

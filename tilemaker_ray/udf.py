@@ -61,11 +61,14 @@ class PageContext:
     record)."""
 
     __slots__ = ("_url", "_lang", "_html", "_text", "_tags", "_emissions",
-                 "_current", "_indexes", "_kv", "_seq")
+                 "_current", "_indexes", "_kv", "_seq", "_reltags",
+                 "_memberships", "_rel_list", "_rel_sub", "_id_override")
 
-    def __init__(self, indexes, kv):
+    def __init__(self, indexes, kv, reltags=None, memberships=None):
         self._indexes = indexes
         self._kv = kv or {}
+        self._reltags = reltags or {}        # rel_id -> {"tags": {...}}
+        self._memberships = memberships or {}  # url -> [(rel_id, role)]
 
     def _reset(self, url, lang, html, text):
         self._url = url
@@ -76,6 +79,9 @@ class PageContext:
         self._emissions = []
         self._current = None
         self._seq = 0
+        self._rel_list = self._memberships.get(url, [])
+        self._rel_sub = -1
+        self._id_override = None
 
     # -- metadata (Id/Find/Holds/AllKeys/AllTags/HasTags) ------------------
     def Id(self) -> str:
@@ -200,8 +206,10 @@ class PageContext:
                 geom = _wkb.polygon_wkb(g[1][0])
                 kind = 3
                 lon, lat = float(g[1][0][0, 0]), float(g[1][0][0, 1])
+        uid_src = self._id_override if self._id_override is not None \
+            else self._url
         self._current = {
-            "url": self._url, "fuid": feature_uid(self._url, self._seq),
+            "url": uid_src, "fuid": feature_uid(uid_src, self._seq),
             "feature_seq": self._seq, "kind": kind, "layer": name,
             "name": self.Slug(), "lang": self._lang, "lon": lon, "lat": lat,
             "geom_wkb": geom, "minzoom": 0, "z_order": 0,
@@ -258,6 +266,41 @@ class PageContext:
             from .stages.extract import compress_z_order
             self._current["z_order"] = compress_z_order(z)
 
+    # -- relation iterator (the Lua relation API,
+    #    /root/reference/src/osm_lua_processing.cpp:1044-1062 NextRelation /
+    #    RestartRelations / FindInRelation; 950 SetTag; 969 ModifyId) -------
+    def NextRelation(self):
+        """Advance over this page's accepted-relation memberships →
+        (rel_id, role), or None when exhausted."""
+        self._rel_sub += 1
+        if self._rel_sub >= len(self._rel_list):
+            return None
+        rid, role = self._rel_list[self._rel_sub]
+        return rid, role
+
+    def RestartRelations(self):
+        self._rel_sub = -1
+
+    def FindInRelation(self, key: str) -> str:
+        """Tag lookup in the CURRENT relation of the iterator."""
+        if not (0 <= self._rel_sub < len(self._rel_list)):
+            return ""
+        rid = self._rel_list[self._rel_sub][0]
+        r = self._reltags.get(rid)
+        tags = r.get("tags", r) if isinstance(r, dict) else {}
+        v = tags.get(key)
+        return "" if v is None else str(v)
+
+    def SetTag(self, key: str, value: str):
+        """Mutate the page's own tag map (visible to subsequent
+        Find/Holds, exactly like the reference's currentTags write)."""
+        self._tagmap()[key] = [str(value)]
+
+    def ModifyId(self, new_id):
+        """Override the feature id base for subsequent Layer() calls
+        (the reference rewrites originalOsmID)."""
+        self._id_override = str(new_id)
+
     # -- global KV (T6) ------------------------------------------------------
     def GetData(self, key: str):
         return self._kv.get(key)
@@ -276,7 +319,7 @@ class UDFExtractor:
     are built once per actor (init_function analog)."""
 
     def __init__(self, page_function, polygon_layers=None, kv=None,
-                 hex_res: int = 9):
+                 hex_res: int = 9, relations=None, memberships=None):
         self.fn = page_function
         indexes = {}
         if polygon_layers is not None:
@@ -286,7 +329,11 @@ class UDFExtractor:
                 sub = poly.filter(mask)
                 idx, _, _ = build_polygon_state(sub, hex_res)
                 indexes[layer_name] = idx
-        self.ctx = PageContext(indexes, _resolve(kv) if kv is not None else {})
+        self.ctx = PageContext(
+            indexes, _resolve(kv) if kv is not None else {},
+            reltags=_resolve(relations) if relations is not None else {},
+            memberships=_resolve(memberships)
+            if memberships is not None else {})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
