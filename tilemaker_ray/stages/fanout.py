@@ -36,6 +36,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..geo import antimeridian as _am
 from ..geo import raster, tilemath as tm
 from ..geo import wkb as _wkb
 
@@ -84,10 +85,9 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
         return ((txa >= tx_lo) & (txa <= tx_hi)
                 & (tya >= ty_lo) & (tya <= ty_hi))
 
-    def raster_zoom_for(buf, layer) -> tuple:
+    def raster_zoom_for_bbox(x0, y0, x1, y1, layer) -> int:
         """Finest zoom ≤ min(basezoom, layer maxzoom) whose bbox tile
         fan-out stays under the large-object cap."""
-        x0, y0, x1, y1 = _wkb.wkb_bbox(buf)
         rz = min(basezoom, lay_maxz.get(layer, basezoom))
         while rz > 0:
             nx = int(tm.lon2tilex(np.float64(x1), rz)
@@ -98,6 +98,22 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
                 return rz
             rz -= 1
         return 0
+
+    def raster_zoom_for(gt, payload, layer) -> int:
+        """Raster zoom from the (antimeridian-normalized) payload:
+        coarsest of the per-part answers, so a date-line-split feature
+        is capped per part rather than by a world-spanning bbox."""
+        if gt in (_wkb.LINESTRING, _wkb.MULTILINESTRING):
+            parts = [payload] if gt == _wkb.LINESTRING else payload
+        else:
+            polys = [payload] if gt == _wkb.POLYGON else payload
+            parts = [rings[0] for rings in polys]
+        rz = basezoom
+        for p in parts:
+            rz = min(rz, raster_zoom_for_bbox(
+                float(p[:, 0].min()), float(p[:, 1].min()),
+                float(p[:, 0].max()), float(p[:, 1].max()), layer))
+        return rz
 
     def fanout(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -136,8 +152,8 @@ def make_fanout(cfg: EngineConfig = DEFAULT_CONFIG):
         if len(geo):
             wkbs = batch["geom_wkb"].take(pa.array(geo)).to_pylist()
             for row, buf in zip(geo.tolist(), wkbs):
-                gt, payload = _wkb.parse_wkb(buf)
-                rz = raster_zoom_for(buf, layers[row])
+                gt, payload = _am.normalize_payload(*_wkb.parse_wkb(buf))
+                rz = raster_zoom_for(gt, payload, layers[row])
                 if rz < minzooms[row]:
                     continue  # coarsened below its own minzoom → invisible
                 if gt in (_wkb.LINESTRING, _wkb.MULTILINESTRING):

@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..geo import antimeridian as _antimeridian
 from ..geo import clip as _clip
 from ..geo import dissolve as _dissolve
 from ..geo import simplify as _simplify
@@ -150,7 +151,10 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
         if g is None:
             if wkb_py is None:
                 wkb_py = t["geom_wkb"].to_pylist()
-            g = geom_cache[fi] = _wkb.parse_wkb(wkb_py[fi])
+            gt, payload = _wkb.parse_wkb(wkb_py[fi])
+            # split antimeridian-crossing geometries before any tile
+            # math (no-op for the overwhelming non-crossing case)
+            g = geom_cache[fi] = _antimeridian.normalize_payload(gt, payload)
         return g
 
     out = {k: [] for k in ("zoom", "x", "y", "tile_id", "n_features",
