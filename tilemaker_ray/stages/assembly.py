@@ -167,15 +167,45 @@ def assemble_relations(members_ds, ways_geoms_ds):
     joined = members_ds.join(ways_geoms_ds, join_type="inner",
                              num_partitions=8, on=("way_id",))
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        def coords_of(rows):
-            return [_wkb.parse_wkb(bytes(b))[1] for b in rows]
-        outers = stitch_rings(coords_of(g[g["role"] == "outer"]["geom_wkb"]))
-        inners = stitch_rings(coords_of(g[g["role"] == "inner"]["geom_wkb"]))
-        return pd.DataFrame({
-            "rel_id": [g["rel_id"].iloc[0]],
-            "n_outer": [np.int64(len(outers))],
-            "n_inner": [np.int64(len(inners))],
-        })
+    def bucket(b: pa.Table) -> pa.Table:
+        rid = b["rel_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = rid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        return b.append_column("bkt", pa.array(
+            (h % np.uint64(256)).astype(np.int64), pa.int64()))
 
-    return joined.groupby("rel_id").map_groups(build, batch_format="pandas")
+    def build_bucket(g: pa.Table) -> pa.Table:
+        """ALL relations of one bucket in one pass (the repo's bucket
+        pattern — per-relation map_groups costs ~100 µs/group): sort by
+        rel_id, stitch each run's segments."""
+        rid = g["rel_id"].to_numpy(zero_copy_only=False)
+        roles = np.asarray(g["role"].to_pylist())
+        wkbs = g["geom_wkb"].combine_chunks()
+        order = np.argsort(rid, kind="stable")
+        rid = rid[order]
+        out_r, out_o, out_i = [], [], []
+        s = 0
+        n = len(rid)
+        while s < n:
+            e = s
+            while e < n and rid[e] == rid[s]:
+                e += 1
+            rows = order[s:e]
+            outers = stitch_rings(
+                [_wkb.parse_wkb(wkbs[int(r)].as_py())[1]
+                 for r in rows if roles[r] == "outer"])
+            inners = stitch_rings(
+                [_wkb.parse_wkb(wkbs[int(r)].as_py())[1]
+                 for r in rows if roles[r] == "inner"])
+            out_r.append(int(rid[s]))
+            out_o.append(len(outers))
+            out_i.append(len(inners))
+            s = e
+        return pa.table({"rel_id": pa.array(out_r, pa.int64()),
+                         "n_outer": pa.array(out_o, pa.int64()),
+                         "n_inner": pa.array(out_i, pa.int64())})
+
+    return (joined.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(build_bucket,
+                                       batch_format="pyarrow"))
