@@ -147,3 +147,16 @@ def test_area_fraction_concave_layer_exact():
     frac = idx.area_fraction([s], 0)
     oracle = grid_area_oracle(s, L, n=800) / 4.0
     assert frac == pytest.approx(oracle, rel=0.02)
+
+
+def test_area_fraction_subject_with_hole_convex_layer():
+    """Review finding: a donut subject against a CONVEX layer polygon
+    must use the general clipper (the convex fast path ignored subject
+    holes while the denominator subtracted them)."""
+    layer = pip.PolygonIndex([wkb.polygon_wkb(square(5, 5, 5))])  # [0,10]^2
+    ext = square(10, 5, 5)    # [5,15]x[0,10]
+    hole = square(7, 5, 1)    # [6,8]x[4,6]
+    frac = layer.area_fraction([ext, hole], 0)
+    # subject net area 100-4=96; intersection = [5,10]x[0,10] minus the
+    # hole (fully inside) = 50-4=46
+    assert frac == pytest.approx(46.0 / 96.0)

@@ -36,3 +36,21 @@ def test_local_submit_runs_engine_and_resumes(tmp_path):
     assert res2["status"] == "SUCCEEDED", res2.get("stderr_tail")
     assert res2["summary"].get("tiles") == n_tiles
     assert res2["summary"].get("reused_partitions", 0) > 0
+
+
+def test_engine_pmtiles_output_and_merge(tmp_path):
+    """Review finding: .pmtiles output dispatches to the archive sink
+    (not the parquet fallback) and --merge reads an existing archive."""
+    from tilemaker_ray.sources import pages
+    from tilemaker_ray.stages import pmtiles
+    src = pages.ensure_pages_parquet(400)
+    out = str(tmp_path / "out.pmtiles")
+    res = job.submit(job.build_entrypoint(src, out))
+    assert res["status"] == "SUCCEEDED", res.get("stderr_tail")
+    h = pmtiles.read_header(out)
+    assert h["n_addressed"] == res["summary"]["tiles"] > 0
+    # merge into the existing archive: still a valid archive afterwards
+    ep = job.build_entrypoint(src, out, merge=True)
+    res2 = job.submit(ep)
+    assert res2["status"] == "SUCCEEDED", res2.get("stderr_tail")
+    assert pmtiles.read_header(out)["n_addressed"] > 0

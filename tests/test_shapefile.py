@@ -103,3 +103,24 @@ def test_pip_parity_with_geojson(tmp_path):
     assert out_shp[1] is False     # inside the hole
     assert out_shp[3] is True      # inside the far square
     assert out_shp[4] is False     # nowhere
+
+
+def test_dbf_deleted_record_keeps_alignment(tmp_path):
+    """Review finding: a deleted dbf record must keep dbf row indexes
+    aligned 1:1 with shp record numbers."""
+    base = str(tmp_path / "del")
+    shp.write_shapefile(base, [(shp.SHP_POINT, [np.array([[1.0, 1.0]])]),
+                               (shp.SHP_POINT, [np.array([[2.0, 2.0]])]),
+                               (shp.SHP_POINT, [np.array([[3.0, 3.0]])])],
+                        fields={"NAME": ["a", "b", "c"]})
+    # flag record 1 (b) deleted in the dbf
+    import struct
+    with open(base + ".dbf", "r+b") as f:
+        buf = bytearray(f.read())
+        hdr_size, rec_size = struct.unpack("<hh", bytes(buf[8:12]))
+        buf[hdr_size + rec_size] = ord("*")
+        f.seek(0)
+        f.write(bytes(buf))
+    t = shp.read_shapefile(base, "poi", index_name="NAME")
+    assert t.num_rows == 3
+    assert t["name"].to_pylist() == ["a", "", "c"]

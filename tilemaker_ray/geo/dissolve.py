@@ -22,10 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-
-def _signed_area(ring: np.ndarray) -> float:
-    x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+from .clip import ring_area as _signed_area
 
 
 def _split_edges_at_crossings(p: np.ndarray) -> list:

@@ -242,7 +242,8 @@ class PolygonIndex:
                      for r in _clip._normalize_rings(rings))
         if a_subj <= 0:
             return 0.0
-        if self._is_convex(poly_idx) and len(self.rings[poly_idx]) == 1:
+        if self._is_convex(poly_idx) and len(self.rings[poly_idx]) == 1 \
+                and len(rings) == 1:
             inter = _clip.intersection_area_convex(subject,
                                                    self.rings[poly_idx][0])
         else:

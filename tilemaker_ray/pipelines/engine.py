@@ -102,13 +102,18 @@ def run(input_path: str, output: str, config: EngineConfig | str | dict | None =
         reused = []
 
     summary = {"reused_partitions": len(reused)}
-    if merge and output.endswith(".mbtiles") and os.path.exists(output):
-        old = sinks.read_mbtiles(output)
-        tiles = sinks.merge_tilesets(tiles, old)
+    is_archive = output.endswith((".pmtiles", ".tmra"))
+    if merge and os.path.exists(output):
+        if output.endswith(".mbtiles"):
+            tiles = sinks.merge_tilesets(tiles, sinks.read_mbtiles(output))
+        elif is_archive:
+            from ..stages import pmtiles
+            tiles = sinks.merge_tilesets(tiles,
+                                         pmtiles.read_all_tiles(output))
     if output.endswith(".mbtiles"):
         summary["tiles"] = sinks.write_mbtiles(
             tiles, output, metadata=sinks.tileset_metadata(cfg))
-    elif output.endswith(".tmra"):
+    elif is_archive:
         summary["tiles"] = sinks.write_archive(tiles, output)
     else:
         flagship.write_tiles(tiles, output)

@@ -87,8 +87,8 @@ def read_shp(path: str) -> list:
 
 
 def _ring_signed_area(ring: np.ndarray) -> float:
-    x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    from ..geo.clip import ring_area
+    return ring_area(np.asarray(ring, dtype=np.float64))
 
 
 def assemble_polygons(parts: list) -> list:
@@ -138,7 +138,12 @@ def read_dbf(path: str, columns: list | None = None) -> pa.Table:
                  if want is None or name in want}
     for r in range(n_rec):
         rec = buf[hdr_size + r * rec_size: hdr_size + (r + 1) * rec_size]
-        if rec[:1] == b"*":  # deleted
+        if rec[:1] == b"*":
+            # deleted record: emit nulls to keep the dbf row index
+            # 1:1 with .shp record numbers (read_shapefile indexes by
+            # shp record)
+            for name in raw:
+                raw[name].append(None)
             continue
         off = 1
         for name, ftype, flen, fdec in fields:

@@ -25,8 +25,9 @@ OSM ways (p50 ≈ 4 members, like OSM's p50 ≈ 7 nodes/way).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+
+from .common import mix_bucket
 
 # node coordinates derived from the node id — exact lattice arithmetic,
 # mirrored in SQL by queries.ORACLE_SQL (keep in lockstep)
@@ -169,11 +170,8 @@ def assemble_relations(members_ds, ways_geoms_ds):
 
     def bucket(b: pa.Table) -> pa.Table:
         rid = b["rel_id"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            h = rid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            h ^= h >> np.uint64(29)
         return b.append_column("bkt", pa.array(
-            (h % np.uint64(256)).astype(np.int64), pa.int64()))
+            mix_bucket(rid, 256), pa.int64()))
 
     def build_bucket(g: pa.Table) -> pa.Table:
         """ALL relations of one bucket in one pass (the repo's bucket

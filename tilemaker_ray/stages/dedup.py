@@ -29,6 +29,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .common import mix_bucket as _mix_bucket
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -203,11 +205,10 @@ def minhash_candidate_pairs(docs_ds, n_perm=64, n_bands=16, shingle_k=5):
 
     def add_bucket(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
-            h = (b["band_hash"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + b["band"].to_numpy().astype(np.uint64))
+            key = (b["band_hash"].to_numpy().astype(np.uint64)
+                   + b["band"].to_numpy().astype(np.uint64))
         return b.append_column("bkt", pa.array(
-            (h % np.uint64(256)).astype(np.int64), pa.int64()))
+            _mix_bucket(key, 256), pa.int64()))
 
     def pairs(g: pa.Table) -> pa.Table:
         return bucket_pairs_from_runs(g, ["band", "band_hash"], "doc_id")
@@ -273,11 +274,10 @@ def minhash_near_dups(docs_ds, docs_table=None, threshold: float = 0.7,
 
     def add_bucket(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
-            h = (b["band_hash"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + b["band"].to_numpy().astype(np.uint64))
+            key = (b["band_hash"].to_numpy().astype(np.uint64)
+                   + b["band"].to_numpy().astype(np.uint64))
         return b.append_column("bkt", pa.array(
-            (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()))
+            _mix_bucket(key, num_buckets), pa.int64()))
 
     def raw_pairs_to_sides(g: pa.Table) -> pa.Table:
         cand = bucket_pairs_from_runs(g, ["band", "band_hash"], "doc_id")
@@ -381,13 +381,7 @@ def minhash_near_dups(docs_ds, docs_table=None, threshold: float = 0.7,
                                                batch_format="pyarrow")
 
 
-def _mix_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Hash-mix ids into shuffle buckets (ids may be sequential — a
-    plain modulo would range-partition poorly)."""
-    with np.errstate(over="ignore"):
-        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+
 
 
 # ---------------------------------------------------------------------------
@@ -412,13 +406,32 @@ def simhash64(texts: list) -> np.ndarray:
     hs = np.fromiter((_word_hash(w) for ws in word_lists for w in ws),
                      dtype=np.uint64, count=total)
     bitpos = np.arange(64, dtype=np.uint64)
-    ones = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    ne = counts > 0
-    seg_ones = np.add.reduceat(ones, starts[ne], axis=0)
+    ends = starts + counts
+    ne_idx = np.flatnonzero(counts > 0)
+    # chunk the (words × 64) bit-unpack over document groups so peak
+    # memory stays ~CHUNK_WORDS × 64 × 4 B (≈64 MB), not
+    # total_batch_words × 64 × 4
+    CHUNK_WORDS = 1 << 18
+    seg_ones = np.empty((len(ne_idx), 64), dtype=np.int64)
+    d0 = 0
+    while d0 < len(ne_idx):
+        d1 = d0
+        words = 0
+        while d1 < len(ne_idx) and (d1 == d0
+                                    or words + counts[ne_idx[d1]]
+                                    <= CHUNK_WORDS):
+            words += counts[ne_idx[d1]]
+            d1 += 1
+        w0 = starts[ne_idx[d0]]
+        ones = ((hs[w0:ends[ne_idx[d1 - 1]], None] >> bitpos[None, :])
+                & np.uint64(1)).astype(np.int32)
+        seg_ones[d0:d1] = np.add.reduceat(ones, starts[ne_idx[d0:d1]] - w0,
+                                          axis=0)
+        d0 = d1
     # bit set when strictly more 1-votes than 0-votes: sum(2b-1) > 0
-    votes_pos = (2 * seg_ones) > counts[ne, None]
-    out[ne] = (votes_pos.astype(np.uint64) << bitpos[None, :]) \
+    votes_pos = (2 * seg_ones) > counts[ne_idx, None]
+    out[ne_idx] = (votes_pos.astype(np.uint64) << bitpos[None, :]) \
         .sum(axis=1, dtype=np.uint64)
     return out
 
@@ -455,11 +468,10 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 
     def add_bucket(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
-            h = (b["key"].to_numpy().astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)
-                 + b["band"].to_numpy().astype(np.uint64))
+            key = (b["key"].to_numpy().astype(np.uint64)
+                   + b["band"].to_numpy().astype(np.uint64))
         return b.append_column("bkt", pa.array(
-            (h % np.uint64(256)).astype(np.int64), pa.int64()))
+            _mix_bucket(key, 256), pa.int64()))
 
     def pairs(g: pa.Table) -> pa.Table:
         cand = bucket_pairs_from_runs(g, ["band", "key"], "doc_id",

@@ -30,7 +30,6 @@ import gzip
 import json
 import os
 import sqlite3
-import struct
 
 import numpy as np
 import pyarrow as pa

@@ -11,9 +11,10 @@ group). All outputs are integers so the DuckDB oracles match exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .common import mix_bucket
 
 US_PER_HOUR = 3_600_000_000
 
@@ -57,11 +58,8 @@ def session_windows(events_ds, gap_us: int = US_PER_HOUR,
 
     def bucket(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            h = uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            h ^= h >> np.uint64(29)
         return b.append_column("bkt", pa.array(
-            (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()))
+            mix_bucket(uid, num_buckets), pa.int64()))
 
     def sessions_bucket(g: pa.Table) -> pa.Table:
         n = g.num_rows
