@@ -97,6 +97,23 @@ def dissolve_ring(ring: np.ndarray) -> list:
     return [r for r in out if abs(_signed_area(r)) > 0]
 
 
+def _is_convex(ring: np.ndarray) -> bool:
+    """Vectorized convexity pre-filter: a convex ring cannot
+    self-intersect, so the O(n²) crossing test is skipped for the
+    overwhelmingly common simple quads/boxes the clipper emits.
+    Collinear runs (zero cross) are tolerated — they cannot introduce a
+    crossing either way."""
+    p = ring[:-1] if len(ring) and (ring[0] == ring[-1]).all() else ring
+    n = len(p)
+    if n < 4:
+        return True
+    e = np.diff(np.vstack([p, p[:1]]), axis=0)
+    z = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+    zw = e[-1, 0] * e[0, 1] - e[-1, 1] * e[0, 0]
+    return bool((z >= 0).all() and zw >= 0) or bool((z <= 0).all()
+                                                    and zw <= 0)
+
+
 def repair_ring(ring: np.ndarray, self_intersects) -> list:
     """The repair ladder for ONE ring: if it self-intersects, dissolve;
     accept the dissolved set iff its total area preserves ≥50% of the
@@ -104,7 +121,7 @@ def repair_ring(ring: np.ndarray, self_intersects) -> list:
     ring unchanged (never drop). ``self_intersects`` is the caller's
     crossing test (size-capped in the encoder)."""
     r = np.asarray(ring, dtype=np.float64)
-    if not self_intersects(r):
+    if _is_convex(r) or not self_intersects(r):
         return [r]
     parts = dissolve_ring(r)
     if not parts:
