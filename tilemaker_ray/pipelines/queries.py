@@ -447,8 +447,14 @@ def q_assemble_ways_join(sf_dir: str):
 
 def q_used_nodes(sf_dir: str):
     """J6 semi-join key set: distinct node ids referenced by any way."""
+    import ray.data as rd
+
     from ..stages.assembly import used_nodes
-    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    # right-size read blocks: the distinct shuffle pays per-block
+    # overhead; 64 slim blocks of a small table cost ~1.5x the wall
+    # time of 8 (full-scale blocks are size-bound, not count-bound)
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey"], override_num_blocks=8)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node_id": batch["l_partkey"]})
@@ -476,6 +482,31 @@ def q_sigfilter_docs(sf_dir: str):
 SQ_HALF = 0.011  # half-width of the probe squares (off-lattice boundary)
 
 
+def _squares_wkb_array(lon: np.ndarray, lat: np.ndarray,
+                       half: float) -> pa.Array:
+    """N axis-aligned probe squares → Arrow binary column of polygon
+    WKBs, built from one flat uint8 buffer (93 bytes/square: header +
+    ring count + 5 closed-ring vertices) — no per-row bytes objects."""
+    n = len(lon)
+    buf = np.empty((n, 93), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(np.uint32(3).tobytes(), np.uint8)   # POLYGON
+    buf[:, 5:9] = np.frombuffer(np.uint32(1).tobytes(), np.uint8)   # 1 ring
+    buf[:, 9:13] = np.frombuffer(np.uint32(5).tobytes(), np.uint8)  # 5 pts
+    xs = np.stack([lon - half, lon + half, lon + half, lon - half,
+                   lon - half], axis=1)
+    ys = np.stack([lat - half, lat - half, lat + half, lat + half,
+                   lat - half], axis=1)
+    coords = np.empty((n, 5, 2))
+    coords[:, :, 0] = xs
+    coords[:, :, 1] = ys
+    buf[:, 13:] = coords.astype("<f8").view(np.uint8).reshape(n, 80)
+    offsets = np.arange(0, (n + 1) * 93, 93, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())])
+
+
 def q_covered_by_squares(sf_dir: str):
     """CoveredBy/FindCovering analog (J4, predicate covered_by): a
     small square around each event point must lie entirely within a
@@ -490,17 +521,10 @@ def q_covered_by_squares(sf_dir: str):
     def mksquares(batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
-        wkbs = [
-            _wkb.polygon_wkb(np.array(
-                [[lon[i] - SQ_HALF, lat[i] - SQ_HALF],
-                 [lon[i] + SQ_HALF, lat[i] - SQ_HALF],
-                 [lon[i] + SQ_HALF, lat[i] + SQ_HALF],
-                 [lon[i] - SQ_HALF, lat[i] + SQ_HALF],
-                 [lon[i] - SQ_HALF, lat[i] - SQ_HALF]]))
-            for i in range(batch.num_rows)]
         return (batch.append_column("kind", pa.array([3] * batch.num_rows,
                                                      pa.int8()))
-                     .append_column("geom_wkb", pa.array(wkbs, pa.binary())))
+                     .append_column("geom_wkb",
+                                    _squares_wkb_array(lon, lat, SQ_HALF)))
 
     ds = ds.map_batches(mksquares, batch_format="pyarrow")
     ds = ds.map_batches(make_pip_pairs_fn(poly_ref, predicate="covered_by"),
@@ -897,6 +921,73 @@ ORACLE_SQL = {
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
                length(text) AS n_chars
         FROM documents""",
+    "quality_docs": """
+        WITH w AS (
+          SELECT doc_id, text, string_split(text, ' ') AS ws
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_q,
+                 len(ws) AS n_words,
+                 CASE WHEN len(ws) = 0 THEN 0.0
+                      ELSE (length(text) - len(ws) + 1)
+                           / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+                 length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                   / CAST(greatest(1, length(text)) AS DOUBLE) AS punct_ratio,
+                 CASE WHEN len(ws) = 0 THEN 0.0
+                      ELSE len(list_filter(ws, x -> lower(x) IN
+                           ('the','and','of','to','a','in','is','it',
+                            'you','that')))
+                           / CAST(len(ws) AS DOUBLE) END AS stop_ratio,
+                 length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   / CAST(greatest(1, length(text)) AS DOUBLE) AS digit_ratio
+          FROM w)
+        SELECT doc_id, n_chars_q, n_words, mean_word_len, punct_ratio,
+               stop_ratio, digit_ratio,
+               (n_words >= 5 AND mean_word_len > 2.0
+                AND mean_word_len < 12.0 AND punct_ratio < 0.2
+                AND digit_ratio < 0.3) AS quality_keep
+        FROM m""",
+    "subword_count_docs": """
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1
+                 AS n_ws_tokens,
+               len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]'))
+                 AS n_subword_est
+        FROM documents""",
+    "langid_docs": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_slice(string_split(lower(text), ' '), 1, 64) AS ws
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            len(list_filter(ws, x -> x IN ('the','and','of','to','a','in',
+              'is','it','you','that'))) / CAST(len(ws) AS DOUBLE) AS s_en,
+            len(list_filter(ws, x -> x IN ('der','die','das','und','ist',
+              'ich','nicht','ein','zu','mit'))) / CAST(len(ws) AS DOUBLE)
+              AS s_de,
+            len(list_filter(ws, x -> x IN ('le','la','les','et','est','un',
+              'une','je','pas','que'))) / CAST(len(ws) AS DOUBLE) AS s_fr,
+            len(list_filter(ws, x -> x IN ('el','la','los','y','es','un',
+              'una','no','que','de'))) / CAST(len(ws) AS DOUBLE) AS s_es,
+            len(list_filter(ws, x -> x IN ('o','a','os','e','um','uma',
+              'que','de','para','com'))) / CAST(len(ws) AS DOUBLE) AS s_pt,
+            len(list_filter(ws, x -> x IN ('и','в','не','на','что','я','с',
+              'это','как','но'))) / CAST(len(ws) AS DOUBLE) AS s_ru
+          FROM w)
+        SELECT doc_id,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_pt,s_ru) <= 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                    AND s_en >= s_pt AND s_en >= s_ru THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_pt
+                    AND s_de >= s_ru THEN 'de'
+               WHEN s_fr >= s_es AND s_fr >= s_pt AND s_fr >= s_ru THEN 'fr'
+               WHEN s_es >= s_pt AND s_es >= s_ru THEN 'es'
+               WHEN s_pt >= s_ru THEN 'pt'
+               ELSE 'ru' END AS lang_pred,
+          greatest(s_en, s_de, s_fr, s_es, s_pt, s_ru) AS lang_score
+        FROM s""",
     "lang_stats_docs": """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

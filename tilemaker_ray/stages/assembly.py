@@ -115,9 +115,18 @@ def _reduce_ways_bucket(g: pa.Table) -> pa.Table:
 
 def used_nodes(members_ds):
     """J6: the semi-join key set — distinct node ids referenced by any
-    way (what the reference's pre-scan marks in its bitsets)."""
-    return members_ds.select_columns(["node_id"]).groupby("node_id").count() \
-        .select_columns(["node_id"])
+    way (what the reference's pre-scan marks in its bitsets).
+    Partial-distinct inside map_batches first (ways reference the same
+    nodes heavily), so the distinct shuffle moves only each block's
+    unique keys — the combiner pattern the 100-TB brief demands."""
+
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        u = np.unique(b["node_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"node_id": pa.array(u, pa.int64())})
+
+    return (members_ds.select_columns(["node_id"])
+            .map_batches(partial_distinct, batch_format="pyarrow")
+            .groupby("node_id").count().select_columns(["node_id"]))
 
 
 def stitch_rings(segments: list) -> list:

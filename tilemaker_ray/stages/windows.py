@@ -27,6 +27,12 @@ def sliding_window_counts(events_ds, size_us: int = US_PER_HOUR,
     n_wins = size_us // step_us
 
     def explode(batch: pa.Table) -> pa.Table:
+        # NOTE on the combiner pattern: pre-aggregating (user, window)
+        # partial counts inside the batch was measured and NOT adopted —
+        # events per (user, window) per block are ~1-2, so the partial
+        # dedup shrinks nothing while the Sum aggregate path is slower
+        # than the optimized count(); the shuffle already moves only two
+        # slim int64 columns.
         us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         base = us // step_us
