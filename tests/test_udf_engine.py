@@ -185,3 +185,64 @@ def test_relation_iterator_udf_api(ray_session):
     assert out["url"].to_pylist() == ["custom-id-42"]  # ModifyId applied
     attrs = json.loads(out["attrs_json"][0].as_py())
     assert attrs == {"region": "EMEA", "tag": "yes"}
+
+
+def test_geometry_udf_parity_methods():
+    """IsClosed / IsMultiPolygon / AreaIntersecting / Centroid on the
+    UDF surface (reference osm_lua_processing.cpp:441-513)."""
+    import numpy as np
+    import pytest
+
+    from tilemaker_ray.udf import UDFExtractor
+
+    poly_layer = pa.table({
+        "layer": pa.array(["admin"], pa.string()),
+        "name": pa.array(["zone"], pa.string()),
+        "class": pa.array([""], pa.string()),
+        "minzoom": pa.array([0], pa.int8()),
+        "geom_wkb": pa.array([__import__(
+            "tilemaker_ray.geo.wkb", fromlist=["polygon_wkb"]).polygon_wkb(
+            np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                      [0.0, 0.0]]))], pa.binary()),
+    })
+    seen = {}
+
+    def page_function(page):
+        seen["closed"] = page.IsClosed()
+        seen["multi"] = page.IsMultiPolygon()
+        seen["centroid"] = page.Centroid(algorithm="centroid")
+        seen["area"] = page.Area()
+        seen["inter"] = page.AreaIntersecting("admin")
+
+    ex = UDFExtractor(page_function, polygon_layers=poly_layer)
+    # footprint square [0.2,0.6]^2: half of it (lon<... no: fully inside)
+    html = b'<meta name="geo.footprint" content="0.2,0.2 0.2,0.6 0.6,0.6 0.6,0.2">'
+    batch = pa.table({"url": pa.array(["u://x"], pa.string()),
+                      "lang": pa.array([""], pa.string()),
+                      "html": pa.array([html], pa.binary()),
+                      "text": pa.array([""], pa.string())})
+    ex(batch)
+    assert seen["closed"] is True and seen["multi"] is False
+    lat, lon = seen["centroid"]
+    assert lat == pytest.approx(0.4) and lon == pytest.approx(0.4)
+    # footprint fully inside the layer polygon → intersecting == Area
+    assert seen["inter"] == pytest.approx(seen["area"], rel=1e-9)
+    assert seen["area"] > 0
+
+    # half-overlapping footprint: [0.8,1.2]x[0.2,0.6] → fraction 0.5
+    html2 = b'<meta name="geo.footprint" content="0.2,0.8 0.2,1.2 0.6,1.2 0.6,0.8">'
+    batch2 = pa.table({"url": pa.array(["u://y"], pa.string()),
+                       "lang": pa.array([""], pa.string()),
+                       "html": pa.array([html2], pa.binary()),
+                       "text": pa.array([""], pa.string())})
+    ex(batch2)
+    assert seen["inter"] == pytest.approx(0.5 * seen["area"], rel=1e-6)
+
+    # open track: not closed
+    html3 = b'<meta name="geo.track" content="0,0 1,1 2,2">'
+    batch3 = pa.table({"url": pa.array(["u://z"], pa.string()),
+                       "lang": pa.array([""], pa.string()),
+                       "html": pa.array([html3], pa.binary()),
+                       "text": pa.array([""], pa.string())})
+    ex(batch3)
+    assert seen["closed"] is False

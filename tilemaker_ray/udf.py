@@ -161,7 +161,66 @@ class PageContext:
     def FindCovering(self, layer: str) -> list:
         return self.FindIntersecting(layer)
 
-    # -- geometry helpers (Area/Length/Centroid) ----------------------------
+    # -- geometry helpers (Area/Length/Centroid/IsClosed/…) -----------------
+    def IsClosed(self) -> bool:
+        """True iff the page geometry is an area (footprint) or a track
+        whose endpoints coincide (reference IsClosed,
+        osm_lua_processing.cpp:505-508)."""
+        g = self._geom_of_page()
+        if g is None:
+            return False
+        if g[0] == _wkb.POLYGON:
+            return True
+        c = g[1]
+        return len(c) >= 3 and bool((c[0] == c[-1]).all())
+
+    def IsMultiPolygon(self) -> bool:
+        """Pages emit single polygons (one footprint meta per emission);
+        a multipolygon page geometry does not exist in this data model
+        (reference: way∧relation, osm_lua_processing.cpp:511-513)."""
+        return False
+
+    def AreaIntersecting(self, layer: str) -> float:
+        """Σ intersection area of the page's footprint with the layer's
+        polygons, in m² (reference intersectsArea,
+        osm_lua_processing.cpp:441-484): exact planar intersection
+        fraction (concave-safe Green's-theorem clipper) × the
+        footprint's spherical area."""
+        g = self._geom_of_page()
+        if g is None or g[0] != _wkb.POLYGON:
+            return 0.0
+        idx = self._indexes.get(layer)
+        if idx is None:
+            return 0.0
+        from .geo import clip as _clip
+        ring = g[1][0]
+        total = abs(_clip.ring_area(ring))
+        if total == 0:
+            return 0.0
+        x0, y0 = float(ring[:, 0].min()), float(ring[:, 1].min())
+        x1, y1 = float(ring[:, 0].max()), float(ring[:, 1].max())
+        frac = 0.0
+        for p in idx.bbox_candidates(x0, y0, x1, y1):
+            frac += _clip.polygon_intersection_area(g[1],
+                                                    idx.rings[int(p)]) / total
+        return min(1.0, frac) * self.Area()
+
+    def Centroid(self, algorithm: str = "polylabel"):
+        """(lat, lon) centroid of the page geometry — polylabel default
+        for areas like the reference (osm_lua_processing.cpp:865-943);
+        falls back to the first geo.position for point-only pages."""
+        g = self._geom_of_page()
+        if g is None:
+            return self.FirstPosition()
+        if g[0] == _wkb.POLYGON:
+            if algorithm == "polylabel":
+                cx, cy = _measures.polylabel(g[1])
+            else:
+                cx, cy = _measures.centroid_xy(g[1])
+        else:
+            cx, cy = float(g[1][:, 0].mean()), float(g[1][:, 1].mean())
+        return (cy, cx)
+
     def Area(self) -> float:
         g = self._geom_of_page()
         if g is None or g[0] != _wkb.POLYGON:
