@@ -153,3 +153,33 @@ def test_token_counts():
     out = textstats.token_count_fn(t)
     assert out["n_ws_tokens"].to_pylist() == [4]
     assert out["n_subword_est"].to_pylist()[0] >= 4
+
+
+def test_minhash_dedup_keep_matches_union_find(docs_ds):
+    """The anti-join keep-min rule must equal classic union-find
+    keep-one-per-component over the CONFIRMED pair set."""
+    t = corpus()
+    got_pairs = dedup.minhash_near_dups(docs_ds, threshold=0.7).to_pandas()
+    pairs = list(zip(got_pairs["doc_a"], got_pairs["doc_b"]))
+    # union-find over the pairs the pipeline itself confirmed
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = t["doc_id"].to_pylist()
+    expect = {i for i in all_ids if find(i) == i}
+    got = set(dedup.minhash_dedup_keep(docs_ds, threshold=0.7)
+              .to_pandas()["doc_id"])
+    assert got == expect
+    # sanity: every planted exact dup (2000+i) was dropped
+    for i in range(4):
+        assert 2000 + i not in got and i in got

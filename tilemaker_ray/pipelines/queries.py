@@ -372,6 +372,74 @@ def q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(ds, dim=dim, threshold=0.9)
 
 
+def q_minhash_dedup_keep(sf_dir: str):
+    """Near-dup REMOVAL (keep smallest doc per duplicate component) —
+    the distributed anti-join end-game over the MinHash-LSH pairs
+    (rows-only: LSH not SQL-expressible; pytest brute-force oracle in
+    tests/test_dedup.py)."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_dedup_keep
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"], override_num_blocks=8)
+    return minhash_dedup_keep(ds, threshold=0.7)
+
+
+def q_word_count_topk(sf_dir: str, k: int = 100):
+    """Corpus word frequencies, combiner-first: per-batch partial
+    counts (np.unique) so the shuffle moves (word, partial) rows, then
+    one groupby-sum and a top-k sort. The canonical pre-aggregation
+    pattern the 100-TB brief demands for global counts."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        words = np.asarray([w for t in texts for w in t.split()])
+        if len(words) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64())})
+        u, c = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(u, pa.string()),
+                         "part": pa.array(c, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("part", alias_name="n")))
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_n", pa.array(-batch["n"].to_numpy(), pa.int64()))
+
+    return (agg.map_batches(neg, batch_format="pyarrow")
+            .sort(["neg_n", "word"]).limit(k)
+            .select_columns(["word", "n"]))
+
+
+SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
+                "ru": 200}
+SAMPLE_DEFAULT = 100
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling by language: keep a doc iff
+    (doc_id * 2654435761) mod 1000 < rate[lang] — hash-derived, so the
+    sample is reproducible across runs/cluster sizes and the SQL oracle
+    can replicate it exactly (the training-data downsampling pattern:
+    per-stratum rates without a shuffle — pure map_batches filter)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def samp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        h = (ids.astype(np.int64) * 2654435761) % 1000
+        rates = np.asarray([SAMPLE_RATES.get(l, SAMPLE_DEFAULT)
+                            for l in langs], dtype=np.int64)
+        keep = h < rates
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
 def q_langid_docs(sf_dir: str):
     from ..stages.textstats import make_langid_fn
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -921,6 +989,18 @@ ORACLE_SQL = {
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
                length(text) AS n_chars
         FROM documents""",
+    "word_count_topk": """
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 1000 <
+              CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 400
+                        WHEN 'fr' THEN 300 WHEN 'es' THEN 300
+                        WHEN 'pt' THEN 200 WHEN 'ru' THEN 200
+                        ELSE 100 END""",
     "quality_docs": """
         WITH w AS (
           SELECT doc_id, text, string_split(text, ' ') AS ws
@@ -1176,6 +1256,9 @@ QUERIES = {
     "covered_by_squares": q_covered_by_squares,
     "area_concave_events": q_area_concave_events,
     "relation_udf_tag": q_relation_udf_tag,
+    "minhash_dedup_keep": q_minhash_dedup_keep,
+    "word_count_topk": q_word_count_topk,
+    "stratified_sample": q_stratified_sample,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,

@@ -28,6 +28,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .common import mix_bucket as _mix_bucket
 
@@ -581,3 +582,136 @@ def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.9,
                                      "vec_b": pa.array([], pa.int64()),
                                      "cos": pa.array([], pa.float64())}))
     return out.union(anchor)
+
+
+def connected_components_min_label(pairs_ds, num_buckets: int = 64,
+                                   max_iters: int = 32):
+    """Distributed connected components over an edge Dataset
+    (doc_a, doc_b) → Dataset (doc_id, comp) where comp is the
+    component's minimum id — min-label propagation iterated to a
+    fixpoint. Each round is two bucketed sort-exchanges (the repo's
+    union-groupby lookup pattern; no hash joins, so empty shuffle
+    partitions cannot produce schema-less blocks): edge rows pick up
+    their source label, then labels regroup by target with a min.
+    Labels only decrease, so the label SUM is a monotone convergence
+    witness. Rounds needed = component diameter (tiny for near-dup
+    clusters); runs only over the PAIR-derived node set (≈ the
+    duplicates), never the corpus."""
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, bb])
+        v = np.concatenate([bb, a])
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "kbkt": pa.array(_mix_bucket(u, num_buckets),
+                                          pa.int64())})
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "lbl": pa.array(np.minimum(u, v), pa.int64())})
+
+    from ray.data.aggregate import Min
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+              .materialize())
+    prev_sum = labels.sum("lbl")
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(node, pa.int64()),
+            "v": pa.array(np.full(len(node), -1), pa.int64()),  # self row
+            "lbl": b["lbl"],
+            "kbkt": pa.array(_mix_bucket(node, num_buckets), pa.int64())})
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["u"], "v": b["v"],
+                         "lbl": pa.nulls(b.num_rows, pa.int64()),
+                         "kbkt": b["kbkt"]})
+
+    def resolve(g: pa.Table) -> pa.Table:
+        """edge rows pick up lbl(u); label rows re-emit themselves."""
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        lbl_col = g["lbl"].combine_chunks()
+        is_lbl = np.asarray(lbl_col.is_valid())
+        lut = {int(u[i]): lbl_col[i].as_py()
+               for i in np.flatnonzero(is_lbl)}
+        ei = np.flatnonzero(~is_lbl)
+        out_n = np.concatenate([u[is_lbl], v[ei]])
+        out_l = np.concatenate([
+            np.asarray([lut[int(x)] for x in u[is_lbl]], dtype=np.int64),
+            np.asarray([lut[int(x)] for x in u[ei]], dtype=np.int64)])
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "lbl": pa.array(out_l, pa.int64())})
+
+    for _ in range(max_iters):
+        lab_r = labels.map_batches(label_rows, batch_format="pyarrow")
+        edge_r = edges.map_batches(edge_rows, batch_format="pyarrow")
+        labels = (lab_r.union(edge_r).groupby("kbkt")
+                  .map_groups(resolve, batch_format="pyarrow")
+                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns({"node": "doc_id", "lbl": "comp"})
+
+
+def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
+                       n_bands=16, shingle_k=5, num_partitions: int = 8):
+    """The dedup END-GAME: documents minus near-duplicates, keeping
+    exactly one representative (the component-minimum doc_id) per
+    duplicate component — all distributed: confirmed LSH pairs →
+    distributed connected components (min-label propagation over the
+    pair-derived node set only) → drop every node whose component
+    label is not itself → ``left_anti`` join back against the corpus."""
+    pairs = minhash_near_dups(docs_ds, threshold=threshold, n_perm=n_perm,
+                              n_bands=n_bands, shingle_k=shingle_k)
+    comp = connected_components_min_label(pairs)
+
+    def only_dups(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids != b["comp"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    dups = comp.map_batches(only_dups, batch_format="pyarrow")
+
+    # anti-join as a bucketed union-groupby (schema-stable under empty
+    # shuffle partitions, where the Acero-backed left_anti join chokes
+    # on zero-column blocks): docs tagged 0 ∪ dups tagged 1 → per-id
+    # max tag 0 survives
+    def tag(t):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup": pa.array(np.full(len(ids), t, np.int8), pa.int8()),
+                "kbkt": pa.array(_mix_bucket(ids, 256), pa.int64())})
+        return f
+
+    def keep_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        dup = g["dup"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, dup = ids[order], dup[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        mx = np.maximum.reduceat(dup, starts) if len(starts) else dup[:0]
+        keep = starts[mx == 0]
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    return (docs_ds.select_columns(["doc_id"])
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(dups.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("kbkt").map_groups(keep_group, batch_format="pyarrow"))
