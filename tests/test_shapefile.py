@@ -124,3 +124,27 @@ def test_dbf_deleted_record_keeps_alignment(tmp_path):
     t = shp.read_shapefile(base, "poi", index_name="NAME")
     assert t.num_rows == 3
     assert t["name"].to_pylist() == ["a", "", "c"]
+
+
+def test_attribute_function_hook(tmp_path):
+    """The reference's attribute_function remap UDF
+    (osm_lua_processing.cpp:355-370): user callable rewrites each
+    feature's attributes on load."""
+    base = str(tmp_path / "af")
+    shp.write_shapefile(base, [(shp.SHP_POINT, [np.array([[1.0, 2.0]])])],
+                        fields={"NAME": ["park"], "TYPE": ["leisure"]})
+
+    def attribute_function(attrs, layer):
+        attrs["class"] = attrs.pop("TYPE", "")
+        attrs["minzoom"] = 7
+        attrs["source_layer"] = layer
+        return attrs
+
+    t = shp.read_shapefile(base, "poi", index_name="NAME",
+                           columns=["TYPE"],
+                           attribute_function=attribute_function)
+    assert t["class"].to_pylist() == ["leisure"]
+    assert t["minzoom"].to_pylist() == [7]
+    assert t["source_layer"].to_pylist() == ["poi"]
+    assert "TYPE" not in t.column_names
+    assert t["name"].to_pylist() == ["park"]

@@ -177,7 +177,8 @@ def read_dbf(path: str, columns: list | None = None) -> pa.Table:
 
 def read_shapefile(base: str, layer: str, columns: list | None = None,
                    index_name: str | None = None, minzoom: int = 0,
-                   attr_remap: dict | None = None) -> pa.Table:
+                   attr_remap: dict | None = None,
+                   attribute_function=None) -> pa.Table:
     """``base`` without extension (or the .shp path). → the standard
     polygon-layer table (layer, name, class, minzoom, geom_wkb) plus one
     column per requested dbf attribute. ``index_name`` names the dbf
@@ -238,6 +239,32 @@ def read_shapefile(base: str, layer: str, columns: list | None = None,
             continue
         vals = attrs[c].take(pa.array(rec_idx))
         t = t.append_column((attr_remap or {}).get(c, c), vals)
+    if attribute_function is not None:
+        # the reference's Lua attribute_function hook
+        # (src/osm_lua_processing.cpp:355-370 via shp_processor): user
+        # callable (attrs: dict, layer: str) -> dict rewrites each
+        # feature's attribute row; returned keys become/replace columns
+        # (the 'class'/'minzoom' specials keep their typed columns)
+        rows = t.to_pylist()
+        rewritten = [attribute_function(dict(r), layer) for r in rows]
+        keys: list = []
+        for r in rewritten:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        cols = {}
+        for k in keys:
+            vals = [r.get(k) for r in rewritten]
+            if k == "minzoom":
+                cols[k] = pa.array([int(v or 0) for v in vals], pa.int8())
+            elif k == "geom_wkb":
+                cols[k] = pa.array(vals, pa.binary())
+            else:
+                typ = t.schema.field(k).type if k in t.column_names \
+                    else None
+                cols[k] = pa.array(vals, typ) if typ is not None \
+                    else pa.array(vals)
+        t = pa.table(cols)
     return t
 
 
