@@ -76,3 +76,24 @@ def test_self_intersecting_footprint_renders():
         xx, yy = r[:, 0].astype(float), r[:, 1].astype(float)
         tot = 0.5 * (np.dot(xx[:-1], yy[1:]) - np.dot(xx[1:], yy[:-1]))
         assert abs(tot) > 0
+
+
+def test_pentagram_not_convex_and_repairs():
+    """Review finding: winding-2 rings (pentagram) have uniformly
+    signed turns but are NOT convex — they must still dissolve."""
+    k = np.arange(6) % 5
+    ang = np.pi / 2 + 4 * np.pi * k / 5
+    star = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    from tilemaker_ray.geo.dissolve import _is_convex
+    assert not _is_convex(star)
+    assert _ring_self_intersects(star)
+    parts = dissolve.repair_ring(star, _ring_self_intersects)
+    assert len(parts) > 1
+    for p in parts:
+        assert not _ring_self_intersects(p)
+    # genuine convex shapes still fast-path
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    assert _is_convex(sq)
+    hexg = np.array([[2, 0], [4, 1], [4, 3], [2, 4], [0, 3], [0, 1],
+                     [2, 0]], float)
+    assert _is_convex(hexg)

@@ -148,3 +148,28 @@ def test_attribute_function_hook(tmp_path):
     assert t["source_layer"].to_pylist() == ["poi"]
     assert "TYPE" not in t.column_names
     assert t["name"].to_pylist() == ["park"]
+
+
+def test_attribute_function_edge_cases(tmp_path):
+    """Review findings: empty layer keeps the standard schema; a hook
+    that mutates in place and returns None still applies."""
+    base = str(tmp_path / "empty")
+    shp.write_shapefile(base, [], fields={})
+    t = shp.read_shapefile(base, "poi",
+                           attribute_function=lambda a, l: a)
+    assert t.num_rows == 0
+    assert set(["layer", "name", "class", "minzoom", "geom_wkb"]) \
+        <= set(t.column_names)
+
+    base2 = str(tmp_path / "mut")
+    shp.write_shapefile(base2, [(shp.SHP_POINT, [np.array([[1.0, 2.0]])])],
+                        fields={"TYPE": ["x"]})
+
+    def mutating(attrs, layer):
+        attrs["class"] = attrs.pop("TYPE", "")
+        # returns None on purpose
+
+    t2 = shp.read_shapefile(base2, "poi", columns=["TYPE"],
+                            attribute_function=mutating)
+    assert t2["class"].to_pylist() == ["x"]
+    assert "TYPE" not in t2.column_names

@@ -102,7 +102,12 @@ def _is_convex(ring: np.ndarray) -> bool:
     self-intersect, so the O(n²) crossing test is skipped for the
     overwhelmingly common simple quads/boxes the clipper emits.
     Collinear runs (zero cross) are tolerated — they cannot introduce a
-    crossing either way."""
+    crossing either way.
+
+    Same-sign cross products alone are NOT sufficient (a pentagram
+    winds twice with uniformly-signed turns); true convex traversal
+    additionally changes x- and y-direction at most twice around the
+    cycle, which a winding>1 ring cannot satisfy."""
     p = ring[:-1] if len(ring) and (ring[0] == ring[-1]).all() else ring
     n = len(p)
     if n < 4:
@@ -110,8 +115,15 @@ def _is_convex(ring: np.ndarray) -> bool:
     e = np.diff(np.vstack([p, p[:1]]), axis=0)
     z = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
     zw = e[-1, 0] * e[0, 1] - e[-1, 1] * e[0, 0]
-    return bool((z >= 0).all() and zw >= 0) or bool((z <= 0).all()
-                                                    and zw <= 0)
+    if not (bool((z >= 0).all() and zw >= 0)
+            or bool((z <= 0).all() and zw <= 0)):
+        return False
+    for axis in (0, 1):
+        s = np.sign(e[:, axis])
+        s = s[s != 0]
+        if len(s) and int((s != np.roll(s, 1)).sum()) > 2:
+            return False
+    return True
 
 
 def repair_ring(ring: np.ndarray, self_intersects) -> list:

@@ -395,7 +395,10 @@ def q_word_count_topk(sf_dir: str, k: int = 100):
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        words = np.asarray([w for t in texts for w in t.split()])
+        # split on single spaces (not any-whitespace) so tokenization
+        # matches the oracle's string_split(text, ' ') exactly even on
+        # corpora with doubled spaces or newlines
+        words = np.asarray([w for t in texts for w in t.split(" ")])
         if len(words) == 0:
             return pa.table({"word": pa.array([], pa.string()),
                              "part": pa.array([], pa.int64())})
@@ -403,16 +406,9 @@ def q_word_count_topk(sf_dir: str, k: int = 100):
         return pa.table({"word": pa.array(u, pa.string()),
                          "part": pa.array(c, pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("word").aggregate(Sum("part", alias_name="n")))
-
-    def neg(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "neg_n", pa.array(-batch["n"].to_numpy(), pa.int64()))
-
-    return (agg.map_batches(neg, batch_format="pyarrow")
-            .sort(["neg_n", "word"]).limit(k)
-            .select_columns(["word", "n"]))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("part", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False]).limit(k))
 
 
 SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
@@ -431,7 +427,11 @@ def q_stratified_sample(sf_dir: str):
     def samp(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         langs = batch["lang"].to_pylist()
-        h = (ids.astype(np.int64) * 2654435761) % 1000
+        # uint64 wrap-around product: defined at any doc_id scale and
+        # mirrored exactly by the oracle's HUGEINT mod-2^64 arithmetic
+        with np.errstate(over="ignore"):
+            h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                 % np.uint64(1000)).astype(np.int64)
         rates = np.asarray([SAMPLE_RATES.get(l, SAMPLE_DEFAULT)
                             for l in langs], dtype=np.int64)
         keep = h < rates
@@ -996,7 +996,8 @@ ORACLE_SQL = {
         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
     "stratified_sample": """
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * 2654435761) % 1000 <
+        WHERE ((CAST(doc_id AS HUGEINT) * 2654435761)
+               % 18446744073709551616) % 1000 <
               CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 400
                         WHEN 'fr' THEN 300 WHEN 'es' THEN 300
                         WHEN 'pt' THEN 200 WHEN 'ru' THEN 200

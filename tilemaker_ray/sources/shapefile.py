@@ -244,10 +244,19 @@ def read_shapefile(base: str, layer: str, columns: list | None = None,
         # (src/osm_lua_processing.cpp:355-370 via shp_processor): user
         # callable (attrs: dict, layer: str) -> dict rewrites each
         # feature's attribute row; returned keys become/replace columns
-        # (the 'class'/'minzoom' specials keep their typed columns)
+        # (the 'class'/'minzoom' specials keep their typed columns).
+        # A callable that mutates in place and returns None keeps its
+        # (mutated) input row — the usual Python-hook idiom.
         rows = t.to_pylist()
-        rewritten = [attribute_function(dict(r), layer) for r in rows]
-        keys: list = []
+        rewritten = []
+        for r in rows:
+            rr = dict(r)
+            out_r = attribute_function(rr, layer)
+            rewritten.append(rr if out_r is None else out_r)
+        # with no rows, keep the standard schema (downstream index
+        # builds select geom_wkb/layer); with rows, the rewritten keys
+        # define the columns (a popped key genuinely disappears)
+        keys: list = [] if rewritten else list(t.column_names)
         for r in rewritten:
             for k in r:
                 if k not in keys:

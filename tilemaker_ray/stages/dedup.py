@@ -667,7 +667,7 @@ def connected_components_min_label(pairs_ds, num_buckets: int = 64,
 
 
 def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
-                       n_bands=16, shingle_k=5, num_partitions: int = 8):
+                       n_bands=16, shingle_k=5, num_buckets: int = 256):
     """The dedup END-GAME: documents minus near-duplicates, keeping
     exactly one representative (the component-minimum doc_id) per
     duplicate component — all distributed: confirmed LSH pairs →
@@ -695,7 +695,8 @@ def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
             return pa.table({
                 "doc_id": pa.array(ids, pa.int64()),
                 "dup": pa.array(np.full(len(ids), t, np.int8), pa.int8()),
-                "kbkt": pa.array(_mix_bucket(ids, 256), pa.int64())})
+                "kbkt": pa.array(_mix_bucket(ids, num_buckets),
+                                 pa.int64())})
         return f
 
     def keep_group(g: pa.Table) -> pa.Table:
