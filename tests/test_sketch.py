@@ -1,0 +1,40 @@
+"""Exact distributed quantiles vs numpy order statistics, including
+skewed distributions and duplicate-heavy columns."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def brute_disc(vals, p):
+    """DuckDB quantile_disc: k-th smallest, k = max(1, ceil(p*n))."""
+    s = np.sort(vals)
+    k = max(1, int(np.ceil(p * len(s))))
+    return float(s[k - 1])
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "dupes"])
+def test_exact_quantiles(ray_session, dist):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import exact_quantiles
+    rng = np.random.RandomState(11)
+    if dist == "uniform":
+        v = rng.uniform(0, 100, 20000)
+    elif dist == "lognormal":
+        v = rng.lognormal(0, 2, 20000)  # heavy skew → hot bins
+    else:
+        v = rng.choice([1.0, 2.0, 2.0, 3.0, 50.0], 20000)
+    ds = rd.from_arrow(pa.table({"value": pa.array(v, pa.float64())})) \
+        .repartition(8)
+    ps = [0.0, 0.01, 0.5, 0.9, 0.999, 1.0]
+    out = exact_quantiles(ds, "value", ps).to_pandas()
+    for p, got in zip(out["p"], out["value"]):
+        assert got == brute_disc(v, p), (dist, p)
+
+
+def test_exact_quantiles_empty(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import exact_quantiles
+    ds = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    out = exact_quantiles(ds, "value", [0.5])
+    assert out.num_rows == 0

@@ -416,6 +416,15 @@ SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
 SAMPLE_DEFAULT = 100
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles of events.value via mergeable
+    histogram sketches + one candidate-bin gather (stages/sketch.py);
+    matches DuckDB quantile_disc bit-exactly."""
+    from ..stages.sketch import exact_quantiles
+    ds = _read(sf_dir, "events", columns=["value"])
+    return exact_quantiles(ds, "value", [0.01, 0.25, 0.5, 0.9, 0.99])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling by language: keep a doc iff
     (doc_id * 2654435761) mod 1000 < rate[lang] — hash-derived, so the
@@ -994,6 +1003,17 @@ ORACLE_SQL = {
         FROM (SELECT unnest(string_split(text, ' ')) AS word
               FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "value_quantiles": """
+        SELECT p, value FROM (
+          SELECT 0.01 AS p, quantile_disc(value, 0.01) AS value FROM events
+          UNION ALL
+          SELECT 0.25, quantile_disc(value, 0.25) FROM events
+          UNION ALL
+          SELECT 0.5, quantile_disc(value, 0.5) FROM events
+          UNION ALL
+          SELECT 0.9, quantile_disc(value, 0.9) FROM events
+          UNION ALL
+          SELECT 0.99, quantile_disc(value, 0.99) FROM events)""",
     "stratified_sample": """
         SELECT doc_id, lang FROM documents
         WHERE ((CAST(doc_id AS HUGEINT) * 2654435761)
@@ -1260,6 +1280,7 @@ QUERIES = {
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "word_count_topk": q_word_count_topk,
     "stratified_sample": q_stratified_sample,
+    "value_quantiles": q_value_quantiles,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,

@@ -1,0 +1,74 @@
+"""Mergeable-sketch aggregations: exact distributed quantiles.
+
+No reference analog (tilemaker's aggregations are geometric); this is
+the classic two-pass exact-quantile pattern a data engine needs at
+scale: (1) one streaming pass builds per-block HISTOGRAM sketches
+(fixed uniform bins over [min, max]) that merge by addition — the
+driver merges kilobytes, never rows; (2) the target ranks map to bins,
+and a single filtered pass gathers only the candidate bins' values
+(≈ n/NB rows) for the exact order statistic. Matches DuckDB's
+``quantile_disc`` exactly: k-th smallest with k = max(1, ceil(p·n)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+NB = 4096
+
+
+def exact_quantiles(ds, col: str, ps: list) -> pa.Table:
+    """→ pa.Table (p, value) of exact discrete quantiles of ``ds[col]``
+    (float column). Two distributed passes + O(NB + candidates) driver
+    work."""
+    from ray.data.aggregate import Count, Max, Min
+    stats = ds.aggregate(Count(col, alias_name="n"),
+                         Min(col, alias_name="mn"),
+                         Max(col, alias_name="mx"))
+    n = int(stats["n"])
+    if n == 0:
+        return pa.table({"p": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    width = (mx - mn) / NB if mx > mn else 1.0
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - mn) / width).astype(np.int64), 0, NB - 1)
+        return pa.table({"counts": pa.array(
+            [np.bincount(b, minlength=NB).tolist()],
+            pa.list_(pa.int64()))})
+
+    counts = np.zeros(NB, dtype=np.int64)
+    for b in ds.map_batches(hist, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for row in b["counts"].to_pylist():
+            counts += np.asarray(row, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+
+    # target ranks (1-based k-th smallest) → bins
+    ks = [max(1, int(np.ceil(p * n))) for p in ps]
+    need_bins = sorted({int(np.searchsorted(cum, k, side="left")) - 1
+                        for k in ks})
+
+    def in_bins(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - mn) / width).astype(np.int64), 0, NB - 1)
+        keep = np.isin(b, need_bins)
+        return pa.table({col: pa.array(v[keep], pa.float64()),
+                         "bin": pa.array(b[keep], pa.int64())})
+
+    cand = pa.concat_tables(list(
+        ds.map_batches(in_bins, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    cv = cand[col].to_numpy(zero_copy_only=False)
+    cb = cand["bin"].to_numpy(zero_copy_only=False)
+    out_v = []
+    for p, k in zip(ps, ks):
+        bi = int(np.searchsorted(cum, k, side="left")) - 1
+        vals = np.sort(cv[cb == bi])
+        k_local = k - int(cum[bi])
+        out_v.append(float(vals[k_local - 1]))
+    return pa.table({"p": pa.array(ps, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
