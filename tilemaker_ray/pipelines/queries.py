@@ -306,8 +306,8 @@ def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
             self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in batch["embedding"].to_pylist()])
+            from ..stages.dedup import _emb_matrix
+            V = _emb_matrix(batch["embedding"], self.Qn.shape[1])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = self.Qn @ Vn.T                      # (nq, nb)
             ids = batch["vec_id"].to_numpy()
@@ -327,13 +327,34 @@ def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
                              batch_size=4096,
                              fn_constructor_args=(q_ref, k),
                              concurrency=(1, 4))
-    # final merge: tiny (n_batches × n_queries × k rows)
-    pdf = partial.to_pandas()
-    pdf = pdf.sort_values(["query_id", "sim", "neighbor_id"],
-                          ascending=[True, False, True], kind="stable")
-    out = pdf.groupby("query_id", as_index=False).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+    # distributed merge: bucketed per-query top-k reduce over the slim
+    # (n_batches × n_queries × k) partials — no driver materialization,
+    # so the merge scales with query count, not corpus block count
+    from ..stages.common import mix_bucket
+
+    def bucket(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("bkt", pa.array(mix_bucket(q, 64),
+                                               pa.int64()))
+
+    def topk_group(g: pa.Table) -> pa.Table:
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = g["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim, q))
+        q, nid = q[order], nid[order]
+        brk = np.ones(len(q), dtype=bool)
+        brk[1:] = q[1:] != q[:-1]
+        idx = np.arange(len(q))
+        rank = idx - np.maximum.accumulate(np.where(brk, idx, 0)) + 1
+        keep = rank <= k
+        return pa.table({"query_id": pa.array(q[keep], pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64()),
+                         "neighbor_id": pa.array(nid[keep], pa.int64())})
+
+    return (partial.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(topk_group, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
