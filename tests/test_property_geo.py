@@ -1,0 +1,133 @@
+"""Property-based checks over the pure-numpy geo kernels (hypothesis):
+round-trips and invariants that example tests cannot sweep."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tilemaker_ray.geo import clip, dissolve, tilemath as tm, wkb
+from tilemaker_ray.stages import mvt, pmtiles as P
+
+
+@given(st.integers(0, 14), st.data())
+@settings(max_examples=60, deadline=None)
+def test_pmtiles_tileid_roundtrip(z, data):
+    n = 1 << z
+    x = data.draw(st.integers(0, n - 1))
+    y = data.draw(st.integers(0, n - 1))
+    tid = int(P.zxy_to_tileid(z, x, y))
+    assert P.tileid_to_zxy(tid) == (z, x, y)
+    # id is within the zoom's range
+    lo = (4 ** z - 1) // 3
+    assert lo <= tid < lo + n * n
+
+
+@given(st.integers(0, 14), st.data())
+@settings(max_examples=60, deadline=None)
+def test_morton_tileid_roundtrip_and_parent(z, data):
+    n = 1 << z
+    x = np.asarray([data.draw(st.integers(0, n - 1))], dtype=np.int64)
+    y = np.asarray([data.draw(st.integers(0, n - 1))], dtype=np.int64)
+    tid = tm.tile_id(z, x, y)
+    zz, xx, yy = tm.tile_id_decode(tid)
+    assert (zz[0], xx[0], yy[0]) == (z, int(x[0]), int(y[0]))
+    if z > 0:
+        p = tm.tile_id_parent(tid)
+        pz, px, py = tm.tile_id_decode(p)
+        assert (pz[0], px[0], py[0]) == (z - 1, int(x[0]) // 2,
+                                         int(y[0]) // 2)
+
+
+@given(st.lists(st.tuples(st.floats(-170, 170), st.floats(-80, 80)),
+                min_size=4, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_dissolve_parts_are_simple(pts):
+    ring = np.asarray(pts + pts[:1], dtype=np.float64)
+    from tilemaker_ray.stages.tile_encode import _ring_self_intersects
+    parts = dissolve.dissolve_ring(ring)
+    for p in parts:
+        assert not _ring_self_intersects(p), (ring.tolist(), p.tolist())
+    # dissolved area never below the net shoelace area (lobes add up)
+    if parts:
+        net = abs(dissolve._signed_area(ring))
+        total = sum(abs(dissolve._signed_area(p)) for p in parts)
+        assert total >= net - 1e-6 * max(1.0, net)
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=3, max_size=10),
+       st.floats(-50, 0), st.floats(-50, 0), st.floats(1, 50),
+       st.floats(1, 50))
+@settings(max_examples=60, deadline=None)
+def test_clip_ring_stays_in_box(pts, xmin, ymin, w, h):
+    ring = np.asarray(pts + pts[:1], dtype=np.float64)
+    xmax, ymax = xmin + w, ymin + h
+    out = clip.clip_ring(ring, xmin, ymin, xmax, ymax)
+    if out is not None:
+        eps = 1e-9 * max(abs(xmin), abs(xmax), abs(ymin), abs(ymax), 1.0)
+        assert (out[:, 0] >= xmin - eps).all()
+        assert (out[:, 0] <= xmax + eps).all()
+        assert (out[:, 1] >= ymin - eps).all()
+        assert (out[:, 1] <= ymax + eps).all()
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_intersection_area_bounds_and_symmetry(data):
+    def ring(cx, cy):
+        k = data.draw(st.integers(5, 9))
+        ang = np.linspace(0, 2 * np.pi, k + 1)[:-1]
+        rad = np.asarray([data.draw(st.floats(0.5, 3.0)) for _ in range(k)])
+        r = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                     axis=1)
+        return np.vstack([r, r[:1]])
+
+    a = ring(0.0, 0.0)
+    b = ring(data.draw(st.floats(-2, 2)), data.draw(st.floats(-2, 2)))
+    ia = clip.polygon_intersection_area([a], [b])
+    ib = clip.polygon_intersection_area([b], [a])
+    assert abs(ia - ib) < 1e-6 * max(1.0, ia)
+    assert ia >= 0
+    assert ia <= abs(clip.ring_area(a)) + 1e-9
+    assert ia <= abs(clip.ring_area(b)) + 1e-9
+    # self-intersection is full area
+    aa = clip.polygon_intersection_area([a], [a])
+    assert abs(aa - abs(clip.ring_area(a))) < 1e-6 * max(1.0, aa)
+
+
+@given(st.lists(st.tuples(st.integers(0, 4096), st.integers(0, 4096)),
+                min_size=2, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_mvt_linestring_roundtrip(pts):
+    p = np.asarray(pts, dtype=np.int64)
+    keep = np.ones(len(p), dtype=bool)
+    keep[1:] = (np.diff(p, axis=0) != 0).any(axis=1)
+    p = p[keep]
+    if len(p) < 2:
+        return
+    cmds = mvt.geometry_commands([p], mvt.GEOM_LINESTRING)
+    parts = mvt.decode_geometry(cmds)
+    assert len(parts) == 1
+    assert np.array_equal(parts[0], p)
+
+
+@given(st.lists(st.tuples(st.floats(-179, 179), st.floats(-80, 80)),
+                min_size=2, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_antimeridian_split_preserves_vertices_in_range(pts):
+    from tilemaker_ray.geo import antimeridian as am
+    line = np.asarray(pts, dtype=np.float64)
+    parts = am.split_line(line)
+    for p in parts:
+        assert (np.abs(p[:, 0]) <= 180).all()
+        assert not am.crosses(p)
+    # total planar length preserved (splitting never adds/removes path)
+    def length(c):
+        if len(c) < 2:
+            return 0.0
+        d = np.diff(c, axis=0)
+        # unwrap for the original line's true path length
+        return float(np.hypot(d[:, 0], d[:, 1]).sum())
+    u = line.copy()
+    u[:, 0] = am.unwrap_lons(u[:, 0])
+    total = sum(length(p) for p in parts)
+    assert abs(total - length(u)) < 1e-6 * max(1.0, length(u))

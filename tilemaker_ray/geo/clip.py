@@ -31,7 +31,8 @@ def clip_ring(ring: np.ndarray, xmin: float, ymin: float, xmax: float,
         prev_pts = np.roll(pts, 1, axis=0)
         out = []
         denom = cur - prev_pts[:, axis]
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore",
+                         over="ignore"):
             t = np.where(denom == 0, 0.0, (bound - prev_pts[:, axis]) / denom)
         inter = prev_pts + t[:, None] * (pts - prev_pts)
         # vectorized emit: build per-vertex output (crossing point, vertex)
