@@ -82,7 +82,8 @@ def clip_linestring(coords: np.ndarray, xmin, ymin, xmax, ymax) -> list:
     for axis, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
         di = d[:, axis]
         pi = p0[:, axis]
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore",
+                         over="ignore"):
             tlo = np.where(di != 0, (lo - pi) / np.where(di == 0, 1, di), -np.inf)
             thi = np.where(di != 0, (hi - pi) / np.where(di == 0, 1, di), np.inf)
         tin = np.minimum(tlo, thi)

@@ -49,6 +49,26 @@ def _split_edges_at_crossings(p: np.ndarray) -> list:
                 pt = (float(a0[0] + t * d[0]), float(a0[1] + t * d[1]))
                 extra[i].append((t, pt))
                 extra[j].append((s, pt))
+    # T-junctions: a vertex lying in another edge's interior is a
+    # touch, not a proper crossing — split the edge there too, so the
+    # stack walk sees the repeated point and sheds the degenerate loop
+    scale = float(np.abs(p).max()) or 1.0
+    eps = 1e-12 * scale * scale
+    for i in range(n):
+        a0, a1 = p[i], p[(i + 1) % n]
+        d = a1 - a0
+        L2 = float(d[0] * d[0] + d[1] * d[1])
+        if L2 == 0:
+            continue
+        for j in range(n):
+            if j == i or j == (i + 1) % n:
+                continue
+            w = p[j] - a0
+            if abs(d[0] * w[1] - d[1] * w[0]) > eps:
+                continue
+            t = float(d[0] * w[0] + d[1] * w[1]) / L2
+            if 1e-12 < t < 1 - 1e-12:
+                extra[i].append((t, (float(p[j][0]), float(p[j][1]))))
     seq = []
     for i in range(n):
         seq.append((float(p[i][0]), float(p[i][1])))
