@@ -54,3 +54,29 @@ def test_engine_pmtiles_output_and_merge(tmp_path):
     res2 = job.submit(ep)
     assert res2["status"] == "SUCCEEDED", res2.get("stderr_tail")
     assert pmtiles.read_header(out)["n_addressed"] > 0
+
+
+def test_engine_process_udf_path(tmp_path):
+    """--process module:function end-to-end: the engine hosts the
+    example page UDF (the --process script.lua analog) and the output
+    tileset contains the UDF's layers."""
+    import gzip
+    import sqlite3
+
+    from tilemaker_ray.sources import pages
+    from tilemaker_ray.stages import mvt
+    src = pages.ensure_pages_parquet(400)
+    out = str(tmp_path / "udf.mbtiles")
+    ep = job.build_entrypoint(
+        src, out, process="tilemaker_ray.functions.examples:poi_function")
+    res = job.submit(ep)
+    assert res["status"] == "SUCCEEDED", res.get("stderr_tail")
+    con = sqlite3.connect(out)
+    rows = con.execute(
+        "SELECT tile_data FROM tiles ORDER BY zoom_level DESC LIMIT 40"
+    ).fetchall()
+    con.close()
+    layers = set()
+    for (blob,) in rows:
+        layers |= set(mvt.decode_tile(gzip.decompress(blob)).keys())
+    assert "poi" in layers, layers
