@@ -1260,7 +1260,7 @@ ORACLE_SQL["session_windows"] = """
     FROM s GROUP BY 1, 2"""
 
 ORACLE_SQL["revenue_by_nation"] = """
-    SELECT c.c_nationkey AS n_nationkey,
+    SELECT CAST(c.c_nationkey AS BIGINT) AS n_nationkey,
            CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT))
                 AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_orders
