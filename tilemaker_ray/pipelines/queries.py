@@ -437,6 +437,16 @@ SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
 SAMPLE_DEFAULT = 100
 
 
+def q_shuffled_export(sf_dir: str):
+    """Training-data export shuffle: seeded global ``random_shuffle``
+    (Ray's all-to-all permutation op) over the corpus. The driver's
+    value hash is order-insensitive, so the SQL oracle is the plain
+    multiset of rows — verifying the shuffle is a PERMUTATION (no
+    row lost or duplicated by the exchange)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.random_shuffle(seed=42)
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact distributed quantiles of events.value via mergeable
     histogram sketches + one candidate-bin gather (stages/sketch.py);
@@ -1024,6 +1034,8 @@ ORACLE_SQL = {
         FROM (SELECT unnest(string_split(text, ' ')) AS word
               FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "shuffled_export": """
+        SELECT doc_id, lang FROM documents""",
     "value_quantiles": """
         SELECT p, value FROM (
           SELECT 0.01 AS p, quantile_disc(value, 0.01) AS value FROM events
@@ -1302,6 +1314,7 @@ QUERIES = {
     "word_count_topk": q_word_count_topk,
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,
+    "shuffled_export": q_shuffled_export,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,
