@@ -107,3 +107,20 @@ def test_merge_tilesets(tiles_ds, ray_session):
         dec = mvt.decode_tile(gzip.decompress(m.loc[tid, "tile_gz"]))
         assert "sentinel" in dec  # old-only layer preserved
         assert len(dec) > 1      # plus the new layers
+
+
+def test_geojsonl_distributed_writer(ray_session, tmp_path):
+    """Distributed GeoJSONL export round-trips through the GeoJSONL
+    reader (K4 upgraded from the driver-side debug writer)."""
+    import glob
+
+    from tilemaker_ray.sources import geojson, pages as _pages
+    from tilemaker_ray.pipelines import flagship
+    ds = flagship.features_pipeline(_pages.pages_dataset(400, parallelism=2))
+    out = str(tmp_path / "gjl")
+    n = sinks.write_geojsonl(ds, out)
+    assert n == ds.count() and n > 0
+    parts = glob.glob(out + "/part-*.geojsonl")
+    assert parts
+    back = geojson.read_geojsonl(out)
+    assert back.count() == n

@@ -165,6 +165,54 @@ def write_geojson(features_ds, path: str, limit: int = 10000) -> int:
     return len(feats)
 
 
+def write_geojsonl(features_ds, out_dir: str) -> int:
+    """Distributed GeoJSONL export: each map_batches task writes its
+    own newline-delimited part file (atomic rename), so the export
+    scales like the tile tree — no driver bottleneck, resumable by
+    part. Returns feature count."""
+    import json as _json
+    import uuid
+
+    from ..geo import wkb as _wkb
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        lines = []
+        wkbs = batch["geom_wkb"].combine_chunks()
+        layers = batch["layer"].to_pylist()
+        names = batch["name"].to_pylist()
+        for i in range(batch.num_rows):
+            gt, payload = _wkb.parse_wkb(wkbs[i].as_py())
+            if gt == _wkb.POINT:
+                geom = {"type": "Point", "coordinates": list(payload)}
+            elif gt == _wkb.LINESTRING:
+                geom = {"type": "LineString",
+                        "coordinates": payload.tolist()}
+            elif gt == _wkb.POLYGON:
+                geom = {"type": "Polygon",
+                        "coordinates": [r.tolist() for r in payload]}
+            elif gt == _wkb.MULTILINESTRING:
+                geom = {"type": "MultiLineString",
+                        "coordinates": [p.tolist() for p in payload]}
+            else:
+                geom = {"type": "MultiPolygon",
+                        "coordinates": [[r.tolist() for r in rings]
+                                        for rings in payload]}
+            lines.append(_json.dumps(
+                {"type": "Feature", "geometry": geom,
+                 "properties": {"layer": layers[i], "name": names[i]}}))
+        part = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.geojsonl")
+        tmp = part + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        os.replace(tmp, part)
+        return pa.table({"written": pa.array([batch.num_rows], pa.int64())})
+
+    out = features_ds.map_batches(write_batch, batch_format="pyarrow")
+    return int(sum(v for b in out.iter_batches(batch_format="pyarrow")
+                   for v in b["written"].to_pylist()))
+
+
 # -- metadata ----------------------------------------------------------------
 
 def tileset_metadata(cfg: EngineConfig = DEFAULT_CONFIG,
