@@ -111,8 +111,73 @@ def _normalize_geom(buf: bytes):
     return lines, polys, coords
 
 
+def _bulk_wkb_bboxes(wkbs: list) -> np.ndarray | None:
+    """Vectorized bboxes for a batch of UNIFORM single-ring polygon
+    WKBs (generated probe footprints/squares share one layout): one
+    frombuffer + reshape + min/max instead of a per-row parse
+    (~20 µs/row → ~0.2 µs/row). Returns (n, 4) [xmin, ymin, xmax,
+    ymax] or None when the batch isn't uniform."""
+    n = len(wkbs)
+    if n == 0:
+        return None
+    first = wkbs[0]
+    if len(first) < 13 or first[:5] != b"\x01\x03\x00\x00\x00":
+        return None
+    if int.from_bytes(first[5:9], "little") != 1:
+        return None
+    npts = int.from_bytes(first[9:13], "little")
+    L = 13 + 16 * npts
+    hdr = first[:13]
+    if len(first) != L or any(len(b) != L or b[:13] != hdr for b in wkbs):
+        return None
+    flat = np.frombuffer(b"".join(wkbs), dtype=np.uint8).reshape(n, L)
+    coords = np.ascontiguousarray(flat[:, 13:]).view("<f8") \
+        .reshape(n, npts, 2)
+    return np.stack([coords[:, :, 0].min(axis=1),
+                     coords[:, :, 1].min(axis=1),
+                     coords[:, :, 0].max(axis=1),
+                     coords[:, :, 1].max(axis=1)], axis=1)
+
+
 class _GeomTester:
     """Mixin: exact predicate over normalized (lines, polys)."""
+
+    def _geom_prefilter_bulk(self, bbs: np.ndarray):
+        """Vectorized version of _geom_prefilter_pass over an (n, 4)
+        bbox array → boolean pass mask (same pass/fail decisions: numpy
+        round is half-even like Python's)."""
+        res = geo_cover_res(self.hex_res)
+        R = tm.hex_radius(res)
+        pad = R * GEO_PAD_CELLS
+        lat0 = np.clip(bbs[:, 1], -tm.MAX_LAT, tm.MAX_LAT)
+        lat1 = np.clip(bbs[:, 3], -tm.MAX_LAT, tm.MAX_LAT)
+        y0 = np.degrees(np.log(np.tan(np.radians(lat0) / 2.0 + np.pi / 4.0)))
+        y1 = np.degrees(np.log(np.tan(np.radians(lat1) / 2.0 + np.pi / 4.0)))
+        small = ((bbs[:, 2] - bbs[:, 0]) <= pad) & ((y1 - y0) <= pad)
+        passes = np.ones(len(bbs), dtype=bool)
+        idx = np.flatnonzero(small)
+        if len(idx):
+            x = (bbs[idx, 0] + bbs[idx, 2]) / 2.0
+            y = (y0[idx] + y1[idx]) / 2.0
+            qf = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / R
+            rf = (2.0 / 3.0 * y) / R
+            q = np.round(qf)
+            r = np.round(rf)
+            s = np.round(-qf - rf)
+            dq = np.abs(q - qf)
+            dr = np.abs(r - rf)
+            ds = np.abs(s - (-qf - rf))
+            fix_q = (dq > dr) & (dq > ds)
+            q = np.where(fix_q, -r - s, q)
+            fix_r = ~fix_q & (dr > ds)
+            r = np.where(fix_r, -q - s, r)
+            cells = ((np.int64(res) << 56)
+                     | ((q.astype(np.int64) + (1 << 27)) << 28)
+                     | (r.astype(np.int64) + (1 << 27)))
+            ok = np.fromiter((int(c) in self.geo_cover for c in cells),
+                             dtype=bool, count=len(cells))
+            passes[idx] = ok
+        return passes
 
     def _geom_prefilter_pass(self, buf: bytes):
         """Cheap drop test for non-point geometries: a SMALL geometry
@@ -227,10 +292,18 @@ class PIPJoinPairs(_GeomTester):
         geo_rows = cand_rows[kinds[cand_rows] != 1]
         if len(geo_rows):
             wkbs = batch["geom_wkb"].take(pa.array(geo_rows)).to_pylist()
-            for row, buf in zip(geo_rows, wkbs):
-                bb = self._geom_prefilter_pass(buf)
-                if bb is None:
-                    continue
+            bulk = _bulk_wkb_bboxes(wkbs)
+            if bulk is not None:
+                passes = self._geom_prefilter_bulk(bulk)
+            for i, (row, buf) in enumerate(zip(geo_rows, wkbs)):
+                if bulk is not None:
+                    if not passes[i]:
+                        continue
+                    bb = tuple(bulk[i])
+                else:
+                    bb = self._geom_prefilter_pass(buf)
+                    if bb is None:
+                        continue
                 cands = self.index.bbox_candidates(*bb)
                 if len(cands) == 0:
                     continue
