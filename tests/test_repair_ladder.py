@@ -97,3 +97,17 @@ def test_pentagram_not_convex_and_repairs():
     hexg = np.array([[2, 0], [4, 1], [4, 3], [2, 4], [0, 3], [0, 1],
                      [2, 0]], float)
     assert _is_convex(hexg)
+
+
+def test_wide_latitude_ring_repairs_in_projected_space():
+    """Review finding: a quad that is simple in lon/lat can self-cross
+    after the Mercator warp; classification must happen in projected
+    space so the repair ladder still fires."""
+    ring = np.array([[8.30, 72.53], [-8.94, -7.59], [1.18, 30.92],
+                     [-2.60, 7.87], [8.30, 72.53]])
+    from tilemaker_ray.stages.tile_encode import _ring_class, RING_SELFX
+    memo = {}
+    assert _ring_class(ring, memo) == RING_SELFX
+    # projected-space crossing is real: warp and check
+    w = np.stack([ring[:, 0], tm.lat2latp(ring[:, 1])], axis=1)
+    assert _ring_self_intersects(w)

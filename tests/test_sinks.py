@@ -124,3 +124,11 @@ def test_geojsonl_distributed_writer(ray_session, tmp_path):
     assert parts
     back = geojson.read_geojsonl(out)
     assert back.count() == n
+    # property round-trip: class/minzoom survive the export
+    bt = back.to_pandas()
+    ot = ds.to_pandas()
+    assert sorted(bt["name"]) == sorted(ot["name"])
+    assert set(bt["minzoom"]) == set(ot["minzoom"].astype(bt["minzoom"].dtype))
+    # re-export into the same dir: no stale-part accumulation
+    n2 = sinks.write_geojsonl(ds, out)
+    assert n2 == n and geojson.read_geojsonl(out).count() == n

@@ -205,14 +205,13 @@ def hex_radius(res: int) -> float:
     return _HEX_BASE_R / float(1 << res)
 
 
-def hex_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
-    """H3-style hex cell id at resolution ``res`` (0..20).
-
-    Layout: (res << 56) | ((q + 2^27) << 28) | (r + 2^27) with (q, r)
-    the axial coordinates of the containing hexagon.
-    """
-    x = np.asarray(lon, dtype=np.float64)
-    y = lat2latp(lat)
+def hex_cell_xy(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    """Hex cell id from PROJECTED (lon, latp) coords — the single
+    implementation of the axial math + bit layout (callers that already
+    hold latp values use this directly; drift between copies would
+    silently break prefilter/cover agreement)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
     R = hex_radius(res)
     # pointy-top axial fractional coords
     qf = (_SQRT3 / 3.0 * x - y / 3.0) / R
@@ -222,6 +221,16 @@ def hex_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
             | ((q + _HEX_OFF).astype(np.uint64) << np.uint64(28))
             | (r + _HEX_OFF).astype(np.uint64))
     return cell.astype(np.int64)
+
+
+def hex_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """H3-style hex cell id at resolution ``res`` (0..20).
+
+    Layout: (res << 56) | ((q + 2^27) << 28) | (r + 2^27) with (q, r)
+    the axial coordinates of the containing hexagon.
+    """
+    return hex_cell_xy(np.asarray(lon, dtype=np.float64), lat2latp(lat),
+                       res)
 
 
 def hex_cell_decode(cell: np.ndarray):

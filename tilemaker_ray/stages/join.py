@@ -144,36 +144,19 @@ class _GeomTester:
 
     def _geom_prefilter_bulk(self, bbs: np.ndarray):
         """Vectorized version of _geom_prefilter_pass over an (n, 4)
-        bbox array → boolean pass mask (same pass/fail decisions: numpy
-        round is half-even like Python's)."""
+        bbox array → boolean pass mask. Same decisions by construction:
+        both paths now delegate to tm.lat2latp + tm.hex_cell_xy."""
         res = geo_cover_res(self.hex_res)
         R = tm.hex_radius(res)
         pad = R * GEO_PAD_CELLS
-        lat0 = np.clip(bbs[:, 1], -tm.MAX_LAT, tm.MAX_LAT)
-        lat1 = np.clip(bbs[:, 3], -tm.MAX_LAT, tm.MAX_LAT)
-        y0 = np.degrees(np.log(np.tan(np.radians(lat0) / 2.0 + np.pi / 4.0)))
-        y1 = np.degrees(np.log(np.tan(np.radians(lat1) / 2.0 + np.pi / 4.0)))
+        y0 = tm.lat2latp(np.clip(bbs[:, 1], -tm.MAX_LAT, tm.MAX_LAT))
+        y1 = tm.lat2latp(np.clip(bbs[:, 3], -tm.MAX_LAT, tm.MAX_LAT))
         small = ((bbs[:, 2] - bbs[:, 0]) <= pad) & ((y1 - y0) <= pad)
         passes = np.ones(len(bbs), dtype=bool)
         idx = np.flatnonzero(small)
         if len(idx):
-            x = (bbs[idx, 0] + bbs[idx, 2]) / 2.0
-            y = (y0[idx] + y1[idx]) / 2.0
-            qf = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / R
-            rf = (2.0 / 3.0 * y) / R
-            q = np.round(qf)
-            r = np.round(rf)
-            s = np.round(-qf - rf)
-            dq = np.abs(q - qf)
-            dr = np.abs(r - rf)
-            ds = np.abs(s - (-qf - rf))
-            fix_q = (dq > dr) & (dq > ds)
-            q = np.where(fix_q, -r - s, q)
-            fix_r = ~fix_q & (dr > ds)
-            r = np.where(fix_r, -q - s, r)
-            cells = ((np.int64(res) << 56)
-                     | ((q.astype(np.int64) + (1 << 27)) << 28)
-                     | (r.astype(np.int64) + (1 << 27)))
+            cells = tm.hex_cell_xy((bbs[idx, 0] + bbs[idx, 2]) / 2.0,
+                                   (y0[idx] + y1[idx]) / 2.0, res)
             ok = np.fromiter((int(c) in self.geo_cover for c in cells),
                              dtype=bool, count=len(cells))
             passes[idx] = ok
@@ -185,33 +168,20 @@ class _GeomTester:
         expanded cover cannot intersect any polygon. Large geometries
         always pass (they go to the bbox-candidates walk). Returns the
         geometry bbox when passing (reused by the caller), else None.
-        Pure scalar math — numpy scalar ops cost ~30µs/row here."""
-        import math
+        Rare fallback for non-uniform probe batches — uniform batches
+        take the vectorized _geom_prefilter_bulk; both delegate the
+        cell math to tm.hex_cell_xy so they cannot drift."""
         bb = _wkb.wkb_bbox(buf)
         res = geo_cover_res(self.hex_res)
         R = tm.hex_radius(res)
         pad = R * GEO_PAD_CELLS
-
-        def latp(lat):
-            lat = max(-tm.MAX_LAT, min(tm.MAX_LAT, lat))
-            return math.degrees(math.log(math.tan(math.radians(lat) / 2.0
-                                                  + math.pi / 4.0)))
-
-        y0, y1 = latp(bb[1]), latp(bb[3])
+        yy = tm.lat2latp(np.clip(np.asarray([bb[1], bb[3]]),
+                                 -tm.MAX_LAT, tm.MAX_LAT))
+        y0, y1 = float(yy[0]), float(yy[1])
         if (bb[2] - bb[0]) <= pad and (y1 - y0) <= pad:
-            x = (bb[0] + bb[2]) / 2.0
-            y = (y0 + y1) / 2.0
-            qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / R
-            rf = (2.0 / 3.0 * y) / R
-            # scalar cube rounding
-            q, r, s = round(qf), round(rf), round(-qf - rf)
-            dq, dr, ds = abs(q - qf), abs(r - rf), abs(s - (-qf - rf))
-            if dq > dr and dq > ds:
-                q = -r - s
-            elif dr > ds:
-                r = -q - s
-            cell = ((res << 56) | ((int(q) + (1 << 27)) << 28)
-                    | (int(r) + (1 << 27)))
+            cell = int(tm.hex_cell_xy(
+                np.asarray([(bb[0] + bb[2]) / 2.0]),
+                np.asarray([(y0 + y1) / 2.0]), res)[0])
             if cell not in self.geo_cover:
                 return None
         return bb

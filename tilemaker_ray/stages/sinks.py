@@ -143,6 +143,37 @@ def write_tile_tree(tiles_ds, out_dir: str) -> int:
 
 # -- GeoJSON debug writer ----------------------------------------------------
 
+def _wkb_to_geojson_geom(gt: int, payload) -> dict:
+    """Parsed WKB payload → GeoJSON geometry dict (single conversion
+    shared by both GeoJSON writers)."""
+    from ..geo import wkb as _wkb
+    if gt == _wkb.POINT:
+        return {"type": "Point", "coordinates": list(payload)}
+    if gt == _wkb.LINESTRING:
+        return {"type": "LineString", "coordinates": payload.tolist()}
+    if gt == _wkb.POLYGON:
+        return {"type": "Polygon",
+                "coordinates": [r.tolist() for r in payload]}
+    if gt == _wkb.MULTILINESTRING:
+        return {"type": "MultiLineString",
+                "coordinates": [p.tolist() for p in payload]}
+    return {"type": "MultiPolygon",
+            "coordinates": [[r.tolist() for r in rings]
+                            for rings in payload]}
+
+
+def _feature_properties(r: dict) -> dict:
+    """Round-trippable properties: whatever feature columns exist that
+    the GeoJSONL reader knows how to restore."""
+    props = {"layer": r.get("layer", ""), "name": r.get("name", "")}
+    for k in ("class", "minzoom"):
+        if r.get(k) is not None:
+            props[k] = r[k]
+    if r.get("attrs_json"):
+        props["attrs_json"] = r["attrs_json"]
+    return props
+
+
 def write_geojson(features_ds, path: str, limit: int = 10000) -> int:
     """Dump extracted features as GeoJSON FeatureCollection (K4 debug
     path; driver-side, bounded by limit)."""
@@ -151,15 +182,9 @@ def write_geojson(features_ds, path: str, limit: int = 10000) -> int:
     feats = []
     for r in rows:
         gt, payload = _wkb.parse_wkb(r["geom_wkb"])
-        if gt == _wkb.POINT:
-            geom = {"type": "Point", "coordinates": list(payload)}
-        elif gt == _wkb.LINESTRING:
-            geom = {"type": "LineString", "coordinates": payload.tolist()}
-        else:
-            geom = {"type": "Polygon",
-                    "coordinates": [r_.tolist() for r_ in payload]}
-        feats.append({"type": "Feature", "geometry": geom,
-                      "properties": {"layer": r["layer"], "name": r["name"]}})
+        feats.append({"type": "Feature",
+                      "geometry": _wkb_to_geojson_geom(gt, payload),
+                      "properties": _feature_properties(r)})
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     return len(feats)
@@ -167,44 +192,38 @@ def write_geojson(features_ds, path: str, limit: int = 10000) -> int:
 
 def write_geojsonl(features_ds, out_dir: str) -> int:
     """Distributed GeoJSONL export: each map_batches task writes its
-    own newline-delimited part file (atomic rename), so the export
-    scales like the tile tree — no driver bottleneck, resumable by
-    part. Returns feature count."""
+    own newline-delimited part file (atomic rename) named by the
+    CONTENT HASH of the batch, so Ray task retries/lineage re-execution
+    overwrite instead of duplicating. Any parts from a previous export
+    into the same directory are removed first. Returns feature count."""
+    import glob
+    import hashlib
     import json as _json
-    import uuid
 
     from ..geo import wkb as _wkb
     os.makedirs(out_dir, exist_ok=True)
+    for old in glob.glob(os.path.join(out_dir, "part-*.geojsonl")):
+        os.remove(old)
 
     def write_batch(batch: pa.Table) -> pa.Table:
         lines = []
         wkbs = batch["geom_wkb"].combine_chunks()
-        layers = batch["layer"].to_pylist()
-        names = batch["name"].to_pylist()
+        cols = {c: batch[c].to_pylist()
+                for c in ("layer", "name", "class", "minzoom", "attrs_json")
+                if c in batch.column_names}
         for i in range(batch.num_rows):
             gt, payload = _wkb.parse_wkb(wkbs[i].as_py())
-            if gt == _wkb.POINT:
-                geom = {"type": "Point", "coordinates": list(payload)}
-            elif gt == _wkb.LINESTRING:
-                geom = {"type": "LineString",
-                        "coordinates": payload.tolist()}
-            elif gt == _wkb.POLYGON:
-                geom = {"type": "Polygon",
-                        "coordinates": [r.tolist() for r in payload]}
-            elif gt == _wkb.MULTILINESTRING:
-                geom = {"type": "MultiLineString",
-                        "coordinates": [p.tolist() for p in payload]}
-            else:
-                geom = {"type": "MultiPolygon",
-                        "coordinates": [[r.tolist() for r in rings]
-                                        for rings in payload]}
+            r = {c: v[i] for c, v in cols.items()}
             lines.append(_json.dumps(
-                {"type": "Feature", "geometry": geom,
-                 "properties": {"layer": layers[i], "name": names[i]}}))
-        part = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.geojsonl")
-        tmp = part + ".tmp"
+                {"type": "Feature",
+                 "geometry": _wkb_to_geojson_geom(gt, payload),
+                 "properties": _feature_properties(r)}))
+        body = "\n".join(lines) + ("\n" if lines else "")
+        tag = hashlib.md5(body.encode()).hexdigest()[:16]
+        part = os.path.join(out_dir, f"part-{tag}.geojsonl")
+        tmp = part + f".{os.getpid()}.tmp"
         with open(tmp, "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
+            f.write(body)
         os.replace(tmp, part)
         return pa.table({"written": pa.array([batch.num_rows], pa.int64())})
 

@@ -20,9 +20,12 @@ NB = 4096
 
 def exact_quantiles(ds, col: str, ps: list) -> pa.Table:
     """→ pa.Table (p, value) of exact discrete quantiles of ``ds[col]``
-    (float column). Two distributed passes + O(NB + candidates) driver
-    work."""
+    (float column). Three distributed passes (stats, histogram,
+    candidate gather — the bin domain genuinely needs global min/max
+    first) over blocks cached by ``materialize()``, so the upstream
+    read runs ONCE; plus O(NB + candidates) driver work."""
     from ray.data.aggregate import Count, Max, Min
+    ds = ds.materialize()
     stats = ds.aggregate(Count(col, alias_name="n"),
                          Min(col, alias_name="mn"),
                          Max(col, alias_name="mx"))

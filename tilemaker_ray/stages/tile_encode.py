@@ -390,15 +390,22 @@ def _ring_class(ring: np.ndarray, memo: dict | None) -> int:
     convex rings stay simple under box clipping (skip the repair ladder
     entirely), simple concave rings only need it when actually clipped
     (Sutherland–Hodgman can introduce crossings), self-intersecting
-    rings always dissolve."""
+    rings always dissolve.
+
+    Classification runs in PROJECTED (lon, latp) space, not lon/lat:
+    the per-zoom tile-grid transform is an affine map of (lon, latp),
+    and crossings/convexity are affine-invariant — while a ring that is
+    simple in lon/lat can self-cross once latitudes warp (review-found
+    with a wide-latitude quad)."""
     if memo is None:
         return RING_SELFX  # no memo → always run the full ladder
     key = id(ring)
     c = memo.get(key)
     if c is None:
-        if _dissolve._is_convex(ring):
+        w = np.stack([ring[:, 0], tm.lat2latp(ring[:, 1])], axis=1)
+        if _dissolve._is_convex(w):
             c = RING_CONVEX
-        elif _ring_self_intersects(ring):
+        elif _ring_self_intersects(w):
             c = RING_SELFX
         else:
             c = RING_CONCAVE
