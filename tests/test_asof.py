@@ -1,0 +1,35 @@
+"""Distributed as-of join: ties, no-match, cross-key isolation, and
+segmented forward-fill correctness."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_asof_join_semantics(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.asof import asof_join
+    left = pa.table({
+        "uid": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 4, 15, 30, 7], pa.int64()),
+        "tag": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+    })
+    right = pa.table({
+        "uid": pa.array([1, 1, 2, 4], pa.int64()),
+        "ts": pa.array([5, 20, 30, 1], pa.int64()),
+        "val": pa.array([100.0, 200.0, 300.0, 999.0], pa.float64()),
+    })
+    out = asof_join(rd.from_arrow(left).repartition(3),
+                    rd.from_arrow(right).repartition(2),
+                    "uid", "ts", "val").to_pandas()
+    got = {t: (None if np.isnan(v) else v)
+           for t, v in zip(out["tag"], out["val"])}
+    assert got == {
+        "a": 100.0,   # uid1 ts10 → right ts5
+        "b": 200.0,   # uid1 ts20 → right ts20 (tie is a match, <=)
+        "c": None,    # uid1 ts4 → nothing at-or-before
+        "d": None,    # uid2 ts15 → right ts30 is later
+        "e": 300.0,   # uid2 ts30 → tie
+        "f": None,    # uid3 has no right rows (and must NOT see uid2's)
+    }
+    # left row count preserved (left join)
+    assert len(out) == left.num_rows

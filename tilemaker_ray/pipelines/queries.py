@@ -437,6 +437,45 @@ SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
 SAMPLE_DEFAULT = 100
 
 
+def q_asof_join_events(sf_dir: str):
+    """Distributed backward AS-OF JOIN (stages/asof.py): odd-id events
+    (probes) pick up the value of the most recent even-id event
+    at-or-before their timestamp for the same user. Oracle: DuckDB
+    ASOF LEFT JOIN. The right side dedupes per (user, ts) with MAX so
+    tie-breaking is deterministic on both sides."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Max
+
+    from ..stages.asof import asof_join
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def split(side):
+        def f(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            keep = (eid % 2) == side
+            t = _pc.cast(b["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cols = {"user_id": pa.array(
+                        b["user_id"].to_numpy(zero_copy_only=False)[keep],
+                        pa.int64()),
+                    "ts": pa.array(t[keep], pa.int64())}
+            if side == 0:
+                cols["value"] = pa.array(
+                    b["value"].to_numpy(zero_copy_only=False)[keep],
+                    pa.float64())
+            else:
+                cols["event_id"] = pa.array(eid[keep], pa.int64())
+            return pa.table(cols)
+        return f
+
+    left = ds.map_batches(split(1), batch_format="pyarrow")
+    right = (ds.map_batches(split(0), batch_format="pyarrow")
+             .groupby(["user_id", "ts"])
+             .aggregate(Max("value", alias_name="value")))
+    return asof_join(left, right, "user_id", "ts", "value")
+
+
 def q_shuffled_export(sf_dir: str):
     """Training-data export shuffle: seeded global ``random_shuffle``
     (Ray's all-to-all permutation op) over the corpus. The driver's
@@ -1034,6 +1073,16 @@ ORACLE_SQL = {
         FROM (SELECT unnest(string_split(text, ' ')) AS word
               FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "asof_join_events": """
+        WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts, MAX(value) AS value
+          FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        l AS (
+          SELECT user_id, epoch_us(ts) AS ts, event_id
+          FROM events WHERE event_id % 2 = 1)
+        SELECT l.user_id, l.ts, r.value, l.event_id
+        FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "shuffled_export": """
         SELECT doc_id, lang FROM documents""",
     "value_quantiles": """
@@ -1315,6 +1364,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,
     "shuffled_export": q_shuffled_export,
+    "asof_join_events": q_asof_join_events,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,
