@@ -476,6 +476,33 @@ def q_asof_join_events(sf_dir: str):
     return asof_join(left, right, "user_id", "ts", "value")
 
 
+RANGE_W = 13.7
+
+
+def q_range_join_events(sf_dir: str):
+    """Range (interval) join: each event matches every nation interval
+    [9·key, 9·key + 13.7] containing its value — intervals broadcast
+    (small side), containment vectorized per batch; at scale the small
+    side becomes a bucketed interval-bin shuffle, the per-batch kernel
+    is unchanged. Oracle: inequality join with BETWEEN."""
+    import pyarrow.parquet as pq
+    keys = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                         columns=["n_nationkey"])["n_nationkey"]         .to_numpy().astype(np.int64)
+    lo = keys * 9.0
+    hi = lo + RANGE_W
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        m = (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :])
+        rows, cols = np.nonzero(m)
+        return pa.table({"event_id": pa.array(eid[rows], pa.int64()),
+                         "range_id": pa.array(keys[cols], pa.int64())})
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
 def q_shuffled_export(sf_dir: str):
     """Training-data export shuffle: seeded global ``random_shuffle``
     (Ray's all-to-all permutation op) over the corpus. The driver's
@@ -1073,6 +1100,11 @@ ORACLE_SQL = {
         FROM (SELECT unnest(string_split(text, ' ')) AS word
               FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "range_join_events": """
+        SELECT e.event_id, CAST(n.n_nationkey AS BIGINT) AS range_id
+        FROM events e JOIN nation n
+        ON e.value BETWEEN n.n_nationkey * 9.0
+                       AND n.n_nationkey * 9.0 + 13.7""",
     "asof_join_events": """
         WITH r AS (
           SELECT user_id, epoch_us(ts) AS ts, MAX(value) AS value
@@ -1365,6 +1397,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "shuffled_export": q_shuffled_export,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,
