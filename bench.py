@@ -48,6 +48,12 @@ def run_bench() -> dict:
 
     # warm the page cache (untimed read) so we measure compute + shuffle
     rd.read_parquet(pages_path).count()
+    # warm the worker pool (untimed 5k-page pipeline): Ray workers
+    # import tilemaker_ray lazily on their first task, and that one-off
+    # ~2-3 s import/startup cost otherwise lands inside the headline —
+    # the 100-TB question is steady-state throughput, not session spin-up
+    flagship.tiles_pipeline(rd.read_parquet(pages_path).limit(5000),
+                            concurrency=max(2, num_cpus // 2)).count()
 
     t0 = time.perf_counter()
     ds = rd.read_parquet(pages_path)

@@ -447,8 +447,11 @@ def q_asof_join_events(sf_dir: str):
     from ray.data.aggregate import Max
 
     from ..stages.asof import asof_join
-    ds = _read(sf_dir, "events",
-               columns=["event_id", "user_id", "ts", "value"])
+    import ray.data as rd
+    # one cached read feeds both sides (left probes + right quotes)
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"],
+                         override_num_blocks=8).materialize()
 
     def split(side):
         def f(b: pa.Table) -> pa.Table:
