@@ -38,3 +38,20 @@ def test_exact_quantiles_empty(ray_session):
     ds = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
     out = exact_quantiles(ds, "value", [0.5])
     assert out.num_rows == 0
+
+
+def test_grouped_quantiles_vs_brute(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import grouped_quantiles
+    rng = np.random.RandomState(5)
+    uid = rng.randint(0, 40, 5000)
+    v = rng.lognormal(0, 1.5, 5000)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(uid, pa.int64()),
+                                 "value": pa.array(v, pa.float64())})) \
+        .repartition(6)
+    out = grouped_quantiles(ds, "user_id", "value", [0.5, 0.9]) \
+        .to_pandas().set_index("user_id")
+    for u in np.unique(uid):
+        vals = v[uid == u]
+        assert out.loc[u, "p50"] == brute_disc(vals, 0.5)
+        assert out.loc[u, "p90"] == brute_disc(vals, 0.9)

@@ -506,6 +506,15 @@ def q_range_join_events(sf_dir: str):
     return ds.map_batches(join, batch_format="pyarrow")
 
 
+def q_user_value_quantiles(sf_dir: str):
+    """Per-user exact p50/p90/p99 of event value (grouped percentile,
+    stages/sketch.py::grouped_quantiles) — oracle: grouped
+    quantile_disc."""
+    from ..stages.sketch import grouped_quantiles
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return grouped_quantiles(ds, "user_id", "value", [0.5, 0.9, 0.99])
+
+
 def q_shuffled_export(sf_dir: str):
     """Training-data export shuffle: seeded global ``random_shuffle``
     (Ray's all-to-all permutation op) over the corpus. The driver's
@@ -1103,6 +1112,11 @@ ORACLE_SQL = {
         FROM (SELECT unnest(string_split(text, ' ')) AS word
               FROM documents)
         GROUP BY word ORDER BY n DESC, word LIMIT 100""",
+    "user_value_quantiles": """
+        SELECT user_id, quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY user_id""",
     "range_join_events": """
         SELECT e.event_id, CAST(n.n_nationkey AS BIGINT) AS range_id
         FROM events e JOIN nation n
@@ -1401,6 +1415,7 @@ QUERIES = {
     "shuffled_export": q_shuffled_export,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "user_value_quantiles": q_user_value_quantiles,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,

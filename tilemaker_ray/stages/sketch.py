@@ -75,3 +75,47 @@ def exact_quantiles(ds, col: str, ps: list) -> pa.Table:
         out_v.append(float(vals[k_local - 1]))
     return pa.table({"p": pa.array(ps, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def grouped_quantiles(ds, key: str, col: str, ps: list,
+                      num_buckets: int = 256):
+    """Per-key exact discrete quantiles → Dataset (key, p50-style
+    columns). Groups hash into buckets; ONE lexsort per bucket serves
+    every group in it (the repo's bucket pattern — group sizes are the
+    per-key row counts, exact order statistics are cheap at that
+    granularity; the corpus never materializes anywhere)."""
+    from .common import mix_bucket
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        return pa.table({key: pa.array(k, pa.int64()),
+                         col: b[col],
+                         "kbkt": pa.array(mix_bucket(k, num_buckets),
+                                          pa.int64())})
+
+    names = [f"p{int(round(p * 100)):02d}" for p in ps]
+
+    def quant(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            cols = {key: pa.array([], pa.int64())}
+            for nm in names:
+                cols[nm] = pa.array([], pa.float64())
+            return pa.table(cols)
+        k = g[key].to_numpy(zero_copy_only=False)
+        v = g[col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [n]])
+        sizes = ends - starts
+        cols = {key: pa.array(k[starts], pa.int64())}
+        for p, nm in zip(ps, names):
+            kk = np.maximum(1, np.ceil(p * sizes).astype(np.int64))
+            cols[nm] = pa.array(v[starts + kk - 1], pa.float64())
+        return pa.table(cols)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(quant, batch_format="pyarrow"))
