@@ -33,3 +33,20 @@ def test_asof_join_semantics(ray_session):
     }
     # left row count preserved (left join)
     assert len(out) == left.num_rows
+    # right-side extra columns are dropped; schema = left + val
+    assert sorted(out.columns) == ["tag", "ts", "uid", "val"]
+
+
+def test_asof_right_extras_dropped(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.asof import asof_join
+    left = pa.table({"uid": pa.array([1], pa.int64()),
+                     "ts": pa.array([10], pa.int64())})
+    right = pa.table({"uid": pa.array([1], pa.int64()),
+                      "ts": pa.array([5], pa.int64()),
+                      "val": pa.array([7.0], pa.float64()),
+                      "junk": pa.array(["x"], pa.string())})
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    "uid", "ts", "val").to_pandas()
+    assert "junk" not in out.columns
+    assert out["val"].tolist() == [7.0]

@@ -55,3 +55,16 @@ def test_grouped_quantiles_vs_brute(ray_session):
         vals = v[uid == u]
         assert out.loc[u, "p50"] == brute_disc(vals, 0.5)
         assert out.loc[u, "p90"] == brute_disc(vals, 0.9)
+
+
+def test_grouped_quantiles_ignores_nulls(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import grouped_quantiles
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                  "value": pa.array([1.0, None, 3.0, None], pa.float64())})
+    out = grouped_quantiles(rd.from_arrow(t), "user_id", "value", [0.5]) \
+        .to_pandas().set_index("user_id")
+    # DuckDB quantile_disc ignores NULLs: median of {1, 3} = 1
+    assert out.loc[1, "p50"] == 1.0
+    # an all-null group still emits its key, with a null quantile
+    assert np.isnan(out.loc[2, "p50"])

@@ -29,6 +29,14 @@ def asof_join(left_ds, right_ds, key: str, ts: str, value_col: str,
     key has no right row at-or-before the left timestamp). ``ts`` must
     be int64-comparable (cast timestamps upstream)."""
 
+    # the union's schema is fixed up front from the LEFT side: left
+    # extra columns ride through (null-filled on right rows), right
+    # extras are dropped — so both tagged sides emit IDENTICAL schemas
+    # (no reliance on implicit block-schema unification) and the output
+    # honors the "left columns + value_col" contract
+    left_extras = [(f.name, f.type) for f in left_ds.schema().base_schema
+                   if f.name not in (key, ts, value_col)]
+
     def tag(side: int, keep_value: bool):
         def f(b: pa.Table) -> pa.Table:
             k = b[key].to_numpy(zero_copy_only=False)
@@ -41,16 +49,11 @@ def asof_join(left_ds, right_ds, key: str, ts: str, value_col: str,
                             else pa.nulls(len(k), pa.float64())),
                 "kbkt": pa.array(mix_bucket(k, num_buckets), pa.int64()),
             }
-            # carry the left side's extra columns; null on right rows
-            for c in b.column_names:
-                if c in (key, ts, value_col):
-                    continue
-                cols[c] = b[c] if side == 1 else pa.nulls(len(k),
-                                                          b.schema.field(c).type)
+            for c, typ in left_extras:
+                cols[c] = b[c] if side == 1 else pa.nulls(len(k), typ)
             return pa.table(cols)
         return f
 
-    # schemas must match for union: compute the left extras once
     left_tagged = left_ds.map_batches(tag(1, False), batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag(0, True),
                                         batch_format="pyarrow")
@@ -78,14 +81,14 @@ def asof_join(left_ds, right_ds, key: str, ts: str, value_col: str,
         left_pos = np.flatnonzero(ss == 1)
         li = order[left_pos]               # original row of each left row
         mi = match[left_pos]               # sorted position of matched right
-        vals = g[value_col].combine_chunks()
-        out_vals = []
-        for m in mi:
-            out_vals.append(vals[int(order[int(m)])].as_py()
-                            if m >= 0 else None)
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        picked = vals[order[np.maximum(mi, 0)]]
+        out_vals = np.where(mi >= 0, picked, np.nan)
         out = {key: pa.array(k[li], pa.int64()),
                ts: pa.array(t[li], pa.int64()),
-               value_col: pa.array(out_vals, pa.float64())}
+               # from_pandas=True maps the NaN sentinels to real nulls
+               value_col: pa.array(out_vals, pa.float64(),
+                                   from_pandas=True)}
         for c in g.column_names:
             if c in (key, ts, value_col, "side", "kbkt"):
                 continue

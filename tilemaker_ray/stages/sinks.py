@@ -202,7 +202,8 @@ def write_geojsonl(features_ds, out_dir: str) -> int:
 
     from ..geo import wkb as _wkb
     os.makedirs(out_dir, exist_ok=True)
-    for old in glob.glob(os.path.join(out_dir, "part-*.geojsonl")):
+    for old in glob.glob(os.path.join(out_dir, "part-*.geojsonl")) \
+            + glob.glob(os.path.join(out_dir, "part-*.tmp")):
         os.remove(old)
 
     def write_batch(batch: pa.Table) -> pa.Table:
@@ -219,9 +220,17 @@ def write_geojsonl(features_ds, out_dir: str) -> int:
                  "geometry": _wkb_to_geojson_geom(gt, payload),
                  "properties": _feature_properties(r)}))
         body = "\n".join(lines) + ("\n" if lines else "")
-        tag = hashlib.md5(body.encode()).hexdigest()[:16]
+        # part identity: content hash SALTED with the batch's fuids
+        # (unique per feature by construction) — retries of the same
+        # task rewrite the same name idempotently, while two different
+        # batches can only collide if upstream duplicated fuids, which
+        # the engine forbids
+        h = hashlib.md5(body.encode())
+        if "fuid" in batch.column_names:
+            h.update(batch["fuid"].to_numpy(zero_copy_only=False).tobytes())
+        tag = h.hexdigest()[:16]
         part = os.path.join(out_dir, f"part-{tag}.geojsonl")
-        tmp = part + f".{os.getpid()}.tmp"
+        tmp = f"{part}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             f.write(body)
         os.replace(tmp, part)

@@ -104,17 +104,21 @@ def grouped_quantiles(ds, key: str, col: str, ps: list,
             return pa.table(cols)
         k = g[key].to_numpy(zero_copy_only=False)
         v = g[col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, k))
+        order = np.lexsort((v, k))  # NaN (nulls) sort last within key
         k, v = k[order], v[order]
         new = np.ones(n, dtype=bool)
         new[1:] = k[1:] != k[:-1]
         starts = np.flatnonzero(new)
-        ends = np.concatenate([starts[1:], [n]])
-        sizes = ends - starts
+        # quantile_disc semantics: NULLs are ignored — sizes count only
+        # non-null values (they sort to the segment tail); a group that
+        # is entirely null still emits its key with null quantiles
+        sizes = np.add.reduceat((~np.isnan(v)).astype(np.int64), starts)
         cols = {key: pa.array(k[starts], pa.int64())}
         for p, nm in zip(ps, names):
             kk = np.maximum(1, np.ceil(p * sizes).astype(np.int64))
-            cols[nm] = pa.array(v[starts + kk - 1], pa.float64())
+            picked = v[starts + kk - 1]
+            picked = np.where(sizes > 0, picked, np.nan)
+            cols[nm] = pa.array(picked, pa.float64(), from_pandas=True)
         return pa.table(cols)
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
