@@ -337,10 +337,18 @@ class PIPTagger(_GeomTester):
             geo_rows = np.flatnonzero(kinds != 1)
             if len(geo_rows) and "geom_wkb" in batch.column_names:
                 wkbs = batch["geom_wkb"].take(pa.array(geo_rows)).to_pylist()
-                for row, buf in zip(geo_rows, wkbs):
-                    bb = self._geom_prefilter_pass(buf)
-                    if bb is None:
-                        continue
+                bulk = _bulk_wkb_bboxes(wkbs)
+                if bulk is not None:
+                    passes = self._geom_prefilter_bulk(bulk)
+                for i, (row, buf) in enumerate(zip(geo_rows, wkbs)):
+                    if bulk is not None:
+                        if not passes[i]:
+                            continue
+                        bb = tuple(bulk[i])
+                    else:
+                        bb = self._geom_prefilter_pass(buf)
+                        if bb is None:
+                            continue
                     cands = self.index.bbox_candidates(*bb)
                     if len(cands) == 0:
                         continue
