@@ -50,3 +50,38 @@ def test_asof_right_extras_dropped(ray_session):
                     "uid", "ts", "val").to_pandas()
     assert "junk" not in out.columns
     assert out["val"].tolist() == [7.0]
+
+
+def test_asof_matches_pandas_merge_asof(ray_session):
+    """Random-data equivalence against pandas.merge_asof(by=, direction=
+    'backward') — an independent reference implementation."""
+    import pandas as pd
+    import ray.data as rd
+    from tilemaker_ray.stages.asof import asof_join
+    rng = np.random.RandomState(9)
+    nl, nr = 800, 500
+    left = pa.table({
+        "uid": pa.array(rng.randint(0, 20, nl), pa.int64()),
+        "ts": pa.array(rng.randint(0, 10_000, nl), pa.int64()),
+        "row": pa.array(np.arange(nl), pa.int64()),
+    })
+    # unique (uid, ts) on the right so tie-breaking is well-defined
+    ru, rt = np.meshgrid(np.arange(20), rng.choice(10_000, nr // 10,
+                                                   replace=False))
+    ru, rt = ru.ravel()[:nr], rt.ravel()[:nr]
+    right = pa.table({
+        "uid": pa.array(ru.astype(np.int64), pa.int64()),
+        "ts": pa.array(rt.astype(np.int64), pa.int64()),
+        "val": pa.array(rng.rand(len(ru)), pa.float64()),
+    })
+    got = asof_join(rd.from_arrow(left).repartition(4),
+                    rd.from_arrow(right).repartition(3),
+                    "uid", "ts", "val").to_pandas() \
+        .sort_values("row").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.to_pandas().sort_values("ts"),
+        right.to_pandas().sort_values("ts"),
+        on="ts", by="uid", direction="backward") \
+        .sort_values("row").reset_index(drop=True)
+    assert ((got["val"] == exp["val"])
+            | (got["val"].isna() & exp["val"].isna())).all()

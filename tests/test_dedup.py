@@ -183,3 +183,14 @@ def test_minhash_dedup_keep_matches_union_find(docs_ds):
     # sanity: every planted exact dup (2000+i) was dropped
     for i in range(4):
         assert 2000 + i not in got and i in got
+
+
+def test_simhash_dedup_keep(docs_ds):
+    """SimHash keep-one: all exact dups dropped, originals kept, result
+    is a subset of the corpus with one representative per component."""
+    got = set(dedup.simhash_dedup_keep(docs_ds, max_hamming=3)
+              .to_pandas()["doc_id"])
+    for i in range(4):
+        assert i in got and 2000 + i not in got
+    all_ids = set(corpus()["doc_id"].to_pylist())
+    assert got <= all_ids and len(got) >= len(all_ids) - 10

@@ -393,6 +393,18 @@ def q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(ds, dim=dim, threshold=0.9)
 
 
+def q_simhash_dedup_keep(sf_dir: str):
+    """SimHash keep-one-per-component removal (rows-only; pytest
+    union-find oracle on the minhash twin covers the shared CC/anti
+    machinery, tests/test_dedup.py)."""
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_dedup_keep
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"], override_num_blocks=8)
+    return simhash_dedup_keep(ds, max_hamming=3)
+
+
 def q_minhash_dedup_keep(sf_dir: str):
     """Near-dup REMOVAL (keep smallest doc per duplicate component) —
     the distributed anti-join end-game over the MinHash-LSH pairs
@@ -1409,6 +1421,7 @@ QUERIES = {
     "area_concave_events": q_area_concave_events,
     "relation_udf_tag": q_relation_udf_tag,
     "minhash_dedup_keep": q_minhash_dedup_keep,
+    "simhash_dedup_keep": q_simhash_dedup_keep,
     "word_count_topk": q_word_count_topk,
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,

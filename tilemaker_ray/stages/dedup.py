@@ -716,3 +716,47 @@ def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
             .map_batches(tag(0), batch_format="pyarrow")
             .union(dups.map_batches(tag(1), batch_format="pyarrow"))
             .groupby("kbkt").map_groups(keep_group, batch_format="pyarrow"))
+
+
+def simhash_dedup_keep(docs_ds, max_hamming: int = 3,
+                       num_buckets: int = 256):
+    """Keep-one-per-duplicate-component over SIMHASH pairs — same
+    connected-components + anti-join machinery as minhash_dedup_keep,
+    driven by the hamming-banded pair generator."""
+    pairs = simhash_near_dups(docs_ds, max_hamming=max_hamming)
+    comp = connected_components_min_label(pairs)
+
+    def only_dups(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids != b["comp"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    dups = comp.map_batches(only_dups, batch_format="pyarrow")
+
+    def tag(t):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup": pa.array(np.full(len(ids), t, np.int8), pa.int8()),
+                "kbkt": pa.array(_mix_bucket(ids, num_buckets),
+                                 pa.int64())})
+        return f
+
+    def keep_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        dup = g["dup"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, dup = ids[order], dup[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(brk)
+        mx = np.maximum.reduceat(dup, starts) if len(starts) else dup[:0]
+        return pa.table({"doc_id": pa.array(ids[starts[mx == 0]],
+                                            pa.int64())})
+
+    return (docs_ds.select_columns(["doc_id"])
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(dups.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("kbkt").map_groups(keep_group,
+                                        batch_format="pyarrow"))
