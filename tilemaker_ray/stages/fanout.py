@@ -50,7 +50,7 @@ FANOUT_FIELDS = ["fuid", "kind", "layer", "name", "minzoom",
 # ONLY by features whose minzoom ≤ 5 (the external polygon layers) —
 # the analog of the reference's heavyweight low-zoom tile batches
 # (weight 1000, src/tilemaker.cpp:463-481).
-BANDS = ((0, 5, 0), (6, 10, 6), (11, 12, 10), (13, None, 13))
+BANDS = ((0, 5, 0), (6, 10, 6), (11, 12, 11), (13, None, 13))
 
 
 def band_for_anchor_zoom(az: int, basezoom: int):
