@@ -34,7 +34,14 @@ def clip_ring(ring: np.ndarray, xmin: float, ymin: float, xmax: float,
         with np.errstate(divide="ignore", invalid="ignore",
                          over="ignore"):
             t = np.where(denom == 0, 0.0, (bound - prev_pts[:, axis]) / denom)
-        inter = prev_pts + t[:, None] * (pts - prev_pts)
+            # a crossing's parameter is in [0,1] by construction; clamp so
+            # degenerate numerics (overflowing deltas at float64 extremes)
+            # cannot fling the interpolated point off the segment
+            t = np.clip(t, 0.0, 1.0)
+            inter = prev_pts + t[:, None] * (pts - prev_pts)
+        # the crossing lies exactly on the clip line — pin it (kills the
+        # residual drift of the interpolation and any inf on this axis)
+        inter[:, axis] = bound
         # vectorized emit: build per-vertex output (crossing point, vertex)
         for i in range(len(pts)):
             if inside[i]:

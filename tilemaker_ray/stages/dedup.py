@@ -637,20 +637,45 @@ def connected_components_min_label(pairs_ds, num_buckets: int = 64,
                          "kbkt": b["kbkt"]})
 
     def resolve(g: pa.Table) -> pa.Table:
-        """edge rows pick up lbl(u); label rows re-emit themselves."""
+        """Per-bucket LOCAL union-find contraction (the map-side
+        combiner of the MapReduce-CC family, Kiveris et al.): union
+        every label row's (node, lbl) and every edge row's (u, v) that
+        landed in this bucket, then emit (vertex, local-min-root) for
+        all touched vertices. One bucket round collapses whole local
+        chains, so global rounds shrink from component DIAMETER to
+        ~log(diameter). Labels are node ids, so label-value vertices
+        are legal output nodes; the outer groupby-min keeps every node
+        exactly once."""
         u = g["u"].to_numpy(zero_copy_only=False)
         v = g["v"].to_numpy(zero_copy_only=False)
         lbl_col = g["lbl"].combine_chunks()
         is_lbl = np.asarray(lbl_col.is_valid())
-        lut = {int(u[i]): lbl_col[i].as_py()
-               for i in np.flatnonzero(is_lbl)}
-        ei = np.flatnonzero(~is_lbl)
-        out_n = np.concatenate([u[is_lbl], v[ei]])
-        out_l = np.concatenate([
-            np.asarray([lut[int(x)] for x in u[is_lbl]], dtype=np.int64),
-            np.asarray([lut[int(x)] for x in u[ei]], dtype=np.int64)])
-        return pa.table({"node": pa.array(out_n, pa.int64()),
-                         "lbl": pa.array(out_l, pa.int64())})
+        lbl = lbl_col.fill_null(-1).to_numpy(zero_copy_only=False)
+        # union partners: lbl for label rows, v for edge rows
+        partner = np.where(is_lbl, lbl, v)
+        verts, idx = np.unique(np.concatenate([u, partner]),
+                               return_inverse=True)
+        a, b = idx[:len(u)], idx[len(u):]
+        parent = np.arange(len(verts), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]   # path halving
+                x = parent[x]
+            return x
+
+        for i in range(len(a)):
+            ra, rb = find(a[i]), find(b[i])
+            if ra != rb:
+                # union by min vertex id — roots stay component minima
+                if verts[ra] < verts[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.asarray([find(i) for i in range(len(verts))],
+                           dtype=np.int64)
+        return pa.table({"node": pa.array(verts, pa.int64()),
+                         "lbl": pa.array(verts[roots], pa.int64())})
 
     for _ in range(max_iters):
         lab_r = labels.map_batches(label_rows, batch_format="pyarrow")
