@@ -1062,6 +1062,45 @@ def q_relation_region_tag(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q40+: raster→vector (the other half of the north rule's raster↔vector;
+# vector→raster is the fan-out kernel, geo/raster.py)
+# ---------------------------------------------------------------------------
+
+# z5/T=2 keeps the mask patchy at every SF: the lattice-derived event
+# coords are low-discrepancy, so deeper zooms never see 2 hits per cell
+# at small SF (probed: sf0.001 z5 → 282 cells, z6 → 0)
+_RB_ZOOM, _RB_THRESH = 5, 2
+
+
+def _event_raster(sf_dir: str):
+    from ..stages.raster_vector import rasterize_points
+    return rasterize_points(_event_points(sf_dir), zoom=_RB_ZOOM,
+                            threshold=_RB_THRESH)
+
+
+def q_raster_boundary(sf_dir: str):
+    """Boundary cells of the thresholded z6 event raster (a cell is
+    boundary iff <4 of its 4-neighbors are present) — one presence-
+    message exchange, no joins; the SQL oracle is a self-join tally."""
+    from ..stages.raster_vector import raster_boundary
+    return raster_boundary(_event_raster(sf_dir))
+
+
+def q_raster_polygonize(sf_dir: str):
+    """Full raster→vector: connected-region labeling (distributed CC
+    over cell adjacency) + per-region outline tracing. Driver output
+    is the per-region stats (the WKB outline is exercised by
+    tests/test_raster_vector.py, where area(outline) == n_cells is
+    pinned); region ids are packed min cell keys — not SQL-expressible
+    (connected components), so rows-only with a pytest flood-fill
+    oracle."""
+    from ..stages.raster_vector import polygonize
+    out = polygonize(_event_raster(sf_dir))
+    return out.select_columns(["region", "n_cells", "perimeter",
+                               "min_x", "min_y", "max_x", "max_y"])
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -1389,6 +1428,19 @@ ORACLE_SQL["revenue_by_nation"] = """
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1"""
 
+ORACLE_SQL["raster_boundary"] = f"""
+    WITH pts AS (
+      SELECT {dv.tilex_sql(dv.EV_LON_SQL, _RB_ZOOM)} AS x,
+             {dv.tiley_sql(dv.EV_LAT_SQL, _RB_ZOOM)} AS y
+      FROM events e),
+    cells AS (
+      SELECT x, y FROM pts GROUP BY x, y HAVING COUNT(*) >= {_RB_THRESH})
+    SELECT c.x AS cell_x, c.y AS cell_y, COUNT(n.x) AS n_neighbors
+    FROM cells c LEFT JOIN cells n
+      ON abs(n.x - c.x) + abs(n.y - c.y) = 1
+    GROUP BY c.x, c.y
+    HAVING COUNT(n.x) < 4"""
+
 ORACLE_SQL["relation_region_tag"] = """
     SELECT c.c_custkey, r.r_name AS region_name
     FROM customer c
@@ -1435,6 +1487,8 @@ QUERIES = {
     "session_windows": q_session_windows,
     "relation_region_tag": q_relation_region_tag,
     "ann_ivf": q_ann_ivf,
+    "raster_boundary": q_raster_boundary,
+    "raster_polygonize": q_raster_polygonize,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
 }
