@@ -1101,6 +1101,20 @@ def q_raster_polygonize(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42: inverted index (posting lists with a df band) — retrieval/TF-IDF
+# machinery over the corpus, one bucketed-word exchange
+# ---------------------------------------------------------------------------
+
+def q_inverted_index(sf_dir: str):
+    """Postings (word, doc_id, tf, df) for words with document
+    frequency in [2, 100] — df computed as the per-word run length
+    inside the single word-hash-bucketed shuffle (no join back)."""
+    from ..stages.textindex import build_inverted_index
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return build_inverted_index(ds, df_min=2, df_max=100)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -1428,6 +1442,17 @@ ORACLE_SQL["revenue_by_nation"] = """
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1"""
 
+ORACLE_SQL["inverted_index"] = """
+    WITH t AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id, word),
+    d AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM t
+          GROUP BY word)
+    SELECT t.word, t.doc_id, t.tf, d.df
+    FROM t JOIN d USING (word) WHERE d.df BETWEEN 2 AND 100"""
+
 ORACLE_SQL["raster_boundary"] = f"""
     WITH pts AS (
       SELECT {dv.tilex_sql(dv.EV_LON_SQL, _RB_ZOOM)} AS x,
@@ -1489,6 +1514,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "raster_boundary": q_raster_boundary,
     "raster_polygonize": q_raster_polygonize,
+    "inverted_index": q_inverted_index,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
 }
