@@ -1115,6 +1115,22 @@ def q_inverted_index(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
+# the pytest oracle is the bit-exact single-process reference)
+# ---------------------------------------------------------------------------
+
+def q_kmeans_clusters(sf_dir: str):
+    """Lloyd's over the embeddings table with fixed-point integer
+    accumulation, so centroids (hence assignments) are bit-identical
+    under any block partitioning — tests/test_cluster.py pins the
+    distributed run against the pure-numpy reference."""
+    from ..stages.cluster import kmeans_fixed
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign, _cent = kmeans_fixed(ds, k=8, iters=8)
+    return assign
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -1515,6 +1531,7 @@ QUERIES = {
     "raster_boundary": q_raster_boundary,
     "raster_polygonize": q_raster_polygonize,
     "inverted_index": q_inverted_index,
+    "kmeans_clusters": q_kmeans_clusters,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
 }
