@@ -194,3 +194,43 @@ def test_simhash_dedup_keep(docs_ds):
         assert i in got and 2000 + i not in got
     all_ids = set(corpus()["doc_id"].to_pylist())
     assert got <= all_ids and len(got) >= len(all_ids) - 15
+
+
+def test_embedding_near_dups_measured_recall(ray_session):
+    """Quantified recall: 40 planted pairs spread across the ≥0.9
+    cosine band; the unioned multi-set LSH must recover ≥85% of the
+    brute-force pair set (theory: miss ≈ (1-(1-θ/π)^p)^s ≈ 0.02 at
+    cos 0.95, ~0.18 at cos 0.90), and precision must be exactly 1
+    (the verify stage is exact cosine)."""
+    import ray.data as rd
+    rng = np.random.RandomState(29)
+    base = rng.normal(size=(200, 16))
+    planted = []
+    V = list(base)
+    for i in range(40):
+        # rotate a copy toward a random direction to hit a target cos
+        target = 0.90 + 0.0025 * i          # 0.90 .. 0.9975
+        v = base[i] / np.linalg.norm(base[i])
+        r = rng.normal(size=16)
+        r -= (r @ v) * v
+        r /= np.linalg.norm(r)
+        w = target * v + np.sqrt(1 - target ** 2) * r
+        V.append(w * np.linalg.norm(base[i]))
+        planted.append((i, 200 + i))
+    V = np.asarray(V, dtype=np.float32)
+    Vn = V.astype(np.float64)
+    Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    ia, ib = np.triu_indices(len(V), k=1)
+    truth = {(int(a), int(b)) for a, b in zip(ia[S[ia, ib] >= 0.9],
+                                              ib[S[ia, ib] >= 0.9])}
+    assert len(truth) >= 40
+    t = pa.table({"vec_id": pa.array(range(len(V)), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in V],
+                                        pa.list_(pa.float32()))})
+    got = dedup.embedding_near_dups(rd.from_arrow(t), dim=16,
+                                    threshold=0.9).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert pairs <= truth                  # precision 1.0 (exact verify)
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.85, f"recall {recall:.3f}"

@@ -514,17 +514,24 @@ def _emb_matrix(col: pa.ChunkedArray, dim: int) -> np.ndarray:
 
 
 def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.9,
-                        n_planes: int = 12, seed: int = 42,
-                        n_sets: int = 4, max_bucket: int = 2000):
+                        n_planes: int = 10, seed: int = 42,
+                        n_sets: int = 8, max_bucket: int = 2000):
     """vectors whose cosine similarity ≥ threshold, via hyperplane-LSH
     buckets (vectors agreeing on all n_planes signs land together) +
     exact cosine verify inside each bucket, Arrow end-to-end.
 
     Recall: a single plane set misses pairs split by any hyperplane;
     ``n_sets`` independent sets are unioned (each vector goes through
-    the shuffle once per set — the standard recall/bandwidth trade,
-    miss probability ≈ (1-(1-θ/π)^p)^s), and duplicate hits are
-    collapsed by a final (vec_a, vec_b) groupby-max."""
+    the shuffle once per set — the standard recall/bandwidth trade),
+    and duplicate hits are collapsed by a final (vec_a, vec_b)
+    groupby-max. Miss probability (1-(1-θ/π)^p)^s with the defaults
+    p=10, s=8: ≈0.15 at cos 0.90 (the band edge), ≈0.03 at 0.95 —
+    measured in tests/test_dedup.py::test_embedding_near_dups_measured_recall.
+    Per row of shuffle bandwidth, extra SETS beat multi-probe flips
+    when (1-θ/π)^p is small, which is why s carries the recall here.
+    Sizing at scale: p ≈ log2(n_vectors / target_bucket_size) keeps
+    bucket occupancy (and the O(n²/2^p) verify) bounded; s then sets
+    recall."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_sets, dim, n_planes))
     shifts = np.arange(n_planes, dtype=np.int64)
