@@ -169,8 +169,12 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
             & (lay_maxz[fi_all] >= z)
         if not vis.any():
             continue
-        pairs = np.unique(np.stack([keys[vis], fi_all[vis]], axis=1), axis=0)
-        tkey, fidx = pairs[:, 0], pairs[:, 1]
+        # dedup (tile, feature) pairs — pack into one int64 so unique
+        # runs a single scalar sort (axis=0 unique void-sorts rows,
+        # measured 3-4x slower on hot shards); morton keys are ≤ 2^28
+        # and n < 2^34, so key*n+fi cannot overflow int64
+        packed = np.unique(keys[vis] * np.int64(n) + fi_all[vis])
+        tkey, fidx = packed // np.int64(n), packed % np.int64(n)
 
         order = np.lexsort((canon_rank[fidx], tkey))
         tkey, fidx = tkey[order], fidx[order]
@@ -323,22 +327,25 @@ def _ring_self_intersects(ring: np.ndarray, max_check: int = 64) -> bool:
     from ..geo.pip import segments_cross
     a0 = p
     a1 = np.roll(p, -1, axis=0)
-    for i in range(n - 2):
-        js = np.arange(i + 2, n if i > 0 else n - 1)
-        if len(js) == 0:
-            continue
-        hit = segments_cross(a0[i, 0], a0[i, 1], a1[i, 0], a1[i, 1],
-                             a0[js, 0], a0[js, 1], a1[js, 0], a1[js, 1])
-        # shared endpoints between consecutive ring segments are fine;
-        # segments_cross counts touches, so exclude exact-endpoint-only
-        # contacts by re-testing proper crossing
-        if np.asarray(hit).any():
-            for j in js[np.asarray(hit).nonzero()[0]]:
-                # ignore touching at shared vertices
-                pts = {tuple(a0[i]), tuple(a1[i])} & {tuple(a0[j]), tuple(a1[j])}
-                if not pts:
-                    return True
-    return False
+    # all non-adjacent segment pairs in ONE broadcast call (the former
+    # per-i Python loop dominated low-zoom shard encode): triu k=2
+    # minus the wrap-adjacent (0, n-1) pair
+    i, j = np.triu_indices(n, k=2)
+    keep = ~((i == 0) & (j == n - 1))
+    i, j = i[keep], j[keep]
+    hit = np.asarray(segments_cross(
+        a0[i, 0], a0[i, 1], a1[i, 0], a1[i, 1],
+        a0[j, 0], a0[j, 1], a1[j, 0], a1[j, 1]))
+    if not hit.any():
+        return False
+    # segments_cross counts touches; contacts that are exactly a shared
+    # vertex between the two segments are fine
+    hi, hj = i[hit], j[hit]
+    shared = (np.all(a0[hi] == a0[hj], axis=1)
+              | np.all(a0[hi] == a1[hj], axis=1)
+              | np.all(a1[hi] == a0[hj], axis=1)
+              | np.all(a1[hi] == a1[hj], axis=1))
+    return bool((~shared).any())
 
 
 def reorder_multilinestring(parts: list, max_pts: int = 6000) -> list:
