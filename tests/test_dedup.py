@@ -234,3 +234,49 @@ def test_embedding_near_dups_measured_recall(ray_session):
     assert pairs <= truth                  # precision 1.0 (exact verify)
     recall = len(pairs & truth) / len(truth)
     assert recall >= 0.85, f"recall {recall:.3f}"
+
+
+def test_cc_distributed_path_on_high_diameter_graph(ray_session):
+    """driver_cap=0 forces the distributed loop; a 120-node path plus a
+    16x16 grid (diameter ~30) converges only because of the pointer-
+    jump round (plain relaxation needs diameter rounds and used to hit
+    the iteration cap unconverged on exactly this shape)."""
+    import ray.data as rd
+    edges = []
+    base = 10_000
+    edges += [(base + i, base + i + 1) for i in range(120)]  # path
+    W = 16
+    for gx in range(W):
+        for gy in range(W):
+            nid = 20_000 + gx * W + gy
+            if gx + 1 < W:
+                edges.append((nid, nid + W))
+            if gy + 1 < W:
+                edges.append((nid, nid + 1))
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    pairs = rd.from_arrow(pa.table({"doc_a": a, "doc_b": b}))
+    comp = dedup.connected_components_min_label(
+        pairs, num_buckets=8, driver_cap=0).to_pandas()
+    got = dict(zip(comp["doc_id"], comp["comp"]))
+    assert len(got) == 121 + W * W
+    assert all(got[10_000 + i] == 10_000 for i in range(121))
+    assert all(got[20_000 + i] == 20_000 for i in range(W * W))
+
+
+def test_cc_driver_path_matches_distributed(ray_session):
+    """Same random edge set through both paths → identical labels."""
+    import ray.data as rd
+    rng = np.random.RandomState(31)
+    a = rng.randint(0, 300, 400).astype(np.int64)
+    b = rng.randint(0, 300, 400).astype(np.int64)
+    keep = a != b
+    pairs_t = pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                        "doc_b": pa.array(b[keep], pa.int64())})
+    d1 = dedup.connected_components_min_label(
+        rd.from_arrow(pairs_t)).to_pandas()
+    d2 = dedup.connected_components_min_label(
+        rd.from_arrow(pairs_t), num_buckets=8, driver_cap=0).to_pandas()
+    m1 = dict(zip(d1["doc_id"], d1["comp"]))
+    m2 = dict(zip(d2["doc_id"], d2["comp"]))
+    assert m1 == m2

@@ -1131,6 +1131,21 @@ def q_kmeans_clusters(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q44: exact spatial kNN self-join (kNN graph) — corpus × corpus, no
+# broadcast side (filter-and-refine with an exactness guarantee)
+# ---------------------------------------------------------------------------
+
+def q_knn_graph_events(sf_dir: str):
+    """Every 20th event's 3 nearest OTHER events over the full table —
+    3×3 cell-neighborhood candidates + per-probe guarantee radius,
+    broadcast fallback only for guarantee failures (stages/knn_graph.py).
+    Oracle: DuckDB row_number over the full self-join."""
+    from ..stages.knn_graph import knn_graph
+    return knn_graph(_event_points(sf_dir), k=3, n_cells=32,
+                     probe_mod=20)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL — one entry per query above, same column names
 # ---------------------------------------------------------------------------
 
@@ -1458,6 +1473,22 @@ ORACLE_SQL["revenue_by_nation"] = """
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1"""
 
+ORACLE_SQL["knn_graph_events"] = f"""
+    WITH p AS (
+      SELECT e.event_id, {dv.EV_LON_SQL} AS lon, {dv.EV_LAT_SQL} AS lat
+      FROM events e),
+    d AS (
+      SELECT a.event_id, b.event_id AS neighbor_id,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS neighbor_dist2
+      FROM p a JOIN p b ON b.event_id <> a.event_id
+      WHERE a.event_id % 20 = 0)
+    SELECT event_id,
+           CAST(row_number() OVER (PARTITION BY event_id
+                ORDER BY neighbor_dist2, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id, neighbor_dist2
+    FROM d QUALIFY rank <= 3"""
+
 ORACLE_SQL["inverted_index"] = """
     WITH t AS (
       SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1532,6 +1563,7 @@ QUERIES = {
     "raster_polygonize": q_raster_polygonize,
     "inverted_index": q_inverted_index,
     "kmeans_clusters": q_kmeans_clusters,
+    "knn_graph_events": q_knn_graph_events,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
 }

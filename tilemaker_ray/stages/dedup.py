@@ -591,19 +591,54 @@ def embedding_near_dups(emb_ds, dim: int, threshold: float = 0.9,
     return out.union(anchor)
 
 
+def _driver_union_find(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Exact single-pass union-find (path halving, union-by-min) over
+    an edge list that fits on the driver. Returns (node, lbl)."""
+    verts, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    a, b = idx[:len(u)], idx[len(u):]
+    parent = np.arange(len(verts), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(a)):
+        ra, rb = find(a[i]), find(b[i])
+        if ra != rb:
+            if verts[ra] < verts[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.asarray([find(i) for i in range(len(verts))],
+                       dtype=np.int64)
+    return pa.table({"node": pa.array(verts, pa.int64()),
+                     "lbl": pa.array(verts[roots], pa.int64())})
+
+
 def connected_components_min_label(pairs_ds, num_buckets: int = 64,
-                                   max_iters: int = 32):
+                                   max_iters: int = 64,
+                                   driver_cap: int = 2_000_000):
     """Distributed connected components over an edge Dataset
     (doc_a, doc_b) → Dataset (doc_id, comp) where comp is the
-    component's minimum id — min-label propagation iterated to a
-    fixpoint. Each round is two bucketed sort-exchanges (the repo's
-    union-groupby lookup pattern; no hash joins, so empty shuffle
-    partitions cannot produce schema-less blocks): edge rows pick up
-    their source label, then labels regroup by target with a min.
-    Labels only decrease, so the label SUM is a monotone convergence
-    witness. Rounds needed = component diameter (tiny for near-dup
-    clusters); runs only over the PAIR-derived node set (≈ the
-    duplicates), never the corpus."""
+    component's minimum id.
+
+    Size-adaptive: edge lists up to ``driver_cap`` rows (the common
+    case — the pair graph covers only near-duplicates, never the
+    corpus; 2M edges ≈ 32 MB) resolve in ONE exact driver-side
+    union-find pass, the same documented-bound driver step as the
+    tile_rollup ≤4^10 halving. Larger graphs run the distributed loop:
+    per round, (1) a RELAX exchange — per-bucket local union-find over
+    edge + label rows (map-side combiner of the MapReduce-CC family,
+    Kiveris et al.) — then (2) a POINTER-JUMP exchange (lbl ← lbl(lbl),
+    Shiloach–Vishkin), which makes convergence O(log diameter) instead
+    of O(diameter): plain min-label relaxation needs diameter rounds,
+    which a grid- or chain-shaped component (e.g. raster region
+    labeling) turns into hundreds of shuffles. Labels only decrease,
+    so the label SUM is a monotone convergence witness."""
+    import ray
+    import ray.data as rd
 
     def both_dirs(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False)
@@ -617,6 +652,22 @@ def connected_components_min_label(pairs_ds, num_buckets: int = 64,
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow") \
         .materialize()
+
+    if edges.count() <= driver_cap:
+        blocks = [ray.get(r) for r in edges.to_arrow_refs()]
+        blocks = [b for b in blocks if b.num_rows]  # empty shuffle
+        # partitions surface as zero-column blocks — drop before concat
+        tbl = pa.concat_tables(blocks) if blocks else pa.table(
+            {"u": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "comp": pa.array([], pa.int64())}))
+        lab = _driver_union_find(
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(lab.rename_columns(["doc_id", "comp"]))
 
     def init_labels(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False)
@@ -684,12 +735,50 @@ def connected_components_min_label(pairs_ds, num_buckets: int = 64,
         return pa.table({"node": pa.array(verts, pa.int64()),
                          "lbl": pa.array(verts[roots], pa.int64())})
 
+    # ---- pointer jump: lbl(v) ← lbl(lbl(v)), one bucketed exchange.
+    # Every label VALUE is itself a node with a label row, so the
+    # lookup never misses; each query row yields exactly one output
+    # row, no second groupby needed.
+    def jump_rows(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        lbl = b["lbl"].to_numpy(zero_copy_only=False)
+        # query rows keyed by the label value + label rows keyed by node
+        key = np.concatenate([lbl, node])
+        payload = np.concatenate([node, lbl])
+        is_lbl = np.zeros(2 * len(node), dtype=np.int8)
+        is_lbl[len(node):] = 1
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "payload": pa.array(payload, pa.int64()),
+            "is_lbl": pa.array(is_lbl, pa.int8()),
+            "kbkt": pa.array(_mix_bucket(key, num_buckets), pa.int64())})
+
+    def jump_resolve(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        payload = g["payload"].to_numpy(zero_copy_only=False)
+        is_lbl = g["is_lbl"].to_numpy(zero_copy_only=False)
+        lut = {}
+        for i in np.flatnonzero(is_lbl == 1):
+            k = key[i]
+            p = payload[i]
+            if k not in lut or p < lut[k]:
+                lut[k] = p
+        qi = np.flatnonzero(is_lbl == 0)
+        out_n = payload[qi]
+        out_l = np.asarray([lut.get(key[i], key[i]) for i in qi],
+                           dtype=np.int64)
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "lbl": pa.array(out_l, pa.int64())})
+
     for _ in range(max_iters):
         lab_r = labels.map_batches(label_rows, batch_format="pyarrow")
         edge_r = edges.map_batches(edge_rows, batch_format="pyarrow")
-        labels = (lab_r.union(edge_r).groupby("kbkt")
-                  .map_groups(resolve, batch_format="pyarrow")
-                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+        relaxed = (lab_r.union(edge_r).groupby("kbkt")
+                   .map_groups(resolve, batch_format="pyarrow")
+                   .groupby("node").aggregate(Min("lbl", alias_name="lbl")))
+        labels = (relaxed.map_batches(jump_rows, batch_format="pyarrow")
+                  .groupby("kbkt").map_groups(jump_resolve,
+                                              batch_format="pyarrow")
                   .materialize())
         cur_sum = labels.sum("lbl")
         if cur_sum == prev_sum:
