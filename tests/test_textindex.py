@@ -42,3 +42,24 @@ def test_inverted_index_empty_and_spaces(ray_session):
     out = build_inverted_index(ds, df_min=2, df_max=10).to_pandas()
     assert set(out["word"]) == {"a", "b", ""}
     assert (out["df"] == 2).all()
+
+
+def test_inverted_index_bigrams(ray_session):
+    import ray.data as rd
+    docs = {1: "a b c a b", 2: "a b x", 3: "c a b"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    out = build_inverted_index(ds, df_min=2, df_max=10,
+                               ngram=2).to_pandas()
+    grams = {d: [" ".join(t.split(" ")[i:i + 2])
+                 for i in range(len(t.split(" ")) - 1)]
+             for d, t in docs.items()}
+    tf = {(d, g): c for d, gs in grams.items()
+          for g, c in Counter(gs).items()}
+    df = Counter(g for (_, g) in tf)
+    want = {(g, d): (c, df[g]) for (d, g), c in tf.items()
+            if 2 <= df[g] <= 10}
+    got = {(r.word, r.doc_id): (r.tf, r.df) for r in out.itertuples()}
+    assert got == want
+    assert ("a b", 1) in got and got[("a b", 1)] == (2, 3)

@@ -1106,12 +1106,19 @@ def q_raster_polygonize(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_inverted_index(sf_dir: str):
-    """Postings (word, doc_id, tf, df) for words with document
-    frequency in [2, 100] — df computed as the per-word run length
-    inside the single word-hash-bucketed shuffle (no join back)."""
+    """BIGRAM postings (word, doc_id, tf, df) with df in
+    [2, max(100, N/20)] — the corpus has a 31-word vocabulary, so
+    unigram postings are degenerate; bigrams give a real df
+    distribution at every SF. df is the per-term run length inside the
+    single term-hash-bucketed shuffle (no join back); the cap is
+    scale-aware so the band stays non-empty as N grows."""
+    import pyarrow.parquet as _pq
     from ..stages.textindex import build_inverted_index
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return build_inverted_index(ds, df_min=2, df_max=100)
+    return build_inverted_index(ds, df_min=2,
+                                df_max=max(100, n_docs // 20), ngram=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1143,6 +1150,30 @@ def q_knn_graph_events(sf_dir: str):
     from ..stages.knn_graph import knn_graph
     return knn_graph(_event_points(sf_dir), k=3, n_cells=32,
                      probe_mod=20)
+
+
+# ---------------------------------------------------------------------------
+# Q45: Bloom-broadcast semi-join (prefilter + exact verify)
+# ---------------------------------------------------------------------------
+
+def q_bloom_semi_lineitem(sf_dir: str):
+    """lineitem rows whose part key is in the small filtered part set —
+    Bloom bitmap broadcast prefilters the big side in map_batches so
+    only survivors shuffle into the exact verify (stages/bloom.py);
+    false positives are removed, so the plain IN-subquery oracle
+    matches exactly."""
+    from ..stages.bloom import bloom_semi_join
+    big = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    small = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def small_filter(b: pa.Table) -> pa.Table:
+        keys = b["p_partkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(keys % 7 == 0))
+
+    return bloom_semi_join(big, small.map_batches(
+        small_filter, batch_format="pyarrow"),
+        big_key="l_partkey", small_key="p_partkey")
 
 
 # ---------------------------------------------------------------------------
@@ -1473,6 +1504,12 @@ ORACLE_SQL["revenue_by_nation"] = """
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1"""
 
+ORACLE_SQL["bloom_semi_lineitem"] = """
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_partkey % 7 = 0)"""
+
 ORACLE_SQL["knn_graph_events"] = f"""
     WITH p AS (
       SELECT e.event_id, {dv.EV_LON_SQL} AS lon, {dv.EV_LAT_SQL} AS lat
@@ -1490,15 +1527,21 @@ ORACLE_SQL["knn_graph_events"] = f"""
     FROM d QUALIFY rank <= 3"""
 
 ORACLE_SQL["inverted_index"] = """
-    WITH t AS (
-      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-            FROM documents)
-      GROUP BY doc_id, word),
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1])) AS word
+      FROM documents),
+    t AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, word),
     d AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM t
-          GROUP BY word)
+          GROUP BY word),
+    n AS (SELECT GREATEST(100, COUNT(*) // 20) AS cap FROM documents)
     SELECT t.word, t.doc_id, t.tf, d.df
-    FROM t JOIN d USING (word) WHERE d.df BETWEEN 2 AND 100"""
+    FROM t JOIN d USING (word)
+    WHERE d.df BETWEEN 2 AND (SELECT cap FROM n)"""
 
 ORACLE_SQL["raster_boundary"] = f"""
     WITH pts AS (
@@ -1564,6 +1607,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
+    "bloom_semi_lineitem": q_bloom_semi_lineitem,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
 }

@@ -67,7 +67,8 @@ def kmeans_fixed(emb_ds, k: int = 8, iters: int = 8, dim: int = 64):
 
     seed = (emb_ds.map_batches(heads, batch_format="pyarrow")
             .sort("vec_id").limit(k).to_arrow_refs())
-    seed_t = pa.concat_tables([ray.get(r) for r in seed])
+    seed_blocks = [b for b in (ray.get(r) for r in seed) if b.num_rows]
+    seed_t = pa.concat_tables(seed_blocks)
     # centroids live in fixed-point units throughout
     cent = quantize(_emb_matrix(seed_t["embedding"], dim)).astype(np.float64)
 

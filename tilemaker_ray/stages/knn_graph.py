@@ -239,8 +239,12 @@ def knn_graph(points_ds, k: int = 3, n_cells: int = 32,
     def only_ranked(b: pa.Table) -> pa.Table:
         return b.filter(pa.compute.greater(b["rank"], 0))
 
-    un_tbl = pa.concat_tables([ray.get(r) for r in merged.map_batches(
-        only_rank0, batch_format="pyarrow").to_arrow_refs()])
+    un_blocks = [ray.get(r) for r in merged.map_batches(
+        only_rank0, batch_format="pyarrow").to_arrow_refs()]
+    # empty shuffle partitions surface as zero-column blocks
+    un_blocks = [b for b in un_blocks if b.num_rows]
+    un_tbl = pa.concat_tables(un_blocks) if un_blocks else pa.table(
+        {"event_id": pa.array([], pa.int64())})
     resolved = merged.map_batches(only_ranked, batch_format="pyarrow")
     if un_tbl.num_rows == 0:
         return resolved

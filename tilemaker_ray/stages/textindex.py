@@ -29,14 +29,19 @@ def word_buckets(words, num_buckets: int) -> np.ndarray:
                        for w in words], dtype=np.int64)
 
 
-def doc_term_freqs(batch: pa.Table) -> tuple:
-    """(doc_id, word, tf) triples for one batch, vectorized: flatten
-    all tokens with doc repeats, lexsort by (word, doc), run-length
+def doc_term_freqs(batch: pa.Table, ngram: int = 1) -> tuple:
+    """(doc_id, term, tf) triples for one batch, vectorized: flatten
+    all terms with doc repeats, lexsort by (term, doc), run-length
     count. Tokenization is split(' ') — in lockstep with the
-    word_count_topk oracle's string_split(text, ' ')."""
+    word_count_topk oracle's string_split(text, ' '); ngram=2 joins
+    adjacent tokens with a space (the oracle's list_transform
+    formulation)."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     texts = batch["text"].to_pylist()
     lists = [t.split(" ") for t in texts]
+    if ngram > 1:
+        lists = [[" ".join(l[i:i + ngram])
+                  for i in range(len(l) - ngram + 1)] for l in lists]
     lens = np.asarray([len(l) for l in lists], dtype=np.int64)
     if lens.sum() == 0:
         e = np.array([], dtype=np.int64)
@@ -53,12 +58,12 @@ def doc_term_freqs(batch: pa.Table) -> tuple:
 
 
 def build_inverted_index(docs_ds, df_min: int = 2, df_max: int = 100,
-                         num_buckets: int = 64):
+                         num_buckets: int = 64, ngram: int = 1):
     """documents (doc_id, text) → postings (word, doc_id, tf, df) for
-    words whose document frequency lies in [df_min, df_max]."""
+    terms whose document frequency lies in [df_min, df_max]."""
 
     def extract(batch: pa.Table) -> pa.Table:
-        d, w, tf = doc_term_freqs(batch)
+        d, w, tf = doc_term_freqs(batch, ngram=ngram)
         uw, inv = np.unique(w, return_inverse=True)
         bkt = word_buckets(uw, num_buckets)[inv] if len(uw) else \
             np.array([], dtype=np.int64)
