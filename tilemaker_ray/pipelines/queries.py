@@ -1131,8 +1131,15 @@ def q_kmeans_clusters(sf_dir: str):
     accumulation, so centroids (hence assignments) are bit-identical
     under any block partitioning — tests/test_cluster.py pins the
     distributed run against the pure-numpy reference."""
+    import ray.data as rd
+
     from ..stages.cluster import kmeans_fixed
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # right-size read blocks: every Lloyd iteration is a full pass, so
+    # per-block task overhead multiplies by iters; full-scale inputs
+    # are size-bound, this table is count-bound
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=8)
     assign, _cent = kmeans_fixed(ds, k=8, iters=8)
     return assign
 
@@ -1174,6 +1181,63 @@ def q_bloom_semi_lineitem(sf_dir: str):
     return bloom_semi_join(big, small.map_batches(
         small_filter, batch_format="pyarrow"),
         big_key="l_partkey", small_key="p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q46: trajectory assembly — per-user time-ordered track (movement
+# analytics over the event stream; the way-assembly reduction applied
+# to (user, ts) ordering)
+# ---------------------------------------------------------------------------
+
+def q_user_tracks(sf_dir: str):
+    """Per-user track: order events by (ts, event_id), sum planar
+    segment lengths in integer micro-degrees (floor — exact across
+    engines, the assemble_ways trick). One bucketed exchange; all
+    users of a bucket reduce in one lexsort + reduceat pass."""
+    from ..stages.common import mix_bucket
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        lon, lat = dv.event_lonlat(eid)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "us": pa.array(us, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, lon, lat = uid[order], lon[order], lat[order]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        seg = np.zeros(len(uid), dtype=np.int64)
+        if len(uid) > 1:
+            d = np.sqrt(np.diff(lon) ** 2 + np.diff(lat) ** 2)
+            seg[1:] = np.where(same[1:],
+                               np.floor(d * 1_000_000).astype(np.int64),
+                               0)
+        starts = np.flatnonzero(~same)
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_points": pa.array((ends - starts).astype(np.int64),
+                                 pa.int64()),
+            "track_um": pa.array(np.add.reduceat(seg, starts)
+                                 if len(starts) else seg[:0], pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(reduce_bucket,
+                                        batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -1504,6 +1568,22 @@ ORACLE_SQL["revenue_by_nation"] = """
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1"""
 
+ORACLE_SQL["user_tracks"] = f"""
+    WITH e2 AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             {dv.EV_LON_SQL} AS lon, {dv.EV_LAT_SQL} AS lat
+      FROM events e),
+    seg AS (
+      SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COALESCE(SUM(CAST(FLOOR(SQRT(
+                (lon - plon) * (lon - plon)
+              + (lat - plat) * (lat - plat)) * 1000000) AS BIGINT)), 0)
+                AS BIGINT) AS track_um
+    FROM seg GROUP BY user_id"""
+
 ORACLE_SQL["bloom_semi_lineitem"] = """
     SELECT l_orderkey, l_linenumber, l_partkey
     FROM lineitem
@@ -1608,6 +1688,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
+    "user_tracks": q_user_tracks,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
 }
