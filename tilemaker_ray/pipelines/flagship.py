@@ -85,8 +85,12 @@ def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
                         batch_size=8192)
     # enough reduce partitions that hot shards don't co-schedule; the
-    # scrambled key spreads spatially-adjacent hot shards across them
-    n_blocks = max(48, int(ray.cluster_resources().get("CPU", 16)) * 2)
+    # scrambled key spreads spatially-adjacent hot shards across them.
+    # 4× CPU count: a reduce task runs its groups sequentially, so the
+    # encode tail is the COST sum of a partition, not one shard —
+    # measured max task 20.6 s at 2×, 11.9 s at 4× (800k pages) with
+    # identical total CPU
+    n_blocks = max(48, int(ray.cluster_resources().get("CPU", 16)) * 4)
     ds = ds.repartition(n_blocks)
     enc = functools.partial(encode_shard, cfg=cfg)
     return ds.groupby("shard_scram").map_groups(enc, batch_format="pyarrow")
