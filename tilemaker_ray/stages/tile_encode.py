@@ -472,13 +472,14 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
             else:
                 ring_parts = (c0,)
             for c in ring_parts:
-                q = _finish_ring(c, i, z, ldef)
+                q = _finish_ring(c, i, z, ldef, ring_cls=cls)
                 if q is not None:
                     parts.append(q)
     return parts, mvt.GEOM_POLYGON
 
 
-def _finish_ring(c: np.ndarray, i: int, z: int, ldef) -> np.ndarray | None:
+def _finish_ring(c: np.ndarray, i: int, z: int, ldef,
+                 ring_cls: int = RING_SELFX) -> np.ndarray | None:
     """Simplify / size-filter / quantize / orient one (simple) ring;
     ``i`` is the source ring's exterior(0)/hole(>0) role."""
     if ldef.simplify_below and z < ldef.simplify_below:
@@ -491,8 +492,16 @@ def _finish_ring(c: np.ndarray, i: int, z: int, ldef) -> np.ndarray | None:
             return None
         # self-intersection guard (the reference's DP refuses removals
         # that create crossings, src/geom.cpp:17-138; here: reject the
-        # simplified ring and keep the original if it crosses itself)
-        c = c2 if not _ring_self_intersects(c2) else c
+        # simplified ring and keep the original if it crosses itself).
+        # Gated: a convex source ring stays convex under box clip + DP
+        # (cannot self-cross), and an output identical to its input
+        # needs no re-test — the guard only runs where a removal could
+        # have introduced a crossing (hot-path win: this was the last
+        # unconditional O(n²) test per ring per tile).
+        if ring_cls == RING_CONVEX or len(c2) == len(c):
+            c = c2
+        else:
+            c = c2 if not _ring_self_intersects(c2) else c
     if ldef.filter_below and z < ldef.filter_below \
             and abs(_clip.ring_area(c)) < ldef.filter_area:
         return None  # RemovePartsBelowSize (tile_worker.cpp:79-96)
