@@ -14,8 +14,8 @@ Skew handling — zoom-banded sharding: one z6 subtree of a dense city
 zoom range is split into bands, each keyed at a finer anchor zoom:
 
     band 0: zooms 6..10  keyed by the z6 ancestor
-    band 1: zooms 11..12 keyed by the z10 ancestor
-    band 2: zooms 13..basezoom keyed by the z12 ancestor
+    band 1: zooms 11..12 keyed by the z11 ancestor
+    band 2: zooms 13..basezoom keyed by the z13 ancestor
 
 Low bands are cheap because feature_limit caps dense tiles; high bands
 are uncapped but finely partitioned — so no single shard holds more
@@ -44,21 +44,20 @@ FANOUT_FIELDS = ["fuid", "kind", "layer", "name", "minzoom",
                  "z_order", "lon", "lat", "geom_wkb", "attrs_json"]
 
 # (zmin, zmax, anchor_zoom) per band; basezoom fills the last band's zmax.
-# The uncapped high band anchors at z13: 4× more shards than a z12
-# anchor, so the densest city-core shard stays under ~1s of encode work.
+# The uncapped high band anchors at z13 (not z12): 4× more shards, so the
+# densest city-core shard stays under ~1s of encode work.
 # Band (0,5,0) is the low-zoom pyramid: a single z0-anchored shard fed
 # ONLY by features whose minzoom ≤ 5 (the external polygon layers) —
 # the analog of the reference's heavyweight low-zoom tile batches
 # (weight 1000, src/tilemaker.cpp:463-481).
-# Mid-zoom bands are one-or-two zooms each, anchored at their own zmin:
-# per-tile work there is feature_limit-capped, so a shard's cost is
-# ≈ n_tiles × cap × per-geometry cost — measured ~0.8 s per z11 tile at
-# 800k pages. The former (11,12)@11 band put 5 capped tiles (≈4 s) in
-# ONE task and was the encode tail that throttled 32-cpu scaling; one
-# anchor per zoom trades ~1 extra slim fan-out row per feature for a
-# ~4× smaller max task.
-BANDS = ((0, 5, 0), (6, 8, 6), (9, 10, 9), (11, 11, 11),
-         (12, 12, 12), (13, None, 13))
+# MEASURED TRADE (800k pages): splitting the mid bands one-anchor-per-
+# zoom ((6,8),(9,10),(11),(12)) cut the max encode task but cost ~30%
+# more total CPU (extra fan-out rows + lost cross-zoom parse/clip-cache
+# reuse inside a shard) — a net loss at low parallelism. The encode
+# tail is instead handled by 4× reduce partitions in tiles_pipeline
+# (a reduce task sums several shards; more partitions shrink the sum
+# without touching per-shard work).
+BANDS = ((0, 5, 0), (6, 10, 6), (11, 12, 11), (13, None, 13))
 
 
 def band_for_anchor_zoom(az: int, basezoom: int):
