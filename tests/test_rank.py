@@ -1,0 +1,48 @@
+"""Global ROW_NUMBER / RANK (stages/rank.py) vs pandas window oracle,
+exercising tie runs that span block boundaries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tilemaker_ray.stages.rank import global_rank
+
+
+def _oracle(df, rank_key="v"):
+    df = df.sort_values(["v", "i"], ascending=[False, True]).reset_index(drop=True)
+    df["rn"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["rk"] = (df[rank_key].map(
+        df.groupby(rank_key)["rn"].min())).astype(np.int64)
+    return df
+
+
+@pytest.mark.parametrize("n,n_vals,blocks", [
+    (1000, 7, 16),     # massive ties — every run spans many blocks
+    (1000, 1000, 8),   # all unique
+    (500, 50, 64),     # many near-empty blocks
+    (3, 1, 8),         # single value, more blocks than rows
+])
+def test_global_rank_matches_window_oracle(ray_session, n, n_vals, blocks):
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, n_vals, n).astype(np.float64)
+    df = pd.DataFrame({"i": np.arange(n, dtype=np.int64), "v": v})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    out = global_rank(ds, ["v", "i"], descending=[True, False],
+                      rn_col="rn", rank_col="rk", rank_keys=["v"]).to_pandas()
+    exp = _oracle(df)
+    got = out.sort_values("rn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["i", "v", "rn", "rk"]], exp[["i", "v", "rn", "rk"]])
+
+
+def test_row_number_only_no_meta_fetch(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"i": np.arange(100, dtype=np.int64),
+                       "v": np.arange(100)[::-1].astype(np.float64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = global_rank(ds, ["v"], rn_col="rn", rank_col=None).to_pandas()
+    out = out.sort_values("v").reset_index(drop=True)
+    assert (out["rn"].to_numpy() == np.arange(1, 101)).all()
+    assert "rank" not in out.columns

@@ -596,6 +596,41 @@ def q_subword_count_docs(sf_dir: str):
             .select_columns(["doc_id", "n_ws_tokens", "n_subword_est"]))
 
 
+def q_global_rank_events(sf_dir: str):
+    """Global window ranks (stages/rank.py): ROW_NUMBER over
+    (value DESC, event_id) + ANSI RANK over (value DESC) computed
+    distributed — one sort exchange, then per-block offset tasks whose
+    driver state is O(n_blocks) metadata scalars. Oracle: the same two
+    window functions in DuckDB."""
+    from ..stages.rank import global_rank
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    return global_rank(ds, ["value", "event_id"],
+                       descending=[True, False], rn_col="rn",
+                       rank_col="value_rank", rank_keys=["value"])
+
+
+def q_host_stats_pages(sf_dir: str):
+    """URL/domain analytics over the synthetic crawl pages
+    (stages/urlstats.py): per-host page count + extracted-text chars,
+    combiner-first (per-batch partial bincounts, one slim groupby-sum
+    exchange). Rows-only for the driver — the pages table is generated,
+    not one of the sf parquet views — with a urllib.parse + pandas
+    brute-force oracle in tests/test_urlstats.py."""
+    from ..sources import pages as _pages
+    from ..stages.urlstats import host_stats
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    return host_stats(_pages.pages_dataset(n)).sort("host")
+
+
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition filters (duplicate-word / top-word
+    fractions) per document — embarrassingly parallel map_batches, no
+    shuffle. Oracle: the identical split-on-space word multiset in SQL."""
+    from ..stages.textstats import repetition_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Q18+: entity assembly joins (J1/J6) + significant-tags prefilter (M1)
 # ---------------------------------------------------------------------------
@@ -1298,6 +1333,20 @@ ORACLE_SQL = {
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
                length(text) AS n_chars
         FROM documents""",
+    "global_rank_events": """
+        SELECT event_id, value,
+               ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
+               RANK() OVER (ORDER BY value DESC) AS value_rank
+        FROM events""",
+    "repetition_docs": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct_words,
+               1.0 - count(*)*1.0/sum(c) AS dup_word_frac,
+               max(c)*1.0/sum(c) AS top_word_frac
+        FROM wc GROUP BY doc_id""",
     "word_count_topk": """
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -1660,6 +1709,9 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
+    "repetition_docs": q_repetition_docs,
+    "global_rank_events": q_global_rank_events,
+    "host_stats_pages": q_host_stats_pages,
     "assemble_ways": q_assemble_ways,
     "assemble_ways_join": q_assemble_ways_join,
     "used_nodes": q_used_nodes,

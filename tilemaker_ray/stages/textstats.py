@@ -159,3 +159,49 @@ def token_count_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
                         dtype=np.int64)
     return (batch.append_column("n_ws_tokens", pc.cast(ws, pa.int64()))
                  .append_column("n_subword_est", pa.array(pieces, pa.int64())))
+
+
+def repetition_fn(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition statistics, fully vectorized.
+
+    Per document: word count, distinct-word count, duplicate-word
+    fraction (1 - distinct/total) and top-word fraction (most frequent
+    word's share) — the standard "repetition" pre-training quality
+    filters (Gopher §A.1.1, Rae et al. 2021, public). Tokenization is
+    split-on-single-space so the DuckDB oracle (string_split(text,' '))
+    is bit-exact, including the float divisions (single IEEE-754 ops in
+    the same order on both sides).
+
+    Vectorization: one pc.split_pattern over the column, then
+    dictionary-encode the flat word values (C++ kernel), pack
+    (doc_idx, word_id) into one int64 key and np.unique it — per-doc
+    segment reductions (count / max) via bincount and maximum.reduceat.
+    No per-row Python in the hot path.
+    """
+    words = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(batch)
+    n_words = np.diff(offsets)                       # ≥1: split('') == ['']
+    flat = words.values.dictionary_encode()
+    word_id = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_vocab = len(flat.dictionary)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    pair_key = doc_idx * max(n_vocab, 1) + word_id
+    u_pairs, pair_counts = np.unique(pair_key, return_counts=True)
+    pair_doc = u_pairs // max(n_vocab, 1)
+    n_distinct = np.bincount(pair_doc, minlength=n_docs)
+    # u_pairs is sorted, so pairs of one doc are contiguous
+    seg_starts = np.searchsorted(pair_doc, np.arange(n_docs))
+    top_count = np.maximum.reduceat(pair_counts, seg_starts) \
+        if len(pair_counts) else np.zeros(n_docs, dtype=np.int64)
+    nw_f = n_words.astype(np.float64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_distinct_words": pa.array(n_distinct.astype(np.int64), pa.int64()),
+        "dup_word_frac": pa.array(1.0 - n_distinct.astype(np.float64) / nw_f,
+                                  pa.float64()),
+        "top_word_frac": pa.array(top_count.astype(np.float64) / nw_f,
+                                  pa.float64()),
+    })

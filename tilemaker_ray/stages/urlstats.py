@@ -1,0 +1,92 @@
+"""URL / domain analytics over the Common-Crawl-style pages table.
+
+The crawl-side sibling of the tag prefilter (the reference's
+significant-tags scan walks every object's keys before any geometry
+work, /root/reference/src/significant_tags.cpp; here the first thing a
+web corpus pipeline does is bucket pages by registered domain). All
+parsing is one ``pc.extract_regex`` pass over the url column — no
+per-row Python — so the stage fuses into the read at corpus scale.
+
+Provided:
+- :func:`parse_url_fn` — map_batches body adding scheme / host /
+  registered domain / tld / path depth columns;
+- :func:`host_stats` — combiner-first per-host aggregation (partial
+  counts inside map_batches, one slim groupby-sum exchange);
+- :func:`host_topk` — top-k hosts by page count (groupby + sort+limit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# scheme://host[/path...] — query/fragment split off the path
+_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+           r"(?P<host>[^/?#]*)(?P<path>[^?#]*)")
+
+
+def parse_url_fn(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized URL decomposition. ``host`` drops userinfo and port
+    (urllib ``hostname`` semantics, lowercased); ``domain`` is the
+    registered domain approximated as the last two host labels (no
+    public-suffix list in this container — documented heuristic, exact
+    for the synthetic corpus and for .com/.org/... hosts); ``tld`` the
+    last label; ``path_depth`` the number of non-empty path segments."""
+    parts = pc.extract_regex(batch[url_col], _URL_RE)
+    scheme = pc.ascii_lower(pc.struct_field(parts, "scheme"))
+    netloc = pc.ascii_lower(pc.struct_field(parts, "host"))
+    path = pc.struct_field(parts, "path")
+    # host = netloc minus userinfo / port (IPv6 brackets kept whole)
+    hostm = pc.extract_regex(netloc, r"^(?:[^@]*@)?(?P<h>\[[^\]]*\]|[^:]*)")
+    host = pc.struct_field(hostm, "h")
+    # registered domain = last two dot-labels of the host (regex
+    # anchored at end — no per-row Python, no list indexing)
+    tail2 = pc.extract_regex(host, r"(?P<dom>[^.]+\.(?P<tld>[^.]+))$")
+    domain = pc.if_else(pc.is_valid(tail2),
+                        pc.struct_field(tail2, "dom"), host)
+    tld = pc.if_else(pc.is_valid(tail2),
+                     pc.struct_field(tail2, "tld"), host)
+    # path depth = non-empty '/'-segments: collapse runs of '/', then
+    # '/a/b/c' → 3, '/a/' → 1, '' or '/' → 0
+    norm = pc.replace_substring_regex(path, "/+", "/")
+    seg = pc.count_substring(norm, "/")
+    trailing = pc.ends_with(norm, "/")
+    depth = pc.subtract(seg, pc.cast(trailing, pa.int32()))
+    return (batch.append_column("scheme", scheme)
+                 .append_column("host", host)
+                 .append_column("domain", domain)
+                 .append_column("tld", tld)
+                 .append_column("path_depth",
+                                pc.cast(depth, pa.int64())))
+
+
+def _partial_host_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (host, n_pages, sum_chars) partials so the
+    exchange moves one slim row per distinct host per batch."""
+    b = parse_url_fn(batch)
+    host = b["host"].combine_chunks().dictionary_encode()
+    codes = host.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nchars = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_host = len(host.dictionary)
+    cnt = np.bincount(codes, minlength=n_host)
+    chars = np.bincount(codes, weights=nchars, minlength=n_host).astype(np.int64)
+    return pa.table({"host": host.dictionary,
+                     "part_pages": pa.array(cnt, pa.int64()),
+                     "part_chars": pa.array(chars, pa.int64())})
+
+
+def host_stats(pages_ds):
+    """Per-host page count + total extracted-text chars. One shuffle of
+    pre-aggregated partials (distinct-hosts × batches rows)."""
+    from ray.data.aggregate import Sum
+    ds = pages_ds.map_batches(_partial_host_counts, batch_format="pyarrow")
+    return (ds.groupby("host")
+            .aggregate(Sum("part_pages", alias_name="n_pages"),
+                       Sum("part_chars", alias_name="sum_chars")))
+
+
+def host_topk(pages_ds, k: int = 50):
+    """Top-k hosts by page count (stable tie-break on host name)."""
+    return (host_stats(pages_ds)
+            .sort(["n_pages", "host"], descending=[True, False]).limit(k))
