@@ -62,6 +62,8 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
 
     qtimes = {}
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        QUERIES = {}
     for name, fn in QUERIES.items():
         if name == "flagship_tiles":
             continue  # the headline above IS this pipeline
@@ -100,7 +102,10 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_N_PAGES=str(n4))
+                   GRAFT_N_PAGES=str(n4),
+                   # efficiency is computed from the headline only; the
+                   # query sweep would just add noise to each level
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -6,7 +6,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from tilemaker_ray.stages.rank import global_rank
+from tilemaker_ray.stages.rank import global_rank, partitioned_rank
 
 
 def _oracle(df, rank_key="v"):
@@ -35,6 +35,33 @@ def test_global_rank_matches_window_oracle(ray_session, n, n_vals, blocks):
     got = out.sort_values("rn").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["i", "v", "rn", "rk"]], exp[["i", "v", "rn", "rk"]])
+
+
+@pytest.mark.parametrize("n,n_users,n_vals,blocks", [
+    (2000, 5, 9, 32),    # few huge partitions, heavy ties, block-spanning
+    (1000, 300, 1000, 8),  # many small partitions
+    (100, 1, 1, 16),     # one partition, one value
+])
+def test_partitioned_rank_matches_window_oracle(ray_session, n, n_users,
+                                                n_vals, blocks):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "i": np.arange(n, dtype=np.int64),
+        "u": rng.integers(0, n_users, n).astype(np.int64),
+        "v": rng.integers(0, n_vals, n).astype(np.float64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    out = partitioned_rank(ds, "u", ["v", "i"], descending=[True, False],
+                           rn_col="rn", rank_col="rk",
+                           rank_keys=["v"]).to_pandas()
+    exp = df.sort_values(["u", "v", "i"],
+                         ascending=[True, False, True]).reset_index(drop=True)
+    exp["rn"] = exp.groupby("u").cumcount() + 1
+    exp["rk"] = (exp.groupby(["u", "v"])["rn"].transform("min")).astype(np.int64)
+    got = out.sort_values(["u", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["i", "u", "v", "rn", "rk"]], exp[["i", "u", "v", "rn", "rk"]])
 
 
 def test_row_number_only_no_meta_fetch(ray_session):

@@ -609,6 +609,20 @@ def q_global_rank_events(sf_dir: str):
                        rank_col="value_rank", rank_keys=["value"])
 
 
+def q_top_events_per_user(sf_dir: str):
+    """Top-3 events per user (stages/rank.py partitioned_rank): ONE
+    global sort on (user_id, value DESC, event_id), then per-block
+    run-relative row numbers — no groupby, no per-group tasks; a giant
+    partition spans blocks and stays parallel. Oracle: ROW_NUMBER()
+    OVER (PARTITION BY ... ORDER BY ...) filtered to rn <= 3."""
+    from ..stages.rank import partitioned_rank
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    ranked = partitioned_rank(ds, "user_id", ["value", "event_id"],
+                              descending=[True, False], rn_col="rn",
+                              rank_col="value_rank", rank_keys=["value"])
+    return ranked.filter(expr="rn <= 3")
+
+
 def q_host_stats_pages(sf_dir: str):
     """URL/domain analytics over the synthetic crawl pages
     (stages/urlstats.py): per-host page count + extracted-text chars,
@@ -620,6 +634,19 @@ def q_host_stats_pages(sf_dir: str):
     from ..stages.urlstats import host_stats
     n = _pages.n_pages_for_sf_dir(sf_dir)
     return host_stats(_pages.pages_dataset(n)).sort("host")
+
+
+def q_unit_dedup_docs(sf_dir: str):
+    """CCNet/C4-style corpus-wide exact unit dedup
+    (stages/linededup.py): keep the globally-first occurrence of each
+    distinct unit, rebuild documents in original unit order. The
+    synthetic docs are single-line, so the space separator exercises
+    the semantics at maximum duplication pressure (≈30-word vocabulary
+    → >90% of units drop, every unit run spans many blocks). Oracle:
+    the identical min-(doc_id,ord) keep rule + ordered string_agg."""
+    from ..stages.linededup import dedup_units
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_units(ds, sep=" ")
 
 
 def q_repetition_docs(sf_dir: str):
@@ -1338,6 +1365,26 @@ ORACLE_SQL = {
                ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
                RANK() OVER (ORDER BY value DESC) AS value_rank
         FROM events""",
+    "top_events_per_user": """
+        SELECT * FROM (
+            SELECT event_id, user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rn,
+                   RANK() OVER (PARTITION BY user_id
+                                ORDER BY value DESC) AS value_rank
+            FROM events)
+        WHERE rn <= 3""",
+    "unit_dedup_docs": """
+        WITH L AS (SELECT doc_id,
+                          generate_subscripts(string_split(text, ' '), 1) AS ord,
+                          unnest(string_split(text, ' ')) AS unit
+                   FROM documents),
+        k AS (SELECT unit, min(doc_id * 1000000 + ord) AS canon
+              FROM L GROUP BY unit)
+        SELECT L.doc_id, string_agg(L.unit, ' ' ORDER BY L.ord) AS text
+        FROM L JOIN k ON L.unit = k.unit
+        WHERE L.doc_id * 1000000 + L.ord = k.canon
+        GROUP BY L.doc_id""",
     "repetition_docs": """
         WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                    FROM documents),
@@ -1709,8 +1756,10 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
+    "unit_dedup_docs": q_unit_dedup_docs,
     "repetition_docs": q_repetition_docs,
     "global_rank_events": q_global_rank_events,
+    "top_events_per_user": q_top_events_per_user,
     "host_stats_pages": q_host_stats_pages,
     "assemble_ways": q_assemble_ways,
     "assemble_ways_join": q_assemble_ways_join,
