@@ -636,6 +636,59 @@ def q_host_stats_pages(sf_dir: str):
     return host_stats(_pages.pages_dataset(n)).sort("host")
 
 
+def q_normalize_docs(sf_dir: str):
+    """Text normalization (lowercase + whitespace collapse + strip):
+    three Arrow kernels fused into the read. Oracle: the identical
+    lower/regexp_replace/trim composition in DuckDB."""
+    from ..stages.textstats import normalize_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(normalize_fn, batch_format="pyarrow")
+            .select_columns(["doc_id", "norm_text"]))
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join coverage: per-customer order count + exact
+    integer-cents spend, customers with zero orders included.
+    Combiner-first (orders pre-aggregated per custkey inside
+    map_batches before the exchange) so the distributed left join
+    moves one slim row per customer, not one per order."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy()
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100.0) \
+            .astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        csum = np.zeros(len(uniq), dtype=np.int64)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(csum, inv, cents)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"o_custkey": pa.array(uniq, pa.int64()),
+                         "part_n": pa.array(cnt, pa.int64()),
+                         "part_cents": pa.array(csum, pa.int64())})
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("part_n", alias_name="n_orders"),
+                           Sum("part_cents", alias_name="cents_total")))
+    joined = cust.join(per_cust, join_type="left_outer",
+                       num_partitions=8, on=("c_custkey",),
+                       right_on=("o_custkey",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "n_orders": pc.coalesce(batch["n_orders"], pa.scalar(0, pa.int64())),
+            "cents_total": pc.coalesce(batch["cents_total"],
+                                       pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_unit_dedup_docs(sf_dir: str):
     """CCNet/C4-style corpus-wide exact unit dedup
     (stages/linededup.py): keep the globally-first occurrence of each
@@ -1374,6 +1427,19 @@ ORACLE_SQL = {
                                 ORDER BY value DESC) AS value_rank
             FROM events)
         WHERE rn <= 3""",
+    "normalize_docs": """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm_text
+        FROM documents""",
+    "customer_order_counts": """
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS cents_total
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey""",
     "unit_dedup_docs": """
         WITH L AS (SELECT doc_id,
                           generate_subscripts(string_split(text, ' '), 1) AS ord,
@@ -1756,6 +1822,8 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
+    "normalize_docs": q_normalize_docs,
+    "customer_order_counts": q_customer_order_counts,
     "unit_dedup_docs": q_unit_dedup_docs,
     "repetition_docs": q_repetition_docs,
     "global_rank_events": q_global_rank_events,
