@@ -30,11 +30,14 @@ def test_global_rank_matches_window_oracle(ray_session, n, n_vals, blocks):
     df = pd.DataFrame({"i": np.arange(n, dtype=np.int64), "v": v})
     ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
     out = global_rank(ds, ["v", "i"], descending=[True, False],
-                      rn_col="rn", rank_col="rk", rank_keys=["v"]).to_pandas()
+                      rn_col="rn", rank_col="rk", rank_keys=["v"],
+                      dense_col="dk").to_pandas()
     exp = _oracle(df)
+    exp["dk"] = exp["v"].rank(method="dense", ascending=False).astype(np.int64)
     got = out.sort_values("rn").reset_index(drop=True)
     pd.testing.assert_frame_equal(
-        got[["i", "v", "rn", "rk"]], exp[["i", "v", "rn", "rk"]])
+        got[["i", "v", "rn", "rk", "dk"]],
+        exp[["i", "v", "rn", "rk", "dk"]])
 
 
 @pytest.mark.parametrize("n,n_users,n_vals,blocks", [
@@ -53,15 +56,18 @@ def test_partitioned_rank_matches_window_oracle(ray_session, n, n_users,
     })
     ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
     out = partitioned_rank(ds, "u", ["v", "i"], descending=[True, False],
-                           rn_col="rn", rank_col="rk",
-                           rank_keys=["v"]).to_pandas()
+                           rn_col="rn", rank_col="rk", rank_keys=["v"],
+                           dense_col="dk").to_pandas()
     exp = df.sort_values(["u", "v", "i"],
                          ascending=[True, False, True]).reset_index(drop=True)
     exp["rn"] = exp.groupby("u").cumcount() + 1
     exp["rk"] = (exp.groupby(["u", "v"])["rn"].transform("min")).astype(np.int64)
+    exp["dk"] = (exp.groupby("u")["v"]
+                 .rank(method="dense", ascending=False).astype(np.int64))
     got = out.sort_values(["u", "rn"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
-        got[["i", "u", "v", "rn", "rk"]], exp[["i", "u", "v", "rn", "rk"]])
+        got[["i", "u", "v", "rn", "rk", "dk"]],
+        exp[["i", "u", "v", "rn", "rk", "dk"]])
 
 
 def test_row_number_only_no_meta_fetch(ray_session):

@@ -606,7 +606,8 @@ def q_global_rank_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
     return global_rank(ds, ["value", "event_id"],
                        descending=[True, False], rn_col="rn",
-                       rank_col="value_rank", rank_keys=["value"])
+                       rank_col="value_rank", rank_keys=["value"],
+                       dense_col="value_dense")
 
 
 def q_top_events_per_user(sf_dir: str):
@@ -619,7 +620,8 @@ def q_top_events_per_user(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
     ranked = partitioned_rank(ds, "user_id", ["value", "event_id"],
                               descending=[True, False], rn_col="rn",
-                              rank_col="value_rank", rank_keys=["value"])
+                              rank_col="value_rank", rank_keys=["value"],
+                              dense_col="value_dense")
     return ranked.filter(expr="rn <= 3")
 
 
@@ -1416,7 +1418,8 @@ ORACLE_SQL = {
     "global_rank_events": """
         SELECT event_id, value,
                ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn,
-               RANK() OVER (ORDER BY value DESC) AS value_rank
+               RANK() OVER (ORDER BY value DESC) AS value_rank,
+               DENSE_RANK() OVER (ORDER BY value DESC) AS value_dense
         FROM events""",
     "top_events_per_user": """
         SELECT * FROM (
@@ -1424,7 +1427,9 @@ ORACLE_SQL = {
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY value DESC, event_id) AS rn,
                    RANK() OVER (PARTITION BY user_id
-                                ORDER BY value DESC) AS value_rank
+                                ORDER BY value DESC) AS value_rank,
+                   DENSE_RANK() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC) AS value_dense
             FROM events)
         WHERE rn <= 3""",
     "normalize_docs": """
