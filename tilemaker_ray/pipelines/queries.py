@@ -638,6 +638,28 @@ def q_host_stats_pages(sf_dir: str):
     return host_stats(_pages.pages_dataset(n)).sort("host")
 
 
+def q_running_totals_events(sf_dir: str):
+    """Running per-user aggregates (stages/cumulative.py): SUM and MAX
+    OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING) via
+    one sort exchange + value-bearing carried scalars per block.
+    Integer cents so the segmented-subtraction scan is order-exact vs
+    the oracle's sequential accumulation."""
+    from ..stages.cumulative import cumulative
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.append_column("cents", pa.array(c, pa.int64()))
+
+    out = cumulative(ds.map_batches(cents, batch_format="pyarrow"),
+                     "user_id", ["ts", "event_id"], "cents",
+                     ops=("sum", "max"),
+                     out_cols=["run_cents", "run_max_cents"])
+    return out.select_columns(
+        ["event_id", "user_id", "cents", "run_cents", "run_max_cents"])
+
+
 def q_normalize_docs(sf_dir: str):
     """Text normalization (lowercase + whitespace collapse + strip):
     three Arrow kernels fused into the read. Oracle: the identical
@@ -1432,6 +1454,18 @@ ORACLE_SQL = {
                                       ORDER BY value DESC) AS value_dense
             FROM events)
         WHERE rn <= 3""",
+    "running_totals_events": """
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run_cents,
+               MAX(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_max_cents
+        FROM events""",
     "normalize_docs": """
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
@@ -1827,6 +1861,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
+    "running_totals_events": q_running_totals_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
     "unit_dedup_docs": q_unit_dedup_docs,
