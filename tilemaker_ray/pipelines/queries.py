@@ -638,6 +638,37 @@ def q_host_stats_pages(sf_dir: str):
     return host_stats(_pages.pages_dataset(n)).sort("host")
 
 
+def q_event_deltas(sf_dir: str):
+    """Generic distributed LAG/LEAD (stages/shift.py): previous and
+    next event cents per user over (ts, event_id) order, plus the
+    delta — one sort exchange, k-row edge buffers carried along the
+    O(n_blocks) driver walk, partition crossings nulled. Oracle:
+    LAG/LEAD window functions."""
+    from ..stages.shift import shifted
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.append_column("cents", pa.array(c, pa.int64()))
+
+    out = shifted(ds.map_batches(cents, batch_format="pyarrow"),
+                  "user_id", ["ts", "event_id"],
+                  [("prev_cents", "cents", 1),
+                   ("next_cents", "cents", -1),
+                   ("prev2_cents", "cents", 2)])
+
+    def delta(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "delta_cents", pc.subtract(batch["cents"],
+                                       batch["prev_cents"]))
+
+    return (out.map_batches(delta, batch_format="pyarrow")
+            .select_columns(["event_id", "user_id", "cents",
+                             "prev_cents", "next_cents", "prev2_cents",
+                             "delta_cents"]))
+
+
 def q_running_totals_events(sf_dir: str):
     """Running per-user aggregates (stages/cumulative.py): SUM and MAX
     OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING) via
@@ -1454,6 +1485,20 @@ ORACLE_SQL = {
                                       ORDER BY value DESC) AS value_dense
             FROM events)
         WHERE rn <= 3""",
+    "event_deltas": """
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                   AS prev_cents,
+               LEAD(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                   AS next_cents,
+               LAG(CAST(FLOOR(value * 100) AS BIGINT), 2) OVER w
+                   AS prev2_cents,
+               CAST(FLOOR(value * 100) AS BIGINT)
+                   - LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                   AS delta_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "running_totals_events": """
         SELECT event_id, user_id,
                CAST(FLOOR(value * 100) AS BIGINT) AS cents,
@@ -1861,6 +1906,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
+    "event_deltas": q_event_deltas,
     "running_totals_events": q_running_totals_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
