@@ -32,6 +32,25 @@ def test_exact_quantiles(ray_session, dist):
         assert got == brute_disc(v, p), (dist, p)
 
 
+@pytest.mark.parametrize("dist", ["uniform", "dupes"])
+def test_exact_quantiles_interpolated(ray_session, dist):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import exact_quantiles
+    rng = np.random.RandomState(7)
+    v = rng.uniform(0, 100, 9999) if dist == "uniform" else \
+        rng.choice([1.0, 2.0, 2.0, 3.0, 50.0], 9999)
+    ds = rd.from_arrow(pa.table({"value": pa.array(v, pa.float64())})) \
+        .repartition(8)
+    ps = [0.0, 0.01, 0.5, 0.9, 0.999, 1.0]
+    out = exact_quantiles(ds, "value", ps, interpolated=True).to_pandas()
+    s = np.sort(v)
+    for p, got in zip(out["p"], out["value"]):
+        r = p * (len(s) - 1)
+        lo, hi = int(np.floor(r)), int(np.ceil(r))
+        exp = s[lo] if lo == hi else s[lo] * (hi - r) + s[hi] * (r - lo)
+        assert got == exp, (dist, p)
+
+
 def test_exact_quantiles_empty(ray_session):
     import ray.data as rd
     from tilemaker_ray.stages.sketch import exact_quantiles

@@ -638,6 +638,18 @@ def q_host_stats_pages(sf_dir: str):
     return host_stats(_pages.pages_dataset(n)).sort("host")
 
 
+def q_value_quantiles_cont(sf_dir: str):
+    """Interpolated exact quantiles (PERCENTILE_CONT semantics) via
+    the same mergeable-histogram sketch: rank r = p·(n−1), the two
+    bracketing order statistics gathered from candidate bins only,
+    interpolation evaluated as DuckDB does (v_lo·(hi−r) + v_hi·(r−lo))
+    so doubles are bit-identical."""
+    from ..stages.sketch import exact_quantiles
+    ds = _read(sf_dir, "events", columns=["value"])
+    return exact_quantiles(ds, "value", [0.01, 0.25, 0.5, 0.9, 0.99],
+                           interpolated=True)
+
+
 def q_event_deltas(sf_dir: str):
     """Generic distributed LAG/LEAD (stages/shift.py): previous and
     next event cents per user over (ts, event_id) order, plus the
@@ -1571,6 +1583,17 @@ ORACLE_SQL = {
         ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "shuffled_export": """
         SELECT doc_id, lang FROM documents""",
+    "value_quantiles_cont": """
+        SELECT p, value FROM (
+          SELECT 0.01 AS p, quantile_cont(value, 0.01) AS value FROM events
+          UNION ALL
+          SELECT 0.25, quantile_cont(value, 0.25) FROM events
+          UNION ALL
+          SELECT 0.5, quantile_cont(value, 0.5) FROM events
+          UNION ALL
+          SELECT 0.9, quantile_cont(value, 0.9) FROM events
+          UNION ALL
+          SELECT 0.99, quantile_cont(value, 0.99) FROM events)""",
     "value_quantiles": """
         SELECT p, value FROM (
           SELECT 0.01 AS p, quantile_disc(value, 0.01) AS value FROM events
@@ -1927,6 +1950,7 @@ QUERIES = {
     "word_count_topk": q_word_count_topk,
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,
+    "value_quantiles_cont": q_value_quantiles_cont,
     "shuffled_export": q_shuffled_export,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,

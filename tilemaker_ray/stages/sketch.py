@@ -18,12 +18,19 @@ import pyarrow as pa
 NB = 4096
 
 
-def exact_quantiles(ds, col: str, ps: list) -> pa.Table:
-    """→ pa.Table (p, value) of exact discrete quantiles of ``ds[col]``
-    (float column). Three distributed passes (stats, histogram,
-    candidate gather — the bin domain genuinely needs global min/max
-    first) over blocks cached by ``materialize()``, so the upstream
-    read runs ONCE; plus O(NB + candidates) driver work."""
+def exact_quantiles(ds, col: str, ps: list,
+                    interpolated: bool = False) -> pa.Table:
+    """→ pa.Table (p, value) of exact quantiles of ``ds[col]`` (float
+    column). Three distributed passes (stats, histogram, candidate
+    gather — the bin domain genuinely needs global min/max first) over
+    blocks cached by ``materialize()``, so the upstream read runs
+    ONCE; plus O(NB + candidates) driver work.
+
+    ``interpolated=False`` matches DuckDB ``quantile_disc`` (k-th
+    smallest, k = max(1, ceil(p·n))); ``interpolated=True`` matches
+    ``quantile_cont`` / ANSI PERCENTILE_CONT: rank r = p·(n−1)
+    (0-based, fractional), value = v_lo·(hi−r) + v_hi·(r−lo) — the
+    same expression DuckDB evaluates, so doubles are bit-identical."""
     from ray.data.aggregate import Count, Max, Min
     ds = ds.materialize()
     stats = ds.aggregate(Count(col, alias_name="n"),
@@ -51,7 +58,12 @@ def exact_quantiles(ds, col: str, ps: list) -> pa.Table:
     cum = np.concatenate([[0], np.cumsum(counts)])
 
     # target ranks (1-based k-th smallest) → bins
-    ks = [max(1, int(np.ceil(p * n))) for p in ps]
+    if interpolated:
+        rs = [p * (n - 1) for p in ps]           # 0-based fractional
+        ks = sorted({int(np.floor(r)) + 1 for r in rs}
+                    | {int(np.ceil(r)) + 1 for r in rs})
+    else:
+        ks = [max(1, int(np.ceil(p * n))) for p in ps]
     need_bins = sorted({int(np.searchsorted(cum, k, side="left")) - 1
                         for k in ks})
 
@@ -67,12 +79,24 @@ def exact_quantiles(ds, col: str, ps: list) -> pa.Table:
         .iter_batches(batch_format="pyarrow")))
     cv = cand[col].to_numpy(zero_copy_only=False)
     cb = cand["bin"].to_numpy(zero_copy_only=False)
-    out_v = []
-    for p, k in zip(ps, ks):
+
+    def kth(k: int) -> float:
         bi = int(np.searchsorted(cum, k, side="left")) - 1
         vals = np.sort(cv[cb == bi])
-        k_local = k - int(cum[bi])
-        out_v.append(float(vals[k_local - 1]))
+        return float(vals[k - int(cum[bi]) - 1])
+
+    if interpolated:
+        out_v = []
+        for p, r in zip(ps, rs):
+            lo, hi = int(np.floor(r)), int(np.ceil(r))
+            vl = kth(lo + 1)
+            if hi == lo:
+                out_v.append(vl)
+            else:
+                # DuckDB's symmetric weighting: lo·(hi−r) + hi·(r−lo)
+                out_v.append(vl * (hi - r) + kth(hi + 1) * (r - lo))
+    else:
+        out_v = [kth(k) for k in ks]
     return pa.table({"p": pa.array(ps, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
 
