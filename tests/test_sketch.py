@@ -76,6 +76,28 @@ def test_grouped_quantiles_vs_brute(ray_session):
         assert out.loc[u, "p90"] == brute_disc(vals, 0.9)
 
 
+def test_grouped_quantiles_interpolated_vs_brute(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import grouped_quantiles
+    rng = np.random.RandomState(9)
+    uid = rng.randint(0, 30, 4000)
+    v = rng.uniform(0, 100, 4000)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(uid, pa.int64()),
+                                 "value": pa.array(v, pa.float64())})) \
+        .repartition(6)
+    out = grouped_quantiles(ds, "user_id", "value", [0.5, 0.9],
+                            interpolated=True) \
+        .to_pandas().set_index("user_id")
+    for u in np.unique(uid):
+        s = np.sort(v[uid == u])
+        for p, nm in [(0.5, "p50"), (0.9, "p90")]:
+            r = p * (len(s) - 1)
+            lo, hi = int(np.floor(r)), int(np.ceil(r))
+            exp = s[lo] if lo == hi else \
+                s[lo] * (hi - r) + s[hi] * (r - lo)
+            assert out.loc[u, nm] == exp, (u, p)
+
+
 def test_grouped_quantiles_ignores_nulls(ray_session):
     import ray.data as rd
     from tilemaker_ray.stages.sketch import grouped_quantiles

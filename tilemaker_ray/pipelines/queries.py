@@ -527,6 +527,17 @@ def q_user_value_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "user_id", "value", [0.5, 0.9, 0.99])
 
 
+def q_user_value_quantiles_cont(sf_dir: str):
+    """Per-user interpolated percentiles (grouped PERCENTILE_CONT):
+    same bucketed segmented order statistics, DuckDB's symmetric
+    interpolation weighting evaluated vectorized across all groups of
+    a bucket — bit-identical doubles vs grouped quantile_cont."""
+    from ..stages.sketch import grouped_quantiles
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    return grouped_quantiles(ds, "user_id", "value", [0.5, 0.9, 0.99],
+                             interpolated=True)
+
+
 def q_shuffled_export(sf_dir: str):
     """Training-data export shuffle: seeded global ``random_shuffle``
     (Ray's all-to-all permutation op) over the corpus. The driver's
@@ -1566,6 +1577,11 @@ ORACLE_SQL = {
                quantile_disc(value, 0.9) AS p90,
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY user_id""",
+    "user_value_quantiles_cont": """
+        SELECT user_id, quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY user_id""",
     "range_join_events": """
         SELECT e.event_id, CAST(n.n_nationkey AS BIGINT) AS range_id
         FROM events e JOIN nation n
@@ -1955,6 +1971,7 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "user_value_quantiles": q_user_value_quantiles,
+    "user_value_quantiles_cont": q_user_value_quantiles_cont,
     "way_length_haversine": q_way_length_haversine,
     "media_features": q_media_features,
     "sliding_window": q_sliding_window,

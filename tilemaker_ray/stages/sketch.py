@@ -102,12 +102,15 @@ def exact_quantiles(ds, col: str, ps: list,
 
 
 def grouped_quantiles(ds, key: str, col: str, ps: list,
-                      num_buckets: int = 256):
-    """Per-key exact discrete quantiles → Dataset (key, p50-style
-    columns). Groups hash into buckets; ONE lexsort per bucket serves
-    every group in it (the repo's bucket pattern — group sizes are the
+                      num_buckets: int = 256,
+                      interpolated: bool = False):
+    """Per-key exact quantiles → Dataset (key, p50-style columns).
+    Groups hash into buckets; ONE lexsort per bucket serves every
+    group in it (the repo's bucket pattern — group sizes are the
     per-key row counts, exact order statistics are cheap at that
-    granularity; the corpus never materializes anywhere)."""
+    granularity; the corpus never materializes anywhere).
+    ``interpolated`` switches from quantile_disc to quantile_cont
+    semantics (DuckDB's symmetric weighting, bit-identical doubles)."""
     from .common import mix_bucket
 
     def bucket(b: pa.Table) -> pa.Table:
@@ -139,8 +142,17 @@ def grouped_quantiles(ds, key: str, col: str, ps: list,
         sizes = np.add.reduceat((~np.isnan(v)).astype(np.int64), starts)
         cols = {key: pa.array(k[starts], pa.int64())}
         for p, nm in zip(ps, names):
-            kk = np.maximum(1, np.ceil(p * sizes).astype(np.int64))
-            picked = v[starts + kk - 1]
+            if interpolated:
+                r = p * np.maximum(sizes - 1, 0)
+                lo = np.floor(r).astype(np.int64)
+                hi = np.ceil(r).astype(np.int64)
+                vl = v[starts + np.minimum(lo, np.maximum(sizes - 1, 0))]
+                vh = v[starts + np.minimum(hi, np.maximum(sizes - 1, 0))]
+                picked = np.where(hi == lo, vl,
+                                  vl * (hi - r) + vh * (r - lo))
+            else:
+                kk = np.maximum(1, np.ceil(p * sizes).astype(np.int64))
+                picked = v[starts + kk - 1]
             picked = np.where(sizes > 0, picked, np.nan)
             cols[nm] = pa.array(picked, pa.float64(), from_pandas=True)
         return pa.table(cols)
