@@ -714,6 +714,32 @@ def q_running_totals_events(sf_dir: str):
         ["event_id", "user_id", "cents", "run_cents", "run_max_cents"])
 
 
+def q_rolling_events(sf_dir: str):
+    """Rolling-frame window aggregates (stages/rolling.py): per-user
+    SUM/MIN/MAX/COUNT over ROWS BETWEEN 3 PRECEDING AND CURRENT ROW —
+    one sort exchange, frames rebuilt from k lag columns (partition
+    crossings excluded by the null machinery). Integer cents for the
+    sum so evaluation order can't perturb the doubles. Oracle: the
+    identical window frame in DuckDB."""
+    from ..stages.rolling import rolling_frame
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.append_column("cents", pa.array(c, pa.int64()))
+
+    out = rolling_frame(ds.map_batches(cents, batch_format="pyarrow"),
+                        "user_id", ["ts", "event_id"], 3,
+                        [("roll_sum_cents", "cents", "sum"),
+                         ("roll_min", "value", "min"),
+                         ("roll_max", "value", "max"),
+                         ("roll_cnt", "value", "count")])
+    return out.select_columns(
+        ["event_id", "user_id", "roll_sum_cents", "roll_min",
+         "roll_max", "roll_cnt"])
+
+
 def q_normalize_docs(sf_dir: str):
     """Text normalization (lowercase + whitespace collapse + strip):
     three Arrow kernels fused into the read. Oracle: the identical
@@ -1522,6 +1548,16 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "rolling_events": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                   AS BIGINT) AS roll_sum_cents,
+               MIN(value) OVER w AS roll_min,
+               MAX(value) OVER w AS roll_max,
+               COUNT(value) OVER w AS roll_cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
     "running_totals_events": """
         SELECT event_id, user_id,
                CAST(FLOOR(value * 100) AS BIGINT) AS cents,
@@ -1947,6 +1983,7 @@ QUERIES = {
     "subword_count_docs": q_subword_count_docs,
     "event_deltas": q_event_deltas,
     "running_totals_events": q_running_totals_events,
+    "rolling_events": q_rolling_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
     "unit_dedup_docs": q_unit_dedup_docs,
