@@ -79,3 +79,55 @@ def test_row_number_only_no_meta_fetch(ray_session):
     out = out.sort_values("v").reset_index(drop=True)
     assert (out["rn"].to_numpy() == np.arange(1, 101)).all()
     assert "rank" not in out.columns
+
+
+def _ntile_ref(rn, n, b):
+    q, r = divmod(n, b)
+    big = r * (q + 1)
+    if rn <= big:
+        return (rn - 1) // (q + 1) + 1
+    return r + (rn - 1 - big) // max(q, 1) + 1
+
+
+def test_window_distribution_vs_brute(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.rank import window_distribution
+    rng = np.random.default_rng(12)
+    n = 6000
+    df = pd.DataFrame({
+        "i": np.arange(n, dtype=np.int64),
+        # 3 giant partitions so single-run continuing blocks exercise
+        # the backward next-run recurrence
+        "u": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.integers(0, 8, n).astype(np.float64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(16)
+    out = window_distribution(ds, "u", ["v", "i"], ntile=5,
+                              ntile_col="tile", pct_col="pct",
+                              cume_col="cume", size_col="n",
+                              rank_keys=["v"]).to_pandas()
+    exp = df.sort_values(["u", "v", "i"]).reset_index(drop=True)
+    exp["n"] = exp.groupby("u")["v"].transform("size").astype(np.int64)
+    exp["rn"] = exp.groupby("u").cumcount() + 1
+    exp["tile"] = [
+        _ntile_ref(rn, nn, 5) for rn, nn in zip(exp["rn"], exp["n"])]
+    rk = exp.groupby("u")["v"].rank(method="min")
+    mx = exp.groupby("u")["v"].rank(method="max")
+    exp["pct"] = (rk - 1) / (exp["n"] - 1)
+    exp["cume"] = mx / exp["n"]
+    got = out.sort_values(["u", "v", "i"]).reset_index(drop=True)
+    for c in ["n", "tile", "pct", "cume"]:
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_window_distribution_single_row_partitions(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.rank import window_distribution
+    df = pd.DataFrame({"u": np.arange(10, dtype=np.int64),
+                       "v": np.ones(10)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = window_distribution(ds, "u", ["v"], pct_col="pct",
+                              cume_col="cume", size_col="n").to_pandas()
+    assert (out["n"] == 1).all()
+    assert (out["pct"] == 0.0).all()   # ANSI: single-row partition
+    assert (out["cume"] == 1.0).all()

@@ -740,6 +740,34 @@ def q_rolling_events(sf_dir: str):
          "roll_max", "roll_cnt"])
 
 
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) + partition sizes (stages/rank.py
+    window_distribution): one sort exchange plus a backward O(n_blocks)
+    driver walk that resolves each partition's exclusive end. Order is
+    fully determined (value, event_id) so bucket assignment matches the
+    oracle row-for-row."""
+    from ..stages.rank import window_distribution
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = window_distribution(ds, "user_id", ["value", "event_id"],
+                              ntile=4, ntile_col="tile",
+                              size_col="part_n")
+    return out.select_columns(["event_id", "user_id", "tile", "part_n"])
+
+
+def q_dist_events(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST over a tie-heavy order (event_type):
+    tie runs resolved with the same forward/backward run-stitching the
+    rank machinery uses; int64/int64 IEEE divisions so the doubles are
+    bit-identical to the oracle's."""
+    from ..stages.rank import window_distribution
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    out = window_distribution(ds, "user_id", ["event_type"],
+                              pct_col="pct", cume_col="cume")
+    return out.select_columns(
+        ["event_id", "user_id", "event_type", "pct", "cume"])
+
+
 def q_normalize_docs(sf_dir: str):
     """Text normalization (lowercase + whitespace collapse + strip):
     three Arrow kernels fused into the read. Oracle: the identical
@@ -1548,6 +1576,18 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "ntile_events": """
+        SELECT event_id, user_id,
+               NTILE(4) OVER (PARTITION BY user_id
+                              ORDER BY value, event_id) AS tile,
+               COUNT(*) OVER (PARTITION BY user_id) AS part_n
+        FROM events""",
+    "dist_events": """
+        SELECT event_id, user_id, event_type,
+               PERCENT_RANK() OVER w AS pct,
+               CUME_DIST() OVER w AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_type)""",
     "rolling_events": """
         SELECT event_id, user_id,
                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
@@ -1984,6 +2024,8 @@ QUERIES = {
     "event_deltas": q_event_deltas,
     "running_totals_events": q_running_totals_events,
     "rolling_events": q_rolling_events,
+    "ntile_events": q_ntile_events,
+    "dist_events": q_dist_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
     "unit_dedup_docs": q_unit_dedup_docs,
