@@ -740,6 +740,34 @@ def q_rolling_events(sf_dir: str):
          "roll_max", "roll_cnt"])
 
 
+def q_redact_docs(sf_dir: str):
+    """PII redaction (textstats.redact_fn): emails / IPv4 / phone
+    numbers → typed placeholders + per-doc removal count, pure Arrow
+    RE2 kernels. The synthetic docs carry no natural PII, so the query
+    first augments each doc with deterministic doc_id-derived PII —
+    mirrored verbatim in the oracle SQL — making every row a real
+    redaction. Identical RE2 patterns on both sides."""
+    from ..stages.textstats import redact_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = np.char.add(
+            np.char.add(" contact u", ids.astype("U20")),
+            np.char.add(
+                np.char.add("@example.com from 10.0.",
+                            (ids % 200).astype("U3")),
+                ".7 call +1 415-555-0142"))
+        # last argument is the element-wise separator
+        t = pc.binary_join_element_wise(
+            batch["text"], pa.array(suffix, pa.string()), "")
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    return (ds.map_batches(aug, batch_format="pyarrow")
+            .map_batches(redact_fn, batch_format="pyarrow")
+            .select_columns(["doc_id", "red_text", "n_pii"]))
+
+
 def q_ntile_events(sf_dir: str):
     """NTILE(4) + partition sizes (stages/rank.py
     window_distribution): one sort exchange plus a backward O(n_blocks)
@@ -1576,6 +1604,34 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "redact_docs": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.'
+                      || CAST(doc_id % 200 AS VARCHAR)
+                      || '.7 call +1 415-555-0142' AS t
+          FROM documents),
+        r1 AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g') AS t2,
+                 len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   AS n1
+          FROM aug)
+        SELECT doc_id,
+               regexp_replace(t2, '\\+\\d[\\d\\s().-]{6,}\\d',
+                              '<PHONE>', 'g') AS red_text,
+               CAST(n1 + len(regexp_extract_all(t2,
+                    '\\+\\d[\\d\\s().-]{6,}\\d')) AS BIGINT) AS n_pii
+        FROM r1""",
     "ntile_events": """
         SELECT event_id, user_id,
                NTILE(4) OVER (PARTITION BY user_id
@@ -2025,6 +2081,7 @@ QUERIES = {
     "running_totals_events": q_running_totals_events,
     "rolling_events": q_rolling_events,
     "ntile_events": q_ntile_events,
+    "redact_docs": q_redact_docs,
     "dist_events": q_dist_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,

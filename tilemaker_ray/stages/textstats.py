@@ -172,6 +172,32 @@ def normalize_fn(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("norm_text", pc.utf8_trim(t, " "))
 
 
+# PII patterns shared with the SQL oracle — both Arrow and DuckDB use
+# RE2, so identical pattern strings give identical match spans.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d\s().-]{6,}\d"
+
+
+def redact_fn(batch: pa.Table, text_col: str = "text",
+              out_col: str = "red_text") -> pa.Table:
+    """PII scrubbing for training-data pipelines: replace emails, IPv4
+    addresses and international phone numbers with typed placeholders,
+    and count what was removed — four Arrow C++ regex kernels per
+    pattern, zero per-row Python. Replacement ORDER is part of the
+    contract (email → ip → phone: the phone pattern could otherwise
+    eat digit runs inside an address)."""
+    t = batch[text_col]
+    n = pc.count_substring_regex(t, PII_EMAIL)
+    n = pc.add(n, pc.count_substring_regex(t, PII_IP))
+    t2 = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+    t2 = pc.replace_substring_regex(t2, PII_IP, "<IP>")
+    n = pc.add(n, pc.count_substring_regex(t2, PII_PHONE))
+    t2 = pc.replace_substring_regex(t2, PII_PHONE, "<PHONE>")
+    return (batch.append_column(out_col, t2)
+                 .append_column("n_pii", pc.cast(n, pa.int64())))
+
+
 def repetition_fn(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text") -> pa.Table:
     """Gopher-style repetition statistics, fully vectorized.
