@@ -1279,6 +1279,31 @@ def q_revenue_by_nation(sf_dir: str):
                        Sum("n", alias_name="n_orders")))
 
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) in one pass
+    (stages/groupsets.py): per-batch pyarrow combiner at the finest
+    level, one exchange, coarser levels re-aggregated from the finest
+    (sum-of-sums exact in integer cents). Rolled-up keys are NULL,
+    matching the SQL ROLLUP shape."""
+    from ..stages.groupsets import rollup_aggregate
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice", "l_quantity"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "price_cents": pa.array(price, pa.int64()),
+                         "qty": pa.array(qty, pa.int64())})
+
+    return rollup_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                            ["l_returnflag", "l_linestatus"],
+                            ["price_cents", "qty"], count_col="n_items")
+
+
 def q_sliding_window(sf_dir: str):
     from ..stages.windows import sliding_window_counts
     return sliding_window_counts(_read(sf_dir, "events",
@@ -1604,6 +1629,15 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                    AS qty,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "redact_docs": """
         WITH aug AS (
           SELECT doc_id,
@@ -2082,6 +2116,7 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "ntile_events": q_ntile_events,
     "redact_docs": q_redact_docs,
+    "rollup_lineitem": q_rollup_lineitem,
     "dist_events": q_dist_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
