@@ -1279,6 +1279,35 @@ def q_revenue_by_nation(sf_dir: str):
                        Sum("n", alias_name="n_orders")))
 
 
+def q_sample_k_events(sf_dir: str):
+    """Deterministic global k-sample: ORDER BY a SQL-mirrored bijective
+    hash LIMIT 200 via the distributed top-k operator (stages/topk.py —
+    per-block partials, one slim merge, no full sort exchange). The odd
+    multiplier makes the uint64 hash a bijection, so there are no ties
+    and the selected row set is unique."""
+    from ..stages.topk import top_k
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hh = ids.astype(np.uint64) * np.uint64(2654435761)
+        return batch.append_column("__h", pa.array(hh, pa.uint64()))
+
+    out = top_k(ds.map_batches(h, batch_format="pyarrow"), "__h", 200)
+    return out.select_columns(["event_id", "user_id", "value"])
+
+
+def q_top_quality_docs(sf_dir: str):
+    """Score-based retention: keep the 100 longest documents
+    (n_chars DESC, doc_id ASC tie-break) — the same top-k operator
+    driven by a data column instead of a hash."""
+    from ..stages.topk import top_k
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
+    return top_k(ds, ["n_chars", "doc_id"], 100,
+                 descending=[True, False])
+
+
 def q_rollup_lineitem(sf_dir: str):
     """GROUP BY ROLLUP(returnflag, linestatus) in one pass
     (stages/groupsets.py): per-batch pyarrow combiner at the finest
@@ -1629,6 +1658,15 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "sample_k_events": """
+        SELECT event_id, user_id, value FROM events
+        ORDER BY (CAST(event_id AS HUGEINT) * 2654435761)
+                 % 18446744073709551616
+        LIMIT 200""",
+    "top_quality_docs": """
+        SELECT doc_id, n_chars, lang FROM documents
+        ORDER BY n_chars DESC, doc_id ASC
+        LIMIT 100""",
     "rollup_lineitem": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
@@ -2117,6 +2155,8 @@ QUERIES = {
     "ntile_events": q_ntile_events,
     "redact_docs": q_redact_docs,
     "rollup_lineitem": q_rollup_lineitem,
+    "sample_k_events": q_sample_k_events,
+    "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
