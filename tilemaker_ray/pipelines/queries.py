@@ -1279,6 +1279,62 @@ def q_revenue_by_nation(sf_dir: str):
                        Sum("n", alias_name="n_orders")))
 
 
+def q_full_outer_counts(sf_dir: str):
+    """FULL OUTER join with BOTH exclusive sides populated
+    (mirrored filters: even customers ⋈ order partials for custkeys
+    divisible by 3): combiner-first right side, one distributed
+    full_outer exchange, coalesce fill + presence flags. Completes the
+    outer-join family next to the LEFT OUTER query."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def even(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy()
+        out = batch.filter(pa.array(ck % 2 == 0))
+        # explicit presence marker: the full_outer join coalesces the
+        # key columns under the left name, so key-nullity can't tell
+        # the sides apart afterwards
+        return out.append_column(
+            "in_cust", pa.array(np.ones(out.num_rows, np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy()
+        keep = ck % 3 == 0
+        ck = ck[keep]
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy()[keep] * 100.0).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        csum = np.zeros(len(uniq), dtype=np.int64)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(csum, inv, cents)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"o_custkey": pa.array(uniq, pa.int64()),
+                         "part_n": pa.array(cnt, pa.int64()),
+                         "part_cents": pa.array(csum, pa.int64())})
+
+    right = (orders.map_batches(partial, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("part_n", alias_name="n_orders"),
+                        Sum("part_cents", alias_name="cents")))
+    joined = cust.map_batches(even, batch_format="pyarrow") \
+        .join(right, join_type="full_outer", num_partitions=8,
+              on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "custkey": batch["c_custkey"],
+            "in_customer": pc.coalesce(batch["in_cust"], zero),
+            "has_orders": pc.cast(pc.is_valid(batch["n_orders"]),
+                                  pa.int64()),
+            "n_orders": pc.coalesce(batch["n_orders"], zero),
+            "cents": pc.coalesce(batch["cents"], zero)})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_sample_k_events(sf_dir: str):
     """Deterministic global k-sample: ORDER BY a SQL-mirrored bijective
     hash LIMIT 200 via the distributed top-k operator (stages/topk.py —
@@ -1658,6 +1714,19 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "full_outer_counts": """
+        WITH l AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        r AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+        SELECT CAST(COALESCE(l.c_custkey, r.o_custkey) AS BIGINT)
+                   AS custkey,
+               CAST(l.c_custkey IS NOT NULL AS BIGINT) AS in_customer,
+               CAST(r.o_custkey IS NOT NULL AS BIGINT) AS has_orders,
+               COALESCE(r.n_orders, 0) AS n_orders,
+               COALESCE(r.cents, 0) AS cents
+        FROM l FULL JOIN r ON l.c_custkey = r.o_custkey""",
     "sample_k_events": """
         SELECT event_id, user_id, value FROM events
         ORDER BY (CAST(event_id AS HUGEINT) * 2654435761)
@@ -2156,6 +2225,7 @@ QUERIES = {
     "redact_docs": q_redact_docs,
     "rollup_lineitem": q_rollup_lineitem,
     "sample_k_events": q_sample_k_events,
+    "full_outer_counts": q_full_outer_counts,
     "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "normalize_docs": q_normalize_docs,
