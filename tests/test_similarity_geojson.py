@@ -39,7 +39,7 @@ def test_ivf_exact_at_full_probe(emb):
     ds, V = emb
     qids = np.array([0, 150, 250, 350])
     got = similarity.ivf_topk(ds, qids, V[qids], k=5, n_clusters=8,
-                              nprobe=8)
+                              nprobe=8).to_pandas()
     expect = brute_topk(V, qids, 5)
     for q in qids:
         g = got[got["query_id"] == q].sort_values("rank")
@@ -50,7 +50,7 @@ def test_ivf_recall_at_low_probe(emb):
     ds, V = emb
     qids = np.arange(0, 400, 25)
     got = similarity.ivf_topk(ds, qids, V[qids], k=5, n_clusters=8,
-                              nprobe=2)
+                              nprobe=2).to_pandas()
     expect = brute_topk(V, qids, 5)
     hits = total = 0
     for q in qids:

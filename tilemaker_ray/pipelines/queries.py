@@ -331,30 +331,8 @@ def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
     # distributed merge: bucketed per-query top-k reduce over the slim
     # (n_batches × n_queries × k) partials — no driver materialization,
     # so the merge scales with query count, not corpus block count
-    from ..stages.common import mix_bucket
-
-    def bucket(b: pa.Table) -> pa.Table:
-        q = b["query_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("bkt", pa.array(mix_bucket(q, 64),
-                                               pa.int64()))
-
-    def topk_group(g: pa.Table) -> pa.Table:
-        q = g["query_id"].to_numpy(zero_copy_only=False)
-        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
-        sim = g["sim"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, -sim, q))
-        q, nid = q[order], nid[order]
-        brk = np.ones(len(q), dtype=bool)
-        brk[1:] = q[1:] != q[:-1]
-        idx = np.arange(len(q))
-        rank = idx - np.maximum.accumulate(np.where(brk, idx, 0)) + 1
-        keep = rank <= k
-        return pa.table({"query_id": pa.array(q[keep], pa.int64()),
-                         "rank": pa.array(rank[keep], pa.int64()),
-                         "neighbor_id": pa.array(nid[keep], pa.int64())})
-
-    return (partial.map_batches(bucket, batch_format="pyarrow")
-            .groupby("bkt").map_groups(topk_group, batch_format="pyarrow"))
+    from ..stages.similarity import merge_topk_partials
+    return merge_topk_partials(partial, k, with_sim=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1227,7 +1205,7 @@ def q_ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = ivf_topk(ds, qt["vec_id"].to_numpy(), Q, k=k,
                    n_clusters=16, nprobe=4)
-    return out[["query_id", "rank", "neighbor_id"]]
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
 def q_flagship_tiles(sf_dir: str):

@@ -8,7 +8,8 @@ baseline); this module adds the scale path:
 - :func:`ivf_topk` — IVF: centroids broadcast, vectors assigned to
   their nearest centroid in map_batches, queries probe only the
   ``nprobe`` nearest clusters; per-batch partial top-k (the mergeable
-  "sketch") then a tiny driver-side merge. With nprobe == n_clusters
+  "sketch") then a distributed bucketed merge
+  (:func:`merge_topk_partials`). With nprobe == n_clusters
   the result equals brute force exactly; at lower nprobe recall is the
   standard IVF trade (tested ≥ 0.9 at nprobe=4/16 on the fixtures).
 
@@ -44,13 +45,50 @@ def _normalize(V: np.ndarray) -> np.ndarray:
     return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
 
 
+def merge_topk_partials(partial_ds, k: int, n_buckets: int = 64,
+                        with_sim: bool = True):
+    """Distributed per-query top-k reduce over slim
+    (query_id, neighbor_id, sim) partial rows: bucket queries by a
+    mixed hash, ONE groupby exchange over n_batches × n_queries × k
+    partials, vectorized rank-and-keep per bucket. No driver
+    materialization — the merge scales with query count, not corpus
+    block count (the 100-TB shape; shared by brute-force and IVF ANN)."""
+    from .common import mix_bucket
+
+    def bucket(b: pa.Table) -> pa.Table:
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bkt", pa.array(mix_bucket(q, n_buckets), pa.int64()))
+
+    def topk_group(g: pa.Table) -> pa.Table:
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = g["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim, q))
+        q, nid, sim = q[order], nid[order], sim[order]
+        brk = np.ones(len(q), dtype=bool)
+        brk[1:] = q[1:] != q[:-1]
+        idx = np.arange(len(q))
+        rank = idx - np.maximum.accumulate(np.where(brk, idx, 0)) + 1
+        keep = rank <= k
+        cols = {"query_id": pa.array(q[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "neighbor_id": pa.array(nid[keep], pa.int64())}
+        if with_sim:
+            cols["sim"] = pa.array(sim[keep], pa.float64())
+        return pa.table(cols)
+
+    return (partial_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(topk_group, batch_format="pyarrow"))
+
+
 def ivf_topk(emb_ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
              n_clusters: int = 16, nprobe: int = 4, train_sample: int = 2048,
              seed: int = 42):
     """IVF approximate top-k cosine neighbors.
 
-    Returns a pandas DataFrame (query_id, rank, neighbor_id, sim) with
-    deterministic ordering (sim desc, neighbor_id asc).
+    Returns a Ray Dataset (query_id, rank, neighbor_id, sim); ranks are
+    deterministic (sim desc, neighbor_id asc).
     """
     import ray
 
@@ -66,9 +104,9 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
     state_ref = ray.put((np.asarray(query_ids), Qn, C, probe, k))
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .dedup import _emb_matrix
         qids, Qn_, C_, probe_, k_ = ray.get(state_ref)
-        V = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                 for v in batch["embedding"].to_pylist()]))
+        V = _normalize(_emb_matrix(batch["embedding"], Qn_.shape[1]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         vc = (V @ C_.T).argmax(axis=1)  # cluster of each vector
         rows = {"query_id": [], "neighbor_id": [], "sim": []}
@@ -87,10 +125,6 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
                          "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
                          "sim": pa.array(rows["sim"], pa.float64())})
 
-    pdf = emb_ds.map_batches(partial, batch_format="pyarrow",
-                             batch_size=4096).to_pandas()
-    pdf = pdf.sort_values(["query_id", "sim", "neighbor_id"],
-                          ascending=[True, False, True], kind="stable")
-    out = pdf.groupby("query_id", as_index=False).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "rank", "neighbor_id", "sim"]].reset_index(drop=True)
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=4096)
+    return merge_topk_partials(partials, k)
