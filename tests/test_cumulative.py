@@ -50,3 +50,25 @@ def test_cumulative_float_max(ray_session):
     got = out.sort_values(["u", "i"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["i", "u", "v", "cm"]],
                                   exp[["i", "u", "v", "cm"]])
+
+
+def test_cumulative_first_value(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.cumulative import cumulative
+    rng = np.random.RandomState(8)
+    n = 4000
+    df = pd.DataFrame({
+        "p": rng.randint(0, 5, n).astype(np.int64),   # giant partitions
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(12)
+    out = cumulative(ds, "p", "o", "v", ops=("first",),
+                     out_cols=["fv"]).to_pandas()
+    exp = df.sort_values(["p", "o"]).reset_index(drop=True)
+    exp["fv"] = exp.groupby("p")["v"].transform("first")
+    got = out.sort_values(["p", "o"]).reset_index(drop=True)
+    assert np.array_equal(got["fv"].to_numpy(), exp["fv"].to_numpy())

@@ -1257,6 +1257,137 @@ def q_revenue_by_nation(sf_dir: str):
                        Sum("n", alias_name="n_orders")))
 
 
+def q_first_value_events(sf_dir: str):
+    """FIRST_VALUE under the default window frame == running-first in
+    the cumulative machinery (stages/cumulative.py op='first'): one
+    sort exchange, value-bearing carried scalar per block."""
+    from ..stages.cumulative import cumulative
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return batch.append_column("cents", pa.array(c, pa.int64()))
+
+    out = cumulative(ds.map_batches(cents, batch_format="pyarrow"),
+                     "user_id", ["ts", "event_id"], "cents",
+                     ops=("first",), out_cols=["first_cents"])
+    return out.select_columns(["event_id", "user_id", "first_cents"])
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT …) per group: per-batch unique-pair
+    combiner → one (type, user) groupby → tiny per-type recount. The
+    distinct exchange moves one slim row per distinct pair, not one
+    per event."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "user_id": batch["user_id"]})
+        gb = t.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": gb["event_type"],
+                         "user_id": gb["user_id"],
+                         "n": gb["count_all"]})
+
+    per_pair = (ds.map_batches(pairs, batch_format="pyarrow")
+                .groupby(["event_type", "user_id"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        gb = pa.table({"event_type": batch["event_type"],
+                       "one": pa.array(
+                           np.ones(batch.num_rows, np.int64)),
+                       "n": batch["n"]}) \
+            .group_by(["event_type"]).aggregate(
+                [("one", "sum"), ("n", "sum")])
+        return pa.table({"event_type": gb["event_type"],
+                         "n_users": gb["one_sum"],
+                         "n_events": gb["n_sum"]})
+
+    return (per_pair.map_batches(fold, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_users", alias_name="n_users"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-user modal event type (deterministic tie-break: higher
+    count first, then lexicographically smaller type): per-batch count
+    combiner → one (user, type) groupby → vectorized per-block argmax
+    over the groupby's key-sorted output (run detection, no second
+    exchange)."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gb = pa.table({"user_id": batch["user_id"],
+                       "event_type": batch["event_type"]}) \
+            .group_by(["user_id", "event_type"]).aggregate(
+                [([], "count_all")])
+        return pa.table({"user_id": gb["user_id"],
+                         "event_type": gb["event_type"],
+                         "n": gb["count_all"]})
+
+    per_pair = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["user_id", "event_type"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def argmax_group(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = np.asarray(g["event_type"].to_pylist())
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -n, u))
+        u, t, n = u[order], t[order], n[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        return pa.table({"user_id": pa.array(u[first], pa.int64()),
+                         "mode_type": pa.array(t[first], pa.string()),
+                         "n_mode": pa.array(n[first], pa.int64())})
+
+    return per_pair.groupby("user_id").map_groups(
+        argmax_group, batch_format="pyarrow")
+
+
+def q_pivot_orders(sf_dir: str):
+    """Conditional-aggregation pivot: order counts and cents per
+    status spread into columns, per priority — per-batch mask
+    combiner, one tiny groupby-sum (the FILTER(WHERE …) pattern)."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus",
+                        "o_totalprice"])
+    statuses = ["O", "F", "P"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"]
+        st = np.asarray(batch["o_orderstatus"].to_pylist())
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        cols = {"o_orderpriority": pri}
+        for s in statuses:
+            m = st == s
+            cols[f"n_{s}"] = pa.array(m.astype(np.int64))
+            cols[f"cents_{s}"] = pa.array(
+                np.where(m, cents, 0), pa.int64())
+        vcols = [c for c in cols if c != "o_orderpriority"]
+        gb = pa.table(cols).group_by(["o_orderpriority"]).aggregate(
+            [(c, "sum") for c in vcols])
+        return pa.table({"o_orderpriority": gb["o_orderpriority"],
+                         **{c: gb[f"{c}_sum"] for c in vcols}})
+
+    aggs = [Sum(f"n_{s}", alias_name=f"n_{s}") for s in statuses] + \
+           [Sum(f"cents_{s}", alias_name=f"cents_{s}")
+            for s in statuses]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority").aggregate(*aggs))
+
+
 def q_full_outer_counts(sf_dir: str):
     """FULL OUTER join with BOTH exclusive sides populated
     (mirrored filters: even customers ⋈ order partials for custkeys
@@ -1692,6 +1823,44 @@ ORACLE_SQL = {
                    AS delta_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "first_value_events": """
+        SELECT event_id, user_id,
+               FIRST_VALUE(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS first_cents
+        FROM events""",
+    "distinct_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type""",
+    "mode_event_type": """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type ASC)
+                     AS rn
+          FROM c)
+        SELECT user_id, event_type AS mode_type, n AS n_mode
+        FROM r WHERE rn = 1""",
+    "pivot_orders": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
+               COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT), 0)
+                   AS cents_O,
+               COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F') AS BIGINT), 0)
+                   AS cents_F,
+               COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'P') AS BIGINT), 0)
+                   AS cents_P
+        FROM orders GROUP BY o_orderpriority""",
     "full_outer_counts": """
         WITH l AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
         r AS (SELECT o_custkey, COUNT(*) AS n_orders,
@@ -2204,6 +2373,10 @@ QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "sample_k_events": q_sample_k_events,
     "full_outer_counts": q_full_outer_counts,
+    "first_value_events": q_first_value_events,
+    "distinct_users": q_distinct_users,
+    "mode_event_type": q_mode_event_type,
+    "pivot_orders": q_pivot_orders,
     "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "normalize_docs": q_normalize_docs,

@@ -36,6 +36,10 @@ _OPS = {
     "sum": (np.add, 0),
     "max": (np.maximum, None),   # identity = first value of the run
     "min": (np.minimum, None),
+    # running FIRST == SQL FIRST_VALUE under the default window frame
+    # (UNBOUNDED PRECEDING .. CURRENT ROW); combine keeps the earlier
+    # operand, handled as a special case below
+    "first": (None, None),
 }
 
 
@@ -56,7 +60,8 @@ def _block_meta(block: pa.Table, part_keys: list, value_col: str,
     idx = np.flatnonzero(~eq)
     start_last = int(idx[-1]) + 1 if len(idx) else 0
     v = block[value_col].to_numpy(zero_copy_only=False)
-    tails = [_OPS[op][0].reduce(v[start_last:]) for op in ops]
+    tails = [v[start_last] if op == "first"
+             else _OPS[op][0].reduce(v[start_last:]) for op in ops]
     return (n, first, last, start_last, tails)
 
 
@@ -81,6 +86,8 @@ def _apply_cum(block: pa.Table, part_keys: list, value_col: str,
         if op == "sum":
             acc = np.cumsum(v)
             run = acc - acc[run_start] + v[run_start]
+        elif op == "first":
+            run = v[run_start]
         else:
             # segmented running max/min: pandas grouped cummax/cummin
             # (C kernel; run_start labels the segments)
@@ -89,7 +96,8 @@ def _apply_cum(block: pa.Table, part_keys: list, value_col: str,
             run = (s.groupby(run_start).cummax() if op == "max"
                    else s.groupby(run_start).cummin()).to_numpy()
         if continuing and carry is not None:
-            run = np.where(first_run, ufunc(run, carry), run)
+            run = np.where(first_run, carry, run) if op == "first" \
+                else np.where(first_run, ufunc(run, carry), run)
         out = out.append_column(name, pa.array(run))
     return out
 
@@ -131,7 +139,8 @@ def cumulative(ds, part_keys, order_keys, value_col, ops=("sum",),
         # fold this block's last-run aggregates into the walk state
         for j, op in enumerate(ops):
             if start_last == 0 and cont and carries[j] is not None:
-                cur_carry[j] = _OPS[op][0](carries[j], tails[j])
+                cur_carry[j] = carries[j] if op == "first" \
+                    else _OPS[op][0](carries[j], tails[j])
             else:
                 cur_carry[j] = tails[j]
         cur_last = last
