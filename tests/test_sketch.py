@@ -109,3 +109,32 @@ def test_grouped_quantiles_ignores_nulls(ray_session):
     assert out.loc[1, "p50"] == 1.0
     # an all-null group still emits its key, with a null quantile
     assert np.isnan(out.loc[2, "p50"])
+
+
+def test_hll_error_bound(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import hll_count_distinct
+    # 40k distinct ids, each appearing 1-3 times, across 16 blocks
+    rng = np.random.RandomState(17)
+    ids = np.repeat(np.arange(40000, dtype=np.int64),
+                    rng.randint(1, 4, 40000))
+    ds = rd.from_arrow(pa.table({"uid": pa.array(ids, pa.int64())})) \
+        .repartition(16)
+    out = hll_count_distinct(ds, "uid", p=12).to_pandas()
+    est = float(out["n_distinct_est"].iloc[0])
+    # 3 sigma at p=12: 3 * 1.04 / sqrt(4096) ~ 4.9%
+    assert abs(est - 40000) / 40000 < 0.05, est
+
+
+def test_hll_partition_invariant_and_small(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.sketch import hll_count_distinct
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"uid": pa.array(ids, pa.int64())})
+    e1 = hll_count_distinct(rd.from_arrow(t).repartition(2), "uid") \
+        .to_pandas()["n_distinct_est"].iloc[0]
+    e2 = hll_count_distinct(rd.from_arrow(t).repartition(9), "uid") \
+        .to_pandas()["n_distinct_est"].iloc[0]
+    assert e1 == e2          # register max is partition-invariant
+    # linear-counting regime: small cardinalities are near-exact
+    assert abs(e1 - 500) / 500 < 0.03

@@ -1257,6 +1257,17 @@ def q_revenue_by_nation(sf_dir: str):
                        Sum("n", alias_name="n_orders")))
 
 
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only:
+    approximate by design; the ±1.04/√m error bound and partition
+    invariance are pytest-verified). Mergeable 2^12-register blobs,
+    one per block, folded in a single merge task — the sketch pattern
+    for distinct counts at 10¹² rows where exact is another shuffle."""
+    from ..stages.sketch import hll_count_distinct
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return hll_count_distinct(ds, "user_id", p=12)
+
+
 def q_first_value_events(sf_dir: str):
     """FIRST_VALUE under the default window frame == running-first in
     the cumulative machinery (stages/cumulative.py op='first'): one
@@ -2374,6 +2385,7 @@ QUERIES = {
     "sample_k_events": q_sample_k_events,
     "full_outer_counts": q_full_outer_counts,
     "first_value_events": q_first_value_events,
+    "hll_distinct_users": q_hll_distinct_users,
     "distinct_users": q_distinct_users,
     "mode_event_type": q_mode_event_type,
     "pivot_orders": q_pivot_orders,
