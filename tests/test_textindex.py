@@ -4,7 +4,7 @@ from collections import Counter
 
 import pyarrow as pa
 
-from tilemaker_ray.stages.textindex import build_inverted_index
+from tilemaker_ray.stages.textindex import build_inverted_index, copy_pairs
 
 
 def test_inverted_index_brute(ray_session):
@@ -63,3 +63,52 @@ def test_inverted_index_bigrams(ray_session):
     got = {(r.word, r.doc_id): (r.tf, r.df) for r in out.itertuples()}
     assert got == want
     assert ("a b", 1) in got and got[("a b", 1)] == (2, 3)
+
+def _brute_copy_pairs(docs, ngram, df_max, min_shared):
+    sh = {d: {" ".join(t.split(" ")[i:i + ngram])
+              for i in range(len(t.split(" ")) - ngram + 1)}
+          for d, t in docs.items()}
+    df = Counter(g for s in sh.values() for g in s)
+    ids = sorted(docs)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = sum(1 for g in sh[a] & sh[b] if 2 <= df[g] <= df_max)
+            if n >= min_shared:
+                out[(a, b)] = n
+    return out
+
+
+def test_copy_pairs_brute(ray_session):
+    import ray.data as rd
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = {
+        1: base + " one two three",
+        2: base + " four five six",          # shares base's 6 5-grams with 1
+        3: "totally different words with no overlap at all here",
+        4: "alpha beta gamma delta epsilon extra tail words here now",
+        5: "common common common common common filler filler filler",
+        6: "common common common common common filler filler filler",
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    out = copy_pairs(ds, ngram=5, df_max=50, min_shared=3).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in out.itertuples()}
+    want = _brute_copy_pairs(docs, 5, 50, 3)
+    assert got == want
+    assert (1, 2) in got and (5, 6) in got and (1, 3) not in got
+
+
+def test_copy_pairs_df_cap_excludes_boilerplate(ray_session):
+    import ray.data as rd
+    # a shingle present in EVERY doc is boilerplate: df=4 > df_max=3
+    boiler = "same old boiler plate text"
+    docs = {i: boiler + f" unique{i} tail{i} words{i} here{i} now{i}"
+            for i in range(1, 5)}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    out = copy_pairs(ds, ngram=5, df_max=3, min_shared=1).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in out.itertuples()}
+    assert got == _brute_copy_pairs(docs, 5, 3, 1)

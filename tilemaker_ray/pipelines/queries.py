@@ -1627,6 +1627,23 @@ def q_inverted_index(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42b: MOSS-style copy detection — document pairs sharing >= 3
+# distinct 5-gram shingles (shingle strings are the join keys, so the
+# SQL oracle is exact)
+# ---------------------------------------------------------------------------
+
+def q_copy_pairs(sf_dir: str):
+    """Shared-shingle plagiarism pairs over documents. Two slim
+    exchanges (shingle-hash bucket → pair-key bucket); the df<=50 cap
+    bounds per-shingle pair expansion, and at this corpus the n_shared
+    distribution cleanly separates planted near-dups (>=7 shared) from
+    chance collisions (1)."""
+    from ..stages.textindex import copy_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return copy_pairs(ds, ngram=5, df_max=50, min_shared=3)
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -2339,6 +2356,27 @@ ORACLE_SQL["inverted_index"] = """
     FROM t JOIN d USING (word)
     WHERE d.df BETWEEN 2 AND (SELECT cap FROM n)"""
 
+ORACLE_SQL["copy_pairs"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2] || ' ' ||
+                    string_split(text, ' ')[i + 3] || ' ' ||
+                    string_split(text, ' ')[i + 4])) AS term
+      FROM documents),
+    s AS (SELECT DISTINCT doc_id, term FROM tok),
+    f AS (SELECT term FROM s GROUP BY term
+          HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM s a JOIN s b ON a.term = b.term AND a.doc_id < b.doc_id
+    WHERE a.term IN (SELECT term FROM f)
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3"""
+
 ORACLE_SQL["raster_boundary"] = f"""
     WITH pts AS (
       SELECT {dv.tilex_sql(dv.EV_LON_SQL, _RB_ZOOM)} AS x,
@@ -2425,6 +2463,7 @@ QUERIES = {
     "raster_boundary": q_raster_boundary,
     "raster_polygonize": q_raster_polygonize,
     "inverted_index": q_inverted_index,
+    "copy_pairs": q_copy_pairs,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,

@@ -95,3 +95,64 @@ def build_inverted_index(docs_ds, df_min: int = 2, df_max: int = 100,
     return (docs_ds.map_batches(extract, batch_format="pyarrow")
             .groupby("kbkt").map_groups(index_bucket,
                                         batch_format="pyarrow"))
+
+
+def copy_pairs(docs_ds, ngram: int = 5, df_max: int = 50,
+               min_shared: int = 3, num_buckets: int = 64):
+    """MOSS-style copy detection: document pairs sharing ≥ min_shared
+    distinct word n-gram shingles.
+
+    Two slim exchanges: (1) distinct (doc, shingle) rows bucketed by a
+    stable shingle hash — each bucket sees every posting of its
+    shingles, computes df as run length, skips df > df_max shingles
+    (plagiarised boilerplate / stopword-grade n-grams whose pair
+    expansion would be quadratic-corpus), and emits triu candidate
+    pairs via the shared LSH pairing kernel; (2) pair-count groupby on
+    a packed (a,b) key, threshold locally. Shingle STRINGS are the join
+    keys (no hashing), so a SQL oracle reproduces the result exactly.
+    """
+    from .common import mix_bucket
+    from .dedup import bucket_pairs_from_runs
+
+    def extract(batch: pa.Table) -> pa.Table:
+        d, w, _tf = doc_term_freqs(batch, ngram=ngram)
+        if len(w):
+            uw, inv = np.unique(w, return_inverse=True)
+            bkt = word_buckets(uw, num_buckets)[inv]
+        else:
+            bkt = np.array([], dtype=np.int64)
+        return pa.table({"term": pa.array(w, pa.string()),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "kbkt": pa.array(bkt, pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        return bucket_pairs_from_runs(g, ["term"], "doc_id",
+                                      max_bucket=df_max)
+
+    pair_ds = (docs_ds.map_batches(extract, batch_format="pyarrow")
+               .groupby("kbkt").map_groups(pairs,
+                                           batch_format="pyarrow"))
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (a << np.uint64(32)) | bb
+        return pa.table({
+            "pkey": pa.array(key.astype(np.int64), pa.int64()),
+            "pbkt": pa.array(mix_bucket(key, num_buckets), pa.int64())})
+
+    def count(g: pa.Table) -> pa.Table:
+        k = g["pkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        keep = cnt >= min_shared
+        uniq, cnt = uniq[keep], cnt[keep]
+        return pa.table({
+            "doc_a": pa.array((uniq >> np.uint64(32)).astype(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(
+                (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                pa.int64()),
+            "n_shared": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (pair_ds.map_batches(pack, batch_format="pyarrow")
+            .groupby("pbkt").map_groups(count, batch_format="pyarrow"))
