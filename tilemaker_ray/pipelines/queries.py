@@ -1644,6 +1644,112 @@ def q_copy_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42c–f: event-sequence + set-op + anti-join family
+# ---------------------------------------------------------------------------
+
+def q_funnel_events(sf_dir: str):
+    """view→click→purchase funnel per user (strict min-ts cascade,
+    one user-hash-bucketed exchange; stages/sequence.py)."""
+    from ..stages.sequence import funnel
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    return funnel(ds, ["view", "click", "purchase"])
+
+
+def q_event_seq_users(sf_dir: str):
+    """Per-user ordered event-type sequence — string_agg(... ORDER BY
+    ts, event_id) parity via one exchange + pc.binary_join (the
+    serialize-user-history-to-training-example pattern)."""
+    from ..stages.sequence import collect_ordered
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return collect_ordered(ds)
+
+
+_SETOP_VALUE_THR = 150.0   # purchase-value cut: splits users ~50/50
+
+
+def _presence_flags(sf_dir: str, type_a: str, type_b: str,
+                    b_value_gt: float = _SETOP_VALUE_THR):
+    """(user_id, has_a, has_b) via per-batch distinct combiner + one
+    groupby-max — the shared kernel for INTERSECT/EXCEPT set ops on
+    the users dimension (no per-side shuffle, flags ride one slim
+    exchange). Side B carries a value predicate so neither set op is
+    degenerate (every user has every event type at this corpus)."""
+    from ray.data.aggregate import Max
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        a = pc.equal(et, type_a).to_numpy(zero_copy_only=False)
+        b = pc.and_(pc.equal(et, type_b),
+                    pc.greater(batch["value"], b_value_gt)) \
+            .to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        fa = np.zeros(len(uniq), dtype=np.int64)
+        fb = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(fa, inv, a.astype(np.int64))
+        np.maximum.at(fb, inv, b.astype(np.int64))
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         "pa_": pa.array(fa, pa.int64()),
+                         "pb_": pa.array(fb, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Max("pa_", alias_name="has_a"),
+                       Max("pb_", alias_name="has_b")))
+
+
+def q_viewer_buyers(sf_dir: str):
+    """INTERSECT: users with at least one 'view' AND one high-value
+    'purchase' (value > 150)."""
+    flags = _presence_flags(sf_dir, "view", "purchase")
+    return (flags.filter(
+        lambda r: r["has_a"] == 1 and r["has_b"] == 1)
+        .select_columns(["user_id"]))
+
+
+def q_viewers_not_buyers(sf_dir: str):
+    """EXCEPT: users who viewed but never made a high-value
+    purchase."""
+    flags = _presence_flags(sf_dir, "view", "purchase")
+    return (flags.filter(
+        lambda r: r["has_a"] == 1 and r["has_b"] == 0)
+        .select_columns(["user_id"]))
+
+
+def q_customers_no_orders(sf_dir: str):
+    """ANTI join: customers with no order above 400k. Combiner-
+    distinct order custkeys (slim), distributed left join, keep the
+    null-marker rows — the NOT-IN/NOT-EXISTS pattern at scale (no
+    broadcast side: the order-key set grows with the fact table). The
+    price predicate keeps the result non-degenerate (every customer
+    has some order at this corpus)."""
+    from ray.data.aggregate import Count
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], 400000.0))
+        u = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    seen = (orders.map_batches(distinct, batch_format="pyarrow")
+            .groupby("o_custkey").aggregate(Count(alias_name="m_")))
+    joined = cust.join(seen, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def keep_missing(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch["m_"]))
+        return t.select(["c_custkey"])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -2377,6 +2483,50 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["funnel_events"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.ts1
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.ts3 IS NOT NULL THEN 3
+                     WHEN t2.ts2 IS NOT NULL THEN 2
+                     WHEN t1.ts1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached,
+           epoch_us(COALESCE(t3.ts3, t2.ts2, t1.ts1)) AS ts_final
+    FROM u LEFT JOIN t1 USING (user_id)
+           LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id)"""
+
+ORACLE_SQL["event_seq_users"] = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id"""
+
+ORACLE_SQL["viewer_buyers"] = """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 150"""
+
+ORACLE_SQL["viewers_not_buyers"] = """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 150"""
+
+ORACLE_SQL["customers_no_orders"] = """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"""
+
 ORACLE_SQL["raster_boundary"] = f"""
     WITH pts AS (
       SELECT {dv.tilex_sql(dv.EV_LON_SQL, _RB_ZOOM)} AS x,
@@ -2464,6 +2614,11 @@ QUERIES = {
     "raster_polygonize": q_raster_polygonize,
     "inverted_index": q_inverted_index,
     "copy_pairs": q_copy_pairs,
+    "funnel_events": q_funnel_events,
+    "event_seq_users": q_event_seq_users,
+    "viewer_buyers": q_viewer_buyers,
+    "viewers_not_buyers": q_viewers_not_buyers,
+    "customers_no_orders": q_customers_no_orders,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
