@@ -1750,6 +1750,26 @@ def q_customers_no_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42g: grouped numeric moments — AVG / STDDEV_SAMP / CORR via
+# partition-invariant integer sufficient statistics (stages/moments.py)
+# ---------------------------------------------------------------------------
+
+def q_stats_lineitem(sf_dir: str):
+    """Per-returnflag quantity stats + quantity↔discount correlation.
+    Float results are HASH-exact vs DuckDB because both engines derive
+    them from identical int64 moments with the identical IEEE-double
+    expression tree (see stages/moments.py module doc)."""
+    from ..stages.moments import grouped_moments, moment_stats
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+    m = grouped_moments(ds, "l_returnflag", "l_quantity", "l_discount",
+                        x_scale=100.0, y_scale=100.0)
+    return moment_stats(m, "l_returnflag", x_scale=100.0,
+                        names=("avg_qty", "stddev_qty",
+                               "corr_qty_disc"))
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -2483,6 +2503,34 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["stats_lineitem"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                 * CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sx2,
+             SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sy,
+             SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)
+                 * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sy2,
+             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                 * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS avg_qty,
+           sqrt((CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS stddev_qty,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_disc
+    FROM m"""
+
 ORACLE_SQL["funnel_events"] = """
     WITH u AS (SELECT DISTINCT user_id FROM events),
     t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
@@ -2619,6 +2667,7 @@ QUERIES = {
     "viewer_buyers": q_viewer_buyers,
     "viewers_not_buyers": q_viewers_not_buyers,
     "customers_no_orders": q_customers_no_orders,
+    "stats_lineitem": q_stats_lineitem,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
