@@ -1770,6 +1770,23 @@ def q_stats_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42h: BM25 retrieval top-k (stages/bm25.py) — search-engine ranking
+# over the corpus; floats ulp-exact via mirrored expression trees
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["dup", "spark", "filter"]   # rare + common: idf spread
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-10 documents by Okapi BM25 for a fixed 3-term query. One
+    slim corpus pass, tiny constants aggregate, no shuffle; top-k via
+    the partial-top-k operator (ties: doc_id asc)."""
+    from ..stages.bm25 import bm25_topk
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -2503,6 +2520,52 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["bm25_topk"] = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'dup')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'spark')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'filter')) AS BIGINT) AS tf2
+      FROM documents),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sumdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+      FROM d),
+    s AS (
+      SELECT d.doc_id,
+        ((ln((CAST(c.n - c.df0 AS DOUBLE) + 0.5)
+             / (CAST(c.df0 AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(d.tf0 AS DOUBLE) * (1.2 + 1.0))
+          / (CAST(d.tf0 AS DOUBLE)
+             + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE)
+               / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))))
+         + ln((CAST(c.n - c.df1 AS DOUBLE) + 0.5)
+              / (CAST(c.df1 AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(d.tf1 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(d.tf1 AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE)
+                / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE))))))
+         + ln((CAST(c.n - c.df2 AS DOUBLE) + 0.5)
+              / (CAST(c.df2 AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(d.tf2 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(d.tf2 AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE)
+                / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))))
+        ) AS score
+      FROM d, c)
+    SELECT doc_id, score FROM s
+    ORDER BY score DESC, doc_id LIMIT 10"""
+
 ORACLE_SQL["stats_lineitem"] = """
     WITH m AS (
       SELECT l_returnflag,
@@ -2668,6 +2731,7 @@ QUERIES = {
     "viewers_not_buyers": q_viewers_not_buyers,
     "customers_no_orders": q_customers_no_orders,
     "stats_lineitem": q_stats_lineitem,
+    "bm25_topk": q_bm25_topk,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
