@@ -1,0 +1,63 @@
+"""PageRank: distributed run vs the identical-arithmetic
+single-process reference; partition invariance; mass conservation."""
+
+import numpy as np
+import pyarrow as pa
+
+from tilemaker_ray.stages.pagerank import (build_site_edges, pagerank,
+                                           pagerank_reference)
+
+
+def _edges_ds(rows, n_blocks):
+    import ray.data as rd
+    t = pa.table({
+        "src": pa.array([r[0] for r in rows], pa.string()),
+        "dst": pa.array([r[1] for r in rows], pa.string()),
+        "w": pa.array([r[2] for r in rows], pa.int64())})
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+def test_pagerank_vs_reference_and_partition_invariance(ray_session):
+    rng = np.random.RandomState(5)
+    nodes = [f"site{i}" for i in range(30)]
+    rows = []
+    seen = set()
+    for _ in range(200):
+        s, t = rng.randint(0, 30, 2)
+        if s != t and (s, t) not in seen:
+            seen.add((s, t))
+            rows.append((nodes[s], nodes[t], int(rng.randint(1, 9))))
+    want = pagerank_reference(rows, nodes, iters=8)
+    got3 = pagerank(_edges_ds(rows, 3), nodes, iters=8)
+    got7 = pagerank(_edges_ds(rows, 7), nodes, iters=8)
+    g3 = dict(zip(got3["node"].to_pylist(), got3["rank_fp"].to_pylist()))
+    g7 = dict(zip(got7["node"].to_pylist(), got7["rank_fp"].to_pylist()))
+    assert g3 == want          # bit-exact vs reference
+    assert g7 == want          # partition-invariant
+
+
+def test_pagerank_hub_ranks_highest(ray_session):
+    # star graph: everyone links to hub -> hub rank dominates
+    nodes = ["hub"] + [f"n{i}" for i in range(9)]
+    rows = [(f"n{i}", "hub", 1) for i in range(9)]
+    # hub redistributes evenly (single-outlink hubs oscillate with
+    # period 2 — correct PageRank behavior, but not what this
+    # dominance assertion wants to exercise)
+    rows += [("hub", f"n{i}", 1) for i in range(9)]
+    out = pagerank(_edges_ds(rows, 2), nodes, iters=12)
+    d = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert d["hub"] == max(d.values())
+    assert d["hub"] > 3 * d["n5"]
+
+
+def test_site_edges_deterministic(ray_session):
+    from tilemaker_ray.sources import pages as _pages
+    ds = _pages.pages_dataset(400)
+    e1, s1 = build_site_edges(ds, k=3)
+    e2, s2 = build_site_edges(_pages.pages_dataset(400).repartition(5),
+                              k=3)
+    assert s1 == s2 and len(s1) > 3
+    p1 = e1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    p2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert p1.equals(p2)
+    assert (p1["src"] != p1["dst"]).all()

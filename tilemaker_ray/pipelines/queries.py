@@ -1787,6 +1787,27 @@ def q_bm25_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42i: PageRank over the site link graph (iterative — not
+# SQL-expressible; bit-exact single-process pytest oracle)
+# ---------------------------------------------------------------------------
+
+def q_pagerank_sites(sf_dir: str):
+    """Fixed-point integer PageRank over the crawl's site-prefix link
+    graph (stages/pagerank.py): 10 iterations, damping 17/20, edges
+    streamed per iteration with the O(nodes) rank vector broadcast —
+    partition-invariant by integer arithmetic. Rows-only (pages is
+    generated; iterative algorithm), pinned by
+    tests/test_pagerank.py against the single-process reference."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..stages.pagerank import build_site_edges, pagerank
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    edges, sites = build_site_edges(_pages.pages_dataset(n), k=3)
+    out = pagerank(edges, sites, iters=10)
+    return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -2732,6 +2753,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "stats_lineitem": q_stats_lineitem,
     "bm25_topk": q_bm25_topk,
+    "pagerank_sites": q_pagerank_sites,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,

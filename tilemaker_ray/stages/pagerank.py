@@ -1,0 +1,201 @@
+"""Distributed PageRank over a site-level link graph.
+
+The classic iterative web-graph algorithm a crawl pipeline runs before
+corpus selection (rank-weighted sampling of training documents). Graph
+nodes are site prefixes (``host/section``); the synthetic corpus'
+HTML carries no anchor tags, so ``page_links`` derives each page's
+K outbound site links deterministically from its page index (splitmix
+counter hash — same fixture strategy as sources/pages.py). The
+link-EXTRACTION stand-in is one vectorized map; everything downstream
+(edge aggregation, iteration, convergence) is the real thing.
+
+Distributed shape — the KMeans pattern (stages/cluster.py): the MODEL
+(per-node rank vector) is small relative to the EDGE data; each
+iteration streams the integer-encoded edge Dataset once with the rank
+vector broadcast via ``ray.put``, pre-aggregates (dst, contribution)
+per batch with ``np.add.at``, and one tiny groupby-sum produces the
+next rank vector. Edge rows never move between iterations; only the
+O(nodes) model does. At web scale (10⁷–10⁸ hosts) the broadcast
+becomes a sharded rank⋈edge hash join — the documented scale path;
+node count, not edge count, bounds driver memory (2 int64 per node).
+
+Determinism: ranks are FIXED-POINT int64 (``scale`` units = mass 1.0
+per node at init). contribution(u→v) = rank_u · w_uv // outdeg_u and
+rank' = teleport + d_num·Σcontrib // d_den — all integer ops, so the
+result is bit-identical under any partitioning (pytest pins the
+distributed run against a single-process reference and asserts
+partition invariance). Overflow bound: rank_u ≤ total_mass =
+n_nodes·scale; rank_u·max_edge_weight must stay < 2⁶³ — with
+scale=10⁹, 10³ nodes and edge weights ≤ 10⁶ the headroom is ~10⁴×.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import _splitmix64
+
+
+def page_links(batch: pa.Table, k: int = 3) -> pa.Table:
+    """pages → (src, dsth) link rows, K per page; dsth is a stable
+    hash later resolved onto the site universe."""
+    urls = batch["url"].to_pylist()
+    srcs = []
+    idxs = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        head, _, tail = u.rpartition("/")
+        srcs.append(head)
+        idxs[i] = np.uint64(int(tail))
+    out_src, out_dst = [], []
+    for j in range(k):
+        out_src.extend(srcs)
+        out_dst.append(_splitmix64(idxs ^ np.uint64(0xA5A5 + j)))
+    return pa.table({
+        "src": pa.array(out_src, pa.string()),
+        "dsth": pa.array(np.concatenate(out_dst).astype(np.int64),
+                         pa.int64())})
+
+
+def _resolve_fn(sites_ref):
+    """(src, dsth) → per-batch pre-aggregated (src, dst, w) with dsth
+    mapped onto the site universe; self-links dropped."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sa = ray.get(sites_ref)
+        m = len(sa)
+        d = (batch["dsth"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % np.uint64(m)).astype(np.int64)
+        uniq_src, inv_s = np.unique(
+            np.asarray(batch["src"].to_pylist(), dtype=object),
+            return_inverse=True)
+        key = inv_s.astype(np.int64) * m + d
+        uk, cnt = np.unique(key, return_counts=True)
+        s_idx, d_idx = uk // m, uk % m
+        t = pa.table({
+            "src": pa.array(uniq_src[s_idx], pa.string()),
+            "dst": pa.array(sa[d_idx], pa.string()),
+            "w": pa.array(cnt.astype(np.int64), pa.int64())})
+        return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+    return fn
+
+
+def build_site_edges(pages_ds, k: int = 3):
+    """pages → (weighted (src, dst, w) edge Dataset, site list). The
+    site universe collection is bounded by #sites, not #pages."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    links = pages_ds.map_batches(
+        lambda b: page_links(b, k), batch_format="pyarrow") \
+        .materialize()          # consumed twice: site scan + edges
+    sites = sorted(set(
+        links.map_batches(
+            lambda b: pa.table(
+                {"src": pc.unique(b["src"].combine_chunks())}),
+            batch_format="pyarrow").to_pandas()["src"]))
+    sites_ref = ray.put(np.asarray(sites, dtype=object))
+    edges = (links.map_batches(_resolve_fn(sites_ref),
+                               batch_format="pyarrow")
+             .groupby(["src", "dst"])
+             .aggregate(Sum("w", alias_name="w")))
+    return edges, sites
+
+
+def pagerank(edges_ds, nodes: list, iters: int = 10,
+             d_num: int = 17, d_den: int = 20, scale: int = 10**9):
+    """Fixed-point integer PageRank over (src, dst, w) edges.
+    Returns a pa.Table (node, rank_fp, rank) in ``nodes`` order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n = len(nodes)
+    idx_ref = ray.put({s: i for i, s in enumerate(nodes)})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ni = ray.get(idx_ref)
+        s = np.fromiter((ni[x] for x in batch["src"].to_pylist()),
+                        dtype=np.int64, count=batch.num_rows)
+        t = np.fromiter((ni[x] for x in batch["dst"].to_pylist()),
+                        dtype=np.int64, count=batch.num_rows)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "t": pa.array(t, pa.int64()),
+                         "w": batch["w"]})
+
+    # integer-encode ONCE; iterations then touch no strings
+    iedges = edges_ds.map_batches(encode,
+                                  batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, batch["s"].to_numpy(zero_copy_only=False),
+                  batch["w"].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(acc)
+        return pa.table({"node_i": pa.array(nz, pa.int64()),
+                         "dg": pa.array(acc[nz], pa.int64())})
+
+    deg_tbl = (iedges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("node_i")
+               .aggregate(Sum("dg", alias_name="dg"))).to_pandas()
+    outdeg = np.zeros(n, dtype=np.int64)
+    outdeg[deg_tbl["node_i"].to_numpy()] = deg_tbl["dg"].to_numpy()
+
+    ranks = np.full(n, scale, dtype=np.int64)
+    total = n * scale
+    teleport = (d_den - d_num) * total // (d_den * n)
+
+    for _ in range(iters):
+        ranks_ref = ray.put(ranks)
+        deg_ref = ray.put(outdeg)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = ray.get(ranks_ref)
+            dg = ray.get(deg_ref)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            t = batch["t"].to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            c = r[s] * w // np.maximum(dg[s], 1)
+            acc = np.zeros(len(r), dtype=np.int64)
+            np.add.at(acc, t, c)
+            nz = np.flatnonzero(acc)
+            return pa.table({"node_i": pa.array(nz, pa.int64()),
+                             "c": pa.array(acc[nz], pa.int64())})
+
+        summed = (iedges.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("node_i")
+                  .aggregate(Sum("c", alias_name="c"))).to_pandas()
+        new = np.full(n, teleport, dtype=np.int64)
+        new[summed["node_i"].to_numpy()] += \
+            d_num * summed["c"].to_numpy() // d_den
+        ranks = new
+
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "rank_fp": pa.array(ranks, pa.int64()),
+        "rank": pa.array(ranks.astype(np.float64) / float(total),
+                         pa.float64())})
+
+
+def pagerank_reference(edge_rows, nodes: list, iters: int = 10,
+                       d_num: int = 17, d_den: int = 20,
+                       scale: int = 10**9) -> dict:
+    """Single-process reference with the IDENTICAL integer arithmetic
+    (the pytest oracle)."""
+    n = len(nodes)
+    ni = {s: i for i, s in enumerate(nodes)}
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, t, w in edge_rows:
+        outdeg[ni[s]] += w
+    ranks = np.full(n, scale, dtype=np.int64)
+    total = n * scale
+    teleport = (d_den - d_num) * total // (d_den * n)
+    for _ in range(iters):
+        acc = np.zeros(n, dtype=np.int64)
+        for s, t, w in edge_rows:
+            si = ni[s]
+            acc[ni[t]] += ranks[si] * w // max(outdeg[si], 1)
+        ranks = teleport + d_num * acc // d_den
+    return {nodes[i]: int(ranks[i]) for i in range(n)}
