@@ -1808,6 +1808,108 @@ def q_pagerank_sites(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42i2: train/eval decontamination — directed shared-shingle overlap
+# between the training split and the eval split (doc_id % 5 == 0)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark-contamination scan: training docs sharing ≥2 banded
+    5-gram shingles with any eval-split doc. Reuses the copy_pairs
+    machinery (two slim exchanges); the split marker is a pure
+    function of doc_id so the oracle reproduces it."""
+    from ..stages.textindex import copy_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = copy_pairs(ds, ngram=5, df_max=50, min_shared=2)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        ns = batch["n_shared"].to_numpy(zero_copy_only=False)
+        ev_a, ev_b = (a % 5 == 0), (b % 5 == 0)
+        keep = ev_a != ev_b
+        a, b, ns, ev_a = a[keep], b[keep], ns[keep], ev_a[keep]
+        return pa.table({
+            "train_doc": pa.array(np.where(ev_a, b, a), pa.int64()),
+            "eval_doc": pa.array(np.where(ev_a, a, b), pa.int64()),
+            "n_shared": pa.array(ns, pa.int64())})
+
+    return pairs.map_batches(orient, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q42j: TPC-H-Q3-style multi-join — dimension broadcast + fact⋈fact
+# distributed hash join + combiner aggregation + global top-k
+# ---------------------------------------------------------------------------
+
+_Q3_CUT_US = 896_659_200_000_000      # 1998-06-01 epoch-µs
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """Top-10 unshipped BUILDING orders by revenue: customer (small
+    dim) broadcast-filters orders; lineitem revenue is pre-aggregated
+    per orderkey inside map_batches (combiner) so the one REAL
+    distributed join (lineitem×orders) moves one slim row per order;
+    top-10 via the partial-top-k operator. Revenue in integer cents
+    (floor per row) for hash-exactness."""
+    import ray
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Sum
+    from ..stages.topk import top_k
+
+    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"])
+    keep = pc.equal(cust["c_mktsegment"], "BUILDING")
+    ckeys_ref = ray.put(set(
+        cust.filter(keep)["c_custkey"].to_pylist()))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def slim_orders(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        date_us = batch["o_orderdate"].cast(pa.int64())
+        m1 = pc.less(date_us, _Q3_CUT_US).to_numpy(zero_copy_only=False)
+        m2 = np.fromiter((c in ck for c in
+                          batch["o_custkey"].to_pylist()),
+                         dtype=bool, count=batch.num_rows)
+        t = batch.append_column("o_orderdate_us", date_us) \
+            .filter(pa.array(m1 & m2))
+        return t.select(["o_orderkey", "o_orderdate_us"])
+
+    o_slim = orders.map_batches(slim_orders, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["l_shipdate"].cast(pa.int64()),
+                       _Q3_CUT_US)
+        t = batch.filter(m)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"l_orderkey": pa.array(uniq, pa.int64()),
+                         "part_cents": pa.array(acc, pa.int64())})
+
+    rev = (li.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("part_cents", alias_name="revenue_cents")))
+
+    joined = rev.join(o_slim, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    return top_k(joined, ["revenue_cents", "l_orderkey"], 10,
+                 descending=[True, False]) \
+        .select_columns(["l_orderkey", "revenue_cents",
+                         "o_orderdate_us"])
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -2541,6 +2643,49 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["decontaminate_docs"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2] || ' ' ||
+                    string_split(text, ' ')[i + 3] || ' ' ||
+                    string_split(text, ' ')[i + 4])) AS term
+      FROM documents),
+    s AS (SELECT DISTINCT doc_id, term FROM tok),
+    f AS (SELECT term FROM s GROUP BY term
+          HAVING COUNT(*) BETWEEN 2 AND 50),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM s a JOIN s b ON a.term = b.term
+                           AND a.doc_id < b.doc_id
+          WHERE a.term IN (SELECT term FROM f)
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) >= 2)
+    SELECT CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END
+             AS train_doc,
+           CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END
+             AS eval_doc,
+           n_shared
+    FROM p WHERE (doc_a % 5 = 0) != (doc_b % 5 = 0)"""
+
+ORACLE_SQL["top_unshipped_orders"] = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                               * (1.0 - l.l_discount) * 100.0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           epoch_us(o.o_orderdate) AS o_orderdate_us
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"""
+
 ORACLE_SQL["bm25_topk"] = """
     WITH d AS (
       SELECT doc_id,
@@ -2754,6 +2899,8 @@ QUERIES = {
     "stats_lineitem": q_stats_lineitem,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "decontaminate_docs": q_decontaminate_docs,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
