@@ -44,3 +44,29 @@ def test_moment_stats_vs_numpy(ray_session):
         assert abs(out.loc[k, "stddev_x"] - xs.std(ddof=1)) < 1e-9
         assert abs(out.loc[k, "corr_xy"]
                    - np.corrcoef(xs, ys)[0, 1]) < 1e-9
+
+
+def test_zscore_normalize_vs_pandas(ray_session):
+    from tilemaker_ray.stages.moments import zscore_normalize
+    ds, t = _ds(4)
+    m = grouped_moments(ds, "grp", "x", "y")
+    out = zscore_normalize(ds, m, "grp", "x").to_pandas()
+    g = np.asarray(t["grp"].to_pylist())
+    xq = np.floor(t["x"].to_numpy() * 100) / 100.0
+    # rows come back unordered; align by (grp, x) value counts instead
+    import pandas as pd
+    ref = []
+    for k in "ABCD":
+        xs = xq[g == k]
+        ref.append(pd.DataFrame({
+            "grp": k, "z_ref": (xs - xs.mean()) / xs.std(ddof=1),
+            "x": t["x"].to_numpy()[g == k]}))
+    ref = pd.concat(ref)
+    mrg = out.sort_values(["grp", "x"]).reset_index(drop=True)
+    ref = ref.sort_values(["grp", "x"]).reset_index(drop=True)
+    assert np.allclose(mrg["z"].to_numpy(), ref["z_ref"].to_numpy(),
+                       atol=1e-9)
+    # each group is standardized: mean 0, std 1
+    for k in "ABCD":
+        zs = out[out["grp"] == k]["z"]
+        assert abs(zs.mean()) < 1e-9 and abs(zs.std(ddof=1) - 1) < 1e-9

@@ -1808,6 +1808,26 @@ def q_pagerank_sites(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42g2: per-row z-score feature normalization (two-pass broadcast of
+# the per-group moment table; stages/moments.py)
+# ---------------------------------------------------------------------------
+
+def q_zscore_lineitem(sf_dir: str):
+    """Quantity z-scored within its returnflag group — the feature
+    scaling pass before model training. ulp-exact vs SQL via mirrored
+    expression trees over identical integer moments."""
+    from ..stages.moments import grouped_moments, zscore_normalize
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+    m = grouped_moments(ds, "l_returnflag", "l_quantity", "l_quantity",
+                        x_scale=100.0, y_scale=100.0)
+    return zscore_normalize(ds, m, "l_returnflag", "l_quantity",
+                            x_scale=100.0,
+                            id_cols=["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
 # Q42i2: train/eval decontamination — directed shared-shingle overlap
 # between the training split and the eval split (doc_id % 5 == 0)
 # ---------------------------------------------------------------------------
@@ -2643,6 +2663,24 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["zscore_lineitem"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)
+                 * CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS sx2
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, l.l_quantity, l.l_orderkey,
+           CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           (FLOOR(l.l_quantity * 100.0) / 100.0
+            - CAST(m.sx AS DOUBLE) / 100.0 / CAST(m.n AS DOUBLE))
+           / (sqrt((CAST(m.sx2 AS DOUBLE)
+                    - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)
+                      / CAST(m.n AS DOUBLE))
+                   / (CAST(m.n AS DOUBLE) - 1.0)) / 100.0) AS z
+    FROM lineitem l JOIN m USING (l_returnflag)"""
+
 ORACLE_SQL["decontaminate_docs"] = """
     WITH tok AS (
       SELECT doc_id,
@@ -2897,6 +2935,7 @@ QUERIES = {
     "viewers_not_buyers": q_viewers_not_buyers,
     "customers_no_orders": q_customers_no_orders,
     "stats_lineitem": q_stats_lineitem,
+    "zscore_lineitem": q_zscore_lineitem,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,

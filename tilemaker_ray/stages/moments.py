@@ -78,6 +78,56 @@ def grouped_moments(ds, group_col: str, x_col: str, y_col: str,
                        Sum("sxy", alias_name="sxy")))
 
 
+def zscore_normalize(ds, moments_ds, group_col: str, x_col: str,
+                     x_scale: float = 100.0, id_cols: list = (),
+                     out_col: str = "z"):
+    """Per-group z-score feature normalization — the training-data
+    feature-scaling pass. Two-pass broadcast pattern: the tiny
+    per-group moment table (one row per group) is collected and
+    broadcast via ``ray.put``; the second streaming pass maps every
+    row to (x - mean)/stddev with a FIXED expression tree (the SQL
+    oracle mirrors it):
+
+        xq   = floor(x·scale)/scale                (quantized input)
+        mean = (CAST(sx AS DOUBLE)/scale)/n
+        std  = sqrt((sx2 - sx·sx/n)/(n-1))/scale   (sample stddev)
+        z    = (xq - mean)/std
+
+    No shuffle in the normalization pass; group count bounds driver
+    memory (6 int64 per group)."""
+    import ray
+
+    stats = moments_ds.to_pandas()
+    lut = {}
+    for r in stats.itertuples():
+        n, sx, sx2 = float(r.n), float(r.sx), float(r.sx2)
+        mean = sx / x_scale / n
+        std = np.sqrt((sx2 - sx * sx / n) / (n - 1.0)) / x_scale
+        lut[getattr(r, group_col)] = (mean, std)
+    lut_ref = ray.put(lut)
+
+    cols = [group_col, x_col] + list(id_cols)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        enc = pc.dictionary_encode(
+            batch[group_col].combine_chunks()
+            if isinstance(batch[group_col], pa.ChunkedArray)
+            else batch[group_col])
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        keys = enc.dictionary.to_pylist()
+        means = np.asarray([m[k][0] for k in keys])[inv]
+        stds = np.asarray([m[k][1] for k in keys])[inv]
+        xq = np.floor(batch[x_col].to_numpy(zero_copy_only=False)
+                      * x_scale) / x_scale
+        z = (xq - means) / stds
+        out = {c: batch[c] for c in cols}
+        out[out_col] = pa.array(z, pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def moment_stats(moments_ds, group_col: str, x_scale: float = 100.0,
                  names: tuple = ("avg_x", "stddev_x", "corr_xy")):
     """Final float statistics from the integer moments, fixed
