@@ -138,3 +138,40 @@ def test_hll_partition_invariant_and_small(ray_session):
     assert e1 == e2          # register max is partition-invariant
     # linear-counting regime: small cardinalities are near-exact
     assert abs(e1 - 500) / 500 < 0.03
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    import numpy as np
+    from tilemaker_ray.stages.sketch import heavy_hitters_topk
+    rng = np.random.RandomState(9)
+    # zipf-ish: item i appears ~3000/i times; long uniform tail
+    vals = []
+    for i in range(1, 20):
+        vals += [f"hot{i:02d}"] * (3000 // i)
+    vals += [f"tail{j}" for j in rng.randint(0, 5000, 4000)]
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    from collections import Counter
+    cnt = Counter(vals)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    for blocks in (2, 9):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out, floor = heavy_hitters_topk(ds, "v", m=64, k=10)
+        got = list(zip(out["item"].to_pylist(), out["freq"].to_pylist()))
+        assert got == want                     # exact, any partitioning
+        assert want[-1][1] > floor             # MG guarantee held
+
+
+def test_heavy_hitters_guarantee_floor(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from tilemaker_ray.stages.sketch import heavy_hitters_topk
+    t = pa.table({"v": pa.array(["a"] * 50 + ["b"] * 30 + ["c"] * 20,
+                                pa.string())})
+    out, floor = heavy_hitters_topk(rd.from_arrow(t), "v", m=8, k=3)
+    assert floor == 100 // 9
+    assert out["item"].to_pylist() == ["a", "b", "c"]
+    assert out["freq"].to_pylist() == [50, 30, 20]

@@ -1828,6 +1828,30 @@ def q_zscore_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42g3: heavy hitters — exact top-10 corpus words via mergeable
+# Misra–Gries summaries + exact recount (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+def q_heavy_words_docs(sf_dir: str):
+    """Top-10 most frequent corpus tokens. Two streaming passes, both
+    moving ≤ m counter rows per block; exact because the 10th word's
+    frequency exceeds n/(m+1) at every SF (pytest asserts the MG
+    guarantee before trusting the sketch)."""
+    import ray.data as rd
+    from ..stages.sketch import heavy_hitters_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        return pa.table({"word": flat})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    out, _floor = heavy_hitters_topk(tok_ds, "word", m=64, k=10)
+    return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
 # Q42i2: train/eval decontamination — directed shared-shingle overlap
 # between the training split and the eval split (doc_id % 5 == 0)
 # ---------------------------------------------------------------------------
@@ -2663,6 +2687,12 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["heavy_words_docs"] = """
+    SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY word ORDER BY freq DESC, item LIMIT 10"""
+
 ORACLE_SQL["zscore_lineitem"] = """
     WITH m AS (
       SELECT l_returnflag,
@@ -2936,6 +2966,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "stats_lineitem": q_stats_lineitem,
     "zscore_lineitem": q_zscore_lineitem,
+    "heavy_words_docs": q_heavy_words_docs,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,

@@ -252,3 +252,94 @@ def hll_count_distinct(ds, col: str, p: int = 12):
     return (partials.repartition(1)
             .map_batches(merge, batch_format="pyarrow", batch_size=None)
             .map_batches(estimate, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (mergeable summaries) + exact verify pass
+# ---------------------------------------------------------------------------
+
+def _mg_compress(items: np.ndarray, counts: np.ndarray, m: int):
+    """Misra–Gries reduction of an exact frequency table to ≤ m
+    counters: subtract the (m+1)-th largest count from all, keep the
+    positive ones. The compression error per summary is ≤ that
+    subtracted value; merged summaries keep every item with true
+    frequency > n/(m+1) (Agarwal et al., "Mergeable Summaries",
+    PODS'12 — public result)."""
+    if len(items) <= m:
+        return items, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    delta = counts[order[m]]
+    keep = order[:m]
+    kc = counts[keep] - delta
+    pos = kc > 0
+    return items[keep][pos], kc[pos]
+
+
+def heavy_hitters_topk(ds, col: str, m: int = 64, k: int = 10):
+    """EXACT global top-k most frequent values, sketch-accelerated:
+
+    Pass 1 streams per-batch exact counts compressed to m Misra–Gries
+    counters; the driver folds the per-block summaries (bounded:
+    blocks × m counters — kilobytes) and keeps the candidate set,
+    which provably contains every value with frequency > n/(m+1).
+    Pass 2 re-streams the source and counts ONLY the candidates
+    exactly (broadcast set, per-batch bincount, tiny groupby-sum), so
+    the returned top-k is exact whenever the k-th frequency exceeds
+    n/(m+1) — size m to the corpus skew (the pytest asserts the
+    guarantee holds before trusting the result). Ties: value asc.
+
+    Never shuffles raw rows; both exchanges move ≤ m rows per block.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col].combine_chunks() \
+            if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+        vc = arr.value_counts()
+        items = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        it, ct = _mg_compress(items, counts, m)
+        return pa.table({
+            "item": pa.array(list(it), pa.string()),
+            "cnt": pa.array(ct, pa.int64()),
+            "tot": pa.array(
+                np.concatenate([[int(counts.sum())],
+                                np.zeros(max(len(it) - 1, 0),
+                                         dtype=np.int64)])
+                if len(it) else np.array([], dtype=np.int64),
+                pa.int64())})
+
+    summaries = ds.map_batches(mg_partial,
+                               batch_format="pyarrow").to_pandas()
+    n_total = int(summaries["tot"].sum())
+    # driver fold: sum per item, then one final MG compression
+    agg = summaries.groupby("item")["cnt"].sum()
+    items = np.asarray(agg.index.to_numpy(), dtype=object)
+    counts = agg.to_numpy()
+    cand_items, _ = _mg_compress(items, counts, m)
+    cand = set(cand_items.tolist())
+    cand_ref = ray.put(cand)
+    guarantee_floor = n_total // (m + 1)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        arr = batch[col].combine_chunks() \
+            if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+        mask = pc.is_in(arr, value_set=pa.array(sorted(cs)))
+        vc = arr.filter(mask).value_counts()
+        return pa.table({
+            "item": vc.field("values"),
+            "c": pa.array(vc.field("counts").to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64())})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("item").aggregate(Sum("c", alias_name="freq"))
+             ).to_pandas()
+    exact = exact.sort_values(["freq", "item"],
+                              ascending=[False, True]).head(k)
+    out = pa.table({
+        "item": pa.array(exact["item"].tolist(), pa.string()),
+        "freq": pa.array(exact["freq"].to_numpy(), pa.int64())})
+    return out, guarantee_floor
