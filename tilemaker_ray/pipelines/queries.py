@@ -1852,6 +1852,30 @@ def q_heavy_words_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42g4: grouped embedding centroids (stages/vecagg.py) — class-mean
+# vectors, fixed-point exact
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (64 dims, long format) — the
+    class-mean reduction for nearest-centroid classification.
+    Partition-invariant int64 component sums; ulp-exact vs SQL."""
+    import ray.data as rd
+    from ..stages.vecagg import grouped_centroids
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+    out = grouped_centroids(ds, "label", "embedding", dim=64)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": batch["label"].cast(pa.int64()),
+            "dim": batch["dim"],
+            "centroid": batch["centroid"]})
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Q42i2: train/eval decontamination — directed shared-shingle overlap
 # between the training split and the eval split (doc_id % 5 == 0)
 # ---------------------------------------------------------------------------
@@ -2687,6 +2711,18 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["label_centroids"] = """
+    WITH x AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS q
+      FROM embeddings, range(1, 65) t(i))
+    SELECT label, dim,
+           CAST(SUM(q) AS DOUBLE) / 1000000.0
+             / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM x GROUP BY label, dim"""
+
 ORACLE_SQL["heavy_words_docs"] = """
     SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -2967,6 +3003,7 @@ QUERIES = {
     "stats_lineitem": q_stats_lineitem,
     "zscore_lineitem": q_zscore_lineitem,
     "heavy_words_docs": q_heavy_words_docs,
+    "label_centroids": q_label_centroids,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,
