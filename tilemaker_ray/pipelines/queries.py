@@ -1876,6 +1876,21 @@ def q_label_centroids(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42k: temporal band self-join (stages/bandjoin.py) — co-occurrence
+# pairs within a time window, grid-bucketed with ownership dedup
+# ---------------------------------------------------------------------------
+
+def q_concurrent_events(sf_dir: str):
+    """Same-user event pairs within 5 minutes of each other — the
+    inequality self-join that is quadratic done naively; one bucketed
+    exchange with 2× replication and later-event ownership."""
+    from ..stages.bandjoin import band_self_join
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id"])
+    return band_self_join(ds, window_us=5 * 60 * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
 # Q42i2: train/eval decontamination — directed shared-shingle overlap
 # between the training split and the eval split (doc_id % 5 == 0)
 # ---------------------------------------------------------------------------
@@ -2711,6 +2726,14 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["concurrent_events"] = """
+    SELECT a.user_id AS key, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000"""
+
 ORACLE_SQL["label_centroids"] = """
     WITH x AS (
       SELECT CAST(label AS BIGINT) AS label,
@@ -3004,6 +3027,7 @@ QUERIES = {
     "zscore_lineitem": q_zscore_lineitem,
     "heavy_words_docs": q_heavy_words_docs,
     "label_centroids": q_label_centroids,
+    "concurrent_events": q_concurrent_events,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,

@@ -125,9 +125,12 @@ def pagerank(edges_ds, nodes: list, iters: int = 10,
                          "t": pa.array(t, pa.int64()),
                          "w": batch["w"]})
 
-    # integer-encode ONCE; iterations then touch no strings
-    iedges = edges_ds.map_batches(encode,
-                                  batch_format="pyarrow").materialize()
+    # integer-encode ONCE; iterations then touch no strings. The
+    # aggregated edge table is orders of magnitude smaller than the
+    # corpus — coalesce to a few blocks so each iteration schedules
+    # a handful of tasks, not one per shuffle partition
+    iedges = edges_ds.map_batches(encode, batch_format="pyarrow") \
+        .repartition(4).materialize()
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         acc = np.zeros(n, dtype=np.int64)
