@@ -112,3 +112,37 @@ def test_copy_pairs_df_cap_excludes_boilerplate(ray_session):
     out = copy_pairs(ds, ngram=5, df_max=3, min_shared=1).to_pandas()
     got = {(r.doc_a, r.doc_b): r.n_shared for r in out.itertuples()}
     assert got == _brute_copy_pairs(docs, 5, 3, 1)
+
+
+def test_bigram_lm_brute(ray_session):
+    import math
+    import ray.data as rd
+    from tilemaker_ray.stages.textindex import bigram_lm
+    docs = {
+        1: "a b a b c",
+        2: "b c a b",
+        3: "",                    # empty doc: no bigrams, no crossing
+        4: "a b",
+        5: "x",                   # single token: no bigrams
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())})) \
+        .repartition(2)
+    out = bigram_lm(ds, min_count=2).to_pandas()
+    got = {(r.w1, r.w2): (r.c12, r.c1, r.logp) for r in out.itertuples()}
+
+    big = Counter()
+    for t in docs.values():
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            big[(ws[i], ws[i + 1])] += 1
+    c1 = Counter()
+    for (w1, _), c in big.items():
+        c1[w1] += c
+    want = {(w1, w2): (c, c1[w1], math.log(float(c) / float(c1[w1])))
+            for (w1, w2), c in big.items() if c >= 2}
+    assert got == want
+    # docs 1 (x2), 2, 4 -> c12=4; '' doc contributes no bigrams
+    assert got[("a", "b")][0] == 4
+    assert got[("b", "c")][:2] == (2, 3)

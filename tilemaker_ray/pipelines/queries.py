@@ -1876,6 +1876,20 @@ def q_label_centroids(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42l: bigram LM statistics (stages/textindex.py::bigram_lm) — the
+# n-gram language-model counting pass; conditional totals in-bucket
+# ---------------------------------------------------------------------------
+
+def q_bigram_lm_docs(sf_dir: str):
+    """Corpus bigram conditional probabilities ln P(w2|w1): one
+    w1-hash-bucketed exchange; c1 is an in-bucket segment sum (no
+    join back); logp via libm log, ulp-exact vs the oracle's ln."""
+    from ..stages.textindex import bigram_lm
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm(ds, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Q42k: temporal band self-join (stages/bandjoin.py) — co-occurrence
 # pairs within a time window, grid-bucketed with ownership dedup
 # ---------------------------------------------------------------------------
@@ -2726,6 +2740,24 @@ ORACLE_SQL["copy_pairs"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3"""
 
+ORACLE_SQL["bigram_lm_docs"] = """
+    WITH big AS (
+      SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i])) AS w1,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i + 1])) AS w2
+      FROM documents),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM big GROUP BY w1, w2),
+    t AS (SELECT w1, w2, c12,
+                 CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+          FROM c)
+    SELECT w1, w2, c12, c1,
+           ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
+    FROM t WHERE c12 >= 2"""
+
 ORACLE_SQL["concurrent_events"] = """
     SELECT a.user_id AS key, a.event_id AS id_a, b.event_id AS id_b,
            epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
@@ -3028,6 +3060,7 @@ QUERIES = {
     "heavy_words_docs": q_heavy_words_docs,
     "label_centroids": q_label_centroids,
     "concurrent_events": q_concurrent_events,
+    "bigram_lm_docs": q_bigram_lm_docs,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,

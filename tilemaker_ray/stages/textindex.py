@@ -156,3 +156,99 @@ def copy_pairs(docs_ds, ngram: int = 5, df_max: int = 50,
 
     return (pair_ds.map_batches(pack, batch_format="pyarrow")
             .groupby("pbkt").map_groups(count, batch_format="pyarrow"))
+
+
+def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64):
+    """Bigram language-model statistics: (w1, w2, c12, c1, logp) with
+    c12 = corpus count of the bigram, c1 = total bigrams starting with
+    w1, logp = ln(P(w2|w1)) = ln(c12/c1).
+
+    ONE exchange, like build_inverted_index: per-batch vectorized
+    bigram counting (dictionary-encode tokens, pack adjacent code
+    pairs into one int64, np.unique — no Python loop over tokens),
+    bucketed by a stable hash of w1. Because ALL bigrams sharing w1
+    land in one bucket, the conditional total c1 is an in-bucket
+    segment sum — the count-join a naive formulation would shuffle
+    for is free. logp uses libm log (math.log) on the final
+    per-bucket rows so the SQL oracle's ln() matches to the ulp.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        enc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        v = len(vocab)
+        if len(codes) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "kbkt": pa.array([], pa.int64())})
+        # adjacency mask: drop pairs crossing document boundaries
+        ends = np.cumsum(lens)
+        mask = np.ones(len(codes) - 1, dtype=bool)
+        # last token of each non-final doc; guard for zero-length docs
+        # (idx -1 / idx == len(mask) would alias the wrong pair)
+        idx = ends[:-1] - 1
+        idx = idx[(idx >= 0) & (idx < len(mask))]
+        mask[idx] = False
+        key = codes[:-1][mask] * v + codes[1:][mask]
+        uk, cnt = np.unique(key, return_counts=True)
+        w1 = vocab[uk // v]
+        w2 = vocab[uk % v]
+        bkt = word_buckets(w1, num_buckets)
+        return pa.table({
+            "w1": pa.array(list(w1), pa.string()),
+            "w2": pa.array(list(w2), pa.string()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            "kbkt": pa.array(bkt, pa.int64())})
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        w1 = np.asarray(g["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(g["w2"].to_pylist(), dtype=object)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1))
+        w1, w2, c = w1[order], w2[order], c[order]
+        n = len(w1)
+        if n == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c12": pa.array([], pa.int64()),
+                             "c1": pa.array([], pa.int64()),
+                             "logp": pa.array([], pa.float64())})
+        pair_brk = np.ones(n, dtype=bool)
+        pair_brk[1:] = (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])
+        pid = np.cumsum(pair_brk) - 1
+        c12 = np.zeros(pid[-1] + 1, dtype=np.int64)
+        np.add.at(c12, pid, c)
+        pw1 = w1[pair_brk]
+        pw2 = w2[pair_brk]
+        w1_brk = np.ones(len(pw1), dtype=bool)
+        w1_brk[1:] = pw1[1:] != pw1[:-1]
+        wid = np.cumsum(w1_brk) - 1
+        c1 = np.zeros(wid[-1] + 1, dtype=np.int64)
+        np.add.at(c1, wid, c12)
+        c1_row = c1[wid]
+        keep = c12 >= min_count
+        pw1, pw2, c12, c1_row = (pw1[keep], pw2[keep], c12[keep],
+                                 c1_row[keep])
+        logp = np.asarray([math.log(float(a) / float(b))
+                           for a, b in zip(c12, c1_row)])
+        return pa.table({
+            "w1": pa.array(list(pw1), pa.string()),
+            "w2": pa.array(list(pw2), pa.string()),
+            "c12": pa.array(c12, pa.int64()),
+            "c1": pa.array(c1_row, pa.int64()),
+            "logp": pa.array(logp, pa.float64())})
+
+    return (docs_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(reduce_bucket,
+                                        batch_format="pyarrow"))
