@@ -2,6 +2,7 @@
 
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 
 from tilemaker_ray.stages.textindex import build_inverted_index, copy_pairs
@@ -146,3 +147,24 @@ def test_bigram_lm_brute(ray_session):
     # docs 1 (x2), 2, 4 -> c12=4; '' doc contributes no bigrams
     assert got[("a", "b")][0] == 4
     assert got[("b", "c")][:2] == (2, 3)
+
+
+def test_lm_doc_scores_oov_and_short(ray_session):
+    import math
+    import ray.data as rd
+    from tilemaker_ray.stages.textindex import (bigram_lm,
+                                                lm_doc_scores)
+    docs = {1: "a b a b", 2: "a b zz qq", 3: "x", 4: "c c c"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    lm = pa.Table.from_pandas(bigram_lm(ds, min_count=2).to_pandas())
+    out = lm_doc_scores(ds, lm).to_pandas().set_index("doc_id")
+    oov = int(np.floor(math.log(0.000001) * 1e9))
+    # LM (min_count 2): (a,b) c12=3, c1=3 (only a-starting bigram) ->
+    # logp 0; (c,c) c12=c1=2 -> logp 0; (b,a)/(b,zz)/(zz,qq) are OOV
+    assert out.loc[1, "sum_logp_fp"] == oov          # 0 + oov + 0
+    assert out.loc[2, "sum_logp_fp"] == 2 * oov      # 0 + oov + oov
+    assert out.loc[3, "n_bigrams"] == 0
+    assert np.isnan(out.loc[3, "avg_logp"])
+    assert out.loc[4, "sum_logp_fp"] == 0            # 2 in-LM bigrams

@@ -1890,6 +1890,23 @@ def q_bigram_lm_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42l2: CCNet-style LM perplexity scoring — bigram LM built from the
+# corpus, broadcast, every doc scored by average bigram logp
+# ---------------------------------------------------------------------------
+
+def q_lm_scores_docs(sf_dir: str):
+    """Average bigram log-probability per document under the corpus
+    bigram LM (textindex.bigram_lm → broadcast → streaming score pass,
+    no shuffle). Fixed-point per-bigram logp makes the per-doc sum
+    order-free; OOV bigrams take ln(1e-6). ulp-exact vs SQL."""
+    from ..stages.textindex import bigram_lm, lm_doc_scores
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm_tbl = pa.Table.from_pandas(
+        bigram_lm(ds, min_count=2).to_pandas())
+    return lm_doc_scores(ds, lm_tbl)
+
+
+# ---------------------------------------------------------------------------
 # Q42k: temporal band self-join (stages/bandjoin.py) — co-occurrence
 # pairs within a time window, grid-bucketed with ownership dedup
 # ---------------------------------------------------------------------------
@@ -2758,6 +2775,41 @@ ORACLE_SQL["bigram_lm_docs"] = """
            ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
     FROM t WHERE c12 >= 2"""
 
+ORACLE_SQL["lm_scores_docs"] = """
+    WITH db AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i])) AS w1,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i + 1])) AS w2
+      FROM documents),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM db GROUP BY w1, w2),
+    t AS (SELECT w1, w2, c12,
+                 CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+          FROM c),
+    lm AS (SELECT w1, w2,
+                  CAST(FLOOR(ln(CAST(c12 AS DOUBLE)
+                                / CAST(c1 AS DOUBLE))
+                             * 1000000000.0) AS BIGINT) AS lp
+           FROM t WHERE c12 >= 2),
+    s AS (SELECT db.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(COALESCE(lm.lp,
+                      CAST(FLOOR(ln(0.000001) * 1000000000.0)
+                           AS BIGINT))) AS BIGINT) AS sum_logp_fp
+          FROM db LEFT JOIN lm USING (w1, w2)
+          GROUP BY db.doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.sum_logp_fp, 0) AS sum_logp_fp,
+           CASE WHEN s.n_bigrams IS NULL THEN NULL
+                ELSE (CAST(s.sum_logp_fp AS DOUBLE) / 1000000000.0)
+                     / CAST(s.n_bigrams AS DOUBLE) END AS avg_logp
+    FROM documents d LEFT JOIN s USING (doc_id)"""
+
 ORACLE_SQL["concurrent_events"] = """
     SELECT a.user_id AS key, a.event_id AS id_a, b.event_id AS id_b,
            epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
@@ -3061,6 +3113,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "concurrent_events": q_concurrent_events,
     "bigram_lm_docs": q_bigram_lm_docs,
+    "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,

@@ -252,3 +252,66 @@ def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64):
     return (docs_ds.map_batches(partial, batch_format="pyarrow")
             .groupby("kbkt").map_groups(reduce_bucket,
                                         batch_format="pyarrow"))
+
+
+# ln(1e-6) in 1e-9 fixed point — the out-of-vocabulary bigram penalty,
+# computed (not hardcoded) so the SQL oracle's identical expression
+# FLOOR(ln(0.000001)*1e9) matches bit for bit
+def _oov_logp_fp() -> int:
+    import math
+    return int(np.floor(math.log(0.000001) * 1_000_000_000.0))
+
+
+def lm_doc_scores(docs_ds, lm_table: pa.Table):
+    """CCNet-style LM quality scoring: average bigram log-probability
+    of every document under a (small, broadcast) bigram LM — the
+    perplexity filter a corpus pipeline runs before training-data
+    selection.
+
+    The LM is a MODEL ARTIFACT (vocab² upper bound, pruned by
+    min_count) — broadcast once via ``ray.put`` like KMeans centroids;
+    the scoring pass streams the corpus with no shuffle. Determinism:
+    per-bigram logp is floored to 1e-9 fixed point so the per-doc SUM
+    is integer-exact regardless of bigram order; the final average
+    uses the mirrored tree (CAST(sum)/1e9)/n. Unseen bigrams take the
+    fixed OOV penalty ln(1e-6). Docs with < 2 tokens score NULL.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    w1 = lm_table["w1"].to_pylist()
+    w2 = lm_table["w2"].to_pylist()
+    lp = lm_table["logp"].to_numpy(zero_copy_only=False)
+    lp_fp = np.floor(lp * 1e9).astype(np.int64)
+    lm = {(a, b): int(v) for a, b, v in zip(w1, w2, lp_fp)}
+    lm_ref = ray.put(lm)
+    oov = _oov_logp_fp()
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(lm_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lists = toks.to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_big = np.maximum(lens - 1, 0).astype(np.int64)
+        sums = np.zeros(len(ids), dtype=np.int64)
+        for i, ws in enumerate(lists):
+            if len(ws) < 2:
+                continue
+            s = 0
+            for j in range(len(ws) - 1):
+                s += m.get((ws[j], ws[j + 1]), oov)
+            sums[i] = s
+        avg = np.where(n_big > 0,
+                       (sums.astype(np.float64) / 1e9)
+                       / np.maximum(n_big, 1).astype(np.float64),
+                       np.nan)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "sum_logp_fp": pa.array(sums, pa.int64()),
+            "avg_logp": pa.array(
+                [None if n == 0 else float(a)
+                 for n, a in zip(n_big, avg)], pa.float64())})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
