@@ -63,3 +63,36 @@ def test_band_join_no_duplicate_pairs(ray_session):
     out = band_self_join(rd.from_arrow(t).repartition(4),
                          100).to_pandas()
     assert not out.duplicated(["key", "id_a", "id_b"]).any()
+
+
+def test_trailing_window_sum_vs_brute(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.bandjoin import trailing_window_sum
+    rng = np.random.RandomState(8)
+    rows = []
+    for i in range(500):
+        rows.append((int(rng.randint(0, 10)),
+                     int(rng.randint(0, 2000)), i,
+                     float(rng.uniform(0, 50))))
+    # force equal-ts peers
+    rows += [(1, 777, 9001, 5.0), (1, 777, 9002, 7.0),
+             (1, 877, 9003, 1.0)]   # exactly W after 777 with W=100
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64())})
+    w = 100
+    out = trailing_window_sum(rd.from_arrow(t).repartition(4), w) \
+        .to_pandas()
+    got = {r.event_id: (r.trail_cents, r.n_window)
+           for r in out.itertuples()}
+    cents = {r[2]: int(np.floor(r[3] * 100.0)) for r in rows}
+    for k, ts, eid, _v in rows:
+        contrib = [cents[e2] for k2, t2, e2, _ in rows
+                   if k2 == k and ts - w <= t2 <= ts]
+        assert got[eid] == (sum(contrib), len(contrib)), eid
+    # peers at equal ts see identical windows (RANGE semantics), and
+    # the inclusive ts-W edge keeps both in 9003's window
+    assert got[9001] == got[9002]
+    assert got[9003][1] >= got[9001][1] + 1

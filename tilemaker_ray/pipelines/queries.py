@@ -1890,6 +1890,22 @@ def q_bigram_lm_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42k2: time-RANGE trailing window (stages/bandjoin.py) — per-event
+# trailing 10-minute spend, variable-width window
+# ---------------------------------------------------------------------------
+
+def q_trailing_spend_events(sf_dir: str):
+    """SUM/COUNT of each user's events in the trailing 10 minutes
+    (RANGE BETWEEN ... PRECEDING AND CURRENT ROW, peers included).
+    Cell-replicated single exchange + prefix-sum/searchsorted kernel;
+    integer cents for hash-exactness."""
+    from ..stages.bandjoin import trailing_window_sum
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return trailing_window_sum(ds, window_us=10 * 60 * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
 # Q42l2: CCNet-style LM perplexity scoring — bigram LM built from the
 # corpus, broadcast, every doc scored by average bigram logp
 # ---------------------------------------------------------------------------
@@ -2775,6 +2791,16 @@ ORACLE_SQL["bigram_lm_docs"] = """
            ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
     FROM t WHERE c12 >= 2"""
 
+ORACLE_SQL["trailing_spend_events"] = """
+    SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w
+                AS BIGINT) AS trail_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                       AND CURRENT ROW)"""
+
 ORACLE_SQL["lm_scores_docs"] = """
     WITH db AS (
       SELECT doc_id,
@@ -3112,6 +3138,7 @@ QUERIES = {
     "heavy_words_docs": q_heavy_words_docs,
     "label_centroids": q_label_centroids,
     "concurrent_events": q_concurrent_events,
+    "trailing_spend_events": q_trailing_spend_events,
     "bigram_lm_docs": q_bigram_lm_docs,
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,

@@ -102,3 +102,100 @@ def band_self_join(events_ds, window_us: int, key_col: str = "user_id",
 
     return (events_ds.map_batches(fan, batch_format="pyarrow")
             .groupby("bkt").map_groups(pairs, batch_format="pyarrow"))
+
+
+def trailing_window_sum(events_ds, window_us: int,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        value_col: str = "value",
+                        num_buckets: int = 64):
+    """Time-RANGE trailing aggregate: for every event, the SUM (in
+    integer cents) and COUNT of same-key events with timestamp in
+    [ts - W, ts] — SQL's ``RANGE BETWEEN W PRECEDING AND CURRENT
+    ROW`` (peers with equal ts included, per standard RANGE
+    semantics). Complements stages/rolling.py, which is ROWS-based
+    with fixed k lag columns; a time window holds a VARIABLE number
+    of rows, so the edge-buffer trick doesn't apply.
+
+    Same cell-replication layout as band_self_join, opposite roles:
+    every event is a CONTRIBUTOR in its own cell c and in c+1 (any
+    window [ts-W, ts] spans at most cells c-1, c of its owner), and
+    an OWNER only in its own cell. Inside a (key, cell) run the
+    kernel is two searchsorted calls against a prefix-sum — O(n log n)
+    per run, no pair materialization.
+    """
+    w = np.int64(window_us)
+
+    def fan(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        cell = ts // w
+        key2 = np.concatenate([key, key])
+        ts2 = np.concatenate([ts, ts])
+        eid2 = np.concatenate([eid, eid])
+        c2 = np.concatenate([cents, cents])
+        cell2 = np.concatenate([cell, cell + 1])
+        own = np.concatenate([np.ones(len(key), dtype=np.int8),
+                              np.zeros(len(key), dtype=np.int8)])
+        bkt = mix_bucket(key2.astype(np.uint64)
+                         * np.uint64(0x51_7C_C1_B7_27_22_0A_95)
+                         ^ cell2.astype(np.uint64), num_buckets)
+        return pa.table({
+            "key": pa.array(key2, pa.int64()),
+            "cell": pa.array(cell2, pa.int64()),
+            "ts_us": pa.array(ts2, pa.int64()),
+            "eid": pa.array(eid2, pa.int64()),
+            "cents": pa.array(c2, pa.int64()),
+            "own": pa.array(own, pa.int8()),
+            "bkt": pa.array(bkt, pa.int64())})
+
+    def reduce(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        own = g["own"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, cell, key))
+        key, cell, ts, eid, cents, own = (x[order] for x in
+                                          (key, cell, ts, eid, cents,
+                                           own))
+        n = len(key)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (key[1:] != key[:-1]) | (cell[1:] != cell[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        ok, oid, ots, osum, ocnt = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            t_run = ts[s:e]
+            p = np.concatenate([[0], np.cumsum(cents[s:e])])
+            owners = np.flatnonzero(own[s:e] == 1)
+            if len(owners) == 0:
+                continue
+            to = t_run[owners]
+            lo = np.searchsorted(t_run, to - w, side="left")
+            hi = np.searchsorted(t_run, to, side="right")
+            ok.append(key[s + owners])
+            oid.append(eid[s + owners])
+            ots.append(to)
+            osum.append(p[hi] - p[lo])
+            ocnt.append(hi - lo)
+        if not ok:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "trail_cents": pa.array([], pa.int64()),
+                "n_window": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(ok), pa.int64()),
+            "event_id": pa.array(np.concatenate(oid), pa.int64()),
+            "ts_us": pa.array(np.concatenate(ots), pa.int64()),
+            "trail_cents": pa.array(np.concatenate(osum), pa.int64()),
+            "n_window": pa.array(np.concatenate(ocnt), pa.int64())})
+
+    return (events_ds.map_batches(fan, batch_format="pyarrow")
+            .groupby("bkt").map_groups(reduce, batch_format="pyarrow"))
