@@ -38,3 +38,31 @@ def test_rollup_vs_pandas(ray_session):
     assert len(l0) == 1
     assert int(l0["v"].iloc[0]) == int(df["v"].sum())
     assert int(l0["n"].iloc[0]) == len(df)
+
+
+def test_cube_vs_pandas(ray_session):
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    from tilemaker_ray.stages.groupsets import cube_aggregate
+    rng = np.random.RandomState(12)
+    n = 900
+    t = pa.table({
+        "a": pa.array([("xy")[i % 2] for i in range(n)], pa.string()),
+        "b": pa.array([str(rng.randint(0, 3)) for _ in range(n)],
+                      pa.string()),
+        "v": pa.array(rng.randint(0, 100, n).astype(np.int64))})
+    out = cube_aggregate(rd.from_arrow(t).repartition(4),
+                         ["a", "b"], ["v"]).to_pandas()
+    import pandas as pd
+    df = t.to_pandas()
+    # four grouping sets
+    assert len(out) == (df.groupby(["a", "b"]).ngroups
+                        + df["a"].nunique() + df["b"].nunique() + 1)
+    gt = out[out["a"].isna() & out["b"].isna()]
+    assert len(gt) == 1 and gt["v"].iloc[0] == df["v"].sum() \
+        and gt["n"].iloc[0] == n
+    bonly = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    for k, grp in df.groupby("b"):
+        assert bonly.loc[k, "v"] == grp["v"].sum()
+        assert bonly.loc[k, "n"] == len(grp)

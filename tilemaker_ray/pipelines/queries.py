@@ -1509,6 +1509,29 @@ def q_rollup_lineitem(sf_dir: str):
                             ["price_cents", "qty"], count_col="n_items")
 
 
+def q_cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus) — all four grouping sets
+    from ONE corpus pass (stages/groupsets.py::cube_aggregate; the
+    (linestatus) set is the one ROLLUP can't produce)."""
+    from ..stages.groupsets import cube_aggregate
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice", "l_quantity"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "price_cents": pa.array(price, pa.int64()),
+                         "qty": pa.array(qty, pa.int64())})
+
+    return cube_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                          ["l_returnflag", "l_linestatus"],
+                          ["price_cents", "qty"], count_col="n_items")
+
+
 def q_sliding_window(sf_dir: str):
     from ..stages.windows import sliding_window_counts
     return sliding_window_counts(_read(sf_dir, "events",
@@ -2791,6 +2814,16 @@ ORACLE_SQL["bigram_lm_docs"] = """
            ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
     FROM t WHERE c12 >= 2"""
 
+ORACLE_SQL["cube_lineitem"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                AS qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
 ORACLE_SQL["trailing_spend_events"] = """
     SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
            CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w
@@ -3084,6 +3117,7 @@ QUERIES = {
     "ntile_events": q_ntile_events,
     "redact_docs": q_redact_docs,
     "rollup_lineitem": q_rollup_lineitem,
+    "cube_lineitem": q_cube_lineitem,
     "sample_k_events": q_sample_k_events,
     "full_outer_counts": q_full_outer_counts,
     "first_value_events": q_first_value_events,

@@ -82,3 +82,64 @@ def rollup_aggregate(ds, keys: list, sum_cols: list,
     levels.append(rd.from_arrow(total_tbl))
     base = levels[0]
     return base.union(*levels[1:])
+
+
+def cube_aggregate(ds, keys: list, sum_cols: list,
+                   count_col: str = "n"):
+    """GROUP BY CUBE(keys): every subset of ``keys``, still ONE pass
+    over the data. The finest level is computed exactly as in
+    rollup_aggregate (per-batch combiner + one exchange); each of the
+    2^k − 1 coarser subsets re-aggregates the FINEST result (slim,
+    distinct-group-sized), never the corpus — sum-of-sums exact for
+    int64 SUM/COUNT. k is the number of key columns (tiny by
+    construction: CUBE output explodes combinatorially in k, which
+    bounds sensible use to k ≤ ~4 in any engine)."""
+    from itertools import combinations
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(list(keys) + list(sum_cols))
+        gb = t.group_by(list(keys)).aggregate(
+            [(c, "sum") for c in sum_cols] + [([], "count_all")])
+        cols = {k: gb[k] for k in keys}
+        for c in sum_cols:
+            cols[c] = gb[f"{c}_sum"]
+        cols[count_col] = gb["count_all"]
+        return pa.table(cols)
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + \
+           [Sum(count_col, alias_name=count_col)]
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(list(keys)).aggregate(*aggs)).materialize()
+
+    key_types = {}
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name in keys:
+            key_types[name] = typ
+    out_cols = list(keys) + list(sum_cols) + [count_col]
+
+    def pad_nulls(missing: list):
+        def fn(t: pa.Table) -> pa.Table:
+            for k in missing:
+                t = t.append_column(
+                    k, pa.nulls(t.num_rows, key_types[k]))
+            return t.select(out_cols)
+        return fn
+
+    levels = [finest.map_batches(pad_nulls([]), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in combinations(keys, r):
+            nxt = finest.groupby(list(subset)).aggregate(*aggs)
+            missing = [k for k in keys if k not in subset]
+            levels.append(nxt.map_batches(pad_nulls(missing),
+                                          batch_format="pyarrow"))
+    tot = finest.aggregate(*aggs)
+    total_tbl = pa.table(
+        {**{k: pa.nulls(1, key_types[k]) for k in keys},
+         **{c: pa.array([np.int64(tot[c])], pa.int64())
+            for c in sum_cols + [count_col]}}).select(out_cols)
+    levels.append(rd.from_arrow(total_tbl))
+    return levels[0].union(*levels[1:])
