@@ -1913,6 +1913,45 @@ def q_bigram_lm_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m: JSON property extraction + aggregation — the semi-structured
+# column path (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+
+def q_json_props_stats(sf_dir: str):
+    """Per-event-type stats of the JSON property ``k`` extracted from
+    the props column. Extraction is ONE vectorized Arrow
+    ``extract_regex`` over the string column (no per-row json.loads —
+    the schema is flat, and the oracle's semantic json_extract agrees
+    by construction); aggregation is the usual per-batch combiner +
+    tiny groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"],
+                             pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        t = t.filter(pc.is_valid(t["k"]))
+        gb = t.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"),
+             ([], "count_all")])
+        return pa.table({
+            "event_type": gb["event_type"],
+            "psum": gb["k_sum"].cast(pa.int64()),
+            "pmin": gb["k_min"].cast(pa.int64()),
+            "pmax": gb["k_max"].cast(pa.int64()),
+            "pn": gb["count_all"].cast(pa.int64())})
+
+    return (ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("psum", alias_name="sum_k"),
+                       Min("pmin", alias_name="min_k"),
+                       Max("pmax", alias_name="max_k"),
+                       Sum("pn", alias_name="n")))
+
+
+# ---------------------------------------------------------------------------
 # Q42k2: time-RANGE trailing window (stages/bandjoin.py) — per-event
 # trailing 10-minute spend, variable-width window
 # ---------------------------------------------------------------------------
@@ -2814,6 +2853,18 @@ ORACLE_SQL["bigram_lm_docs"] = """
            ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
     FROM t WHERE c12 >= 2"""
 
+ORACLE_SQL["json_props_stats"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k')
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k')
+                         AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k')
+                         AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT)
+             AS n
+    FROM events GROUP BY event_type"""
+
 ORACLE_SQL["cube_lineitem"] = """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
@@ -3173,6 +3224,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "concurrent_events": q_concurrent_events,
     "trailing_spend_events": q_trailing_spend_events,
+    "json_props_stats": q_json_props_stats,
     "bigram_lm_docs": q_bigram_lm_docs,
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,
