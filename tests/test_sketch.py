@@ -175,3 +175,32 @@ def test_heavy_hitters_guarantee_floor(ray_session):
     assert floor == 100 // 9
     assert out["item"].to_pylist() == ["a", "b", "c"]
     assert out["freq"].to_pylist() == [50, 30, 20]
+
+
+def test_hll_grouped_error_bound_and_invariance(ray_session):
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    from tilemaker_ray.stages.sketch import hll_grouped_distinct
+    rng = np.random.RandomState(21)
+    keys, vals = [], []
+    truth = {"a": 500, "b": 3000, "c": 17}
+    for k, n in truth.items():
+        ids = rng.choice(n * 3, size=n, replace=False) + \
+            (hash(k) % 7) * 10**7
+        for rep in range(3):                 # duplicates must not count
+            keys += [k] * n
+            vals += ids.tolist()
+    t = pa.table({"g": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+    outs = []
+    for blocks in (2, 8):
+        out = hll_grouped_distinct(
+            rd.from_arrow(t).repartition(blocks), "g", "v",
+            p=12).to_pandas().set_index("g")
+        outs.append(out)
+        for k in truth:
+            est = out.loc[k, "n_distinct_est"]
+            exact = len({v for g, v in zip(keys, vals) if g == k})
+            assert abs(est - exact) / exact < 5 * 1.04 / np.sqrt(4096)
+    assert outs[0]["n_distinct_est"].equals(outs[1]["n_distinct_est"])

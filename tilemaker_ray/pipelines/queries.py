@@ -1913,6 +1913,22 @@ def q_bigram_lm_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m0: grouped HLL — approximate COUNT(DISTINCT user) per event type
+# (approx by design → rows-only; pytest pins the 1.04/√m error bound
+# and partition invariance)
+# ---------------------------------------------------------------------------
+
+def q_hll_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users via grouped
+    HyperLogLog (sketch.hll_grouped_distinct): one register blob per
+    (block, group) rides the only exchange — volume independent of
+    row count."""
+    from ..stages.sketch import hll_grouped_distinct
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_grouped_distinct(ds, "event_type", "user_id", p=12)
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -3225,6 +3241,7 @@ QUERIES = {
     "concurrent_events": q_concurrent_events,
     "trailing_spend_events": q_trailing_spend_events,
     "json_props_stats": q_json_props_stats,
+    "hll_users_by_type": q_hll_users_by_type,
     "bigram_lm_docs": q_bigram_lm_docs,
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,

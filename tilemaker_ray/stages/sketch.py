@@ -343,3 +343,56 @@ def heavy_hitters_topk(ds, col: str, m: int = 64, k: int = 10):
         "item": pa.array(exact["item"].tolist(), pa.string()),
         "freq": pa.array(exact["freq"].to_numpy(), pa.int64())})
     return out, guarantee_floor
+
+
+def hll_grouped_distinct(ds, key_col: str, col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT col) PER GROUP — the grouped form of
+    hll_count_distinct. Each batch emits one 2^p register blob per
+    group present in it (pre-combined with np.maximum.at over a
+    (groups × m) matrix); one groupby on the key merges blobs with a
+    vectorized fold. Exchange volume is groups_per_block × 2^p bytes —
+    independent of row count; the same mergeability argument as the
+    global sketch, so the estimate is partition-invariant. Returns
+    (key, n_distinct_est, p)."""
+    m = 1 << p
+    shift = np.uint64(64 - p)
+
+    def rho_of(v: np.ndarray) -> tuple:
+        h = _splitmix64(v)
+        idx = (h >> shift).astype(np.int64)
+        rest = h << np.uint64(p)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p, dtype=np.int64)
+        fl = np.zeros(len(h), dtype=np.int64)
+        fl[nz] = np.maximum(
+            63 - np.floor(np.log2(rest[nz].astype(np.float64)))
+            .astype(np.int64), 0)
+        lz[nz] = fl[nz]
+        return idx, (np.minimum(lz, 64 - p) + 1).astype(np.int8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        v = batch[col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(
+            np.asarray(keys.to_pylist(), dtype=object),
+            return_inverse=True)
+        idx, rho = rho_of(v)
+        regs = np.zeros((len(uniq), m), dtype=np.int8)
+        np.maximum.at(regs, (inv, idx), rho)
+        return pa.table({
+            key_col: pa.array(list(uniq)),
+            "regs": pa.array([r.tobytes() for r in regs], pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        blobs = g["regs"].to_pylist()
+        acc = np.frombuffer(blobs[0], dtype=np.int8).copy()
+        for b in blobs[1:]:
+            acc = np.maximum(acc, np.frombuffer(b, dtype=np.int8))
+        return pa.table({
+            key_col: g[key_col].slice(0, 1),
+            "n_distinct_est": pa.array([hll_estimate(acc, p)],
+                                       pa.float64()),
+            "p": pa.array([p], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
