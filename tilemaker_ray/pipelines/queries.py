@@ -2118,6 +2118,38 @@ def q_top_unshipped_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42n: hybrid retrieval — BM25 ⊕ fixed-point cosine, RRF fusion
+# (stages/hybrid.py); both rankers distributed, fusion bounded by k
+# ---------------------------------------------------------------------------
+
+def q_hybrid_search(sf_dir: str):
+    """Two-tower search: lexical BM25 top-50 and dense cosine top-50
+    (query = embedding of vec_id 7, components fixed-point so cosine
+    is hash-exact) fused with RRF (k=60). doc_id == vec_id by corpus
+    construction."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.bm25 import bm25_topk
+    from ..stages.hybrid import cosine_topk_fixed, rrf_fuse
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    text_tbl = pa.Table.from_pandas(
+        bm25_topk(docs, _BM25_TERMS, k=50).to_pandas())
+
+    qrow = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 7)])
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    vec_tbl = pa.Table.from_pandas(
+        cosine_topk_fixed(emb, qvec, dim=64, k=50).to_pandas())
+
+    return rd.from_arrow(rrf_fuse(text_tbl, vec_tbl, k_out=10))
+
+
+# ---------------------------------------------------------------------------
 # Q43: distributed KMeans (iterative algorithm — not SQL-expressible;
 # the pytest oracle is the bit-exact single-process reference)
 # ---------------------------------------------------------------------------
@@ -3023,6 +3055,89 @@ ORACLE_SQL["top_unshipped_orders"] = """
     GROUP BY l.l_orderkey, o.o_orderdate
     ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"""
 
+ORACLE_SQL["hybrid_search"] = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'dup')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'spark')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'filter')) AS BIGINT) AS tf2
+      FROM documents),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sumdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+      FROM d),
+    s AS (
+      SELECT d.doc_id,
+        ((ln((CAST(c.n - c.df0 AS DOUBLE) + 0.5)
+             / (CAST(c.df0 AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(d.tf0 AS DOUBLE) * (1.2 + 1.0))
+          / (CAST(d.tf0 AS DOUBLE)
+             + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE)
+               / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))))
+         + ln((CAST(c.n - c.df1 AS DOUBLE) + 0.5)
+              / (CAST(c.df1 AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(d.tf1 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(d.tf1 AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE)
+                / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE))))))
+         + ln((CAST(c.n - c.df2 AS DOUBLE) + 0.5)
+              / (CAST(c.df2 AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(d.tf2 AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(d.tf2 AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE)
+                / (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))))
+        ) AS score
+      FROM d, c),
+    rt AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS BIGINT) AS r
+           FROM s QUALIFY r <= 50),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    qi AS (SELECT CAST(i AS INT) AS ii,
+                  CAST(FLOOR(CAST(qe[CAST(i AS INT)] AS DOUBLE)
+                             * 1000000.0) AS BIGINT) AS qv
+           FROM q, range(1, 65) t(i)),
+    qq AS (SELECT CAST(SUM(qv * qv) AS BIGINT) AS qq FROM qi),
+    dv AS (SELECT e.vec_id AS doc_id,
+                  CAST(SUM(CAST(FLOOR(CAST(e.embedding[qi.ii]
+                                           AS DOUBLE) * 1000000.0)
+                                AS BIGINT) * qi.qv) AS BIGINT) AS dot,
+                  CAST(SUM(CAST(FLOOR(CAST(e.embedding[qi.ii]
+                                           AS DOUBLE) * 1000000.0)
+                                AS BIGINT)
+                           * CAST(FLOOR(CAST(e.embedding[qi.ii]
+                                             AS DOUBLE) * 1000000.0)
+                                  AS BIGINT)) AS BIGINT) AS qa
+           FROM embeddings e, qi GROUP BY e.vec_id),
+    cv AS (SELECT doc_id,
+                  CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(qa AS DOUBLE))
+                     * sqrt(CAST((SELECT qq FROM qq) AS DOUBLE)))
+                    AS cos
+           FROM dv),
+    rv AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                       AS BIGINT) AS r
+           FROM cv QUALIFY r <= 50),
+    f AS (SELECT COALESCE(rt.doc_id, rv.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60.0 + CAST(rt.r AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / (60.0 + CAST(rv.r AS DOUBLE)), 0.0)
+                   AS rrf_score,
+                 rt.r AS r_text, rv.r AS r_vec
+          FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.doc_id)
+    SELECT doc_id, rrf_score, r_text, r_vec
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
 ORACLE_SQL["bm25_topk"] = """
     WITH d AS (
       SELECT doc_id,
@@ -3245,6 +3360,7 @@ QUERIES = {
     "bigram_lm_docs": q_bigram_lm_docs,
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,
     "decontaminate_docs": q_decontaminate_docs,
