@@ -2067,8 +2067,8 @@ def q_top_unshipped_orders(sf_dir: str):
     cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                           columns=["c_custkey", "c_mktsegment"])
     keep = pc.equal(cust["c_mktsegment"], "BUILDING")
-    ckeys_ref = ray.put(set(
-        cust.filter(keep)["c_custkey"].to_pylist()))
+    ckeys_ref = ray.put(
+        cust.filter(keep)["c_custkey"].combine_chunks())
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
@@ -2076,12 +2076,9 @@ def q_top_unshipped_orders(sf_dir: str):
     def slim_orders(batch: pa.Table) -> pa.Table:
         ck = ray.get(ckeys_ref)
         date_us = batch["o_orderdate"].cast(pa.int64())
-        m1 = pc.less(date_us, _Q3_CUT_US).to_numpy(zero_copy_only=False)
-        m2 = np.fromiter((c in ck for c in
-                          batch["o_custkey"].to_pylist()),
-                         dtype=bool, count=batch.num_rows)
-        t = batch.append_column("o_orderdate_us", date_us) \
-            .filter(pa.array(m1 & m2))
+        m = pc.and_(pc.less(date_us, _Q3_CUT_US),
+                    pc.is_in(batch["o_custkey"], value_set=ck))
+        t = batch.append_column("o_orderdate_us", date_us).filter(m)
         return t.select(["o_orderkey", "o_orderdate_us"])
 
     o_slim = orders.map_batches(slim_orders, batch_format="pyarrow")
