@@ -40,20 +40,20 @@ from ..sources.pages import _splitmix64
 
 def page_links(batch: pa.Table, k: int = 3) -> pa.Table:
     """pages → (src, dsth) link rows, K per page; dsth is a stable
-    hash later resolved onto the site universe."""
-    urls = batch["url"].to_pylist()
-    srcs = []
-    idxs = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
-        head, _, tail = u.rpartition("/")
-        srcs.append(head)
-        idxs[i] = np.uint64(int(tail))
-    out_src, out_dst = [], []
-    for j in range(k):
-        out_src.extend(srcs)
-        out_dst.append(_splitmix64(idxs ^ np.uint64(0xA5A5 + j)))
+    hash later resolved onto the site universe. One vectorized
+    extract_regex splits every url into (site prefix, page id) — no
+    Python loop over pages."""
+    col = batch["url"].combine_chunks() \
+        if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
+    m = pc.extract_regex(col, pattern=r"^(?P<head>.*)/(?P<tail>\d+)$")
+    srcs = pc.struct_field(m, "head")
+    idxs = pc.cast(pc.struct_field(m, "tail"), pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.uint64)
+    src_rep = pa.concat_arrays([srcs] * k)
+    out_dst = [_splitmix64(idxs ^ np.uint64(0xA5A5 + j))
+               for j in range(k)]
     return pa.table({
-        "src": pa.array(out_src, pa.string()),
+        "src": src_rep,
         "dsth": pa.array(np.concatenate(out_dst).astype(np.int64),
                          pa.int64())})
 
@@ -68,9 +68,14 @@ def _resolve_fn(sites_ref):
         m = len(sa)
         d = (batch["dsth"].to_numpy(zero_copy_only=False)
              .astype(np.uint64) % np.uint64(m)).astype(np.int64)
-        uniq_src, inv_s = np.unique(
-            np.asarray(batch["src"].to_pylist(), dtype=object),
-            return_inverse=True)
+        enc = pc.dictionary_encode(
+            batch["src"].combine_chunks()
+            if isinstance(batch["src"], pa.ChunkedArray)
+            else batch["src"])
+        inv_s = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # dictionary is bounded by sites-per-batch, not rows
+        uniq_src = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         key = inv_s.astype(np.int64) * m + d
         uk, cnt = np.unique(key, return_counts=True)
         s_idx, d_idx = uk // m, uk % m
