@@ -301,19 +301,20 @@ def heavy_hitters_topk(ds, col: str, m: int = 64, k: int = 10):
         items = np.asarray(vc.field("values").to_pylist(), dtype=object)
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
         it, ct = _mg_compress(items, counts, m)
+        # the null-item row ALWAYS carries this batch's row total —
+        # a batch whose compression drops every counter (uniform
+        # batch with > m distinct values) must still count toward n
         return pa.table({
-            "item": pa.array(list(it), pa.string()),
-            "cnt": pa.array(ct, pa.int64()),
+            "item": pa.array(list(it) + [None], pa.string()),
+            "cnt": pa.array(np.concatenate([ct, [0]]), pa.int64()),
             "tot": pa.array(
-                np.concatenate([[int(counts.sum())],
-                                np.zeros(max(len(it) - 1, 0),
-                                         dtype=np.int64)])
-                if len(it) else np.array([], dtype=np.int64),
-                pa.int64())})
+                np.concatenate([np.zeros(len(it), dtype=np.int64),
+                                [int(counts.sum())]]), pa.int64())})
 
     summaries = ds.map_batches(mg_partial,
                                batch_format="pyarrow").to_pandas()
     n_total = int(summaries["tot"].sum())
+    summaries = summaries[summaries["item"].notna()]
     # driver fold: sum per item, then one final MG compression
     agg = summaries.groupby("item")["cnt"].sum()
     items = np.asarray(agg.index.to_numpy(), dtype=object)
