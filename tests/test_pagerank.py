@@ -61,3 +61,23 @@ def test_site_edges_deterministic(ray_session):
     p2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert p1.equals(p2)
     assert (p1["src"] != p1["dst"]).all()
+
+
+def test_bfs_hops_path_cycle_and_unreachable(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.pagerank import bfs_hops
+    # 0→1→2→3→0 cycle, 3→4, 5→6 disconnected, 2→1 back edge
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4), (5, 6), (2, 1)]
+    t = pa.table({"src": pa.array([r[0] for r in rows], pa.int64()),
+                  "dst": pa.array([r[1] for r in rows], pa.int64())})
+    out = bfs_hops(rd.from_arrow(t).repartition(3), [0], max_hops=8)
+    got = dict(zip(out["node"].to_pylist(), out["hop"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    # hop cap truncates
+    out2 = bfs_hops(rd.from_arrow(t), [0], max_hops=2)
+    got2 = dict(zip(out2["node"].to_pylist(), out2["hop"].to_pylist()))
+    assert got2 == {0: 0, 1: 1, 2: 2}
+    # multi-source: min over sources
+    out3 = bfs_hops(rd.from_arrow(t), [0, 5], max_hops=8)
+    got3 = dict(zip(out3["node"].to_pylist(), out3["hop"].to_pylist()))
+    assert got3[5] == 0 and got3[6] == 1 and got3[4] == 4

@@ -2115,6 +2115,43 @@ def q_top_unshipped_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42o: directed BFS reachability over the sampled-event kNN graph —
+# iterative frontier joins, recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+def q_bfs_knn_events(sf_dir: str):
+    """Minimum hop count (≤ 8) from the lowest sampled event through
+    the directed 3-NN graph of every-20th events. The graph is closed
+    (both endpoints sampled) so the frontier never leaves the node
+    set; per round the edge Dataset streams once with the frontier
+    broadcast (stages/pagerank.py::bfs_hops). Oracle: WITH RECURSIVE
+    path expansion + MIN(hop)."""
+    import ray.data as rd
+    from ..stages.knn_graph import knn_graph
+    from ..stages.pagerank import bfs_hops
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["event_id"].cast(pa.int64()),
+                         "dst": batch["neighbor_id"].cast(pa.int64())})
+
+    edges = knn.map_batches(as_edges,
+                            batch_format="pyarrow").materialize()
+    mn = edges.min("src")
+    src = int(mn["min(src)"]) if isinstance(mn, dict) else int(mn)
+    out = bfs_hops(edges, [src], max_hops=8)
+    return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
 # Q42n: hybrid retrieval — BM25 ⊕ fixed-point cosine, RRF fusion
 # (stages/hybrid.py); both rankers distributed, fusion bounded by k
 # ---------------------------------------------------------------------------
@@ -3052,6 +3089,31 @@ ORACLE_SQL["top_unshipped_orders"] = """
     GROUP BY l.l_orderkey, o.o_orderdate
     ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"""
 
+ORACLE_SQL["bfs_knn_events"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
+             {dv.EV_LAT_SQL} AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    s AS (SELECT MIN(src) AS v FROM e),
+    r AS (
+      SELECT (SELECT v FROM s) AS node, 0 AS hop
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM r GROUP BY node"""
+
 ORACLE_SQL["hybrid_search"] = """
     WITH d AS (
       SELECT doc_id,
@@ -3358,6 +3420,7 @@ QUERIES = {
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
+    "bfs_knn_events": q_bfs_knn_events,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,
     "decontaminate_docs": q_decontaminate_docs,

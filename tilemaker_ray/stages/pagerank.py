@@ -207,3 +207,51 @@ def pagerank_reference(edge_rows, nodes: list, iters: int = 10,
             acc[ni[t]] += ranks[si] * w // max(outdeg[si], 1)
         ranks = teleport + d_num * acc // d_den
     return {nodes[i]: int(ranks[i]) for i in range(n)}
+
+
+def bfs_hops(edges_ds, sources: list, max_hops: int = 8):
+    """Directed BFS over an integer (src, dst) edge Dataset: minimum
+    hop count from any source, up to ``max_hops``. The frontier-join
+    pattern: each round streams the edge Dataset once with the current
+    frontier broadcast (``pc.is_in`` prefilter, per-batch distinct),
+    so edge rows never move; the driver holds the visited map —
+    O(reachable nodes), the same model-size bound as the PageRank rank
+    vector (sharded frontier⋈edge join is the 10⁷⁺-node path).
+    Matches a recursive-CTE oracle exactly (hop = MIN over paths).
+    """
+    import ray
+
+    dist: dict = {int(s): 0 for s in sources}
+    frontier = set(dist)
+    edges = edges_ds.materialize()
+
+    for h in range(1, max_hops + 1):
+        if not frontier:
+            break
+        f_arr = pa.array(sorted(frontier), pa.int64())
+        f_ref = ray.put(f_arr)
+
+        def step(batch: pa.Table) -> pa.Table:
+            fa = ray.get(f_ref)
+            src = batch["src"].combine_chunks() \
+                if isinstance(batch["src"], pa.ChunkedArray) \
+                else batch["src"]
+            mask = pc.is_in(src, value_set=fa)
+            d = batch["dst"].filter(mask)
+            u = np.unique(d.to_numpy(zero_copy_only=False))
+            return pa.table({"dst": pa.array(u, pa.int64())})
+
+        cand = edges.map_batches(step,
+                                 batch_format="pyarrow").to_pandas()
+        # all-empty rounds lose the schema (zero-column DataFrame)
+        if "dst" not in cand.columns:
+            break
+        reached = set(cand["dst"].tolist()) - set(dist)
+        for d in reached:
+            dist[int(d)] = h
+        frontier = reached
+
+    nodes = sorted(dist)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "hop": pa.array([dist[n] for n in nodes], pa.int64())})
