@@ -1913,6 +1913,44 @@ def q_bigram_lm_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m1: windowed distinct — hourly active users (exact), the
+# distinct-count-per-time-bucket composition
+# ---------------------------------------------------------------------------
+
+def q_hourly_active_users(sf_dir: str):
+    """Exact distinct users per 1-hour tumbling window: per-batch
+    distinct (window, user) combiner, one slim groupby-count — the
+    unique-pair pattern of q_distinct_users on a time bucket."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    hour_us = 3600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        win = ts // hour_us          # < 2^31 for any µs epoch ts
+        key = np.unique((win << np.int64(32)) | uid)   # uid < 2^32
+        return pa.table({"wu": pa.array(key, pa.int64())})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    # groupby the packed key to dedupe globally, then count per window
+    from ray.data.aggregate import Count
+    dedup = pairs.groupby("wu").aggregate(Count(alias_name="c_"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["wu"].to_numpy(zero_copy_only=False)
+        win = k >> np.int64(32)
+        uw, cnt = np.unique(win, return_counts=True)
+        return pa.table({"window_start_us": pa.array(
+            uw * np.int64(hour_us), pa.int64()),
+            "pn": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (dedup.map_batches(finish, batch_format="pyarrow")
+            .groupby("window_start_us")
+            .aggregate(Sum("pn", alias_name="n_users")))
+
+
+# ---------------------------------------------------------------------------
 # Q42m0: grouped HLL — approximate COUNT(DISTINCT user) per event type
 # (approx by design → rows-only; pytest pins the 1.04/√m error bound
 # and partition invariance)
@@ -2935,6 +2973,12 @@ ORACLE_SQL["bigram_lm_docs"] = """
            ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
     FROM t WHERE c12 >= 2"""
 
+ORACLE_SQL["hourly_active_users"] = """
+    SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
+             AS window_start_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY window_start_us"""
+
 ORACLE_SQL["json_props_stats"] = """
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k')
@@ -3416,6 +3460,7 @@ QUERIES = {
     "trailing_spend_events": q_trailing_spend_events,
     "json_props_stats": q_json_props_stats,
     "hll_users_by_type": q_hll_users_by_type,
+    "hourly_active_users": q_hourly_active_users,
     "bigram_lm_docs": q_bigram_lm_docs,
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,
