@@ -1870,7 +1870,14 @@ def q_heavy_words_docs(sf_dir: str):
         return pa.table({"word": flat})
 
     tok_ds = ds.map_batches(toks, batch_format="pyarrow")
-    out, _floor = heavy_hitters_topk(tok_ds, "word", m=64, k=10)
+    out, floor = heavy_hitters_topk(tok_ds, "word", m=64, k=10)
+    # the sketch's top-k is exact ONLY while the k-th frequency
+    # clears the MG bound — verify at runtime, not just in pytest
+    freqs = out["freq"].to_pylist()
+    if freqs and freqs[-1] <= floor:
+        raise ValueError(
+            f"heavy_words_docs: MG guarantee violated "
+            f"(k-th freq {freqs[-1]} <= n/(m+1) {floor}); raise m")
     return rd.from_arrow(out)
 
 

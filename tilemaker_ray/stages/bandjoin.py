@@ -34,6 +34,41 @@ import pyarrow as pa
 from .common import mix_bucket
 
 
+def _cell_fan(batch: pa.Table, w: np.int64, key_col: str, ts_col: str,
+              id_col: str, num_buckets: int, extra: dict | None = None,
+              mark_owner: bool = False) -> pa.Table:
+    """Shared replication layout for the cell-windowed operators:
+    every row lands in cells c = ts//w and c+1, bucketed by
+    hash(key, cell). ONE implementation so the two operators'
+    co-location semantics cannot drift. ``extra`` maps column name →
+    per-row numpy values (duplicated with the replication);
+    ``mark_owner`` adds own=1 for the original copy, 0 for the c+1
+    replica."""
+    key = batch[key_col].to_numpy(zero_copy_only=False)
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cell = ts // w
+    n = len(key)
+    cell2 = np.concatenate([cell, cell + 1])
+    key2 = np.concatenate([key, key])
+    cols = {
+        "key": pa.array(key2, pa.int64()),
+        "cell": pa.array(cell2, pa.int64()),
+        "ts_us": pa.array(np.concatenate([ts, ts]), pa.int64()),
+        "eid": pa.array(np.concatenate([eid, eid]), pa.int64())}
+    for name, arr in (extra or {}).items():
+        cols[name] = pa.array(np.concatenate([arr, arr]), pa.int64())
+    if mark_owner:
+        cols["own"] = pa.array(
+            np.concatenate([np.ones(n, dtype=np.int8),
+                            np.zeros(n, dtype=np.int8)]), pa.int8())
+    cols["bkt"] = pa.array(
+        mix_bucket(key2.astype(np.uint64)
+                   * np.uint64(0x51_7C_C1_B7_27_22_0A_95)
+                   ^ cell2.astype(np.uint64), num_buckets), pa.int64())
+    return pa.table(cols)
+
+
 def band_self_join(events_ds, window_us: int, key_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id",
                    num_buckets: int = 64):
@@ -42,23 +77,8 @@ def band_self_join(events_ds, window_us: int, key_col: str = "user_id",
     w = np.int64(window_us)
 
     def fan(batch: pa.Table) -> pa.Table:
-        key = batch[key_col].to_numpy(zero_copy_only=False)
-        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cell = ts // w
-        key2 = np.concatenate([key, key])
-        ts2 = np.concatenate([ts, ts])
-        eid2 = np.concatenate([eid, eid])
-        cell2 = np.concatenate([cell, cell + 1])
-        bkt = mix_bucket(key2.astype(np.uint64)
-                         * np.uint64(0x51_7C_C1_B7_27_22_0A_95)
-                         ^ cell2.astype(np.uint64), num_buckets)
-        return pa.table({
-            "key": pa.array(key2, pa.int64()),
-            "cell": pa.array(cell2, pa.int64()),
-            "ts_us": pa.array(ts2, pa.int64()),
-            "eid": pa.array(eid2, pa.int64()),
-            "bkt": pa.array(bkt, pa.int64())})
+        return _cell_fan(batch, w, key_col, ts_col, id_col,
+                         num_buckets)
 
     def pairs(g: pa.Table) -> pa.Table:
         key = g["key"].to_numpy(zero_copy_only=False)
@@ -127,30 +147,11 @@ def trailing_window_sum(events_ds, window_us: int,
     w = np.int64(window_us)
 
     def fan(batch: pa.Table) -> pa.Table:
-        key = batch[key_col].to_numpy(zero_copy_only=False)
-        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         cents = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
                          * 100.0).astype(np.int64)
-        cell = ts // w
-        key2 = np.concatenate([key, key])
-        ts2 = np.concatenate([ts, ts])
-        eid2 = np.concatenate([eid, eid])
-        c2 = np.concatenate([cents, cents])
-        cell2 = np.concatenate([cell, cell + 1])
-        own = np.concatenate([np.ones(len(key), dtype=np.int8),
-                              np.zeros(len(key), dtype=np.int8)])
-        bkt = mix_bucket(key2.astype(np.uint64)
-                         * np.uint64(0x51_7C_C1_B7_27_22_0A_95)
-                         ^ cell2.astype(np.uint64), num_buckets)
-        return pa.table({
-            "key": pa.array(key2, pa.int64()),
-            "cell": pa.array(cell2, pa.int64()),
-            "ts_us": pa.array(ts2, pa.int64()),
-            "eid": pa.array(eid2, pa.int64()),
-            "cents": pa.array(c2, pa.int64()),
-            "own": pa.array(own, pa.int8()),
-            "bkt": pa.array(bkt, pa.int64())})
+        return _cell_fan(batch, w, key_col, ts_col, id_col,
+                         num_buckets, extra={"cents": cents},
+                         mark_owner=True)
 
     def reduce(g: pa.Table) -> pa.Table:
         key = g["key"].to_numpy(zero_copy_only=False)

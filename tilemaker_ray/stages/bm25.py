@@ -87,6 +87,12 @@ def bm25_topk(docs_ds, terms: list, k: int = 10):
     aggs += [Sum(f"df_{j}", alias_name=f"df{j}") for j in range(m)]
     consts = slim.map_batches(const_partial,
                               batch_format="pyarrow").aggregate(*aggs)
+    if not consts or consts.get("n") in (None, 0):
+        # empty corpus: empty top-k, not a ZeroDivisionError
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
     n = int(consts["n"])
     sumdl = int(consts["sumdl"])
     dfs = [int(consts[f"df{j}"]) for j in range(m)]

@@ -26,15 +26,10 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from .vecagg import _list_to_matrix as _to_matrix
+
 RRF_K = 60.0
 Q_SCALE = 1e6
-
-
-def _to_matrix(col, dim: int) -> np.ndarray:
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-        else col
-    return arr.flatten().to_numpy(zero_copy_only=False) \
-        .astype(np.float64).reshape(-1, dim)
 
 
 def cosine_topk_fixed(emb_ds, query_vec: np.ndarray, dim: int,

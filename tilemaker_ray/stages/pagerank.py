@@ -46,6 +46,9 @@ def page_links(batch: pa.Table, k: int = 3) -> pa.Table:
     col = batch["url"].combine_chunks() \
         if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
     m = pc.extract_regex(col, pattern=r"^(?P<head>.*)/(?P<tail>\d+)$")
+    # urls without a numeric tail don't match — drop them rather than
+    # let null head/NaN tail corrupt the hash downstream
+    m = m.filter(pc.is_valid(m))
     srcs = pc.struct_field(m, "head")
     idxs = pc.cast(pc.struct_field(m, "tail"), pa.int64()) \
         .to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -154,10 +157,10 @@ def pagerank(edges_ds, nodes: list, iters: int = 10,
     ranks = np.full(n, scale, dtype=np.int64)
     total = n * scale
     teleport = (d_den - d_num) * total // (d_den * n)
+    deg_ref = ray.put(outdeg)          # immutable across iterations
 
     for _ in range(iters):
         ranks_ref = ray.put(ranks)
-        deg_ref = ray.put(outdeg)
 
         def contrib(batch: pa.Table) -> pa.Table:
             r = ray.get(ranks_ref)

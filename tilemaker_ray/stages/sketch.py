@@ -199,6 +199,26 @@ def hll_estimate(regs: np.ndarray, p: int) -> float:
     return float(est)
 
 
+def _hll_rho(v: np.ndarray, p: int) -> tuple:
+    """Hash values → (register index, rho) for a 2^p-register HLL.
+    rho = 1-based leading-zero count of the left-aligned remaining
+    64-p bits (+1), capped at 64-p+1. ONE implementation shared by the
+    global and grouped sketches so their registers stay mergeable."""
+    h = _splitmix64(v)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)      # remaining 64-p bits, left-aligned
+    nz = rest != 0
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    fl = np.zeros(len(h), dtype=np.int64)
+    # float64 rounds log2 of values just under 2^64 up to 64 —
+    # clamp so the leading-zero count never goes negative
+    fl[nz] = np.maximum(
+        63 - np.floor(np.log2(rest[nz].astype(np.float64)))
+        .astype(np.int64), 0)
+    lz[nz] = fl[nz]
+    return idx, (np.minimum(lz, 64 - p) + 1).astype(np.int8)
+
+
 def hll_count_distinct(ds, col: str, p: int = 12):
     """Approximate distinct count of an int64 column (pre-hash strings
     with a fingerprint op first). Standard error ≈ 1.04/√2^p (~1.6% at
@@ -208,28 +228,12 @@ def hll_count_distinct(ds, col: str, p: int = 12):
     no shuffle. Returns a Dataset with one row
     (n_distinct_est float64, p int64)."""
     m = 1 << p
-    shift = np.uint64(64 - p)
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False)
-        h = _splitmix64(v)
-        idx = (h >> shift).astype(np.int64)
-        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # rho = 1-based position of the highest set bit's leading-zero
-        # run within the remaining bits (+1), capped for rest == 0
-        nz = rest != 0
-        lz = np.full(len(h), 64 - p, dtype=np.int64)
-        # count leading zeros of the 64-bit left-aligned remainder
-        fl = np.zeros(len(h), dtype=np.int64)
-        # float64 rounds log2 of values just under 2^64 up to 64 —
-        # clamp so the leading-zero count never goes negative
-        fl[nz] = np.maximum(
-            63 - np.floor(np.log2(rest[nz].astype(np.float64)))
-            .astype(np.int64), 0)
-        lz[nz] = fl[nz]
-        rho = np.minimum(lz, 64 - p) + 1
+        idx, rho = _hll_rho(v, p)
         regs = np.zeros(m, dtype=np.int8)
-        np.maximum.at(regs, idx, rho.astype(np.int8))
+        np.maximum.at(regs, idx, rho)
         return pa.table({"regs": pa.array([regs.tobytes()],
                                           pa.binary())})
 
@@ -356,32 +360,21 @@ def hll_grouped_distinct(ds, key_col: str, col: str, p: int = 12):
     global sketch, so the estimate is partition-invariant. Returns
     (key, n_distinct_est, p)."""
     m = 1 << p
-    shift = np.uint64(64 - p)
-
-    def rho_of(v: np.ndarray) -> tuple:
-        h = _splitmix64(v)
-        idx = (h >> shift).astype(np.int64)
-        rest = h << np.uint64(p)
-        nz = rest != 0
-        lz = np.full(len(h), 64 - p, dtype=np.int64)
-        fl = np.zeros(len(h), dtype=np.int64)
-        fl[nz] = np.maximum(
-            63 - np.floor(np.log2(rest[nz].astype(np.float64)))
-            .astype(np.int64), 0)
-        lz[nz] = fl[nz]
-        return idx, (np.minimum(lz, 64 - p) + 1).astype(np.int8)
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col]
+        key_type = keys.type
         v = batch[col].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(
             np.asarray(keys.to_pylist(), dtype=object),
             return_inverse=True)
-        idx, rho = rho_of(v)
+        idx, rho = _hll_rho(v, p)
         regs = np.zeros((len(uniq), m), dtype=np.int8)
         np.maximum.at(regs, (inv, idx), rho)
+        # typed empty: an empty batch must not infer a null-typed key
+        # column (schema mismatch at the groupby — memory pitfall)
         return pa.table({
-            key_col: pa.array(list(uniq)),
+            key_col: pa.array(list(uniq), key_type),
             "regs": pa.array([r.tobytes() for r in regs], pa.binary())})
 
     def merge(g: pa.Table) -> pa.Table:

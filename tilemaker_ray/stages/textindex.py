@@ -134,8 +134,16 @@ def copy_pairs(docs_ds, ngram: int = 5, df_max: int = 50,
                                            batch_format="pyarrow"))
 
     def pack(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a64 = b["doc_a"].to_numpy(zero_copy_only=False)
+        b64 = b["doc_b"].to_numpy(zero_copy_only=False)
+        # the packed pair key needs both ids in [0, 2^32) — beyond it
+        # high bits of doc_b would bleed into doc_a and merge distinct
+        # pairs silently; fail loudly instead (use a (a,b) two-column
+        # groupby key if a corpus ever exceeds 32-bit ids)
+        if len(a64) and (a64.min() < 0 or b64.max() >= (1 << 32)):
+            raise ValueError("copy_pairs: doc ids must be in [0, 2^32)")
+        a = a64.astype(np.uint64)
+        bb = b64.astype(np.uint64)
         key = (a << np.uint64(32)) | bb
         return pa.table({
             "pkey": pa.array(key.astype(np.int64), pa.int64()),
@@ -291,17 +299,35 @@ def lm_doc_scores(docs_ds, lm_table: pa.Table):
         m = ray.get(lm_ref)
         toks = pc.split_pattern(batch["text"], " ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        lists = toks.to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_docs = len(ids)
         n_big = np.maximum(lens - 1, 0).astype(np.int64)
-        sums = np.zeros(len(ids), dtype=np.int64)
-        for i, ws in enumerate(lists):
-            if len(ws) < 2:
-                continue
-            s = 0
-            for j in range(len(ws) - 1):
-                s += m.get((ws[j], ws[j + 1]), oov)
-            sums[i] = s
+        sums = np.zeros(n_docs, dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        enc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        v = len(vocab)
+        if len(codes) >= 2:
+            # same boundary masking as bigram_lm.partial; dict lookup
+            # only once per UNIQUE bigram in the batch, then scattered
+            # back with np.add.at — no Python loop over tokens
+            ends = np.cumsum(lens)
+            mask = np.ones(len(codes) - 1, dtype=bool)
+            idx = ends[:-1] - 1
+            idx = idx[(idx >= 0) & (idx < len(mask))]
+            mask[idx] = False
+            pair_key = codes[:-1][mask] * v + codes[1:][mask]
+            doc_of_tok = np.repeat(np.arange(n_docs), lens)
+            doc_of_pair = doc_of_tok[:-1][mask]
+            uk, inv = np.unique(pair_key, return_inverse=True)
+            lp_uk = np.fromiter(
+                (m.get((vocab[k // v], vocab[k % v]), oov)
+                 for k in uk), dtype=np.int64, count=len(uk))
+            np.add.at(sums, doc_of_pair, lp_uk[inv])
         avg = np.where(n_big > 0,
                        (sums.astype(np.float64) / 1e9)
                        / np.maximum(n_big, 1).astype(np.float64),
