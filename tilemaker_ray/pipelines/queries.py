@@ -26,10 +26,18 @@ from ..geo import wkb as _wkb
 from ..stages.join import make_knn_fn, make_pip_pairs_fn
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filters=None):
+    """Column-pruned (and optionally row-group-pruned) parquet read.
+    ``filters`` is the pyarrow filter DNF — pushed into the read so
+    row groups whose stats exclude the predicate never leave storage
+    (the at-scale win; the small sf files have one row group, so
+    locally this only exercises the plumbing)."""
     import ray.data as rd
+    kw = {"columns": columns}
+    if filters is not None:
+        kw["filters"] = filters
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+                           **kw)
 
 
 def _nation_table(sf_dir: str) -> pa.Table:
@@ -1753,7 +1761,8 @@ def q_customers_no_orders(sf_dir: str):
     from ray.data.aggregate import Count
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     orders = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_totalprice"])
+                   columns=["o_custkey", "o_totalprice"],
+                   filters=[("o_totalprice", ">", 400000.0)])
 
     def distinct(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater(batch["o_totalprice"], 400000.0))
@@ -2115,8 +2124,11 @@ def q_top_unshipped_orders(sf_dir: str):
     ckeys_ref = ray.put(
         cust.filter(keep)["c_custkey"].combine_chunks())
 
+    import datetime as _dt
+    _cut = _dt.datetime(1998, 6, 1)
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filters=[("o_orderdate", "<", _cut)])
 
     def slim_orders(batch: pa.Table) -> pa.Table:
         ck = ray.get(ckeys_ref)
@@ -2130,7 +2142,8 @@ def q_top_unshipped_orders(sf_dir: str):
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount",
-                        "l_shipdate"])
+                        "l_shipdate"],
+               filters=[("l_shipdate", ">", _cut)])
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         m = pc.greater(batch["l_shipdate"].cast(pa.int64()),
