@@ -26,16 +26,16 @@ from ..geo import wkb as _wkb
 from ..stages.join import make_knn_fn, make_pip_pairs_fn
 
 
-def _read(sf_dir: str, table: str, columns=None, filters=None):
+def _read(sf_dir: str, table: str, columns=None, row_filter=None):
     """Column-pruned (and optionally row-group-pruned) parquet read.
-    ``filters`` is the pyarrow filter DNF — pushed into the read so
-    row groups whose stats exclude the predicate never leave storage
-    (the at-scale win; the small sf files have one row group, so
-    locally this only exercises the plumbing)."""
+    ``row_filter`` is a pyarrow.dataset expression — pushed into the
+    scan so row groups whose stats exclude the predicate never leave
+    storage (the at-scale win; the small sf files have one row group,
+    so locally this only exercises the plumbing)."""
     import ray.data as rd
     kw = {"columns": columns}
-    if filters is not None:
-        kw["filters"] = filters
+    if row_filter is not None:
+        kw["filter"] = row_filter
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                            **kw)
 
@@ -1760,9 +1760,10 @@ def q_customers_no_orders(sf_dir: str):
     has some order at this corpus)."""
     from ray.data.aggregate import Count
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    import pyarrow.dataset as _pds
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_totalprice"],
-                   filters=[("o_totalprice", ">", 400000.0)])
+                   row_filter=_pds.field("o_totalprice") > 400000.0)
 
     def distinct(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater(batch["o_totalprice"], 400000.0))
@@ -2125,10 +2126,11 @@ def q_top_unshipped_orders(sf_dir: str):
         cust.filter(keep)["c_custkey"].combine_chunks())
 
     import datetime as _dt
+    import pyarrow.dataset as _pds
     _cut = _dt.datetime(1998, 6, 1)
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"],
-                   filters=[("o_orderdate", "<", _cut)])
+                   row_filter=_pds.field("o_orderdate") < _cut)
 
     def slim_orders(batch: pa.Table) -> pa.Table:
         ck = ray.get(ckeys_ref)
@@ -2143,7 +2145,7 @@ def q_top_unshipped_orders(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount",
                         "l_shipdate"],
-               filters=[("l_shipdate", ">", _cut)])
+               row_filter=_pds.field("l_shipdate") > _cut)
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         m = pc.greater(batch["l_shipdate"].cast(pa.int64()),
