@@ -1968,6 +1968,80 @@ def q_hourly_active_users(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m2: length-bucketed batching bins — NTILE(4) over doc length
+# (the batch-construction pass before training; reuses the rank
+# machinery's giant-partition path with one global partition)
+# ---------------------------------------------------------------------------
+
+def q_length_bins_docs(sf_dir: str):
+    """Equal-count length buckets for batch construction: global
+    NTILE(4) ordered by (n_chars, doc_id) — fully determined order,
+    so bucket assignment matches the oracle row-for-row."""
+    from ..stages.rank import window_distribution
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g_", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    out = window_distribution(ds.map_batches(add_g,
+                                             batch_format="pyarrow"),
+                              "g_", ["n_chars", "doc_id"],
+                              ntile=4, ntile_col="bin",
+                              size_col="n_total")
+    return out.select_columns(["doc_id", "n_chars", "bin"])
+
+
+# ---------------------------------------------------------------------------
+# Q42m3: one-pass table profiler — per-column n/nulls/min/max/sum
+# (integer cents), the data-quality scan a pipeline runs on ingest
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"]
+
+
+def q_profile_lineitem(sf_dir: str):
+    """Column profile of lineitem's numeric columns in ONE corpus
+    pass: per-batch partials (n, nulls, min/max/sum in integer cents)
+    emitted as one slim row per (column, batch), then a tiny groupby.
+    The ingest-time data-quality scan."""
+    from ray.data.aggregate import Max, Min, Sum
+    ds = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"col": [], "pn": [], "pnull": [], "pmin": [],
+                "pmax": [], "psum": []}
+        for c in _PROFILE_COLS:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(v)
+            cents = np.floor(v[valid] * 100.0).astype(np.int64)
+            rows["col"].append(c)
+            rows["pn"].append(int(valid.sum()))
+            rows["pnull"].append(int((~valid).sum()))
+            rows["pmin"].append(int(cents.min()) if len(cents)
+                                else np.iinfo(np.int64).max)
+            rows["pmax"].append(int(cents.max()) if len(cents)
+                                else np.iinfo(np.int64).min)
+            rows["psum"].append(int(cents.sum()))
+        return pa.table({
+            "col": pa.array(rows["col"], pa.string()),
+            "pn": pa.array(rows["pn"], pa.int64()),
+            "pnull": pa.array(rows["pnull"], pa.int64()),
+            "pmin": pa.array(rows["pmin"], pa.int64()),
+            "pmax": pa.array(rows["pmax"], pa.int64()),
+            "psum": pa.array(rows["psum"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Sum("pn", alias_name="n"),
+                       Sum("pnull", alias_name="n_null"),
+                       Min("pmin", alias_name="min_cents"),
+                       Max("pmax", alias_name="max_cents"),
+                       Sum("psum", alias_name="sum_cents")))
+
+
+# ---------------------------------------------------------------------------
 # Q42m0: grouped HLL — approximate COUNT(DISTINCT user) per event type
 # (approx by design → rows-only; pytest pins the 1.04/√m error bound
 # and partition invariance)
@@ -2995,6 +3069,50 @@ ORACLE_SQL["bigram_lm_docs"] = """
            ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
     FROM t WHERE c12 >= 2"""
 
+ORACLE_SQL["length_bins_docs"] = """
+    SELECT doc_id, n_chars,
+           CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS bin
+    FROM documents"""
+
+ORACLE_SQL["profile_lineitem"] = """
+    SELECT 'l_quantity' AS col, CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(MIN(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+                AS BIGINT) AS max_cents,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(MIN(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                AS BIGINT),
+           CAST(MAX(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                AS BIGINT),
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(MIN(CAST(FLOOR(l_discount * 100.0) AS BIGINT))
+                AS BIGINT),
+           CAST(MAX(CAST(FLOOR(l_discount * 100.0) AS BIGINT))
+                AS BIGINT),
+           CAST(SUM(CAST(FLOOR(l_discount * 100.0) AS BIGINT))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(COUNT(l_tax) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+           CAST(MIN(CAST(FLOOR(l_tax * 100.0) AS BIGINT)) AS BIGINT),
+           CAST(MAX(CAST(FLOOR(l_tax * 100.0) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(l_tax * 100.0) AS BIGINT)) AS BIGINT)
+    FROM lineitem"""
+
 ORACLE_SQL["hourly_active_users"] = """
     SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
              AS window_start_us,
@@ -3483,6 +3601,8 @@ QUERIES = {
     "json_props_stats": q_json_props_stats,
     "hll_users_by_type": q_hll_users_by_type,
     "hourly_active_users": q_hourly_active_users,
+    "length_bins_docs": q_length_bins_docs,
+    "profile_lineitem": q_profile_lineitem,
     "bigram_lm_docs": q_bigram_lm_docs,
     "lm_scores_docs": q_lm_scores_docs,
     "bm25_topk": q_bm25_topk,
