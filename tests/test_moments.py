@@ -70,3 +70,20 @@ def test_zscore_normalize_vs_pandas(ray_session):
     for k in "ABCD":
         zs = out[out["grp"] == k]["z"]
         assert abs(zs.mean()) < 1e-9 and abs(zs.std(ddof=1) - 1) < 1e-9
+
+
+def test_regression_vs_numpy(ray_session):
+    from tilemaker_ray.stages.moments import regression_stats
+    ds, t = _ds(6)
+    out = regression_stats(grouped_moments(ds, "grp", "x", "y"),
+                           "grp").to_pandas().set_index("grp")
+    g = np.asarray(t["grp"].to_pylist())
+    xq = np.floor(t["x"].to_numpy() * 100) / 100.0
+    yq = np.floor(t["y"].to_numpy() * 100) / 100.0
+    for k in "ABCD":
+        xs, ys = xq[g == k], yq[g == k]
+        slope, icept = np.polyfit(xs, ys, 1)
+        assert abs(out.loc[k, "slope"] - slope) < 1e-9
+        assert abs(out.loc[k, "intercept"] - icept) < 1e-9
+        cov = np.cov(xs, ys, ddof=1)[0, 1]
+        assert abs(out.loc[k, "cov_xy"] - cov) < 1e-9

@@ -1871,6 +1871,24 @@ def q_zscore_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42g2b: grouped OLS regression (discount ~ quantity per returnflag)
+# from the same integer moments — distributed closed-form training
+# ---------------------------------------------------------------------------
+
+def q_regression_lineitem(sf_dir: str):
+    """Per-returnflag simple linear regression discount ~ quantity
+    (slope/intercept/covariance) via partition-invariant integer
+    sufficient statistics — a one-feature linear model trained in one
+    corpus pass, no gradient loop. ulp-exact vs SQL."""
+    from ..stages.moments import grouped_moments, regression_stats
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+    m = grouped_moments(ds, "l_returnflag", "l_quantity", "l_discount",
+                        x_scale=100.0, y_scale=100.0)
+    return regression_stats(m, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
 # Q42g3: heavy hitters — exact top-10 corpus words via mergeable
 # Misra–Gries summaries + exact recount (stages/sketch.py)
 # ---------------------------------------------------------------------------
@@ -3216,6 +3234,37 @@ ORACLE_SQL["label_centroids"] = """
              / CAST(COUNT(*) AS DOUBLE) AS centroid
     FROM x GROUP BY label, dim"""
 
+ORACLE_SQL["regression_lineitem"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                 * CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sx2,
+             SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sy,
+             SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                 * CAST(FLOOR(l_discount * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * 100.0 / 100.0 AS slope,
+           (CAST(sy AS DOUBLE) / 100.0
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 100.0 / 100.0)
+              * (CAST(sx AS DOUBLE) / 100.0)) / CAST(n AS DOUBLE)
+             AS intercept,
+           (CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) / 100.0 / 100.0 AS cov_xy
+    FROM m"""
+
 ORACLE_SQL["heavy_words_docs"] = """
     SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -3604,6 +3653,7 @@ QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "stats_lineitem": q_stats_lineitem,
     "zscore_lineitem": q_zscore_lineitem,
+    "regression_lineitem": q_regression_lineitem,
     "heavy_words_docs": q_heavy_words_docs,
     "label_centroids": q_label_centroids,
     "concurrent_events": q_concurrent_events,

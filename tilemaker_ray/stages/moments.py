@@ -154,3 +154,40 @@ def moment_stats(moments_ds, group_col: str, x_scale: float = 100.0,
             corr_name: pa.array(corr, pa.float64())})
 
     return moments_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def regression_stats(moments_ds, group_col: str,
+                     x_scale: float = 100.0, y_scale: float = 100.0,
+                     names: tuple = ("slope", "intercept", "cov_xy")):
+    """Per-group simple linear regression y ~ x (OLS closed form) and
+    sample covariance from the SAME integer sufficient statistics as
+    moment_stats — distributed training of a one-feature linear model
+    without any gradient iteration. Fixed expression trees (mirrored
+    by the SQL oracle; scales enter exactly once each):
+
+        slope_q   = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)   [quantized]
+        slope     = slope_q · (x_scale / y_scale)⁻¹ … expressed as
+                    slope_q * x_scale / y_scale
+        intercept = (Σy/y_scale − slope·(Σx/x_scale)) / n
+        cov_xy    = (Σxy − Σx·Σy/n) / (n−1) / x_scale / y_scale
+    """
+    slope_name, icept_name, cov_name = names
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx2 = batch["sx2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        slope_q = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        slope = slope_q * x_scale / y_scale
+        icept = (sy / y_scale - slope * (sx / x_scale)) / n
+        cov = (sxy - sx * sy / n) / (n - 1.0) / x_scale / y_scale
+        return pa.table({
+            group_col: batch[group_col],
+            "n": batch["n"],
+            slope_name: pa.array(slope, pa.float64()),
+            icept_name: pa.array(icept, pa.float64()),
+            cov_name: pa.array(cov, pa.float64())})
+
+    return moments_ds.map_batches(finish, batch_format="pyarrow")
