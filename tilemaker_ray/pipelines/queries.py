@@ -2314,6 +2314,57 @@ def q_bfs_knn_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42o2: graph degree distribution — in-degree histogram of the
+# sampled-event kNN graph (graph-statistics pass over derived edges)
+# ---------------------------------------------------------------------------
+
+def q_knn_indegree_dist(sf_dir: str):
+    """How concentrated is the kNN graph? in-degree per node via a
+    per-batch combiner over the directed 3-NN edges of every-20th
+    events (same closed graph as bfs_knn_events), then the histogram
+    (indegree → node count). Nodes nobody points at appear with
+    in-degree 0 via the node universe."""
+    from ray.data.aggregate import Sum
+    from ..stages.knn_graph import knn_graph
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        # each node also registers itself with in-degree 0 (as a src)
+        # so isolated-in-degree nodes survive to the histogram
+        dst = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+        src = np.unique(batch["event_id"].to_numpy(zero_copy_only=False))
+        uniq, cnt = np.unique(dst, return_counts=True)
+        node = np.concatenate([uniq, src])
+        deg = np.concatenate([cnt.astype(np.int64),
+                              np.zeros(len(src), dtype=np.int64)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "pdeg": pa.array(deg, pa.int64())})
+
+    indeg = (knn.map_batches(deg_partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("pdeg",
+                                            alias_name="indeg")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch["indeg"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"indeg": pa.array(uniq, pa.int64()),
+                         "pn": pa.array(cnt.astype(np.int64),
+                                        pa.int64())})
+
+    return (indeg.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("indeg").aggregate(Sum("pn",
+                                            alias_name="n_nodes")))
+
+
+# ---------------------------------------------------------------------------
 # Q42n: hybrid retrieval — BM25 ⊕ fixed-point cosine, RRF fusion
 # (stages/hybrid.py); both rankers distributed, fusion bounded by k
 # ---------------------------------------------------------------------------
@@ -3332,6 +3383,28 @@ ORACLE_SQL["top_unshipped_orders"] = """
     GROUP BY l.l_orderkey, o.o_orderdate
     ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"""
 
+ORACLE_SQL["knn_indegree_dist"] = f"""
+    WITH p AS (
+      SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
+             {dv.EV_LAT_SQL} AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    indeg AS (
+      SELECT p.id AS node, CAST(COUNT(e.dst) AS BIGINT) AS indeg
+      FROM p LEFT JOIN e ON e.dst = p.id GROUP BY p.id)
+    SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM indeg GROUP BY indeg"""
+
 ORACLE_SQL["bfs_knn_events"] = f"""
     WITH RECURSIVE p AS (
       SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
@@ -3668,6 +3741,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "hybrid_search": q_hybrid_search,
     "bfs_knn_events": q_bfs_knn_events,
+    "knn_indegree_dist": q_knn_indegree_dist,
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,
     "decontaminate_docs": q_decontaminate_docs,
