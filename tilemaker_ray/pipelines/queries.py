@@ -27,11 +27,12 @@ from ..stages.join import make_knn_fn, make_pip_pairs_fn
 
 
 def _read(sf_dir: str, table: str, columns=None, row_filter=None):
-    """Column-pruned (and optionally row-group-pruned) parquet read.
-    ``row_filter`` is a pyarrow.dataset expression — pushed into the
-    scan so row groups whose stats exclude the predicate never leave
-    storage (the at-scale win; the small sf files have one row group,
-    so locally this only exercises the plumbing)."""
+    """Column-pruned (and optionally predicate-filtered) parquet
+    read. ``row_filter`` is a pyarrow.dataset expression applied
+    EXACTLY at the scan (row-level, not just row-group pruning) —
+    row groups whose stats exclude the predicate never leave storage,
+    and surviving groups are filtered row-by-row, so callers must NOT
+    re-apply the predicate."""
     import ray.data as rd
     kw = {"columns": columns}
     if row_filter is not None:
@@ -1772,8 +1773,8 @@ def q_customers_no_orders(sf_dir: str):
                    row_filter=_pds.field("o_totalprice") > 400000.0)
 
     def distinct(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.greater(batch["o_totalprice"], 400000.0))
-        u = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        # price cut applied exactly at the scan
+        u = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
         return pa.table({"o_custkey": pa.array(u, pa.int64())})
 
     seen = (orders.map_batches(distinct, batch_format="pyarrow")
@@ -2015,8 +2016,7 @@ def q_length_bins_docs(sf_dir: str):
     out = window_distribution(ds.map_batches(add_g,
                                              batch_format="pyarrow"),
                               "g_", ["n_chars", "doc_id"],
-                              ntile=4, ntile_col="bin",
-                              size_col="n_total")
+                              ntile=4, ntile_col="bin")
     return out.select_columns(["doc_id", "n_chars", "bin"])
 
 
@@ -2041,12 +2041,21 @@ def q_profile_lineitem(sf_dir: str):
         rows = {"col": [], "pn": [], "pnull": [], "pmin": [],
                 "pmax": [], "psum": []}
         for c in _PROFILE_COLS:
-            v = batch[c].to_numpy(zero_copy_only=False)
-            valid = ~np.isnan(v)
-            cents = np.floor(v[valid] * 100.0).astype(np.int64)
+            col = batch[c]
+            # Arrow-null is the null notion (SQL COUNT semantics);
+            # a NaN VALUE is not a null — and since CAST(NaN AS
+            # BIGINT) errors in the oracle too, fail loudly on NaN
+            # rather than profile garbage
+            n_null = int(pc.sum(pc.cast(pc.is_null(col), pa.int64()))
+                         .as_py() or 0)
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+            if np.isnan(v).any():
+                raise ValueError(f"profile: NaN value in {c} — the "
+                                 "cents profile is undefined for NaN")
+            cents = np.floor(v * 100.0).astype(np.int64)
             rows["col"].append(c)
-            rows["pn"].append(int(valid.sum()))
-            rows["pnull"].append(int((~valid).sum()))
+            rows["pn"].append(len(v))
+            rows["pnull"].append(n_null)
             rows["pmin"].append(int(cents.min()) if len(cents)
                                 else np.iinfo(np.int64).max)
             rows["pmax"].append(int(cents.max()) if len(cents)
@@ -2060,13 +2069,28 @@ def q_profile_lineitem(sf_dir: str):
             "pmax": pa.array(rows["pmax"], pa.int64()),
             "psum": pa.array(rows["psum"], pa.int64())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("col")
-            .aggregate(Sum("pn", alias_name="n"),
-                       Sum("pnull", alias_name="n_null"),
-                       Min("pmin", alias_name="min_cents"),
-                       Max("pmax", alias_name="max_cents"),
-                       Sum("psum", alias_name="sum_cents")))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("col")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("pnull", alias_name="n_null"),
+                      Min("pmin", alias_name="min_cents"),
+                      Max("pmax", alias_name="max_cents"),
+                      Sum("psum", alias_name="sum_cents")))
+
+    def denull(batch: pa.Table) -> pa.Table:
+        # an all-null column's min/max are NULL (like the oracle),
+        # not the int64 sentinels the merge rode on
+        empty = pc.equal(batch["n"], 0)
+        return pa.table({
+            "col": batch["col"], "n": batch["n"],
+            "n_null": batch["n_null"],
+            "min_cents": pc.if_else(empty, pa.scalar(None, pa.int64()),
+                                    batch["min_cents"]),
+            "max_cents": pc.if_else(empty, pa.scalar(None, pa.int64()),
+                                    batch["max_cents"]),
+            "sum_cents": batch["sum_cents"]})
+
+    return agg.map_batches(denull, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2235,10 +2259,10 @@ def q_top_unshipped_orders(sf_dir: str):
                    row_filter=_pds.field("o_orderdate") < _cut)
 
     def slim_orders(batch: pa.Table) -> pa.Table:
+        # the date cut already happened exactly at the scan
         ck = ray.get(ckeys_ref)
         date_us = batch["o_orderdate"].cast(pa.int64())
-        m = pc.and_(pc.less(date_us, _Q3_CUT_US),
-                    pc.is_in(batch["o_custkey"], value_set=ck))
+        m = pc.is_in(batch["o_custkey"], value_set=ck)
         t = batch.append_column("o_orderdate_us", date_us).filter(m)
         return t.select(["o_orderkey", "o_orderdate_us"])
 
@@ -2250,9 +2274,8 @@ def q_top_unshipped_orders(sf_dir: str):
                row_filter=_pds.field("l_shipdate") > _cut)
 
     def rev_partial(batch: pa.Table) -> pa.Table:
-        m = pc.greater(batch["l_shipdate"].cast(pa.int64()),
-                       _Q3_CUT_US)
-        t = batch.filter(m)
+        # shipdate cut applied exactly at the scan
+        t = batch
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         cents = np.floor(
             t["l_extendedprice"].to_numpy(zero_copy_only=False)

@@ -193,15 +193,25 @@ def pages_dataset(n: int, parallelism: int = -1):
     return ds.map_batches(page_batch, batch_format="numpy", batch_size=8192)
 
 
+# bump when page_batch's synthesis changes so stale /tmp caches are
+# never served to oracle-gated queries
+PAGES_CACHE_VERSION = 1
+
+
 def ensure_pages_parquet(n: int, cache_root: str = "/tmp/tilemaker_ray_cache") -> str:
     """Write (once) and return the path of a cached pages parquet for
-    ``n`` rows. bench.py reads this so generation cost is not timed."""
-    out = os.path.join(cache_root, f"pages_{n}")
+    ``n`` rows. bench.py and the pages-derived queries read this so
+    generation cost is not re-timed per consumer. Cache key carries
+    SEED and PAGES_CACHE_VERSION (content identity, not just row
+    count); the temp dir is per-process so two cold-starting drivers
+    cannot clobber each other's in-flight write."""
+    out = os.path.join(cache_root,
+                       f"pages_v{PAGES_CACHE_VERSION}_s{SEED}_{n}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
     os.makedirs(cache_root, exist_ok=True)
-    tmp = out + ".tmp"
+    tmp = f"{out}.tmp.{os.getpid()}"
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     # many small files so a later read (and its fused map chain) can
@@ -210,7 +220,13 @@ def ensure_pages_parquet(n: int, cache_root: str = "/tmp/tilemaker_ray_cache") -
     pages_dataset(n, parallelism=n_blocks).write_parquet(
         tmp, max_rows_per_file=4096)
     shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # a concurrent writer completed the swap first — its copy is
+        # byte-identical (deterministic generation); keep it
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
     with open(done, "w") as f:
         f.write(str(n))
     return out

@@ -90,7 +90,10 @@ def kmeans_fixed(emb_ds, k: int = 8, iters: int = 8, dim: int = 64):
 
         parts = emb_ds.map_batches(partial,
                                    batch_format="pyarrow").to_arrow_refs()
-        pt = pa.concat_tables([ray.get(r) for r in parts])
+        # empty input blocks pass through as zero-COLUMN blocks —
+        # drop them or concat_tables raises on the schema mismatch
+        blocks = [b for b in (ray.get(r) for r in parts) if b.num_rows]
+        pt = pa.concat_tables(blocks)
         cl = pt["cluster"].to_numpy(zero_copy_only=False)
         cnt = pt["count"].to_numpy(zero_copy_only=False)
         sums = np.zeros((k, dim), dtype=np.int64)

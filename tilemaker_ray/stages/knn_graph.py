@@ -262,8 +262,15 @@ def knn_graph(points_ds, k: int = 3, n_cells: int = 32,
             "y": pa.array(b["lat"].to_numpy(zero_copy_only=False)[sel],
                           pa.float64())})
 
-    pr_tbl = pa.concat_tables([ray.get(r) for r in points_ds.map_batches(
-        probe_rows, batch_format="pyarrow").to_arrow_refs()])
+    # drop zero-row blocks before concat — empty shuffle/filter blocks
+    # can come back zero-COLUMN and poison concat_tables's schema check
+    pr_blocks = [ray.get(r) for r in points_ds.map_batches(
+        probe_rows, batch_format="pyarrow").to_arrow_refs()]
+    pr_blocks = [b for b in pr_blocks if b.num_rows > 0]
+    pr_tbl = pa.concat_tables(pr_blocks) if pr_blocks else pa.table({
+        "pid": pa.array([], pa.int64()),
+        "x": pa.array([], pa.float64()),
+        "y": pa.array([], pa.float64())})
     q_ref = ray.put((pr_tbl["pid"].to_numpy(zero_copy_only=False),
                      pr_tbl["x"].to_numpy(zero_copy_only=False),
                      pr_tbl["y"].to_numpy(zero_copy_only=False)))
