@@ -1,0 +1,86 @@
+"""Pure-stdlib PNG/WAV codecs: roundtrips over every filter type,
+spec-shape checks, and the real-format media pipeline."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tilemaker_ray.stages.media_codecs import (decode_png_gray,
+                                               decode_wav_pcm16,
+                                               encode_png_gray,
+                                               encode_wav_pcm16)
+
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.RandomState(1)
+    for f in range(5):
+        img = rng.randint(0, 256, (13, 17), dtype=np.uint8)
+        data = encode_png_gray(img, filter_type=f)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        out = decode_png_gray(data)
+        assert out.dtype == np.uint8 and out.shape == (13, 17)
+        assert np.array_equal(out, img), f"filter {f}"
+
+
+def test_png_gradient_and_degenerate_shapes():
+    # gradients stress Sub/Average/Paeth prediction correctness
+    img = np.add.outer(np.arange(9, dtype=np.uint8) * 7,
+                       np.arange(31, dtype=np.uint8) * 3)
+    for f in range(5):
+        assert np.array_equal(decode_png_gray(
+            encode_png_gray(img, filter_type=f)), img)
+    one = np.array([[200]], dtype=np.uint8)
+    assert np.array_equal(decode_png_gray(encode_png_gray(one)), one)
+
+
+def test_png_chunk_crcs_are_valid():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = encode_png_gray(img)
+    pos = 8
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag_body = data[pos + 4:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        assert crc == (zlib.crc32(tag_body) & 0xFFFFFFFF)
+        if tag_body[:4] == b"IEND":
+            break
+        pos += 12 + ln
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png_gray(b"not a png at all")
+
+
+def test_wav_roundtrip_and_reject():
+    rng = np.random.RandomState(2)
+    s = rng.randint(-32768, 32767, 333).astype(np.int16)
+    data = encode_wav_pcm16(s, rate=8000)
+    out, rate = decode_wav_pcm16(data)
+    assert rate == 8000 and np.array_equal(out, s)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxJUNK")
+
+
+def test_real_media_pipeline_features(ray_session):
+    from tilemaker_ray.stages.multimodal import (MediaFeatures,
+                                                 real_media_dataset,
+                                                 synth_real_media_batch)
+    out = real_media_dataset(60).map_batches(
+        MediaFeatures, concurrency=2, batch_size=16,
+        batch_format="pyarrow").to_pandas().set_index("media_id")
+    assert len(out) == 60
+    # recompute features from the source payloads via the decoders
+    src = synth_real_media_batch({"id": np.arange(60)})
+    for mid, kind, payload in zip(src["media_id"].to_pylist(),
+                                  src["kind"].to_pylist(),
+                                  src["payload"].to_pylist()):
+        if kind == "image":
+            arr = decode_png_gray(payload)
+        else:
+            arr, _ = decode_wav_pcm16(payload)
+        assert out.loc[mid, "kind"] == kind
+        assert abs(out.loc[mid, "mean_val"] - float(arr.mean())) < 1e-9
+        assert out.loc[mid, "n_elems"] == arr.size

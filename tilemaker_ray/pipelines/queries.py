@@ -2094,6 +2094,24 @@ def q_profile_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m4: REAL-codec media features — PNG/WAV payloads decoded by the
+# engine's pure-stdlib codecs in the actor-pool stage
+# ---------------------------------------------------------------------------
+
+def q_media_codec_features(sf_dir: str):
+    """Decode + feature-extract over REAL PNG/WAV payloads (no FAK*
+    stand-in): images cycle all five PNG scanline filters, audio is
+    RIFF PCM16. Rows-only (binary media has no SQL analog); the
+    pytest oracle round-trips every payload against numpy
+    (tests/test_media_codecs.py)."""
+    from ..stages.multimodal import MediaFeatures, real_media_dataset
+    n = 500
+    return real_media_dataset(n).map_batches(
+        MediaFeatures, concurrency=2, batch_size=128,
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Q42m0: grouped HLL — approximate COUNT(DISTINCT user) per event type
 # (approx by design → rows-only; pytest pins the 1.04/√m error bound
 # and partition invariance)
@@ -3756,6 +3774,7 @@ QUERIES = {
     "trailing_spend_events": q_trailing_spend_events,
     "json_props_stats": q_json_props_stats,
     "hll_users_by_type": q_hll_users_by_type,
+    "media_codec_features": q_media_codec_features,
     "hourly_active_users": q_hourly_active_users,
     "length_bins_docs": q_length_bins_docs,
     "profile_lineitem": q_profile_lineitem,

@@ -6,17 +6,22 @@ payload columns with typed metadata, processed by actor-pool
 map_batches stages sized for large rows (small batch_size, Arrow all
 the way — SURVEY.md wide-records rule).
 
-The container has no image/audio codecs (no PIL/ffmpeg), so payloads
-use a deterministic FAKE raw format and the decode stage is the real
-Ray-side plumbing with a stub kernel, clearly marked:
+Two payload families:
+
+ * REAL formats — 8-bit grayscale PNG and mono PCM16 WAV are decoded
+   by the engine's own pure-stdlib codecs (stages/media_codecs.py);
+   ``synth_real_media_batch`` produces them and the media query runs
+   the actual decoders (all five PNG scanline filters exercised).
+ * FAK* plumbing format — a trivially-parsed raw layout kept for the
+   wide-record batch-sizing and resize/frame-sample plumbing tests:
 
     FAKI | u16 w | u16 h | w*h gray bytes          (image)
     FAKA | u32 n | n int16 samples                 (audio)
     FAKV | u16 w | u16 h | u16 nframes | frames    (video)
 
-``decode_external()`` raises NotImplementedError — the branch a real
-deployment replaces with PIL/libav; everything around it (schemas,
-batch sizing, actor lifecycle, output layout) is real and tested.
+``decode_external()`` still raises NotImplementedError for formats
+that genuinely need native libs (JPEG, video containers) — the branch
+a deployment fills with PIL/libav.
 """
 
 from __future__ import annotations
@@ -77,11 +82,21 @@ def media_dataset(n: int):
 
 
 def decode_external(payload: bytes):
-    """The codec branch a real deployment implements (PIL / libav).
-    STUB: this environment ships no media codecs."""
+    """Real-format decode: PNG (8-bit grayscale) and WAV (mono PCM16)
+    are decoded by the engine's own pure-stdlib codecs
+    (stages/media_codecs.py — zlib/struct, all five PNG scanline
+    filters). Formats needing native libs (JPEG, video containers)
+    still raise — the branch a deployment fills with PIL/libav."""
+    from .media_codecs import decode_png_gray, decode_wav_pcm16
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image", decode_png_gray(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = decode_wav_pcm16(payload)
+        return "audio", samples
     raise NotImplementedError(
-        "real image/audio decode requires PIL/libav — not available in "
-        "this container; synthetic FAK* payloads are decoded natively")
+        "JPEG/video decode requires PIL/libav — not available in this "
+        "container (PNG + WAV are decoded natively; FAK* is the "
+        "plumbing-test format)")
 
 
 def _decode(payload: bytes):
@@ -186,3 +201,42 @@ class FrameSampler:
         return pa.table({"media_id": pa.array(out["media_id"], pa.int64()),
                          "frame_idx": pa.array(out["frame_idx"], pa.int32()),
                          "payload": pa.array(out["payload"], pa.binary())})
+
+
+def synth_real_media_batch(batch: dict) -> pa.Table:
+    """Deterministic REAL-format media rows: even ids → 8-bit
+    grayscale PNG (cycling through all five scanline filters so the
+    decoder's every branch runs in production paths, not just tests),
+    odd ids → mono PCM16 WAV."""
+    from .media_codecs import encode_png_gray, encode_wav_pcm16
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "n_frames")}
+    for i in ids.tolist():
+        rng = np.random.RandomState(i % (2**31))
+        if i % 2 == 0:
+            w, h = 12 + (i % 9), 10 + (i % 7)
+            img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            payload = encode_png_gray(img, filter_type=(i // 2) % 5)
+            rows["kind"].append("image")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_frames"].append(1)
+        else:
+            n = 200 + (i % 200)
+            samples = rng.randint(-32768, 32767, n).astype(np.int16)
+            payload = encode_wav_pcm16(samples, rate=16000)
+            rows["kind"].append("audio")
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["n_frames"].append(0)
+        rows["media_id"].append(i)
+        rows["payload"].append(payload)
+    return pa.table({k: pa.array(v, MEDIA_SCHEMA.field(k).type)
+                     for k, v in rows.items()}, schema=MEDIA_SCHEMA)
+
+
+def real_media_dataset(n: int):
+    import ray.data as rd
+    return rd.range(n).map_batches(synth_real_media_batch,
+                                   batch_format="numpy", batch_size=256)
