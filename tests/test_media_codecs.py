@@ -84,3 +84,31 @@ def test_real_media_pipeline_features(ray_session):
         assert out.loc[mid, "kind"] == kind
         assert abs(out.loc[mid, "mean_val"] - float(arr.mean())) < 1e-9
         assert out.loc[mid, "n_elems"] == arr.size
+
+
+# --- property-based sweeps (pure kernels, derandomized like
+# test_property_geo) ---
+
+from hypothesis import given, settings, strategies as st
+
+DET = {"derandomize": True, "deadline": None}
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 4),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=40, **DET)
+def test_png_roundtrip_property(h, w, f, seed):
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png_gray(encode_png_gray(img, filter_type=f)), img)
+
+
+@given(st.integers(1, 2000), st.integers(0, 2**31 - 1),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=30, **DET)
+def test_wav_roundtrip_property(n, seed, rate):
+    s = np.random.RandomState(seed).randint(
+        -32768, 32767, n).astype(np.int16)
+    out, r = decode_wav_pcm16(encode_wav_pcm16(s, rate=rate))
+    assert r == rate and np.array_equal(out, s)
