@@ -1,0 +1,81 @@
+"""WARC sink/source: spec-shape checks and distributed roundtrip."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from tilemaker_ray.sources.warc import (parse_warc, read_warc,
+                                        warc_record, write_warc_shards)
+
+
+def test_record_shape_and_parse():
+    rec = warc_record("https://example.com/x/1",
+                      1_700_000_000_000_000, b"<html>hi</html>")
+    assert rec.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: response\r\n" in rec
+    assert rec.endswith(b"\r\n\r\n")
+    # Content-Length covers the full HTTP message
+    out = parse_warc(rec)
+    assert out == [("https://example.com/x/1",
+                    1_700_000_000_000_000, b"<html>hi</html>")]
+
+
+def test_parse_skips_non_response_records():
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\nabcd\r\n\r\n")
+    rec = warc_record("u://a", 0, b"<p>x</p>")
+    assert parse_warc(info + rec) == [("u://a", 0, b"<p>x</p>")]
+
+
+def test_html_with_crlf_sequences_survives():
+    # payload containing CRLFCRLF must not break record framing
+    html = b"a\r\n\r\nb\r\n\r\nc"
+    rec = warc_record("u://b", 5_000_000, html) \
+        + warc_record("u://c", 6_000_000, b"tail")
+    got = parse_warc(rec)
+    assert got[0][2] == html and got[1][0] == "u://c"
+
+
+def test_distributed_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    from tilemaker_ray.sources import pages as _pages
+    src = _pages.pages_dataset(300).materialize()
+    out_dir = str(tmp_path / "warc")
+    n = write_warc_shards(src, out_dir)
+    assert n == 300
+    assert len(glob.glob(os.path.join(out_dir, "part-*.warc"))) >= 1
+
+    back = read_warc(out_dir).to_pandas()
+    orig = src.to_pandas()
+    assert len(back) == 300
+    b = back.sort_values("url").reset_index(drop=True)
+    o = orig[["url", "warc_ts", "html"]].sort_values("url") \
+        .reset_index(drop=True)
+    assert list(b["url"]) == list(o["url"])
+    assert list(b["html"]) == list(o["html"])
+    # WARC-Date is second-granular; timestamps round-trip to the second
+    bt = b["warc_ts"].astype("int64").to_numpy() // 1_000_000
+    ot = o["warc_ts"].astype("int64").to_numpy() // 1_000_000
+    assert np.array_equal(bt, ot)
+
+
+def test_rewrite_is_idempotent(ray_session, tmp_path):
+    from tilemaker_ray.sources import pages as _pages
+    src = _pages.pages_dataset(120).materialize()
+    out_dir = str(tmp_path / "warc2")
+    write_warc_shards(src, out_dir)
+    first = sorted(glob.glob(os.path.join(out_dir, "part-*.warc")))
+    write_warc_shards(src, out_dir)
+    second = sorted(glob.glob(os.path.join(out_dir, "part-*.warc")))
+    assert first == second        # content-hash parts, no duplicates
+
+
+def test_warc_host_stats_equals_parquet_path(ray_session):
+    from tilemaker_ray.pipelines.queries import (q_host_stats_pages,
+                                                 q_warc_host_stats)
+    sf = "/root/testdata/sf0.001"
+    a = q_warc_host_stats(sf).to_pandas().reset_index(drop=True)
+    b = q_host_stats_pages(sf).to_pandas().reset_index(drop=True)
+    assert a.equals(b)

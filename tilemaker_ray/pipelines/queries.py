@@ -2094,6 +2094,46 @@ def q_profile_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m5: WARC ingest — host stats computed from pages round-tripped
+# through the Common-Crawl container format (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+def q_warc_host_stats(sf_dir: str):
+    """Same per-host aggregation as host_stats_pages but ingested
+    from WARC shards (write once to a versioned /tmp cache, then the
+    file-per-task distributed read + record parse). Rows-only; pytest
+    pins its equality against the parquet-ingested host stats."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..sources import warc as _warc
+    from ..stages.urlstats import host_stats
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    cache = os.path.join("/tmp/tilemaker_ray_cache",
+                         f"warc_v1_s{_pages.SEED}_{n}")
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        src = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                              columns=["url", "warc_ts", "html"])
+        _warc.write_warc_shards(src, cache)
+        with open(done, "w") as f:
+            f.write(str(n))
+    pages = _warc.read_warc(cache)
+
+    def with_text(batch: pa.Table) -> pa.Table:
+        # host_stats needs url + text; text re-extracted from html
+        # with the byte-identical reference extractor
+        from ..stages.extract import extract_text
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        return pa.table({"url": batch["url"],
+                         "text": pa.array(texts, pa.string())})
+
+    return host_stats(pages.map_batches(with_text,
+                                        batch_format="pyarrow")) \
+        .sort("host")
+
+
+# ---------------------------------------------------------------------------
 # Q42m4: REAL-codec media features — PNG/WAV payloads decoded by the
 # engine's pure-stdlib codecs in the actor-pool stage
 # ---------------------------------------------------------------------------
@@ -3775,6 +3815,7 @@ QUERIES = {
     "json_props_stats": q_json_props_stats,
     "hll_users_by_type": q_hll_users_by_type,
     "media_codec_features": q_media_codec_features,
+    "warc_host_stats": q_warc_host_stats,
     "hourly_active_users": q_hourly_active_users,
     "length_bins_docs": q_length_bins_docs,
     "profile_lineitem": q_profile_lineitem,

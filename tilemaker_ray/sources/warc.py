@@ -1,0 +1,146 @@
+"""WARC 1.0 source and sink — the container format the actual Common
+Crawl corpus ships in (ISO 28500, public spec). The reference engine's
+analog is its binary OSM PBF reader (block scan + entity decode,
+/root/reference/src/pbf_processor.cpp); for a webtext corpus the
+equivalent "native archive" is WARC response records wrapping HTTP
+payloads.
+
+Layout notes (per the public spec):
+ * a record = header block (``WARC/1.0`` + named fields, CRLF lines,
+   blank-line terminator), then exactly ``Content-Length`` payload
+   bytes, then CRLF CRLF;
+ * ``response`` records carry an HTTP message as payload — status
+   line + headers + body; the page html is the HTTP body.
+
+Distributed shape:
+ * WRITER: one .warc file per map_batches task, content-hash-named
+   atomic parts (same idempotent-retry scheme as the GeoJSONL sink);
+ * READER: file-per-task parallelism via read_binary_files — WARC has
+   no record index, so the split unit is the FILE (shards are written
+   small for that reason; exactly how Common Crawl distributes ~1 GB
+   segment files). Parsing is sequential within a file by necessity
+   (length-prefixed records), vectorization happens downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+
+
+def _iso(ts_us: int) -> str:
+    import datetime as dt
+    t = dt.datetime.fromtimestamp(ts_us / 1e6, tz=dt.timezone.utc)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def warc_record(url: str, ts_us: int, html: bytes) -> bytes:
+    """One WARC response record wrapping an HTTP/1.1 200 message."""
+    http = (b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html; charset=utf-8" + _CRLF
+            + b"Content-Length: " + str(len(html)).encode() + _CRLF
+            + _CRLF + html)
+    hdr = (b"WARC/1.0" + _CRLF
+           + b"WARC-Type: response" + _CRLF
+           + b"WARC-Target-URI: " + url.encode() + _CRLF
+           + b"WARC-Date: " + _iso(ts_us).encode() + _CRLF
+           + b"Content-Type: application/http; msgtype=response" + _CRLF
+           + b"Content-Length: " + str(len(http)).encode() + _CRLF
+           + _CRLF)
+    return hdr + http + _CRLF + _CRLF
+
+
+def parse_warc(data: bytes):
+    """WARC bytes → list of (url, ts_us, html bytes) from response
+    records (other record types skipped). Sequential by necessity —
+    records are length-prefixed."""
+    import datetime as dt
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        end_hdr = data.find(_CRLF + _CRLF, pos)
+        if end_hdr < 0:
+            break
+        head = data[pos:end_hdr].decode("utf-8", "replace")
+        fields = {}
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC header at byte {pos}")
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields["content-length"])
+        body = data[end_hdr + 4:end_hdr + 4 + clen]
+        pos = end_hdr + 4 + clen + 4          # payload + CRLF CRLF
+        if fields.get("warc-type") != "response":
+            continue
+        url = fields["warc-target-uri"]
+        t = dt.datetime.strptime(
+            fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ") \
+            .replace(tzinfo=dt.timezone.utc)
+        ts_us = int(t.timestamp() * 1_000_000)
+        # split the HTTP message: body begins after its blank line
+        hb = body.find(_CRLF + _CRLF)
+        html = body[hb + 4:] if hb >= 0 else b""
+        out.append((url, ts_us, html))
+    return out
+
+
+def write_warc_shards(pages_ds, out_dir: str) -> int:
+    """Distributed WARC export: one shard per task, content-hash
+    atomic parts. Returns record count."""
+    import glob
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    for old in glob.glob(os.path.join(out_dir, "part-*.warc")) \
+            + glob.glob(os.path.join(out_dir, "part-*.tmp")):
+        os.remove(old)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        ts = batch["warc_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        htmls = batch["html"].to_pylist()
+        body = b"".join(warc_record(u, int(t), h)
+                        for u, t, h in zip(urls, ts, htmls))
+        tag = hashlib.md5(body).hexdigest()[:16]
+        part = os.path.join(out_dir, f"part-{tag}.warc")
+        tmp = f"{part}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, part)
+        return pa.table({"written": pa.array([batch.num_rows],
+                                             pa.int64())})
+
+    out = pages_ds.map_batches(write_batch, batch_format="pyarrow")
+    return int(sum(v for b in out.iter_batches(batch_format="pyarrow")
+                   for v in b["written"].to_pylist()))
+
+
+def read_warc(path_or_dir: str):
+    """→ Dataset (url, warc_ts, html) from .warc shards; one task per
+    file (the WARC split unit)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path_or_dir, file_extensions=["warc"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for u, t, h in parse_warc(blob):
+                urls.append(u)
+                tss.append(t)
+                htmls.append(h)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                np.asarray(tss, dtype=np.int64), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
