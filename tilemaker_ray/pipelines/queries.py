@@ -2109,15 +2109,28 @@ def q_warc_host_stats(sf_dir: str):
     from ..stages.urlstats import host_stats
 
     n = _pages.n_pages_for_sf_dir(sf_dir)
-    cache = os.path.join("/tmp/tilemaker_ray_cache",
-                         f"warc_v1_s{_pages.SEED}_{n}")
+    # derived cache carries the SAME content version as its source
+    # (stale-after-synthesis-change protection), and populates via a
+    # per-pid tmp dir + atomic swap (concurrent cold starts cannot
+    # interleave shards) — mirroring ensure_pages_parquet
+    cache = os.path.join(
+        "/tmp/tilemaker_ray_cache",
+        f"warc_v{_pages.PAGES_CACHE_VERSION}_s{_pages.SEED}_{n}")
     done = os.path.join(cache, "_DONE")
     if not os.path.exists(done):
+        import shutil
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         src = rd.read_parquet(_pages.ensure_pages_parquet(n),
                               columns=["url", "warc_ts", "html"])
-        _warc.write_warc_shards(src, cache)
-        with open(done, "w") as f:
+        _warc.write_warc_shards(src, tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write(str(n))
+        shutil.rmtree(cache, ignore_errors=True)
+        try:
+            os.replace(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # other writer won
     pages = _warc.read_warc(cache)
 
     def with_text(batch: pa.Table) -> pa.Table:
@@ -2143,9 +2156,12 @@ def q_media_codec_features(sf_dir: str):
     stand-in): images cycle all five PNG scanline filters, audio is
     RIFF PCM16. Rows-only (binary media has no SQL analog); the
     pytest oracle round-trips every payload against numpy
-    (tests/test_media_codecs.py)."""
+    (tests/test_media_codecs.py). Row count scales with the sf
+    tables like the sibling media_features query."""
+    import pyarrow.parquet as _pq
     from ..stages.multimodal import MediaFeatures, real_media_dataset
-    n = 500
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
     return real_media_dataset(n).map_batches(
         MediaFeatures, concurrency=2, batch_size=128,
         batch_format="pyarrow")

@@ -39,13 +39,21 @@ def _iso(ts_us: int) -> str:
 
 
 def warc_record(url: str, ts_us: int, html: bytes) -> bytes:
-    """One WARC response record wrapping an HTTP/1.1 200 message."""
+    """One WARC response record wrapping an HTTP/1.1 200 message.
+    WARC-Record-ID (mandatory per the spec) is a deterministic
+    urn:uuid derived from (url, ts) so re-exports are byte-stable."""
+    import hashlib
+    import uuid
+    rid = uuid.UUID(bytes=hashlib.md5(
+        f"{url}|{ts_us}".encode()).digest())
     http = (b"HTTP/1.1 200 OK" + _CRLF
             + b"Content-Type: text/html; charset=utf-8" + _CRLF
             + b"Content-Length: " + str(len(html)).encode() + _CRLF
             + _CRLF + html)
     hdr = (b"WARC/1.0" + _CRLF
            + b"WARC-Type: response" + _CRLF
+           + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">"
+           + _CRLF
            + b"WARC-Target-URI: " + url.encode() + _CRLF
            + b"WARC-Date: " + _iso(ts_us).encode() + _CRLF
            + b"Content-Type: application/http; msgtype=response" + _CRLF
@@ -74,7 +82,14 @@ def parse_warc(data: bytes):
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             fields[k.strip().lower()] = v.strip()
+        if "content-length" not in fields:
+            raise ValueError(f"record at byte {pos} missing "
+                             "Content-Length")
         clen = int(fields["content-length"])
+        if end_hdr + 4 + clen > n:
+            raise ValueError(f"record at byte {pos}: Content-Length "
+                             f"{clen} overruns the buffer (truncated "
+                             "shard)")
         body = data[end_hdr + 4:end_hdr + 4 + clen]
         pos = end_hdr + 4 + clen + 4          # payload + CRLF CRLF
         if fields.get("warc-type") != "response":
@@ -92,35 +107,23 @@ def parse_warc(data: bytes):
 
 
 def write_warc_shards(pages_ds, out_dir: str) -> int:
-    """Distributed WARC export: one shard per task, content-hash
-    atomic parts. Returns record count."""
-    import glob
-    import hashlib
+    """Distributed WARC export via the shared content-hash part sink
+    (stages/sinks.py::write_hash_parts): retries overwrite
+    idempotently; the per-page urls salt the hash, so distinct
+    batches can never collapse (urls are unique per the corpus
+    contract). Returns record count."""
+    from ..stages.sinks import write_hash_parts
 
-    os.makedirs(out_dir, exist_ok=True)
-    for old in glob.glob(os.path.join(out_dir, "part-*.warc")) \
-            + glob.glob(os.path.join(out_dir, "part-*.tmp")):
-        os.remove(old)
-
-    def write_batch(batch: pa.Table) -> pa.Table:
+    def serialize(batch: pa.Table):
         urls = batch["url"].to_pylist()
         ts = batch["warc_ts"].cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         htmls = batch["html"].to_pylist()
         body = b"".join(warc_record(u, int(t), h)
                         for u, t, h in zip(urls, ts, htmls))
-        tag = hashlib.md5(body).hexdigest()[:16]
-        part = os.path.join(out_dir, f"part-{tag}.warc")
-        tmp = f"{part}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as f:
-            f.write(body)
-        os.replace(tmp, part)
-        return pa.table({"written": pa.array([batch.num_rows],
-                                             pa.int64())})
+        return body, "|".join(urls).encode()
 
-    out = pages_ds.map_batches(write_batch, batch_format="pyarrow")
-    return int(sum(v for b in out.iter_batches(batch_format="pyarrow")
-                   for v in b["written"].to_pylist()))
+    return write_hash_parts(pages_ds, out_dir, "warc", serialize)
 
 
 def read_warc(path_or_dir: str):

@@ -114,7 +114,9 @@ def _decode(payload: bytes):
         px = np.frombuffer(payload, dtype=np.uint8, offset=10,
                            count=w * h * nf)
         return "video", px.reshape(nf, h, w)
-    return decode_external(payload)  # pragma: no cover — stub branch
+    # the live dispatch for real formats (PNG/WAV decode natively;
+    # JPEG/video raise)
+    return decode_external(payload)
 
 
 class MediaFeatures:

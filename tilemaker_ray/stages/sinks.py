@@ -190,23 +190,56 @@ def write_geojson(features_ds, path: str, limit: int = 10000) -> int:
     return len(feats)
 
 
-def write_geojsonl(features_ds, out_dir: str) -> int:
-    """Distributed GeoJSONL export: each map_batches task writes its
-    own newline-delimited part file (atomic rename) named by the
-    CONTENT HASH of the batch, so Ray task retries/lineage re-execution
-    overwrite instead of duplicating. Any parts from a previous export
-    into the same directory are removed first. Returns feature count."""
+def write_hash_parts(ds, out_dir: str, ext: str, serialize) -> int:
+    """Shared distributed part-file sink: each map_batches task
+    serializes its batch with ``serialize(batch) -> (bytes, salt)``
+    and writes one ``part-<hash>.<ext>`` named by the content hash
+    (xor'd with ``salt`` when provided), via a pid-suffixed tmp +
+    atomic rename. Ray task retries/lineage re-execution therefore
+    overwrite idempotently instead of duplicating. PRECONDITION: two
+    DIFFERENT batches must never serialize byte-identically with the
+    same salt (they would collapse to one part — silent record loss);
+    callers salt with a per-row-unique column when the payload alone
+    can repeat. Any parts from a previous export into the same
+    directory are removed first. Returns row count."""
     import glob
     import hashlib
-    import json as _json
 
-    from ..geo import wkb as _wkb
     os.makedirs(out_dir, exist_ok=True)
-    for old in glob.glob(os.path.join(out_dir, "part-*.geojsonl")) \
+    for old in glob.glob(os.path.join(out_dir, f"part-*.{ext}")) \
             + glob.glob(os.path.join(out_dir, "part-*.tmp")):
         os.remove(old)
 
     def write_batch(batch: pa.Table) -> pa.Table:
+        body, salt = serialize(batch)
+        h = hashlib.md5(body.encode() if isinstance(body, str)
+                        else body)
+        if salt is not None:
+            h.update(salt)
+        part = os.path.join(out_dir, f"part-{h.hexdigest()[:16]}.{ext}")
+        tmp = f"{part}.{os.getpid()}.tmp"
+        mode = "wb" if isinstance(body, (bytes, bytearray)) else "w"
+        with open(tmp, mode) as f:
+            f.write(body)
+        os.replace(tmp, part)
+        return pa.table({"written": pa.array([batch.num_rows],
+                                             pa.int64())})
+
+    out = ds.map_batches(write_batch, batch_format="pyarrow")
+    return int(sum(v for b in out.iter_batches(batch_format="pyarrow")
+                   for v in b["written"].to_pylist()))
+
+
+def write_geojsonl(features_ds, out_dir: str) -> int:
+    """Distributed GeoJSONL export via :func:`write_hash_parts`
+    (content-hash parts salted with the batch's fuids — unique per
+    feature by construction, so distinct batches can never collapse).
+    Returns feature count."""
+    import json as _json
+
+    from ..geo import wkb as _wkb
+
+    def serialize(batch: pa.Table):
         lines = []
         wkbs = batch["geom_wkb"].combine_chunks()
         cols = {c: batch[c].to_pylist()
@@ -220,25 +253,11 @@ def write_geojsonl(features_ds, out_dir: str) -> int:
                  "geometry": _wkb_to_geojson_geom(gt, payload),
                  "properties": _feature_properties(r)}))
         body = "\n".join(lines) + ("\n" if lines else "")
-        # part identity: content hash SALTED with the batch's fuids
-        # (unique per feature by construction) — retries of the same
-        # task rewrite the same name idempotently, while two different
-        # batches can only collide if upstream duplicated fuids, which
-        # the engine forbids
-        h = hashlib.md5(body.encode())
-        if "fuid" in batch.column_names:
-            h.update(batch["fuid"].to_numpy(zero_copy_only=False).tobytes())
-        tag = h.hexdigest()[:16]
-        part = os.path.join(out_dir, f"part-{tag}.geojsonl")
-        tmp = f"{part}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            f.write(body)
-        os.replace(tmp, part)
-        return pa.table({"written": pa.array([batch.num_rows], pa.int64())})
+        salt = batch["fuid"].to_numpy(zero_copy_only=False).tobytes() \
+            if "fuid" in batch.column_names else None
+        return body, salt
 
-    out = features_ds.map_batches(write_batch, batch_format="pyarrow")
-    return int(sum(v for b in out.iter_batches(batch_format="pyarrow")
-                   for v in b["written"].to_pylist()))
+    return write_hash_parts(features_ds, out_dir, "geojsonl", serialize)
 
 
 # -- metadata ----------------------------------------------------------------
