@@ -79,3 +79,30 @@ def test_warc_host_stats_equals_parquet_path(ray_session):
     a = q_warc_host_stats(sf).to_pandas().reset_index(drop=True)
     b = q_host_stats_pages(sf).to_pandas().reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_gz_roundtrip_per_record_members(ray_session, tmp_path):
+    import gzip
+    from tilemaker_ray.sources import pages as _pages
+    src = _pages.pages_dataset(150).materialize()
+    out_dir = str(tmp_path / "warcgz")
+    n = write_warc_shards(src, out_dir, compress=True)
+    assert n == 150
+    parts = glob.glob(os.path.join(out_dir, "part-*.warc.gz"))
+    assert parts
+    # each part is a CONCATENATION of gzip members (one per record):
+    # member count == record count, and a plain gzip read sees all
+    raw = open(parts[0], "rb").read()
+    # magic-byte scan can over-count (the pattern may occur inside
+    # compressed payloads) but never under-counts the members
+    n_members = raw.count(b"\x1f\x8b\x08")
+    with gzip.open(parts[0], "rb") as f:
+        records = parse_warc(f.read())
+    assert n_members >= len(records) >= 1
+
+    back = read_warc(out_dir).to_pandas()
+    orig = src.to_pandas()
+    b = back.sort_values("url").reset_index(drop=True)
+    o = orig.sort_values("url").reset_index(drop=True)
+    assert list(b["url"]) == list(o["url"])
+    assert list(b["html"]) == list(o["html"])

@@ -106,12 +106,46 @@ def parse_warc(data: bytes):
     return out
 
 
-def write_warc_shards(pages_ds, out_dir: str) -> int:
+def _gzip_member(data: bytes) -> bytes:
+    import gzip
+    import io
+    buf = io.BytesIO()
+    # mtime pinned for byte-stable re-exports
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(data)
+    return buf.getvalue()
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the actual Common
+    Crawl layout: one member PER RECORD, so readers can seek to a
+    record offset without decompressing the prefix)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib_decompressobj()
+        out.extend(d.decompress(data[pos:]))
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member")
+        pos += consumed
+    return bytes(out)
+
+
+def zlib_decompressobj():
+    import zlib
+    return zlib.decompressobj(16 + zlib.MAX_WBITS)   # gzip wrapper
+
+
+def write_warc_shards(pages_ds, out_dir: str,
+                      compress: bool = False) -> int:
     """Distributed WARC export via the shared content-hash part sink
     (stages/sinks.py::write_hash_parts): retries overwrite
     idempotently; the per-page urls salt the hash, so distinct
     batches can never collapse (urls are unique per the corpus
-    contract). Returns record count."""
+    contract). ``compress=True`` writes .warc.gz with one gzip member
+    per record — the actual Common Crawl on-disk layout. Returns
+    record count."""
     from ..stages.sinks import write_hash_parts
 
     def serialize(batch: pa.Table):
@@ -119,11 +153,16 @@ def write_warc_shards(pages_ds, out_dir: str) -> int:
         ts = batch["warc_ts"].cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         htmls = batch["html"].to_pylist()
-        body = b"".join(warc_record(u, int(t), h)
-                        for u, t, h in zip(urls, ts, htmls))
+        recs = (warc_record(u, int(t), h)
+                for u, t, h in zip(urls, ts, htmls))
+        if compress:
+            body = b"".join(_gzip_member(r) for r in recs)
+        else:
+            body = b"".join(recs)
         return body, "|".join(urls).encode()
 
-    return write_hash_parts(pages_ds, out_dir, "warc", serialize)
+    ext = "warc.gz" if compress else "warc"
+    return write_hash_parts(pages_ds, out_dir, ext, serialize)
 
 
 def read_warc(path_or_dir: str):
@@ -131,11 +170,14 @@ def read_warc(path_or_dir: str):
     file (the WARC split unit)."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(path_or_dir, file_extensions=["warc"])
+    ds = rd.read_binary_files(path_or_dir,
+                              file_extensions=["warc", "gz"])
 
     def parse(batch: pa.Table) -> pa.Table:
         urls, tss, htmls = [], [], []
         for blob in batch["bytes"].to_pylist():
+            if blob[:2] == b"\x1f\x8b":          # gzip magic
+                blob = _gunzip_members(blob)
             for u, t, h in parse_warc(blob):
                 urls.append(u)
                 tss.append(t)
