@@ -2094,6 +2094,67 @@ def q_profile_lineitem(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m6: corpus curation verdict — quality gate × exact-dedup keeper
+# in ONE exchange (the end-to-end keep/drop decision per document)
+# ---------------------------------------------------------------------------
+
+def q_corpus_curation_docs(sf_dir: str):
+    """Per-document curation verdict: quality_keep (Gopher-style
+    heuristics, computed per batch BEFORE the exchange) and is_keeper
+    (exact-dedup first-occurrence), combined into the final ``keep``
+    — the decision a training-data pipeline materializes. One
+    text-hash exchange carries slim (doc_id, quality_keep) rows; the
+    keeper flag falls out of each group's min."""
+    import hashlib
+    from ..stages.textstats import make_quality_fn
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    qfn = make_quality_fn()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        q = qfn(batch)
+        # extra corpus-mix gate: ≥55 words (splits this corpus
+        # roughly in half, so the verdict is non-degenerate — the
+        # base heuristics pass every synthetic doc)
+        qk = pc.and_(q["quality_keep"],
+                     pc.greater_equal(q["n_words"], 55))
+        hashes = [hashlib.sha1(t.encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sha": pa.array(hashes, pa.string()),
+            "quality_keep": qk})
+
+    def verdict(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        qk = g["quality_keep"].to_numpy(zero_copy_only=False)
+        sha = np.asarray(g["sha"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, sha))
+        ids, qk, sha = ids[order], qk[order], sha[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = sha[1:] != sha[:-1]
+        run_id = np.cumsum(brk) - 1
+        first = ids[np.flatnonzero(brk)][run_id]
+        is_keeper = ids == first
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "is_keeper": pa.array(is_keeper, pa.bool_()),
+            "quality_keep": pa.array(qk, pa.bool_()),
+            "keep": pa.array(is_keeper & qk, pa.bool_())})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+        b = np.asarray([_z.crc32(s.encode()) % 64
+                        for s in batch["sha"].to_pylist()],
+                       dtype=np.int64)
+        return batch.append_column("sbkt", pa.array(b, pa.int64()))
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("sbkt").map_groups(verdict,
+                                        batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # Q42m5: WARC ingest — host stats computed from pages round-tripped
 # through the Common-Crawl container format (sources/warc.py)
 # ---------------------------------------------------------------------------
@@ -3413,6 +3474,37 @@ ORACLE_SQL["regression_lineitem"] = """
            / (CAST(n AS DOUBLE) - 1.0) / 100.0 / 100.0 AS cov_xy
     FROM m"""
 
+ORACLE_SQL["corpus_curation_docs"] = """
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE (length(text) - len(ws) + 1)
+                       / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+               / CAST(greatest(1, length(text)) AS DOUBLE)
+               AS punct_ratio,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / CAST(greatest(1, length(text)) AS DOUBLE)
+               AS digit_ratio
+      FROM w),
+    q AS (SELECT doc_id,
+                 (n_words >= 5 AND mean_word_len > 2.0
+                  AND mean_word_len < 12.0 AND punct_ratio < 0.2
+                  AND digit_ratio < 0.3 AND n_words >= 55)
+                   AS quality_keep
+          FROM m),
+    k AS (SELECT text, MIN(doc_id) AS kd FROM documents
+          GROUP BY text)
+    SELECT d.doc_id, (d.doc_id = k.kd) AS is_keeper, q.quality_keep,
+           (d.doc_id = k.kd AND q.quality_keep) AS keep
+    FROM documents d
+    JOIN k ON d.text = k.text
+    JOIN q ON q.doc_id = d.doc_id"""
+
 ORACLE_SQL["heavy_words_docs"] = """
     SELECT word AS item, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -3832,6 +3924,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "media_codec_features": q_media_codec_features,
     "warc_host_stats": q_warc_host_stats,
+    "corpus_curation_docs": q_corpus_curation_docs,
     "hourly_active_users": q_hourly_active_users,
     "length_bins_docs": q_length_bins_docs,
     "profile_lineitem": q_profile_lineitem,
