@@ -3840,6 +3840,65 @@ ORACLE_SQL["relation_region_tag"] = """
     JOIN region r ON r.r_regionkey = n.n_regionkey"""
 
 QUERIES = {
+    # --- first 50: driver correctness-gate slots (gate caps at 50).
+    # Round 3 ordering: the 53 queries absent from CORRECTNESS_r02.json go
+    # first so the driver certifies them; the 43 already driver-certified
+    # (plus 7 rows-only) from r2 follow and keep pytest-gate coverage
+    # (tests/test_queries_oracle.py mirrors the driver protocol).
+    "stratified_sample": q_stratified_sample,
+    "value_quantiles": q_value_quantiles,
+    "value_quantiles_cont": q_value_quantiles_cont,
+    "shuffled_export": q_shuffled_export,
+    "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+    "user_value_quantiles": q_user_value_quantiles,
+    "user_value_quantiles_cont": q_user_value_quantiles_cont,
+    "way_length_haversine": q_way_length_haversine,
+    "sliding_window": q_sliding_window,
+    "session_windows": q_session_windows,
+    "relation_region_tag": q_relation_region_tag,
+    "raster_boundary": q_raster_boundary,
+    "raster_polygonize": q_raster_polygonize,
+    "inverted_index": q_inverted_index,
+    "copy_pairs": q_copy_pairs,
+    "funnel_events": q_funnel_events,
+    "event_seq_users": q_event_seq_users,
+    "viewer_buyers": q_viewer_buyers,
+    "viewers_not_buyers": q_viewers_not_buyers,
+    "customers_no_orders": q_customers_no_orders,
+    "stats_lineitem": q_stats_lineitem,
+    "zscore_lineitem": q_zscore_lineitem,
+    "regression_lineitem": q_regression_lineitem,
+    "heavy_words_docs": q_heavy_words_docs,
+    "label_centroids": q_label_centroids,
+    "concurrent_events": q_concurrent_events,
+    "trailing_spend_events": q_trailing_spend_events,
+    "json_props_stats": q_json_props_stats,
+    "media_codec_features": q_media_codec_features,
+    "warc_host_stats": q_warc_host_stats,
+    "corpus_curation_docs": q_corpus_curation_docs,
+    "hourly_active_users": q_hourly_active_users,
+    "length_bins_docs": q_length_bins_docs,
+    "profile_lineitem": q_profile_lineitem,
+    "bigram_lm_docs": q_bigram_lm_docs,
+    "lm_scores_docs": q_lm_scores_docs,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
+    "bfs_knn_events": q_bfs_knn_events,
+    "knn_indegree_dist": q_knn_indegree_dist,
+    "pagerank_sites": q_pagerank_sites,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "decontaminate_docs": q_decontaminate_docs,
+    "kmeans_clusters": q_kmeans_clusters,
+    "knn_graph_events": q_knn_graph_events,
+    "bloom_semi_lineitem": q_bloom_semi_lineitem,
+    "user_tracks": q_user_tracks,
+    "revenue_by_nation": q_revenue_by_nation,
+    "flagship_tiles": q_flagship_tiles,
+    # --- beyond the driver's 50-query cap: driver-certified in r2 ---
+    "media_features": q_media_features,
+    "ann_ivf": q_ann_ivf,
+    "hll_users_by_type": q_hll_users_by_type,
     "tile_count_z10": q_tile_count_z10,
     "pip_admin_events": q_pip_admin_events,
     "knn_customer_nation": q_knn_customer_nation,
@@ -3890,57 +3949,4 @@ QUERIES = {
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
     "word_count_topk": q_word_count_topk,
-    "stratified_sample": q_stratified_sample,
-    "value_quantiles": q_value_quantiles,
-    "value_quantiles_cont": q_value_quantiles_cont,
-    "shuffled_export": q_shuffled_export,
-    "asof_join_events": q_asof_join_events,
-    "range_join_events": q_range_join_events,
-    "user_value_quantiles": q_user_value_quantiles,
-    "user_value_quantiles_cont": q_user_value_quantiles_cont,
-    "way_length_haversine": q_way_length_haversine,
-    "media_features": q_media_features,
-    "sliding_window": q_sliding_window,
-    "session_windows": q_session_windows,
-    "relation_region_tag": q_relation_region_tag,
-    "ann_ivf": q_ann_ivf,
-    "raster_boundary": q_raster_boundary,
-    "raster_polygonize": q_raster_polygonize,
-    "inverted_index": q_inverted_index,
-    "copy_pairs": q_copy_pairs,
-    "funnel_events": q_funnel_events,
-    "event_seq_users": q_event_seq_users,
-    "viewer_buyers": q_viewer_buyers,
-    "viewers_not_buyers": q_viewers_not_buyers,
-    "customers_no_orders": q_customers_no_orders,
-    "stats_lineitem": q_stats_lineitem,
-    "zscore_lineitem": q_zscore_lineitem,
-    "regression_lineitem": q_regression_lineitem,
-    "heavy_words_docs": q_heavy_words_docs,
-    "label_centroids": q_label_centroids,
-    "concurrent_events": q_concurrent_events,
-    "trailing_spend_events": q_trailing_spend_events,
-    "json_props_stats": q_json_props_stats,
-    "hll_users_by_type": q_hll_users_by_type,
-    "media_codec_features": q_media_codec_features,
-    "warc_host_stats": q_warc_host_stats,
-    "corpus_curation_docs": q_corpus_curation_docs,
-    "hourly_active_users": q_hourly_active_users,
-    "length_bins_docs": q_length_bins_docs,
-    "profile_lineitem": q_profile_lineitem,
-    "bigram_lm_docs": q_bigram_lm_docs,
-    "lm_scores_docs": q_lm_scores_docs,
-    "bm25_topk": q_bm25_topk,
-    "hybrid_search": q_hybrid_search,
-    "bfs_knn_events": q_bfs_knn_events,
-    "knn_indegree_dist": q_knn_indegree_dist,
-    "pagerank_sites": q_pagerank_sites,
-    "top_unshipped_orders": q_top_unshipped_orders,
-    "decontaminate_docs": q_decontaminate_docs,
-    "kmeans_clusters": q_kmeans_clusters,
-    "knn_graph_events": q_knn_graph_events,
-    "bloom_semi_lineitem": q_bloom_semi_lineitem,
-    "user_tracks": q_user_tracks,
-    "revenue_by_nation": q_revenue_by_nation,
-    "flagship_tiles": q_flagship_tiles,
 }
