@@ -81,3 +81,60 @@ def test_bfs_hops_path_cycle_and_unreachable(ray_session):
     out3 = bfs_hops(rd.from_arrow(t), [0, 5], max_hops=8)
     got3 = dict(zip(out3["node"].to_pylist(), out3["hop"].to_pylist()))
     assert got3[5] == 0 and got3[6] == 1 and got3[4] == 4
+
+
+def test_pagerank_shard_count_invariance(ray_session):
+    # sharded engine: result must not depend on P (piece layout)
+    rng = np.random.RandomState(11)
+    nodes = [f"s{i}" for i in range(23)]
+    rows = []
+    seen = set()
+    for _ in range(150):
+        s, t = rng.randint(0, 23, 2)
+        if s != t and (s, t) not in seen:
+            seen.add((s, t))
+            rows.append((nodes[s], nodes[t], int(rng.randint(1, 5))))
+    want = pagerank_reference(rows, nodes, iters=6)
+    for P in (2, 3, 8, 16):
+        got = pagerank(_edges_ds(rows, 4), nodes, iters=6, n_shards=P)
+        g = dict(zip(got["node"].to_pylist(),
+                     got["rank_fp"].to_pylist()))
+        assert g == want, P
+
+
+def test_bfs_random_graph_vs_python_reference(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.pagerank import bfs_hops
+    rng = np.random.RandomState(7)
+    # sparse ids (not 0..n-1) exercise the own-universe discovery
+    ids = rng.choice(10**6, size=60, replace=False).astype(np.int64)
+    rows = set()
+    for _ in range(300):
+        a, b = rng.randint(0, 60, 2)
+        if a != b:
+            rows.add((int(ids[a]), int(ids[b])))
+    rows = sorted(rows)
+    t = pa.table({"src": pa.array([r[0] for r in rows], pa.int64()),
+                  "dst": pa.array([r[1] for r in rows], pa.int64())})
+    srcs = [int(ids[0]), int(ids[1])]
+    # python BFS reference
+    from collections import deque
+    adj = {}
+    for s, d in rows:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in srcs}
+    dq = deque(srcs)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 5:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    for P in (2, 8):
+        out = bfs_hops(rd.from_arrow(t).repartition(3), srcs,
+                       max_hops=5, n_shards=P)
+        got = dict(zip(out["node"].to_pylist(),
+                       out["hop"].to_pylist()))
+        assert got == dist, P
