@@ -280,3 +280,64 @@ def test_cc_driver_path_matches_distributed(ray_session):
     m1 = dict(zip(d1["doc_id"], d1["comp"]))
     m2 = dict(zip(d2["doc_id"], d2["comp"]))
     assert m1 == m2
+
+
+# ---------------------------------------------------------------------------
+# round 3: oversized-LSH-bucket degradation (star pairs, no silent drop)
+# ---------------------------------------------------------------------------
+
+def test_bucket_pairs_oversized_run_degrades_to_star():
+    import pyarrow as pa
+    from tilemaker_ray.stages.dedup import bucket_pairs_from_runs
+    n = 50
+    g = pa.table({"band": pa.array([1] * n, pa.int32()),
+                  "band_hash": pa.array([7] * n, pa.int64()),
+                  "doc_id": pa.array(list(range(100, 100 + n)),
+                                     pa.int64())})
+    out = bucket_pairs_from_runs(g, ["band", "band_hash"], "doc_id",
+                                 max_bucket=10)
+    # star: min id (100) paired with every other member, m-1 pairs
+    assert out.num_rows == n - 1
+    assert set(out["doc_a"].to_pylist()) == {100}
+    assert sorted(out["doc_b"].to_pylist()) == list(range(101, 100 + n))
+
+
+def test_minhash_dedup_keep_survives_mega_bucket(ray_session):
+    # 250 identical docs (> max_bucket=200 in EVERY band) + 5 unique:
+    # the star fallback must keep the component connected so exactly
+    # one of the 250 survives; pre-fix the cap silently dropped every
+    # pair and all 250 survived
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.dedup import minhash_dedup_keep
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = [f"completely different document number {i} about topic {i}"
+            for i in range(5)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(255)), pa.int64()),
+        "text": pa.array([same] * 250 + uniq, pa.string())})
+    kept = minhash_dedup_keep(rd.from_arrow(t).repartition(4),
+                              threshold=0.7)
+    ids = sorted(kept.to_pandas()["doc_id"].tolist())
+    assert ids == [0, 250, 251, 252, 253, 254]
+
+
+def test_embedding_near_dups_oversized_bucket_star(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.dedup import embedding_near_dups
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=8)
+    # 20 near-identical vectors -> same LSH bucket in every set
+    V = np.stack([base + rng.normal(scale=1e-4, size=8)
+                  for _ in range(20)])
+    t = pa.table({
+        "vec_id": pa.array(list(range(20)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32()))})
+    out = embedding_near_dups(rd.from_arrow(t), dim=8, threshold=0.9,
+                              max_bucket=10).to_pandas()
+    # star verify: every member reachable from the rep (vec 0)
+    got = set(map(tuple, out[["vec_a", "vec_b"]].values))
+    assert {(0, b) for b in range(1, 20)} <= got
