@@ -94,3 +94,37 @@ def test_extract_fast_path_byte_identical():
     assert fast.schema.equals(slow.schema)
     assert fast.equals(slow), (
         f"fast path diverged:\n{fast.to_pydict()}\nvs\n{slow.to_pydict()}")
+
+
+# --------------------------- round 3 advice fixes ---------------------------
+
+def test_read_warc_names_stray_gz_file(ray_session, tmp_path):
+    import gzip
+    import pytest
+    from tilemaker_ray.sources.warc import read_warc
+    bad = tmp_path / "notwarc.gz"
+    bad.write_bytes(gzip.compress(b"just some text, not a WARC"))
+    with pytest.raises(Exception) as ei:
+        read_warc(str(tmp_path)).to_pandas()
+    assert "notwarc.gz" in str(ei.value)
+
+
+def test_grouped_moments_rejects_nan(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from tilemaker_ray.stages.moments import grouped_moments
+    t = pa.table({"g": pa.array(["a", "a", "b"]),
+                  "x": pa.array([1.0, float("nan"), 2.0]),
+                  "y": pa.array([1.0, 2.0, 3.0])})
+    with pytest.raises(Exception) as ei:
+        grouped_moments(rd.from_arrow(t), "g", "x", "y").to_pandas()
+    assert "null/NaN" in str(ei.value)
+
+
+def test_warc_ts_roundtrip_is_microsecond_exact(ray_session):
+    from tilemaker_ray.sources.warc import parse_warc, warc_record
+    ts = 1_700_000_000_123_457          # sub-second precision
+    rec = warc_record("u://a/1", ts, b"<p>x</p>")
+    assert parse_warc(rec) == [("u://a/1", ts, b"<p>x</p>")]

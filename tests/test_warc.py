@@ -13,7 +13,7 @@ from tilemaker_ray.sources.warc import (parse_warc, read_warc,
 def test_record_shape_and_parse():
     rec = warc_record("https://example.com/x/1",
                       1_700_000_000_000_000, b"<html>hi</html>")
-    assert rec.startswith(b"WARC/1.0\r\n")
+    assert rec.startswith(b"WARC/1.1\r\n")
     assert b"WARC-Type: response\r\n" in rec
     assert rec.endswith(b"\r\n\r\n")
     # Content-Length covers the full HTTP message
@@ -55,9 +55,9 @@ def test_distributed_roundtrip(ray_session, tmp_path):
         .reset_index(drop=True)
     assert list(b["url"]) == list(o["url"])
     assert list(b["html"]) == list(o["html"])
-    # WARC-Date is second-granular; timestamps round-trip to the second
-    bt = b["warc_ts"].astype("int64").to_numpy() // 1_000_000
-    ot = o["warc_ts"].astype("int64").to_numpy() // 1_000_000
+    # WARC 1.1 fractional-second dates: timestamps round-trip EXACTLY
+    bt = b["warc_ts"].astype("int64").to_numpy()
+    ot = o["warc_ts"].astype("int64").to_numpy()
     assert np.array_equal(bt, ot)
 
 

@@ -224,9 +224,13 @@ def ensure_pages_parquet(n: int, cache_root: str = "/tmp/tilemaker_ray_cache") -
         os.replace(tmp, out)
     except OSError:
         # a concurrent writer completed the swap first — its copy is
-        # byte-identical (deterministic generation); keep it
+        # byte-identical (deterministic generation); keep it. But an
+        # OSError with NO completed destination (e.g. cross-device
+        # tmp) is a real failure, not a lost race — re-raise it
         shutil.rmtree(tmp, ignore_errors=True)
-        return out
+        if os.path.exists(done):
+            return out
+        raise
     with open(done, "w") as f:
         f.write(str(n))
     return out

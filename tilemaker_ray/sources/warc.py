@@ -33,9 +33,14 @@ _CRLF = b"\r\n"
 
 
 def _iso(ts_us: int) -> str:
+    """WARC 1.1-style UTC timestamp WITH fractional seconds, so a
+    write→read roundtrip preserves the corpus' microsecond warc_ts
+    exactly (WARC 1.0 only allows whole seconds — the round-2 advice
+    flagged the silent truncation). Whole-second instants still emit
+    the fraction; the parser accepts both forms."""
     import datetime as dt
     t = dt.datetime.fromtimestamp(ts_us / 1e6, tz=dt.timezone.utc)
-    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return t.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
 def warc_record(url: str, ts_us: int, html: bytes) -> bytes:
@@ -50,7 +55,7 @@ def warc_record(url: str, ts_us: int, html: bytes) -> bytes:
             + b"Content-Type: text/html; charset=utf-8" + _CRLF
             + b"Content-Length: " + str(len(html)).encode() + _CRLF
             + _CRLF + html)
-    hdr = (b"WARC/1.0" + _CRLF
+    hdr = (b"WARC/1.1" + _CRLF
            + b"WARC-Type: response" + _CRLF
            + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">"
            + _CRLF
@@ -95,10 +100,12 @@ def parse_warc(data: bytes):
         if fields.get("warc-type") != "response":
             continue
         url = fields["warc-target-uri"]
-        t = dt.datetime.strptime(
-            fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ") \
+        wd = fields["warc-date"]
+        fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in wd \
+            else "%Y-%m-%dT%H:%M:%SZ"
+        t = dt.datetime.strptime(wd, fmt) \
             .replace(tzinfo=dt.timezone.utc)
-        ts_us = int(t.timestamp() * 1_000_000)
+        ts_us = int(round(t.timestamp() * 1_000_000))
         # split the HTTP message: body begins after its blank line
         hb = body.find(_CRLF + _CRLF)
         html = body[hb + 4:] if hb >= 0 else b""
@@ -171,13 +178,20 @@ def read_warc(path_or_dir: str):
     import ray.data as rd
 
     ds = rd.read_binary_files(path_or_dir,
-                              file_extensions=["warc", "gz"])
+                              file_extensions=["warc", "gz"],
+                              include_paths=True)
 
     def parse(batch: pa.Table) -> pa.Table:
         urls, tss, htmls = [], [], []
-        for blob in batch["bytes"].to_pylist():
+        paths = batch["path"].to_pylist()
+        for fp, blob in zip(paths, batch["bytes"].to_pylist()):
             if blob[:2] == b"\x1f\x8b":          # gzip magic
                 blob = _gunzip_members(blob)
+            if not blob.startswith(b"WARC/"):
+                # a stray non-WARC .gz in the directory: name it
+                # instead of failing deep inside parse_warc
+                raise ValueError(
+                    f"{fp}: not a WARC file (no WARC/ magic)")
             for u, t, h in parse_warc(blob):
                 urls.append(u)
                 tss.append(t)

@@ -50,10 +50,18 @@ def grouped_moments(ds, group_col: str, x_col: str, y_col: str,
             else batch[group_col])
         inv = enc.indices.to_numpy(zero_copy_only=False)
         keys = enc.dictionary
-        x = np.floor(batch[x_col].to_numpy(zero_copy_only=False)
-                     * x_scale).astype(np.int64)
-        y = np.floor(batch[y_col].to_numpy(zero_copy_only=False)
-                     * y_scale).astype(np.int64)
+        xf = batch[x_col].to_numpy(zero_copy_only=False) * x_scale
+        yf = batch[y_col].to_numpy(zero_copy_only=False) * y_scale
+        # a null/NaN would cast to INT64_MIN and silently corrupt
+        # every moment for its group (diverging from SQL's
+        # null-skipping SUM) — fail loudly instead; callers must
+        # drop nulls upstream if the column can carry them
+        if np.isnan(xf).any() or np.isnan(yf).any():
+            raise ValueError(
+                f"grouped_moments: null/NaN in {x_col!r}/{y_col!r}; "
+                "drop nulls before the fixed-point cast")
+        x = np.floor(xf).astype(np.int64)
+        y = np.floor(yf).astype(np.int64)
         k = len(keys)
         # int64 add.at, NOT bincount(weights=) — bincount accumulates
         # in float64 and loses exactness past 2^53

@@ -332,7 +332,11 @@ def heavy_hitters_topk(ds, col: str, m: int = 64, k: int = 10):
         cs = ray.get(cand_ref)
         arr = batch[col].combine_chunks() \
             if isinstance(batch[col], pa.ChunkedArray) else batch[col]
-        mask = pc.is_in(arr, value_set=pa.array(sorted(cs)))
+        # explicit string type: an empty candidate set (possible when
+        # every batch is near-uniform with > m distinct values) would
+        # otherwise build a null-typed value_set and is_in would raise
+        mask = pc.is_in(arr, value_set=pa.array(sorted(cs),
+                                                pa.string()))
         vc = arr.filter(mask).value_counts()
         return pa.table({
             "item": vc.field("values"),
