@@ -594,6 +594,22 @@ def q_subword_count_docs(sf_dir: str):
             .select_columns(["doc_id", "n_ws_tokens", "n_subword_est"]))
 
 
+def q_bpe_token_count_docs(sf_dir: str):
+    """REAL learned-BPE token counts (stages/bpe.py): train 48 merges
+    on the corpus' distributed word-count table (shard actors, exact
+    global pair argmax per iteration — bit-identical to the
+    single-process reference trainer, pinned in tests/test_bpe.py),
+    then encode every document in map_batches with a per-worker
+    word→length cache. Replaces the heuristic n_subword_est as the
+    production token-counting path; no SQL oracle (BPE training is
+    iterative and data-dependent), driver checks rows-only."""
+    from ..stages.bpe import bpe_tokenize_fn, train_bpe
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, n_merges=48)
+    return ds.map_batches(bpe_tokenize_fn(merges),
+                          batch_format="pyarrow")
+
+
 def q_global_rank_events(sf_dir: str):
     """Global window ranks (stages/rank.py): ROW_NUMBER over
     (value DESC, event_id) + ANSI RANK over (value DESC) computed
@@ -3889,12 +3905,13 @@ QUERIES = {
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,
     "decontaminate_docs": q_decontaminate_docs,
-    "kmeans_clusters": q_kmeans_clusters,
+    "bpe_token_count_docs": q_bpe_token_count_docs,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
     "user_tracks": q_user_tracks,
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
+    "kmeans_clusters": q_kmeans_clusters,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
