@@ -78,7 +78,11 @@ def test_real_media_pipeline_features(ray_session):
                                   src["kind"].to_pylist(),
                                   src["payload"].to_pylist()):
         if kind == "image":
-            arr = decode_png_gray(payload)
+            from tilemaker_ray.stages.media_codecs import \
+                decode_jpeg_gray
+            arr = decode_png_gray(payload) \
+                if payload[:8] == b"\x89PNG\r\n\x1a\n" \
+                else decode_jpeg_gray(payload)
         else:
             arr, _ = decode_wav_pcm16(payload)
         assert out.loc[mid, "kind"] == kind
@@ -112,3 +116,73 @@ def test_wav_roundtrip_property(n, seed, rate):
         -32768, 32767, n).astype(np.int16)
     out, r = decode_wav_pcm16(encode_wav_pcm16(s, rate=rate))
     assert r == rate and np.array_equal(out, s)
+
+
+# ------------------------------ baseline JPEG ------------------------------
+
+def test_jpeg_roundtrip_smooth_image():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
+                                                   encode_jpeg_gray)
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((np.sin(xx / 9.0) + np.cos(yy / 7.0) + 2) / 4 * 255) \
+        .astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_flat_image_exact_and_q1_near_lossless():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
+                                                   encode_jpeg_gray)
+    flat = np.full((16, 24), 130, np.uint8)
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(flat)),
+                          flat)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (19, 22), dtype=np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img,
+                                            qtbl=np.ones((8, 8))))
+    # quant table of 1s: only DCT float rounding remains
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_property_random_sizes():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
+                                                   encode_jpeg_gray)
+    rng = np.random.RandomState(7)
+    for _ in range(8):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img,
+                                                qtbl=np.ones((8, 8))))
+        assert out.shape == (h, w)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_rejects_bad_and_unsupported():
+    import numpy as np
+    import pytest
+    from tilemaker_ray.stages.media_codecs import decode_jpeg_gray
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg at all")
+    # progressive marker (SOF2) refused honestly
+    import struct
+    fake = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(fake)
+
+
+def test_decode_external_dispatches_jpeg():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import encode_jpeg_gray
+    from tilemaker_ray.stages.multimodal import decode_external
+    img = np.full((9, 11), 77, np.uint8)
+    kind, arr = decode_external(encode_jpeg_gray(img))
+    assert kind == "image" and arr.shape == (9, 11)
+    # DC quantization may shift a flat value by ±1
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 1

@@ -2229,9 +2229,10 @@ def q_warc_host_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_media_codec_features(sf_dir: str):
-    """Decode + feature-extract over REAL PNG/WAV payloads (no FAK*
-    stand-in): images cycle all five PNG scanline filters, audio is
-    RIFF PCM16. Rows-only (binary media has no SQL analog); the
+    """Decode + feature-extract over REAL PNG/JPEG/WAV payloads (no
+    FAK* stand-in): PNG images cycle all five scanline filters, JPEG
+    images exercise the engine's own baseline Huffman+DCT decoder,
+    audio is RIFF PCM16. Rows-only (binary media has no SQL analog); the
     pytest oracle round-trips every payload against numpy
     (tests/test_media_codecs.py). Row count scales with the sf
     tables like the sibling media_features query."""

@@ -82,21 +82,25 @@ def media_dataset(n: int):
 
 
 def decode_external(payload: bytes):
-    """Real-format decode: PNG (8-bit grayscale) and WAV (mono PCM16)
-    are decoded by the engine's own pure-stdlib codecs
-    (stages/media_codecs.py — zlib/struct, all five PNG scanline
-    filters). Formats needing native libs (JPEG, video containers)
-    still raise — the branch a deployment fills with PIL/libav."""
-    from .media_codecs import decode_png_gray, decode_wav_pcm16
+    """Real-format decode: PNG (8-bit grayscale), baseline grayscale
+    JPEG, and WAV (mono PCM16) are decoded by the engine's own
+    pure-stdlib codecs (stages/media_codecs.py — zlib/struct + its
+    own Huffman/DCT). Formats genuinely needing native libs
+    (progressive/color JPEG, video containers) still raise — the
+    branch a deployment fills with PIL/libav."""
+    from .media_codecs import (decode_jpeg_gray, decode_png_gray,
+                               decode_wav_pcm16)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image", decode_png_gray(payload)
+    if payload[:2] == b"\xff\xd8":
+        return "image", decode_jpeg_gray(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate = decode_wav_pcm16(payload)
         return "audio", samples
     raise NotImplementedError(
-        "JPEG/video decode requires PIL/libav — not available in this "
-        "container (PNG + WAV are decoded natively; FAK* is the "
-        "plumbing-test format)")
+        "video decode requires libav — not available in this "
+        "container (PNG + baseline grayscale JPEG + WAV are decoded "
+        "natively; FAK* is the plumbing-test format)")
 
 
 def _decode(payload: bytes):
@@ -206,11 +210,13 @@ class FrameSampler:
 
 
 def synth_real_media_batch(batch: dict) -> pa.Table:
-    """Deterministic REAL-format media rows: even ids → 8-bit
-    grayscale PNG (cycling through all five scanline filters so the
-    decoder's every branch runs in production paths, not just tests),
-    odd ids → mono PCM16 WAV."""
-    from .media_codecs import encode_png_gray, encode_wav_pcm16
+    """Deterministic REAL-format media rows, cycling three codecs:
+    ids ≡ 0 (mod 4) → 8-bit grayscale PNG (cycling all five scanline
+    filters so the decoder's every branch runs in production paths),
+    ids ≡ 2 (mod 4) → baseline grayscale JPEG (the engine's own
+    Huffman+DCT codec), odd ids → mono PCM16 WAV."""
+    from .media_codecs import (encode_jpeg_gray, encode_png_gray,
+                               encode_wav_pcm16)
     ids = np.asarray(batch["id"], dtype=np.int64)
     rows = {k: [] for k in ("media_id", "kind", "payload", "width",
                             "height", "n_frames")}
@@ -219,7 +225,11 @@ def synth_real_media_batch(batch: dict) -> pa.Table:
         if i % 2 == 0:
             w, h = 12 + (i % 9), 10 + (i % 7)
             img = rng.randint(0, 256, (h, w), dtype=np.uint8)
-            payload = encode_png_gray(img, filter_type=(i // 2) % 5)
+            if i % 4 == 0:
+                payload = encode_png_gray(img,
+                                          filter_type=(i // 2) % 5)
+            else:
+                payload = encode_jpeg_gray(img)
             rows["kind"].append("image")
             rows["width"].append(w)
             rows["height"].append(h)
