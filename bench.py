@@ -89,18 +89,39 @@ def run_bench() -> dict:
     return result
 
 
+def _wait_for_idle(max_load: float, timeout_s: float = 300.0) -> float:
+    """Block until the host's 1-min loadavg decays below ``max_load``
+    (or timeout). Returns the final loadavg. Round-2 lesson: scaling
+    runs taken on a contended host scattered 0.70–1.08 and were
+    unusable — refuse to measure into known contention."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load > max_load and time.monotonic() - t0 < timeout_s:
+        time.sleep(10.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, 8 vs 32 CPUs.
 
     Runs at 4× the per-round page count: the scaling criterion models a
     10¹²-row cluster job, where per-run fixed costs (session startup,
     shuffle barriers) are noise — at the default small input they
-    dominate and measure the harness, not the pipeline."""
+    dominate and measure the harness, not the pipeline.
+
+    Each level waits for the host to go idle first (1-min loadavg
+    below $GRAFT_MAX_LOAD, default 2.0) and records the pre-run load;
+    if the host never settles, the result is marked
+    ``contaminated: true`` so a noisy number is never mistaken for a
+    measurement."""
     from tilemaker_ray.sources import pages as _pages
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n4 = _pages.n_pages_for_sf_dir(sf_dir) * 4
+    max_load = float(os.environ.get("GRAFT_MAX_LOAD", "2.0"))
 
     def one(ncpu: int) -> dict:
+        pre = _wait_for_idle(max_load)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_N_PAGES=str(n4),
                    # efficiency is computed from the headline only; the
@@ -109,7 +130,9 @@ def run_scaling() -> dict:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        r["pre_load"] = round(pre, 2)
+        return r
 
     lo, hi = 8, 32
     r_lo = one(lo)
@@ -124,6 +147,11 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "n_pages": r_hi["n_pages"],
+        "pre_load_8": r_lo["pre_load"],
+        "pre_load_32": r_hi["pre_load"],
+        "max_load": max_load,
+        "contaminated": bool(r_lo["pre_load"] > max_load
+                             or r_hi["pre_load"] > max_load),
     }
 
 
