@@ -145,7 +145,8 @@ def _minhasher_cached(n_perm: int) -> MinHasher:
 
 def bucket_pairs_from_runs(g: pa.Table, key_cols: list, id_col: str,
                            max_bucket: int = 200,
-                           payload_cols: list | None = None) -> pa.Table:
+                           payload_cols: list | None = None,
+                           overflow: str = "star") -> pa.Table:
     """Shared LSH-pairing kernel: one BUCKET of whole hash-buckets →
     candidate (a, b) pairs. lexsort by key_cols, find runs, emit
     triu pairs per run (vectorized per run; runs with ≥2 members are
@@ -157,7 +158,12 @@ def bucket_pairs_from_runs(g: pa.Table, key_cols: list, id_col: str,
     not O(m²)). Every member still reaches the downstream exact
     verify, and for component-based dedup the star keeps the bucket
     connected — no silent recall hole (round-2 verdict fix). Each
-    degradation is logged with the run size."""
+    degradation is logged with the run size.
+
+    ``overflow="drop"`` restores the hard cutoff for callers where
+    max_bucket is a SEMANTIC document-frequency filter rather than a
+    perf cap (copy_pairs' df_max must exclude boilerplate shingles
+    entirely to match its SQL oracle)."""
     n = g.num_rows
     keys = [g[c].to_numpy(zero_copy_only=False) for c in key_cols]
     ids = g[id_col].to_numpy(zero_copy_only=False)
@@ -183,6 +189,8 @@ def bucket_pairs_from_runs(g: pa.Table, key_cols: list, id_col: str,
         if m < 2:
             continue
         if m > max_bucket:
+            if overflow == "drop":
+                continue          # semantic df cutoff, not a cap
             # star fallback: ids are sorted within the run (lexsort's
             # primary key above), so index s is the min id = the rep
             import logging

@@ -126,8 +126,11 @@ def copy_pairs(docs_ds, ngram: int = 5, df_max: int = 50,
                          "kbkt": pa.array(bkt, pa.int64())})
 
     def pairs(g: pa.Table) -> pa.Table:
+        # overflow="drop": df_max is the query's SEMANTIC df filter
+        # (the oracle excludes df > df_max shingles), not a perf cap
         return bucket_pairs_from_runs(g, ["term"], "doc_id",
-                                      max_bucket=df_max)
+                                      max_bucket=df_max,
+                                      overflow="drop")
 
     pair_ds = (docs_ds.map_batches(extract, batch_format="pyarrow")
                .groupby("kbkt").map_groups(pairs,
