@@ -2599,6 +2599,43 @@ def q_kmeans_clusters(sf_dir: str):
 # broadcast side (filter-and-refine with an exactness guarantee)
 # ---------------------------------------------------------------------------
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (stages/semdedup.py, Abbas et al. 2023): KMeans over
+    the embeddings table, exact cosine pairs WITHIN clusters, keep the
+    component-minimum vec_id. Planted duplicates make the query
+    exercise the drop path end to end: every 25th vector is appended
+    again under vec_id+100000 scaled by 1.0001 (scaling preserves
+    cosine exactly), so the keep set is precisely the original corpus.
+    Rows-only (iterative KMeans is not SQL-expressible); the pytest
+    oracle pins the distributed run against a single-process
+    union-find reference (tests/test_semdedup.py)."""
+    import ray.data as rd
+
+    from ..stages.semdedup import semdedup_keep
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         override_num_blocks=8)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 25 == 0
+        sel = batch.filter(pa.array(mask))
+        emb = sel["embedding"].combine_chunks()
+        scaled = pa.ListArray.from_arrays(
+            emb.offsets,
+            pc.multiply(emb.values, pa.scalar(1.0001, pa.float32())))
+        dup = pa.table({
+            "vec_id": pc.add(sel["vec_id"], pa.scalar(100000)),
+            "embedding": scaled})
+        return pa.concat_tables([batch.select(
+            ["vec_id", "embedding"]), dup])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return semdedup_keep(planted, dim=64, k=8, iters=8,
+                         threshold=0.95)
+
+
 def q_knn_graph_events(sf_dir: str):
     """Every 20th event's 3 nearest OTHER events over the full table —
     3×3 cell-neighborhood candidates + per-probe guarantee radius,
@@ -3913,6 +3950,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "flagship_tiles": q_flagship_tiles,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_embeddings": q_semdedup_embeddings,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,

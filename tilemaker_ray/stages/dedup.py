@@ -839,41 +839,38 @@ def connected_components_min_label(pairs_ds, num_buckets: int = 64,
     return labels.rename_columns({"node": "doc_id", "lbl": "comp"})
 
 
-def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
-                       n_bands=16, shingle_k=5, num_buckets: int = 256):
-    """The dedup END-GAME: documents minus near-duplicates, keeping
-    exactly one representative (the component-minimum doc_id) per
-    duplicate component — all distributed: confirmed LSH pairs →
-    distributed connected components (min-label propagation over the
-    pair-derived node set only) → drop every node whose component
-    label is not itself → ``left_anti`` join back against the corpus."""
-    pairs = minhash_near_dups(docs_ds, threshold=threshold, n_perm=n_perm,
-                              n_bands=n_bands, shingle_k=shingle_k)
-    comp = connected_components_min_label(pairs)
+def keep_one_per_component(ids_ds, pairs_ds, num_buckets: int = 256,
+                           id_col: str = "doc_id"):
+    """Shared dedup end-game: ids minus duplicate-component members,
+    keeping the component-minimum id. Distributed connected components
+    over the (doc_a, doc_b) pair Dataset, then an anti-join expressed
+    as a bucketed union-groupby (schema-stable under empty shuffle
+    partitions, where the Acero-backed left_anti join chokes on
+    zero-column blocks): ids tagged 0 ∪ dup-ids tagged 1 → per-id max
+    tag 0 survives. ``ids_ds`` must have ``id_col``."""
+    comp = connected_components_min_label(pairs_ds,
+                                          num_buckets=num_buckets)
 
     def only_dups(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         keep = ids != b["comp"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
 
     dups = comp.map_batches(only_dups, batch_format="pyarrow")
 
-    # anti-join as a bucketed union-groupby (schema-stable under empty
-    # shuffle partitions, where the Acero-backed left_anti join chokes
-    # on zero-column blocks): docs tagged 0 ∪ dups tagged 1 → per-id
-    # max tag 0 survives
     def tag(t):
         def f(b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
             return pa.table({
-                "doc_id": pa.array(ids, pa.int64()),
-                "dup": pa.array(np.full(len(ids), t, np.int8), pa.int8()),
+                id_col: pa.array(ids, pa.int64()),
+                "dup": pa.array(np.full(len(ids), t, np.int8),
+                                pa.int8()),
                 "kbkt": pa.array(_mix_bucket(ids, num_buckets),
                                  pa.int64())})
         return f
 
     def keep_group(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
         dup = g["dup"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids, dup = ids[order], dup[order]
@@ -881,55 +878,37 @@ def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
         brk[1:] = ids[1:] != ids[:-1]
         starts = np.flatnonzero(brk)
         ends = np.concatenate([starts[1:], [len(ids)]])
-        mx = np.maximum.reduceat(dup, starts) if len(starts) else dup[:0]
+        mx = np.maximum.reduceat(dup, starts) if len(starts) \
+            else dup[:0]
         keep = starts[mx == 0]
-        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
 
-    return (docs_ds.select_columns(["doc_id"])
-            .map_batches(tag(0), batch_format="pyarrow")
-            .union(dups.map_batches(tag(1), batch_format="pyarrow"))
-            .groupby("kbkt").map_groups(keep_group, batch_format="pyarrow"))
-
-
-def simhash_dedup_keep(docs_ds, max_hamming: int = 3,
-                       num_buckets: int = 256):
-    """Keep-one-per-duplicate-component over SIMHASH pairs — same
-    connected-components + anti-join machinery as minhash_dedup_keep,
-    driven by the hamming-banded pair generator."""
-    pairs = simhash_near_dups(docs_ds, max_hamming=max_hamming)
-    comp = connected_components_min_label(pairs)
-
-    def only_dups(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        keep = ids != b["comp"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
-
-    dups = comp.map_batches(only_dups, batch_format="pyarrow")
-
-    def tag(t):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            return pa.table({
-                "doc_id": pa.array(ids, pa.int64()),
-                "dup": pa.array(np.full(len(ids), t, np.int8), pa.int8()),
-                "kbkt": pa.array(_mix_bucket(ids, num_buckets),
-                                 pa.int64())})
-        return f
-
-    def keep_group(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        dup = g["dup"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, dup = ids[order], dup[order]
-        brk = np.ones(len(ids), dtype=bool)
-        brk[1:] = ids[1:] != ids[:-1]
-        starts = np.flatnonzero(brk)
-        mx = np.maximum.reduceat(dup, starts) if len(starts) else dup[:0]
-        return pa.table({"doc_id": pa.array(ids[starts[mx == 0]],
-                                            pa.int64())})
-
-    return (docs_ds.select_columns(["doc_id"])
+    return (ids_ds.select_columns([id_col])
             .map_batches(tag(0), batch_format="pyarrow")
             .union(dups.map_batches(tag(1), batch_format="pyarrow"))
             .groupby("kbkt").map_groups(keep_group,
                                         batch_format="pyarrow"))
+
+
+def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
+                       n_bands=16, shingle_k=5, num_buckets: int = 256):
+    """The dedup END-GAME: documents minus near-duplicates, keeping
+    exactly one representative (the component-minimum doc_id) per
+    duplicate component — all distributed: confirmed LSH pairs →
+    distributed connected components → keep_one_per_component."""
+    pairs = minhash_near_dups(docs_ds, threshold=threshold, n_perm=n_perm,
+                              n_bands=n_bands, shingle_k=shingle_k)
+    return keep_one_per_component(docs_ds, pairs,
+                                  num_buckets=num_buckets)
+
+
+def simhash_dedup_keep(docs_ds, max_hamming: int = 3,
+                       num_buckets: int = 256):
+    """Keep-one-per-duplicate-component over SIMHASH pairs — the same
+    keep_one_per_component machinery, driven by the hamming-banded
+    pair generator."""
+    pairs = simhash_near_dups(docs_ds, max_hamming=max_hamming)
+    return keep_one_per_component(docs_ds, pairs,
+                                  num_buckets=num_buckets)
+
+
