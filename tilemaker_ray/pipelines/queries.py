@@ -2599,6 +2599,19 @@ def q_kmeans_clusters(sf_dir: str):
 # broadcast side (filter-and-refine with an exactness guarantee)
 # ---------------------------------------------------------------------------
 
+def q_dedup_spans_docs(sf_dir: str):
+    """Duplicated-span removal (stages/spandedup.py, the ExactSubstr
+    data-cleaning op at k-gram granularity): every non-first
+    occurrence of a duplicated 8-word span anywhere in the corpus is
+    cut from its document. Two slim exchanges; doc text rides only
+    the rebuild exchange. Rows-only (global first-occurrence over
+    overlapping spans has no tractable SQL form); pytest pins the
+    distributed run against the single-process reference."""
+    from ..stages.spandedup import dedup_spans
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_spans(ds, k=8)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (stages/semdedup.py, Abbas et al. 2023): KMeans over
     the embeddings table, exact cosine pairs WITHIN clusters, keep the
@@ -3951,6 +3964,7 @@ QUERIES = {
     "flagship_tiles": q_flagship_tiles,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "dedup_spans_docs": q_dedup_spans_docs,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
