@@ -186,3 +186,72 @@ def test_decode_external_dispatches_jpeg():
     assert kind == "image" and arr.shape == (9, 11)
     # DC quantization may shift a flat value by ±1
     assert np.abs(arr.astype(int) - img.astype(int)).max() <= 1
+
+
+# ------------------------------ perceptual hash -----------------------------
+
+def test_phash_invariances():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import (encode_png_gray,
+                                                   decode_png_gray,
+                                                   phash64)
+    rng = np.random.RandomState(3)
+    img = rng.randint(40, 200, (48, 64)).astype(np.uint8)
+    p0 = phash64(img)
+    # uniform brightness shift lives entirely in DC: identical hash
+    assert phash64((img.astype(int) + 10).astype(np.uint8)) == p0
+    # lossless PNG re-encode: identical pixels, identical hash
+    assert phash64(decode_png_gray(encode_png_gray(img, 3))) == p0
+    # a different image is far away
+    other = rng.randint(40, 200, (48, 64)).astype(np.uint8)
+    assert bin(p0 ^ phash64(other)).count("1") > 12
+
+
+def test_phash_tiny_image_and_determinism():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import phash64
+    img = np.arange(25, dtype=np.uint8).reshape(5, 5)
+    assert phash64(img) == phash64(img.copy())
+
+
+def test_hamming64_near_dups_bands_guarantee(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from tilemaker_ray.stages.dedup import hamming64_near_dups
+    rng = np.random.RandomState(5)
+    base = np.uint64(rng.randint(0, 2**63))
+    sigs, ids = [int(base)], [0]
+    # plant signatures at hamming 1..7 from base
+    for d in range(1, 8):
+        v = int(base)
+        for b in rng.choice(64, size=d, replace=False):
+            v ^= 1 << int(b)
+        sigs.append(v)
+        ids.append(d)
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "phash": pa.array(np.asarray(sigs, np.uint64)
+                                    .astype(np.int64), pa.int64())})
+    out = hamming64_near_dups(rd.from_arrow(t).repartition(2),
+                              max_hamming=7, id_col="media_id",
+                              sig_col="phash", n_bands=8).to_pandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    # full recall for every pair within hamming 7 of base
+    for d in range(1, 8):
+        assert (0, d) in got, d
+    # guarantee violation is refused loudly
+    with pytest.raises(ValueError):
+        hamming64_near_dups(rd.from_arrow(t), max_hamming=9, n_bands=8)
+
+
+def test_image_phash_pipeline_pairs(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.dedup import hamming64_near_dups
+    from tilemaker_ray.stages.multimodal import (image_phash_fn,
+                                                 real_media_dataset)
+    sigs = real_media_dataset(40).map_batches(
+        image_phash_fn, batch_format="pyarrow")
+    df = sigs.to_pandas()
+    assert len(df) == 20            # only the image rows
+    assert df["phash"].nunique() > 10

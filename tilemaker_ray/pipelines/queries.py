@@ -2612,6 +2612,60 @@ def q_dedup_spans_docs(sf_dir: str):
     return dedup_spans(ds, k=8)
 
 
+def q_image_phash_dups(sf_dir: str):
+    """Image near-duplicate pairs via perceptual hashing: decode the
+    real PNG/JPEG payloads, 32×32 DCT pHash (stages/media_codecs.py),
+    then the shared 8-band hamming LSH + exact verify
+    (dedup.hamming64_near_dups, full recall ≤ 7 bits). Planted
+    duplicates: every image is re-emitted under media_id+10⁶ as a
+    LOSSLESS PNG re-encode with a rotated scanline filter — identical
+    pixels, hamming 0 — so each image must pair with its copy.
+    Rows-only (DCT/Huffman decode has no SQL analog); pytest pins the
+    pHash invariances and the pair recall."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.dedup import hamming64_near_dups
+    from ..stages.multimodal import image_phash_fn, real_media_dataset
+
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def plant(batch: pa.Table) -> pa.Table:
+        from ..stages.media_codecs import encode_png_gray
+        from ..stages.multimodal import _decode
+        extra = {"media_id": [], "kind": [], "payload": [],
+                 "width": [], "height": [], "n_frames": []}
+        for mid, kind, payload, w, h, nf in zip(
+                batch["media_id"].to_pylist(),
+                batch["kind"].to_pylist(),
+                batch["payload"].to_pylist(),
+                batch["width"].to_pylist(),
+                batch["height"].to_pylist(),
+                batch["n_frames"].to_pylist()):
+            if kind != "image":
+                continue
+            _, img = _decode(payload)
+            extra["media_id"].append(mid + 10**6)
+            extra["kind"].append("image")
+            extra["payload"].append(
+                encode_png_gray(img, filter_type=(mid // 2) % 5))
+            extra["width"].append(w)
+            extra["height"].append(h)
+            extra["n_frames"].append(nf)
+        dup = pa.table({k: pa.array(v, batch.schema.field(k).type)
+                        for k, v in extra.items()},
+                       schema=batch.schema)
+        return pa.concat_tables([batch, dup])
+
+    media = real_media_dataset(n).map_batches(plant,
+                                              batch_format="pyarrow")
+    sigs = media.map_batches(image_phash_fn, batch_format="pyarrow",
+                             batch_size=128)
+    return hamming64_near_dups(sigs, max_hamming=7,
+                               id_col="media_id", sig_col="phash",
+                               n_bands=8)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (stages/semdedup.py, Abbas et al. 2023): KMeans over
     the embeddings table, exact cosine pairs WITHIN clusters, keep the
@@ -3965,6 +4019,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_spans_docs": q_dedup_spans_docs,
+    "image_phash_dups": q_image_phash_dups,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,

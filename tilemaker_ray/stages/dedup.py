@@ -476,15 +476,36 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
     """SimHash near-dup pairs: band each 64-bit signature into four
     16-bit keys (pigeonhole: hamming ≤ 3 ⇒ one band equal), shuffle
     by band key, verify hamming distance within buckets."""
-    import pandas as pd
     sigs = docs_ds.map_batches(make_simhash_fn(), batch_format="pyarrow")
+    return hamming64_near_dups(sigs, max_hamming=max_hamming)
+
+
+def hamming64_near_dups(sig_ds, max_hamming: int = 3,
+                        id_col: str = "doc_id",
+                        sig_col: str = "simhash",
+                        n_bands: int = 4):
+    """Near-dup pairs over ANY 64-bit signature Dataset
+    (id_col, sig_col): pigeonhole banding + exact verify, shared by
+    text SimHash and image pHash. ``n_bands`` bands of 64/n_bands
+    bits guarantee full recall for hamming ≤ n_bands − 1 (a pair
+    differing in ≤ n_bands−1 bits leaves at least one band equal);
+    max_hamming above that bound raises."""
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole "
+            f"guarantee of {n_bands}-band LSH (≤ {n_bands - 1}); "
+            "raise n_bands")
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        s = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         out_i, out_b, out_k, out_s = [], [], [], []
-        for bi in range(4):
-            key = ((s >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+        for bi in range(n_bands):
+            key = ((s >> np.uint64(band_bits * bi))
+                   & band_mask).astype(np.int64)
             out_i.append(ids)
             out_b.append(np.full(len(ids), bi, dtype=np.int32))
             out_k.append(key)
@@ -520,7 +541,7 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
                          "hamming": pa.array(ham[keep], pa.int64())})
 
     from ray.data.aggregate import Min
-    return (sigs.map_batches(explode, batch_format="pyarrow")
+    return (sig_ds.map_batches(explode, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bkt").map_groups(pairs, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])

@@ -559,3 +559,62 @@ def _skip_restart(rdr: _BitReader):
     while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
         p += 1
     rdr.pos = min(p + 2, len(d))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (pHash): 32×32 area-mean resize → 2D DCT →
+# top-left 8×8 low-frequency block (DC dropped) → median threshold →
+# 64-bit signature. Classic pHash construction (public); invariant to
+# uniform brightness shifts (constant offsets live entirely in DC) and
+# stable under JPEG requantization (which preserves low frequencies).
+# ---------------------------------------------------------------------------
+
+def _dct_matrix_n(n: int) -> np.ndarray:
+    k = np.arange(n)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)) \
+        * np.sqrt(2.0 / n)
+    D[0] /= np.sqrt(2.0)
+    return D
+
+
+_DCT32 = _dct_matrix_n(32)
+
+
+def _resize_area(img: np.ndarray, out: int = 32) -> np.ndarray:
+    """Deterministic area-mean resize to (out, out): each output cell
+    averages its (possibly ragged) source block — no interpolation
+    library, exact for any input size."""
+    h, w = img.shape
+    ys = (np.arange(out + 1) * h) // out
+    xs = (np.arange(out + 1) * w) // out
+    ys = np.maximum(ys, np.arange(out + 1))  # guarantee non-empty
+    xs = np.maximum(xs, np.arange(out + 1))
+    ys = np.minimum(ys, h)
+    xs = np.minimum(xs, w)
+    # integral image makes each block mean O(1)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), 0), 1)
+    blk = (ii[ys[1:], :][:, xs[1:]] - ii[ys[:-1], :][:, xs[1:]]
+           - ii[ys[1:], :][:, xs[:-1]] + ii[ys[:-1], :][:, xs[:-1]])
+    area = ((ys[1:] - ys[:-1])[:, None]
+            * (xs[1:] - xs[:-1])[None, :]).astype(np.float64)
+    return blk / area
+
+
+def phash64(img: np.ndarray) -> int:
+    """8-bit grayscale ndarray → 64-bit perceptual hash."""
+    if img.shape[0] < 32 or img.shape[1] < 32:
+        # upscale tiny images by repetition so the DCT grid is full
+        ry = -(-32 // img.shape[0])
+        rx = -(-32 // img.shape[1])
+        img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+    small = _resize_area(img, 32)
+    F = _DCT32 @ small @ _DCT32.T
+    low = F[:8, :8].flatten()[1:]         # drop DC
+    med = np.median(low)
+    bits = low > med
+    out = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)

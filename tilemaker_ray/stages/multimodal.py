@@ -19,9 +19,10 @@ Two payload families:
     FAKA | u32 n | n int16 samples                 (audio)
     FAKV | u16 w | u16 h | u16 nframes | frames    (video)
 
-``decode_external()`` still raises NotImplementedError for formats
-that genuinely need native libs (JPEG, video containers) — the branch
-a deployment fills with PIL/libav.
+``decode_external()`` decodes PNG, baseline grayscale JPEG and WAV
+natively and still raises NotImplementedError for formats that
+genuinely need native libs (video containers, progressive/color
+JPEG) — the branch a deployment fills with PIL/libav.
 """
 
 from __future__ import annotations
@@ -252,3 +253,26 @@ def real_media_dataset(n: int):
     import ray.data as rd
     return rd.range(n).map_batches(synth_real_media_batch,
                                    batch_format="numpy", batch_size=256)
+
+
+def image_phash_fn(batch: pa.Table) -> pa.Table:
+    """map_batches body: media rows → (media_id, phash) for IMAGE
+    payloads (PNG/JPEG/FAKI all land here through _decode); non-image
+    rows are dropped. Decode + 32×32 DCT per image — actor-pool work,
+    vectorized inside the hash kernel."""
+    from .media_codecs import phash64
+    ids, sigs = [], []
+    for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist()):
+        if kind != "image":
+            continue
+        k, arr = _decode(payload)
+        if k != "image":
+            continue
+        ids.append(mid)
+        sigs.append(phash64(arr))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "phash": pa.array(np.asarray(sigs, dtype=np.uint64)
+                          .astype(np.int64), pa.int64())})
