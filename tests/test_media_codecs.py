@@ -255,3 +255,31 @@ def test_image_phash_pipeline_pairs(ray_session):
     df = sigs.to_pandas()
     assert len(df) == 20            # only the image rows
     assert df["phash"].nunique() > 10
+
+
+def test_audio_fingerprint_invariances():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import audio_fingerprint64
+    rng = np.random.RandomState(11)
+    s = (rng.randn(3000) * 5000).astype(np.int16)
+    f0 = audio_fingerprint64(s)
+    # volume scaling: log energies shift uniformly -> identical hash
+    assert audio_fingerprint64(s * 0.25) == f0
+    assert audio_fingerprint64(
+        (s.astype(np.int32) // 2).astype(np.int16)) == f0
+    # unrelated noise clips stay far apart (width-normalized bands)
+    hs = [bin(f0 ^ audio_fingerprint64(
+        (np.random.RandomState(k).randn(3000) * 5000)
+        .astype(np.int16))).count("1") for k in range(20, 30)]
+    assert min(hs) > 10
+    # short clips don't crash
+    assert isinstance(audio_fingerprint64(np.zeros(10, np.int16)), int)
+
+
+def test_audio_fp_pipeline(ray_session):
+    from tilemaker_ray.stages.multimodal import (audio_fingerprint_fn,
+                                                 real_media_dataset)
+    df = real_media_dataset(40).map_batches(
+        audio_fingerprint_fn, batch_format="pyarrow").to_pandas()
+    assert len(df) == 20                # only the audio rows
+    assert df["afp"].nunique() > 10

@@ -2666,6 +2666,56 @@ def q_image_phash_dups(sf_dir: str):
                                n_bands=8)
 
 
+def q_audio_fp_dups(sf_dir: str):
+    """Audio near-duplicate pairs via spectral fingerprinting
+    (stages/media_codecs.py::audio_fingerprint64 — 8 time slices × 8
+    log-spaced bands of log mean energy, median-thresholded; invariant
+    to volume scaling): decode WAV payloads, fingerprint, then the
+    shared 8-band hamming LSH. Planted duplicates: every audio row is
+    re-emitted at half volume under media_id+10⁶ and must pair with
+    its original. Rows-only; pytest pins the invariances."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.dedup import hamming64_near_dups
+    from ..stages.multimodal import (audio_fingerprint_fn,
+                                     real_media_dataset)
+
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def plant(batch: pa.Table) -> pa.Table:
+        from ..stages.media_codecs import (decode_wav_pcm16,
+                                           encode_wav_pcm16)
+        extra = {"media_id": [], "kind": [], "payload": [],
+                 "width": [], "height": [], "n_frames": []}
+        for mid, kind, payload in zip(
+                batch["media_id"].to_pylist(),
+                batch["kind"].to_pylist(),
+                batch["payload"].to_pylist()):
+            if kind != "audio":
+                continue
+            samples, rate = decode_wav_pcm16(payload)
+            half = (samples.astype(np.int32) // 2).astype(np.int16)
+            extra["media_id"].append(mid + 10**6)
+            extra["kind"].append("audio")
+            extra["payload"].append(encode_wav_pcm16(half, rate=rate))
+            extra["width"].append(0)
+            extra["height"].append(0)
+            extra["n_frames"].append(0)
+        dup = pa.table({k: pa.array(v, batch.schema.field(k).type)
+                        for k, v in extra.items()},
+                       schema=batch.schema)
+        return pa.concat_tables([batch, dup])
+
+    media = real_media_dataset(n).map_batches(plant,
+                                              batch_format="pyarrow")
+    sigs = media.map_batches(audio_fingerprint_fn,
+                             batch_format="pyarrow", batch_size=128)
+    return hamming64_near_dups(sigs, max_hamming=7,
+                               id_col="media_id", sig_col="afp",
+                               n_bands=8)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (stages/semdedup.py, Abbas et al. 2023): KMeans over
     the embeddings table, exact cosine pairs WITHIN clusters, keep the
@@ -4020,6 +4070,7 @@ QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_spans_docs": q_dedup_spans_docs,
     "image_phash_dups": q_image_phash_dups,
+    "audio_fp_dups": q_audio_fp_dups,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,

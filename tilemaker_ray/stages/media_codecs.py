@@ -618,3 +618,43 @@ def phash64(img: np.ndarray) -> int:
         if b:
             out |= np.uint64(1) << np.uint64(i)
     return int(out)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint: 8 time slices × 8 log-spaced spectral bands of
+# log energy, median-thresholded → 64-bit signature (the classic
+# spectral-band fingerprint shape, e.g. Haitsma & Kalker 2002,
+# public). Invariant to uniform volume scaling (log energies shift by
+# a constant, and so does their median) and to lossless re-encodes.
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """mono int16/float samples → 64-bit spectral fingerprint."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < 64:
+        x = np.pad(x, (0, 64 - len(x)))
+    n_slices = 8
+    cut = len(x) // n_slices * n_slices
+    frames = x[:cut].reshape(n_slices, -1)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nb = spec.shape[1]
+    # 8 log-spaced band edges over the positive spectrum (skip DC)
+    edges = np.unique(np.round(
+        np.logspace(0, np.log10(nb - 1), 9)).astype(np.int64))
+    while len(edges) < 9:                 # tiny spectra: pad edges
+        edges = np.append(edges, edges[-1] + 1)
+    feats = np.empty((n_slices, 8), dtype=np.float64)
+    for b in range(8):
+        lo, hi = int(edges[b]), max(int(edges[b + 1]), int(edges[b]) + 1)
+        # MEAN per bin, not sum: log-spaced bands widen geometrically,
+        # and a width-weighted sum would give every flat-spectrum
+        # signal the same bit pattern (no discrimination)
+        feats[:, b] = spec[:, lo:hi].mean(axis=1)
+    feats = np.log(feats.flatten() + 1e-12)
+    med = np.median(feats)
+    bits = feats > med
+    out = np.uint64(0)
+    for i, v in enumerate(bits):
+        if v:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)

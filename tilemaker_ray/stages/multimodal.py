@@ -276,3 +276,24 @@ def image_phash_fn(batch: pa.Table) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "phash": pa.array(np.asarray(sigs, dtype=np.uint64)
                           .astype(np.int64), pa.int64())})
+
+
+def audio_fingerprint_fn(batch: pa.Table) -> pa.Table:
+    """map_batches body: media rows → (media_id, afp) 64-bit spectral
+    fingerprints for AUDIO payloads; other kinds dropped."""
+    from .media_codecs import audio_fingerprint64
+    ids, sigs = [], []
+    for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist()):
+        if kind != "audio":
+            continue
+        k, arr = _decode(payload)
+        if k != "audio":
+            continue
+        ids.append(mid)
+        sigs.append(audio_fingerprint64(arr))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "afp": pa.array(np.asarray(sigs, dtype=np.uint64)
+                        .astype(np.int64), pa.int64())})
