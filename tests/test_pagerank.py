@@ -138,3 +138,37 @@ def test_bfs_random_graph_vs_python_reference(ray_session):
         got = dict(zip(out["node"].to_pylist(),
                        out["hop"].to_pylist()))
         assert got == dist, P
+
+
+def test_rank_weighted_sample_matches_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from tilemaker_ray.sources import pages as _pages
+    from tilemaker_ray.sources.pages import _splitmix64
+    from tilemaker_ray.stages.pagerank import (build_site_edges,
+                                               pagerank,
+                                               pagerank_reference,
+                                               rank_weighted_sample)
+    n = 600
+    ds = _pages.pages_dataset(n)
+    edges, sites = build_site_edges(ds, k=3)
+    ranks = pagerank(edges, sites, iters=6)
+    got = sorted(rank_weighted_sample(
+        _pages.pages_dataset(n).repartition(5), ranks)
+        .to_pandas()["url"].tolist())
+    # single-process reference over the same deterministic corpus
+    rows = edges.to_pandas()
+    want_ranks = pagerank_reference(
+        list(rows.itertuples(index=False, name=None)), sites, iters=6)
+    scale = 10**9
+    thr = {s: min(1 << 32, want_ranks[s] * 1 * (1 << 32)
+                  // (2 * scale)) for s in sites}
+    urls = _pages.pages_dataset(n).to_pandas()["url"].tolist()
+    want = []
+    for u in urls:
+        head, _, tail = u.rpartition("/")
+        h = int(_splitmix64(np.uint64(int(tail)))) & 0xFFFFFFFF
+        if h < thr.get(head, 0):
+            want.append(u)
+    assert got == sorted(want)
+    assert 0 < len(got) < n          # a real, partial sample

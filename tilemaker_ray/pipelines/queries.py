@@ -1849,11 +1849,13 @@ def q_bm25_topk(sf_dir: str):
 
 def q_pagerank_sites(sf_dir: str):
     """Fixed-point integer PageRank over the crawl's site-prefix link
-    graph (stages/pagerank.py): 10 iterations, damping 17/20, edges
-    streamed per iteration with the O(nodes) rank vector broadcast —
-    partition-invariant by integer arithmetic. Rows-only (pages is
-    generated; iterative algorithm), pinned by
-    tests/test_pagerank.py against the single-process reference."""
+    graph (stages/pagerank.py + graph_shards.py): 10 supersteps over
+    P vertex-shard actors — rank state and out-edges co-located by
+    node ownership, P² pre-aggregated pieces exchanged store→store,
+    no driver-resident rank vector. Partition- AND shard-count-
+    invariant by integer arithmetic. Rows-only (pages is generated;
+    iterative algorithm), pinned by tests/test_pagerank.py against
+    the single-process reference."""
     import ray.data as rd
     from ..sources import pages as _pages
     from ..stages.pagerank import build_site_edges, pagerank
@@ -1865,6 +1867,25 @@ def q_pagerank_sites(sf_dir: str):
     edges, sites = build_site_edges(ds, k=3)
     out = pagerank(edges, sites, iters=10)
     return rd.from_arrow(out)
+
+
+def q_rank_weighted_sample(sf_dir: str):
+    """Rank-weighted corpus selection (the step PageRank exists for):
+    pages kept with probability ∝ their site's PageRank, via the
+    all-integer deterministic rule in pagerank.rank_weighted_sample
+    (splitmix64(page_idx) mod 2³² under a per-site fixed-point
+    threshold, mean keep rate 1/2). Rows-only; pytest pins the exact
+    kept set against a single-process reference."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..stages.pagerank import (build_site_edges, pagerank,
+                                   rank_weighted_sample)
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    edges, sites = build_site_edges(ds, k=3)
+    ranks = pagerank(edges, sites, iters=10)
+    return rank_weighted_sample(ds, ranks)
 
 
 # ---------------------------------------------------------------------------
@@ -4071,6 +4092,7 @@ QUERIES = {
     "dedup_spans_docs": q_dedup_spans_docs,
     "image_phash_dups": q_image_phash_dups,
     "audio_fp_dups": q_audio_fp_dups,
+    "rank_weighted_sample": q_rank_weighted_sample,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,

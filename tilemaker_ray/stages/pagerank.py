@@ -251,3 +251,55 @@ def bfs_hops(edges_ds, sources: list, max_hops: int = 8,
                        "hop": pa.array([], pa.int64())})
     idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
     return out.take(idx)
+
+
+def rank_weighted_sample(pages_ds, rank_tbl: pa.Table,
+                         boost_num: int = 1, boost_den: int = 2,
+                         scale: int = 10**9):
+    """Rank-weighted corpus selection — the step PageRank exists for
+    in a crawl pipeline: keep each page with probability proportional
+    to its SITE's rank, deterministically.
+
+    keep(page) ⇔ splitmix64(page_idx) mod 2³² <
+                  min(2³², rank_fp·boost_num·2³² // (boost_den·scale))
+
+    All-integer (mean rank_fp = scale, so boost_num/boost_den is the
+    mean keep rate), so the sample is bit-reproducible under any
+    partitioning and by a single-process reference. The site→threshold
+    table is broadcast once (bounded by #sites — the documented
+    PageRank output bound); pages stream through one map_batches with
+    no shuffle."""
+    import ray
+
+    node = rank_tbl["node"].to_pylist()
+    rank_fp = rank_tbl["rank_fp"].to_pylist()
+    # Python ints: rank_fp·2³² overflows int64 for hot sites
+    # (rank_fp can approach n_sites·scale); the table is #sites-sized
+    thr_ref = ray.put({
+        s: min(1 << 32, r * boost_num * (1 << 32)
+               // (boost_den * scale))
+        for s, r in zip(node, rank_fp)})
+
+    def sample(batch: pa.Table) -> pa.Table:
+        tmap = ray.get(thr_ref)
+        col = batch["url"].combine_chunks() \
+            if isinstance(batch["url"], pa.ChunkedArray) \
+            else batch["url"]
+        m = pc.extract_regex(col, pattern=r"^(?P<head>.*)/(?P<tail>\d+)$")
+        valid = pc.is_valid(m)
+        m = m.filter(valid)
+        urls = col.filter(valid)
+        heads = pc.struct_field(m, "head").to_pylist()
+        idxs = pc.cast(pc.struct_field(m, "tail"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        h32 = (_splitmix64(idxs) & np.uint64(0xFFFFFFFF)) \
+            .astype(np.int64)
+        thrs = np.fromiter((tmap.get(s, 0) for s in heads),
+                           dtype=np.int64, count=len(heads))
+        keep = h32 < thrs
+        return pa.table({
+            "url": urls.filter(pa.array(keep)),
+            "site": pa.array(np.asarray(heads, dtype=object)[keep],
+                             pa.string())})
+
+    return pages_ds.map_batches(sample, batch_format="pyarrow")
