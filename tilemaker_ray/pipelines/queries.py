@@ -2481,9 +2481,11 @@ def q_bfs_knn_events(sf_dir: str):
     """Minimum hop count (≤ 8) from the lowest sampled event through
     the directed 3-NN graph of every-20th events. The graph is closed
     (both endpoints sampled) so the frontier never leaves the node
-    set; per round the edge Dataset streams once with the frontier
-    broadcast (stages/pagerank.py::bfs_hops). Oracle: WITH RECURSIVE
-    path expansion + MIN(hop)."""
+    set; hop labels + frontier live in vertex-shard actors with the
+    out-edges co-located, so each round moves only distinct
+    pre-split neighbor candidates (stages/graph_shards.py via
+    pagerank.bfs_hops). Oracle: WITH RECURSIVE path expansion +
+    MIN(hop)."""
     import ray.data as rd
     from ..stages.knn_graph import knn_graph
     from ..stages.pagerank import bfs_hops
