@@ -84,3 +84,20 @@ def test_token_counts_distributed_vs_reference(ray_session):
         assert got[i] == want, i
     # learned merges COMPRESS: fewer tokens than characters
     assert got[0] < sum(len(w) for w in CORPUS[0].split())
+
+
+def test_encode_ids_roundtrip_decode(ray_session):
+    from tilemaker_ray.stages.bpe import (bpe_decode_ids,
+                                          bpe_encode_ids_fn)
+    merges = train_bpe_reference(_ref_word_counts(CORPUS), n_merges=24)
+    fn = bpe_encode_ids_fn(merges)
+    t = pa.table({"doc_id": pa.array(range(len(CORPUS)), pa.int64()),
+                  "text": pa.array(CORPUS, pa.string())})
+    out = fn(t)
+    for i, text in enumerate(CORPUS):
+        ids = out["token_ids"][i].as_py()
+        assert out["n_bpe_tokens"][i].as_py() == len(ids)
+        # decode restores the text modulo whitespace
+        assert bpe_decode_ids(ids, merges) == text.replace(" ", "")
+        # compression: learned merges shorten the id sequence
+        assert len(ids) <= sum(len(w) for w in text.split())

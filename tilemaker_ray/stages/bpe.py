@@ -329,3 +329,51 @@ def bpe_tokenize_fn(merges: list, id_col: str = "doc_id",
                          "n_bpe_tokens": pa.array(out, pa.int64())})
 
     return fn
+
+
+def bpe_encode_ids_fn(merges: list, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """map_batches body: (doc_id, text) → (doc_id, token_ids
+    list<int64>, n_bpe_tokens) — the production tokenization pass.
+    Word-level per-worker cache like bpe_tokenize_fn; ids are Unicode
+    codepoints (< 0x110000) and merge ids (0x110000 + rank), so
+    ``bpe_decode_ids`` can reverse them without a vocabulary table."""
+    ranks = {(a, b): r for r, (a, b, _) in enumerate(merges)}
+    key = ("ids",) + tuple((a, b) for a, b, _ in merges)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cache = _ENCODE_CACHE.setdefault(key, {})
+        toks, lens = [], []
+        for t in batch[text_col].to_pylist():
+            doc = []
+            for w in t.split():
+                ids = cache.get(w)
+                if ids is None:
+                    ids = cache[w] = encode_word(w, ranks)
+                doc.extend(ids)
+            toks.append(doc)
+            lens.append(len(doc))
+        return pa.table({
+            id_col: batch[id_col],
+            "token_ids": pa.array(toks, pa.list_(pa.int64())),
+            "n_bpe_tokens": pa.array(np.asarray(lens, np.int64),
+                                     pa.int64())})
+
+    return fn
+
+
+def bpe_decode_ids(token_ids: list, merges: list) -> str:
+    """Reverse tokenization: expand merge ids recursively back to
+    codepoints. Lossy only in word boundaries (tokens within a word
+    concatenate; the encoder tokenizes per whitespace-split word, so
+    decode returns the concatenated words — callers that need exact
+    text keep it alongside)."""
+    expand = {nid: (a, b) for a, b, nid in merges}
+
+    def chars(i):
+        if i in expand:
+            a, b = expand[i]
+            return chars(a) + chars(b)
+        return chr(i)
+
+    return "".join(chars(int(i)) for i in token_ids)
