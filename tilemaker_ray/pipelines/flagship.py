@@ -46,7 +46,7 @@ def features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     ds = pages_ds.map_batches(extract_features_batch, batch_format="pyarrow",
                               batch_size=4096)
     return ds.map_batches(make_cell_encoder(cfg), batch_format="pyarrow",
-                          batch_size=16384)
+                          batch_size=4096)
 
 
 def joined_features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -60,7 +60,7 @@ def joined_features_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
     poly_ref = ray.put(poly)  # broadcast ONCE; workers build the index once
     ds = features_pipeline(pages_ds, cfg, concurrency)
     return ds.map_batches(make_tagger_fn(poly_ref, cfg.hex_res),
-                          batch_format="pyarrow", batch_size=8192)
+                          batch_format="pyarrow", batch_size=4096)
 
 
 def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -83,13 +83,14 @@ def tiles_pipeline(pages_ds, cfg: EngineConfig = DEFAULT_CONFIG,
         ds = ds.select_columns(cols).union(
             rd.from_arrow(poly_feats.select(cols)))
     ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
-                        batch_size=8192)
+                        batch_size=4096)
     # enough reduce partitions that hot shards don't co-schedule; the
     # scrambled key spreads spatially-adjacent hot shards across them.
     # 4× CPU count: a reduce task runs its groups sequentially, so the
     # encode tail is the COST sum of a partition, not one shard —
     # measured max task 20.6 s at 2×, 11.9 s at 4× (800k pages) with
-    # identical total CPU
+    # identical total CPU; 8× was measured WORSE (repartition cost
+    # outgrew the tail win: 12.5–15.7 s vs 8.2–10.3 s at 200k pages)
     n_blocks = max(48, int(ray.cluster_resources().get("CPU", 16)) * 4)
     ds = ds.repartition(n_blocks)
     enc = functools.partial(encode_shard, cfg=cfg)
@@ -113,7 +114,7 @@ def resumable_tiles_pipeline(pages_ds, out_dir: str,
     from ..state.checkpoint import resumable_tiles
     ds = joined_features_pipeline(pages_ds, cfg, polygons_table, concurrency)
     ds = ds.map_batches(make_fanout(cfg), batch_format="pyarrow",
-                        batch_size=8192)
+                        batch_size=4096)
     import ray
     n_blocks = max(48, int(ray.cluster_resources().get("CPU", 16)) * 2)
     ds = ds.repartition(n_blocks)
