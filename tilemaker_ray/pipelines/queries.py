@@ -2516,6 +2516,33 @@ def q_bfs_knn_events(sf_dir: str):
 # sampled-event kNN graph (graph-statistics pass over derived edges)
 # ---------------------------------------------------------------------------
 
+def q_knn_triangles(sf_dir: str):
+    """Triangle count of the sampled-event kNN graph
+    (stages/graphstats.py): distinct undirected edges → low-anchored
+    wedges → closure join, three slim packed-int exchanges. Oracle:
+    the same closed kNN derivation (row_number self-join) followed by
+    the three-way undirected self-join in DuckDB — hash-exact."""
+    import ray.data as rd
+    from ..stages.graphstats import triangle_count
+    from ..stages.knn_graph import knn_graph
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["event_id"].cast(pa.int64()),
+                         "dst": batch["neighbor_id"].cast(pa.int64())})
+
+    edges = knn.map_batches(as_edges, batch_format="pyarrow")
+    return triangle_count(edges)
+
+
 def q_knn_indegree_dist(sf_dir: str):
     """How concentrated is the kNN graph? in-degree per node via a
     per-batch combiner over the directed 3-NN edges of every-20th
@@ -4033,6 +4060,33 @@ ORACLE_SQL["relation_region_tag"] = """
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey"""
 
+ORACLE_SQL["knn_triangles"] = """
+    WITH p AS (
+      SELECT e.event_id AS id, (((e.event_id * 2654435761) % 360000) / 1000.0 - 180.0) AS lon,
+             (((e.event_id * 40503) % 170000) / 1000.0 - 85.0) AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e),
+    w AS (
+      SELECT a.v AS x, b.v AS y
+      FROM und a JOIN und b ON a.u = b.u AND a.v < b.v)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM w JOIN und c ON c.u = w.x AND c.v = w.y)
+           AS n_triangles"""
+
 QUERIES = {
     # --- first 50: driver correctness-gate slots (gate caps at 50).
     # Round 3 ordering: the 53 queries absent from CORRECTNESS_r02.json go
@@ -4095,6 +4149,7 @@ QUERIES = {
     "image_phash_dups": q_image_phash_dups,
     "audio_fp_dups": q_audio_fp_dups,
     "rank_weighted_sample": q_rank_weighted_sample,
+    "knn_triangles": q_knn_triangles,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
