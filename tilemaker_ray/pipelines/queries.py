@@ -405,6 +405,20 @@ def q_minhash_dedup_keep(sf_dir: str):
     return minhash_dedup_keep(ds, threshold=0.7)
 
 
+def q_fuzzy_word_pairs(sf_dir: str):
+    """Entity-resolution fuzzy join: customer-name pairs at edit
+    distance exactly 1 via the FastSS deletion-neighborhood join
+    (stages/fuzzyjoin.py): one bucketed exchange on deletion-variant
+    hashes, exact distance-1 verify, a distinct groupby — the
+    near-identical-entity detection a crawl pipeline runs for
+    canonicalization. Oracle: DuckDB levenshtein() = 1 over the same
+    name vocabulary — hash-exact (19.5k pairs at sf0.01)."""
+    from ..stages.fuzzyjoin import fuzzy_word_pairs
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return fuzzy_word_pairs(ds, max_doc_id=1 << 62,
+                            id_col="c_custkey", text_col="c_name")
+
+
 def q_word_count_topk(sf_dir: str, k: int = 100):
     """Corpus word frequencies, combiner-first: per-batch partial
     counts (np.unique) so the shuffle moves (word, partial) rows, then
@@ -4087,6 +4101,13 @@ ORACLE_SQL["knn_triangles"] = """
               FROM w JOIN und c ON c.u = w.x AND c.v = w.y)
            AS n_triangles"""
 
+ORACLE_SQL["fuzzy_word_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name AS word FROM customer)
+    SELECT a.word AS w1, b.word AS w2
+    FROM v a JOIN v b ON a.word < b.word
+    WHERE abs(length(a.word) - length(b.word)) <= 1
+      AND levenshtein(a.word, b.word) = 1"""
+
 QUERIES = {
     # --- first 50: driver correctness-gate slots (gate caps at 50).
     # Round 3 ordering: the 53 queries absent from CORRECTNESS_r02.json go
@@ -4150,6 +4171,7 @@ QUERIES = {
     "audio_fp_dups": q_audio_fp_dups,
     "rank_weighted_sample": q_rank_weighted_sample,
     "knn_triangles": q_knn_triangles,
+    "fuzzy_word_pairs": q_fuzzy_word_pairs,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
