@@ -405,6 +405,18 @@ def q_minhash_dedup_keep(sf_dir: str):
     return minhash_dedup_keep(ds, threshold=0.7)
 
 
+def q_skyline_lineitem(sf_dir: str):
+    """Skyline / Pareto frontier of lineitem (minimize extendedprice,
+    maximize quantity) — stages/skyline.py: lossless per-block local
+    skyline, then one bounded final group over the candidate union.
+    Duplicate extremal rows keep their multiplicity, exactly matching
+    the SQL NOT-EXISTS dominance oracle."""
+    from ..stages.skyline import skyline_2d
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+    return skyline_2d(ds, "l_extendedprice", "l_quantity")
+
+
 def q_fuzzy_word_pairs(sf_dir: str):
     """Entity-resolution fuzzy join: customer-name pairs at edit
     distance exactly 1 via the FastSS deletion-neighborhood join
@@ -4108,6 +4120,16 @@ ORACLE_SQL["fuzzy_word_pairs"] = """
     WHERE abs(length(a.word) - length(b.word)) <= 1
       AND levenshtein(a.word, b.word) = 1"""
 
+ORACLE_SQL["skyline_lineitem"] = """
+    SELECT a.l_extendedprice, a.l_quantity
+    FROM lineitem a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem b
+      WHERE b.l_extendedprice <= a.l_extendedprice
+        AND b.l_quantity >= a.l_quantity
+        AND (b.l_extendedprice < a.l_extendedprice
+             OR b.l_quantity > a.l_quantity))"""
+
 QUERIES = {
     # --- first 50: driver correctness-gate slots (gate caps at 50).
     # Round 3 ordering: the 53 queries absent from CORRECTNESS_r02.json go
@@ -4172,6 +4194,7 @@ QUERIES = {
     "rank_weighted_sample": q_rank_weighted_sample,
     "knn_triangles": q_knn_triangles,
     "fuzzy_word_pairs": q_fuzzy_word_pairs,
+    "skyline_lineitem": q_skyline_lineitem,
     # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
