@@ -106,3 +106,47 @@ def test_gz_roundtrip_per_record_members(ray_session, tmp_path):
     o = orig.sort_values("url").reset_index(drop=True)
     assert list(b["url"]) == list(o["url"])
     assert list(b["html"]) == list(o["html"])
+
+
+# ---------------------------------- WET ----------------------------------
+
+def test_wet_record_roundtrip():
+    from tilemaker_ray.sources.warc import parse_wet, wet_record
+    ts = 1_700_000_000_123_457
+    rec = wet_record("https://a/1", ts, "extracted text ünïcode")
+    assert b"WARC-Type: conversion" in rec
+    assert parse_wet(rec) == [("https://a/1", ts,
+                               "extracted text ünïcode")]
+    # warcinfo-style leading record is skipped
+    info = (b"WARC/1.1\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\nabcd\r\n\r\n")
+    assert parse_wet(info + rec) == [("https://a/1", ts,
+                                      "extracted text ünïcode")]
+
+
+def test_wet_shards_roundtrip(ray_session, tmp_path):
+    from tilemaker_ray.sources import pages as _pages
+    from tilemaker_ray.sources.warc import read_wet, write_wet_shards
+    src = _pages.pages_dataset(150).materialize()
+    out = str(tmp_path / "wet")
+    write_wet_shards(src.select_columns(["url", "warc_ts", "text"]),
+                     out)
+    back = read_wet(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    orig = src.to_pandas()[["url", "warc_ts", "text"]] \
+        .sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(orig["url"])
+    assert list(back["text"]) == list(orig["text"])
+    assert np.array_equal(back["warc_ts"].astype("int64").to_numpy(),
+                          orig["warc_ts"].astype("int64").to_numpy())
+
+
+def test_wet_shards_gz_roundtrip(ray_session, tmp_path):
+    from tilemaker_ray.sources import pages as _pages
+    from tilemaker_ray.sources.warc import read_wet, write_wet_shards
+    src = _pages.pages_dataset(60).materialize()
+    out = str(tmp_path / "wetgz")
+    write_wet_shards(src.select_columns(["url", "warc_ts", "text"]),
+                     out, compress=True)
+    back = read_wet(out).to_pandas()
+    assert len(back) == 60

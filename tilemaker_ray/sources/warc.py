@@ -203,3 +203,121 @@ def read_warc(path_or_dir: str):
             "html": pa.array(htmls, pa.binary())})
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# WET (WARC text conversion) — the text-only sibling of WARC that
+# Common Crawl publishes for LLM-corpus consumers: "conversion"
+# records carrying extracted plain text instead of HTTP messages.
+# Same container framing, so the reader shares parse machinery.
+# ---------------------------------------------------------------------------
+
+def wet_record(url: str, ts_us: int, text: str) -> bytes:
+    """One WARC conversion record carrying extracted plain text."""
+    import hashlib
+    import uuid
+    rid = uuid.UUID(bytes=hashlib.md5(
+        f"wet|{url}|{ts_us}".encode()).digest())
+    body = text.encode("utf-8")
+    hdr = (b"WARC/1.1" + _CRLF
+           + b"WARC-Type: conversion" + _CRLF
+           + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">"
+           + _CRLF
+           + b"WARC-Target-URI: " + url.encode() + _CRLF
+           + b"WARC-Date: " + _iso(ts_us).encode() + _CRLF
+           + b"Content-Type: text/plain" + _CRLF
+           + b"Content-Length: " + str(len(body)).encode() + _CRLF
+           + _CRLF)
+    return hdr + body + _CRLF + _CRLF
+
+
+def parse_wet(data: bytes):
+    """WET bytes → list of (url, ts_us, text) from conversion
+    records (other record types skipped — real WET files lead with a
+    warcinfo record)."""
+    import datetime as dt
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        end_hdr = data.find(_CRLF + _CRLF, pos)
+        if end_hdr < 0:
+            break
+        head = data[pos:end_hdr].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC header at byte {pos}")
+        fields = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields["content-length"])
+        if end_hdr + 4 + clen > n:
+            raise ValueError(f"record at byte {pos}: Content-Length "
+                             f"{clen} overruns the buffer")
+        body = data[end_hdr + 4:end_hdr + 4 + clen]
+        pos = end_hdr + 4 + clen + 4
+        if fields.get("warc-type") != "conversion":
+            continue
+        wd = fields["warc-date"]
+        fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in wd \
+            else "%Y-%m-%dT%H:%M:%SZ"
+        t = dt.datetime.strptime(wd, fmt) \
+            .replace(tzinfo=dt.timezone.utc)
+        out.append((fields["warc-target-uri"],
+                    int(round(t.timestamp() * 1_000_000)),
+                    body.decode("utf-8", "replace")))
+    return out
+
+
+def write_wet_shards(pages_ds, out_dir: str,
+                     compress: bool = False) -> int:
+    """(url, warc_ts, text) Dataset → content-hash-named .warc.wet
+    shards (idempotent, same sink contract as write_warc_shards)."""
+    from ..stages.sinks import write_hash_parts
+
+    def serialize(batch: pa.Table):
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].cast(pa.int64()).to_pylist()
+        texts = batch["text"].to_pylist()
+        recs = [wet_record(u, t, x)
+                for u, t, x in zip(urls, tss, texts)]
+        if compress:
+            body = b"".join(_gzip_member(r) for r in recs)
+        else:
+            body = b"".join(recs)
+        return body, "|".join(urls).encode()
+
+    ext = "warc.wet.gz" if compress else "warc.wet"
+    return write_hash_parts(pages_ds, out_dir, ext, serialize)
+
+
+def read_wet(path_or_dir: str):
+    """→ Dataset (url, warc_ts, text) from .warc.wet shards; one task
+    per file."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path_or_dir,
+                              file_extensions=["wet", "gz"],
+                              include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, texts = [], [], []
+        for fp, blob in zip(batch["path"].to_pylist(),
+                            batch["bytes"].to_pylist()):
+            if blob[:2] == b"\x1f\x8b":
+                blob = _gunzip_members(blob)
+            if not blob.startswith(b"WARC/"):
+                raise ValueError(f"{fp}: not a WET file (no WARC/ "
+                                 "magic)")
+            for u, t, x in parse_wet(blob):
+                urls.append(u)
+                tss.append(t)
+                texts.append(x)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                np.asarray(tss, dtype=np.int64), pa.timestamp("us")),
+            "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
