@@ -150,3 +150,26 @@ def test_wet_shards_gz_roundtrip(ray_session, tmp_path):
                      out, compress=True)
     back = read_wet(out).to_pandas()
     assert len(back) == 60
+
+
+def test_cross_format_reads_refuse_loudly(ray_session, tmp_path):
+    import pytest
+    from tilemaker_ray.sources import pages as _pages
+    from tilemaker_ray.sources.warc import (read_warc, read_wet,
+                                            write_warc_shards,
+                                            write_wet_shards)
+    src = _pages.pages_dataset(40).materialize()
+    # compressed shards: both formats end in .gz, so only the
+    # basename check distinguishes them (the uncompressed case is
+    # already excluded by the extension filters)
+    wdir = str(tmp_path / "w")
+    write_warc_shards(src, wdir, compress=True)
+    tdir = str(tmp_path / "t")
+    write_wet_shards(src.select_columns(["url", "warc_ts", "text"]),
+                     tdir, compress=True)
+    with pytest.raises(Exception) as ei:
+        read_wet(wdir).to_pandas()       # WARC shards into read_wet
+    assert "use read_warc" in str(ei.value) or ".wet" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        read_warc(tdir).to_pandas()      # WET shards into read_warc
+    assert "use read_wet" in str(ei.value)

@@ -4120,22 +4120,32 @@ ORACLE_SQL["fuzzy_word_pairs"] = """
     WHERE abs(length(a.word) - length(b.word)) <= 1
       AND levenshtein(a.word, b.word) = 1"""
 
+# the window form is value-identical to the NOT EXISTS dominance
+# definition (verified side by side) but O(n log n) instead of the
+# quadratic correlated subquery (97 s at sf0.01 — too heavy for the
+# driver gate)
 ORACLE_SQL["skyline_lineitem"] = """
-    SELECT a.l_extendedprice, a.l_quantity
-    FROM lineitem a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM lineitem b
-      WHERE b.l_extendedprice <= a.l_extendedprice
-        AND b.l_quantity >= a.l_quantity
-        AND (b.l_extendedprice < a.l_extendedprice
-             OR b.l_quantity > a.l_quantity))"""
+    WITH s AS (SELECT l_extendedprice AS p, l_quantity AS q
+               FROM lineitem),
+    pr AS (SELECT p, max(q) AS run_max FROM s GROUP BY p),
+    pb AS (SELECT p, run_max,
+                  max(run_max) OVER (ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_best
+           FROM pr)
+    SELECT s.p AS l_extendedprice, s.q AS l_quantity
+    FROM s JOIN pb ON s.p = pb.p
+    WHERE s.q = pb.run_max
+      AND (pb.prev_best IS NULL OR pb.run_max > pb.prev_best)"""
 
 QUERIES = {
-    # --- first 50: driver correctness-gate slots (gate caps at 50).
-    # Round 3 ordering: the 53 queries absent from CORRECTNESS_r02.json go
-    # first so the driver certifies them; the 43 already driver-certified
-    # (plus 7 rows-only) from r2 follow and keep pytest-gate coverage
-    # (tests/test_queries_oracle.py mirrors the driver protocol).
+    # --- driver correctness-gate slots: the driver checks the FIRST 50
+    # entries only. Round-3 composition: the queries the round-2 gate
+    # never saw, preferring SQL-oracle-backed ones (47 oracle + 3
+    # rows-only: raster_polygonize, pagerank_sites, flagship_tiles).
+    # Everything below the cap marker keeps the local pytest gate
+    # (tests/test_queries_oracle.py mirrors the driver protocol over
+    # ALL oracle-backed queries).
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,
@@ -4165,8 +4175,6 @@ QUERIES = {
     "concurrent_events": q_concurrent_events,
     "trailing_spend_events": q_trailing_spend_events,
     "json_props_stats": q_json_props_stats,
-    "media_codec_features": q_media_codec_features,
-    "warc_host_stats": q_warc_host_stats,
     "corpus_curation_docs": q_corpus_curation_docs,
     "hourly_active_users": q_hourly_active_users,
     "length_bins_docs": q_length_bins_docs,
@@ -4180,22 +4188,24 @@ QUERIES = {
     "pagerank_sites": q_pagerank_sites,
     "top_unshipped_orders": q_top_unshipped_orders,
     "decontaminate_docs": q_decontaminate_docs,
-    "bpe_token_count_docs": q_bpe_token_count_docs,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
     "user_tracks": q_user_tracks,
     "revenue_by_nation": q_revenue_by_nation,
+    "knn_triangles": q_knn_triangles,
+    "fuzzy_word_pairs": q_fuzzy_word_pairs,
+    "skyline_lineitem": q_skyline_lineitem,
     "flagship_tiles": q_flagship_tiles,
+    # --- beyond the driver's 50-query cap ---
+    "media_codec_features": q_media_codec_features,
+    "warc_host_stats": q_warc_host_stats,
+    "bpe_token_count_docs": q_bpe_token_count_docs,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dedup_spans_docs": q_dedup_spans_docs,
     "image_phash_dups": q_image_phash_dups,
     "audio_fp_dups": q_audio_fp_dups,
     "rank_weighted_sample": q_rank_weighted_sample,
-    "knn_triangles": q_knn_triangles,
-    "fuzzy_word_pairs": q_fuzzy_word_pairs,
-    "skyline_lineitem": q_skyline_lineitem,
-    # --- beyond the driver's 50-query cap: driver-certified in r2 ---
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
     "hll_users_by_type": q_hll_users_by_type,

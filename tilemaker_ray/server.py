@@ -35,16 +35,55 @@ _INDEX_HTML = """<!doctype html>
 class _TileSource:
     """Uniform z/x/y → gzip-MVT-bytes lookup over either archive
     format. MBTiles: per-thread sqlite connections (sqlite3 objects
-    are not thread-safe across threads). PMTiles: header+directories
-    parsed once, byte-range reads per tile."""
+    are not thread-safe across threads). PMTiles: header + root
+    directory parsed ONCE at construction, leaf directories cached on
+    first touch — per request only a byte-range read remains (the
+    naive path re-gunzipped the root on every tile)."""
 
     def __init__(self, path: str):
         self.path = path
         self.kind = "pmtiles" if path.endswith(".pmtiles") else "mbtiles"
         self._local = threading.local()
         if self.kind == "pmtiles":
+            import gzip
+
             from .stages import pmtiles as _pmt
             self._pmt = _pmt
+            self._hdr = _pmt.read_header(path)
+            with open(path, "rb") as f:
+                f.seek(self._hdr["root_offset"])
+                self._root = _pmt.deserialize_directory(
+                    gzip.decompress(f.read(self._hdr["root_length"])))
+            self._leaves: dict = {}
+            self._leaf_lock = threading.Lock()
+
+    def _pmtiles_tile(self, z: int, x: int, y: int) -> bytes | None:
+        import gzip
+        if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
+            return None
+        tid = int(self._pmt.zxy_to_tileid(z, x, y))
+        e = self._pmt._find_entry(self._root, tid)
+        if e is None:
+            return None
+        if e[3] == 0:                     # leaf pointer
+            key = (e[1], e[2])
+            leaf = self._leaves.get(key)
+            if leaf is None:
+                with open(self.path, "rb") as f:
+                    f.seek(self._hdr["leaf_offset"] + e[1])
+                    leaf = self._pmt.deserialize_directory(
+                        gzip.decompress(f.read(e[2])))
+                with self._leaf_lock:
+                    self._leaves[key] = leaf
+            e = self._pmt._find_entry(leaf, tid)
+            if e is None:
+                return None
+        etid, off, ln, rl = e
+        if rl == 0 or tid >= etid + rl:
+            return None
+        with open(self.path, "rb") as f:
+            f.seek(self._hdr["data_offset"] + off)
+            return f.read(ln)
 
     def _con(self) -> sqlite3.Connection:
         con = getattr(self._local, "con", None)
@@ -54,7 +93,7 @@ class _TileSource:
 
     def tile(self, z: int, x: int, y: int) -> bytes | None:
         if self.kind == "pmtiles":
-            return self._pmt.read_pmtiles(self.path, z, x, y)
+            return self._pmtiles_tile(z, x, y)
         tms_y = (1 << z) - 1 - y          # same flip as the reference
         row = self._con().execute(
             "SELECT tile_data FROM tiles WHERE zoom_level=? AND "

@@ -185,6 +185,12 @@ def read_warc(path_or_dir: str):
         urls, tss, htmls = [], [], []
         paths = batch["path"].to_pylist()
         for fp, blob in zip(paths, batch["bytes"].to_pylist()):
+            if ".wet" in os.path.basename(fp):
+                # a WET shard passes the WARC/ magic check but holds
+                # only 'conversion' records — it would contribute
+                # ZERO rows silently; refuse loudly instead
+                raise ValueError(
+                    f"{fp}: WET shard in a WARC read — use read_wet")
             if blob[:2] == b"\x1f\x8b":          # gzip magic
                 blob = _gunzip_members(blob)
             if not blob.startswith(b"WARC/"):
@@ -305,6 +311,12 @@ def read_wet(path_or_dir: str):
         urls, tss, texts = [], [], []
         for fp, blob in zip(batch["path"].to_pylist(),
                             batch["bytes"].to_pylist()):
+            if ".wet" not in os.path.basename(fp):
+                # a response-record WARC shard would contribute ZERO
+                # conversion records silently; refuse loudly
+                raise ValueError(
+                    f"{fp}: not a .wet shard — use read_warc for "
+                    "response-record WARCs")
             if blob[:2] == b"\x1f\x8b":
                 blob = _gunzip_members(blob)
             if not blob.startswith(b"WARC/"):

@@ -304,6 +304,19 @@ def encode_word(word: str, ranks: dict) -> list:
 
 
 _ENCODE_CACHE: dict = {}
+_ENCODE_CACHE_MAX_WORDS = 1_000_000
+
+
+def _encode_cache_for(key) -> dict:
+    """Per-worker word cache for ONE merge list: switching to a new
+    merge list drops the old caches (a long-lived worker serving
+    several BPE jobs would otherwise leak every vocabulary it ever
+    saw), and each cache is entry-bounded."""
+    cache = _ENCODE_CACHE.get(key)
+    if cache is None:
+        _ENCODE_CACHE.clear()
+        cache = _ENCODE_CACHE[key] = {}
+    return cache
 
 
 def bpe_tokenize_fn(merges: list, id_col: str = "doc_id",
@@ -315,14 +328,16 @@ def bpe_tokenize_fn(merges: list, id_col: str = "doc_id",
     key = tuple((a, b) for a, b, _ in merges)
 
     def fn(batch: pa.Table) -> pa.Table:
-        cache = _ENCODE_CACHE.setdefault(key, {})
+        cache = _encode_cache_for(key)
         out = np.zeros(batch.num_rows, dtype=np.int64)
         for i, t in enumerate(batch[text_col].to_pylist()):
             n = 0
             for w in t.split():
                 ln = cache.get(w)
                 if ln is None:
-                    ln = cache[w] = len(encode_word(w, ranks))
+                    ln = len(encode_word(w, ranks))
+                    if len(cache) < _ENCODE_CACHE_MAX_WORDS:
+                        cache[w] = ln
                 n += ln
             out[i] = n
         return pa.table({id_col: batch[id_col],
@@ -342,14 +357,16 @@ def bpe_encode_ids_fn(merges: list, id_col: str = "doc_id",
     key = ("ids",) + tuple((a, b) for a, b, _ in merges)
 
     def fn(batch: pa.Table) -> pa.Table:
-        cache = _ENCODE_CACHE.setdefault(key, {})
+        cache = _encode_cache_for(key)
         toks, lens = [], []
         for t in batch[text_col].to_pylist():
             doc = []
             for w in t.split():
                 ids = cache.get(w)
                 if ids is None:
-                    ids = cache[w] = encode_word(w, ranks)
+                    ids = encode_word(w, ranks)
+                    if len(cache) < _ENCODE_CACHE_MAX_WORDS:
+                        cache[w] = ids
                 doc.extend(ids)
             toks.append(doc)
             lens.append(len(doc))

@@ -483,13 +483,19 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3):
 def hamming64_near_dups(sig_ds, max_hamming: int = 3,
                         id_col: str = "doc_id",
                         sig_col: str = "simhash",
-                        n_bands: int = 4):
+                        n_bands: int = 4,
+                        max_bucket: int = 500):
     """Near-dup pairs over ANY 64-bit signature Dataset
     (id_col, sig_col): pigeonhole banding + exact verify, shared by
     text SimHash and image pHash. ``n_bands`` bands of 64/n_bands
-    bits guarantee full recall for hamming ≤ n_bands − 1 (a pair
-    differing in ≤ n_bands−1 bits leaves at least one band equal);
-    max_hamming above that bound raises."""
+    bits guarantee every pair within hamming ≤ n_bands − 1 shares a
+    band (max_hamming above that bound raises) — SUBJECT to the
+    ``max_bucket`` degradation: a band bucket larger than max_bucket
+    (e.g. thousands of byte-identical blank thumbnails) emits min-id
+    STAR pairs instead of all pairs, so component connectivity is
+    preserved but pair-level completeness is not (logged when it
+    fires). Pair-complete consumers must raise max_bucket to their
+    corpus' worst duplicate-class size."""
     assert 64 % n_bands == 0, "n_bands must divide 64"
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -524,7 +530,7 @@ def hamming64_near_dups(sig_ds, max_hamming: int = 3,
 
     def pairs(g: pa.Table) -> pa.Table:
         cand = bucket_pairs_from_runs(g, ["band", "key"], "doc_id",
-                                      max_bucket=500,
+                                      max_bucket=max_bucket,
                                       payload_cols=["simhash"])
         a = cand["doc_a"].to_numpy(zero_copy_only=False)
         b = cand["doc_b"].to_numpy(zero_copy_only=False)

@@ -244,6 +244,11 @@ def make_shards(edge_block_refs, P: int, n_hint: int = 0,
     store."""
     import ray
 
+    if P < 2:
+        # num_returns=P piece exchange needs P >= 2 (num_returns=1
+        # returns a bare ref, not a list) — and P=1 has no reason to
+        # exist; refuse loudly rather than crash in the superstep
+        raise ValueError("graph_shards: P must be >= 2")
     Shard = ray.remote(num_cpus=num_cpus,
                        scheduling_strategy="SPREAD")(_EdgeShardImpl)
     return [Shard.remote(p, P, edge_block_refs, n_hint)

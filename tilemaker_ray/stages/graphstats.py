@@ -25,7 +25,11 @@ import pyarrow as pa
 
 from .common import mix_bucket as _mix_bucket
 
-_M = np.int64(1) << np.int64(32)     # ids must be < 2^32
+# ids must be < 2^31: the packed key u*2^32+v must fit in int64
+# (u = 2^31 would overflow to a negative key and silently corrupt
+# counts); use a (u, v) two-column key beyond 31-bit ids
+_M = np.int64(1) << np.int64(32)
+_MAX_ID = np.int64(1) << np.int64(31)
 
 
 def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -43,9 +47,10 @@ def triangle_count(edges_ds, num_buckets: int = 64):
     def undirect(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(s) and (s.min() < 0 or max(s.max(), d.max()) >= _M):
+        if len(s) and (s.min() < 0 or d.min() < 0
+                       or max(s.max(), d.max()) >= _MAX_ID):
             raise ValueError("triangle_count: node ids must be in "
-                             "[0, 2^32)")
+                             "[0, 2^31)")
         u = np.minimum(s, d)
         v = np.maximum(s, d)
         keep = u != v

@@ -306,9 +306,14 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1         # stuffed byte
                 elif 0xD0 <= nxt <= 0xD7:
+                    self.pos += 1         # consume the marker byte
                     raise _RestartMarker(nxt)
                 else:
-                    b = 0                 # into EOI padding
+                    # a real marker (EOI/next segment): end of scan —
+                    # park past the data and feed zero padding so the
+                    # marker byte is never decoded as entropy data
+                    self.pos = len(self.data)
+                    b = 0
             self.acc = (self.acc << 8) | b
             self.nbits += 8
         self.nbits -= n

@@ -172,7 +172,7 @@ def pagerank(edges_ds, nodes: list, iters: int = 10,
     # corpus — coalesce to a few blocks before handing refs to shards
     iedges = edges_ds.map_batches(encode, batch_format="pyarrow") \
         .repartition(4).materialize()
-    P = n_shards or min(8, max(2, n))
+    P = max(2, n_shards or min(8, max(2, n)))
     shards = make_shards(iedges.to_arrow_refs(), P, n_hint=n)
     try:
         tables = run_pagerank_sharded(shards, n, iters, scale,
@@ -237,7 +237,7 @@ def bfs_hops(edges_ds, sources: list, max_hops: int = 8,
 
     iedges = edges_ds.map_batches(as_st, batch_format="pyarrow") \
         .repartition(4).materialize()
-    P = n_shards or 8
+    P = max(2, n_shards or 8)
     shards = make_shards(iedges.to_arrow_refs(), P)
     try:
         tables = run_bfs_sharded(shards, [int(s) for s in sources],
