@@ -405,6 +405,18 @@ def q_minhash_dedup_keep(sf_dir: str):
     return minhash_dedup_keep(ds, threshold=0.7)
 
 
+def q_kll_value_quantiles(sf_dir: str):
+    """Approximate event-value quantiles via the mergeable KLL sketch
+    (stages/kll.py) — the unbounded-domain scale partner to the exact
+    value_quantiles: per-block sketches, one tiny blob fold. Approx
+    by design → rows-only (like the HLL family); pytest pins the rank
+    error < 2.5% and merge correctness."""
+    from ..stages.kll import kll_quantiles
+    ds = _read(sf_dir, "events", columns=["value"])
+    return kll_quantiles(ds, "value", [0.1, 0.25, 0.5, 0.75, 0.9,
+                                       0.99])
+
+
 def q_skyline_lineitem(sf_dir: str):
     """Skyline / Pareto frontier of lineitem (minimize extendedprice,
     maximize quantity) — stages/skyline.py: lossless per-block local
@@ -4197,6 +4209,7 @@ QUERIES = {
     "skyline_lineitem": q_skyline_lineitem,
     "flagship_tiles": q_flagship_tiles,
     # --- beyond the driver's 50-query cap ---
+    "kll_value_quantiles": q_kll_value_quantiles,
     "media_codec_features": q_media_codec_features,
     "warc_host_stats": q_warc_host_stats,
     "bpe_token_count_docs": q_bpe_token_count_docs,
