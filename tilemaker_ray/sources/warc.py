@@ -1,4 +1,4 @@
-"""WARC 1.0 source and sink — the container format the actual Common
+"""WARC/WET source and sink — the container formats the actual Common
 Crawl corpus ships in (ISO 28500, public spec). The reference engine's
 analog is its binary OSM PBF reader (block scan + entity decode,
 /root/reference/src/pbf_processor.cpp); for a webtext corpus the
@@ -6,7 +6,7 @@ equivalent "native archive" is WARC response records wrapping HTTP
 payloads.
 
 Layout notes (per the public spec):
- * a record = header block (``WARC/1.0`` + named fields, CRLF lines,
+ * a record = header block (``WARC/1.1`` + named fields, CRLF lines,
    blank-line terminator), then exactly ``Content-Length`` payload
    bytes, then CRLF CRLF;
  * ``response`` records carry an HTTP message as payload — status
