@@ -344,3 +344,116 @@ def lm_doc_scores(docs_ds, lm_table: pa.Table):
                  for n, a in zip(n_big, avg)], pa.float64())})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def windowed_cooc_pmi(docs_ds, window: int = 2, min_count: int = 5,
+                      k: int = 50, num_buckets: int = 64,
+                      text_col: str = "text"):
+    """Windowed co-occurrence counts + PMI — the word2vec-era corpus
+    statistic: unordered word pairs within ±``window`` positions,
+    PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c_xy/n_pairs and
+    p(w) = c_w/n_tok. Top-``k`` pairs by (count desc, w1, w2).
+
+    Shape: per-batch vectorized pair counting (dictionary-encode
+    tokens once, shift-and-pack for every offset d ≤ window), ONE
+    bucketed exchange on hash(w1); unigram counts ride the existing
+    word_counts_ds (combiner + one slim exchange) and are broadcast
+    (bounded by vocabulary size — the LM-table bound documented on
+    lm_doc_scores). PMI is computed on the final ≤k rows with the
+    IEEE expression tree ((c_xy·n_tok)·n_tok) / ((c_x·c_y)·n_pairs)
+    mirrored verbatim by the SQL oracle, ln via libm — hash-exact."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .bpe import word_counts_ds
+    from .common import mix_bucket
+    from .dedup import _word_hash
+
+    wc = word_counts_ds(docs_ds, text_col=text_col).materialize()
+    wc_tbl = wc.to_pandas()
+    cx = dict(zip(wc_tbl["word"], wc_tbl["cnt"].astype(int)))
+    n_tok = int(wc_tbl["cnt"].sum())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        enc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        v = np.int64(len(vocab))
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "kbkt": pa.array([], pa.int64())})
+        if len(codes) < 2:
+            return empty
+        ends = np.cumsum(lens)
+        packed = []
+        for d in range(1, window + 1):
+            if len(codes) <= d:
+                break
+            a, b = codes[:-d], codes[d:]
+            # drop pairs crossing document boundaries: position i
+            # pairs with i+d only if both are in the same document
+            mask = np.ones(len(a), dtype=bool)
+            for off in range(d):
+                idx = ends[:-1] - 1 - off
+                idx = idx[(idx >= 0) & (idx < len(mask))]
+                mask[idx] = False
+            lo = np.minimum(a[mask], b[mask])
+            hi = np.maximum(a[mask], b[mask])
+            packed.append(lo * v + hi)
+        if not packed:
+            return empty
+        uk, cnt = np.unique(np.concatenate(packed), return_counts=True)
+        w1 = vocab[(uk // v)]
+        w2 = vocab[(uk % v)]
+        # canonical order is LEXICOGRAPHIC on the strings (matching
+        # SQL least/greatest), not code order
+        flip = w1 > w2
+        w1c = np.where(flip, w2, w1)
+        w2c = np.where(flip, w1, w2)
+        h = np.fromiter((_word_hash(x) & 0x7FFFFFFF for x in w1c),
+                        dtype=np.int64, count=len(w1c))
+        return pa.table({
+            "w1": pa.array(w1c, pa.string()),
+            "w2": pa.array(w2c, pa.string()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            "kbkt": pa.array(mix_bucket(h, num_buckets), pa.int64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.to_pandas().groupby(["w1", "w2"],
+                                   as_index=False)["c"].sum()
+        return pa.Table.from_pandas(df[["w1", "w2", "c"]],
+                                    preserve_index=False)
+
+    pairs = (docs_ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("kbkt").map_groups(fold, batch_format="pyarrow")
+             .materialize())
+    n_pairs = int(pairs.sum("c") or 0)
+    # final top-k + PMI: the pair table is vocabulary-bounded; top-k
+    # selection + the ≤k-row float pass happen on the driver like the
+    # other top-k finishes
+    import pyarrow as _pa
+    blocks = [ray.get(r) for r in pairs.to_arrow_refs()]
+    tbl = _pa.concat_tables([b for b in blocks if b.num_rows])
+    df = tbl.to_pandas()
+    df = df[df["c"] >= min_count]
+    df = df.sort_values(["c", "w1", "w2"],
+                        ascending=[False, True, True]).head(k)
+    pmi = [math.log(((float(cxy) * n_tok) * n_tok)
+                    / ((float(cx[a]) * cx[b]) * n_pairs))
+           for a, b, cxy in zip(df["w1"], df["w2"], df["c"])]
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "w1": pa.array(df["w1"].tolist(), pa.string()),
+        "w2": pa.array(df["w2"].tolist(), pa.string()),
+        "c_xy": pa.array(df["c"].astype("int64").tolist(), pa.int64()),
+        "pmi": pa.array(pmi, pa.float64())}))
