@@ -168,3 +168,45 @@ def test_lm_doc_scores_oov_and_short(ray_session):
     assert out.loc[3, "n_bigrams"] == 0
     assert np.isnan(out.loc[3, "avg_logp"])
     assert out.loc[4, "sum_logp_fp"] == 0            # 2 in-LM bigrams
+
+
+def test_windowed_cooc_pmi_vs_bruteforce(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.textindex import windowed_cooc_pmi
+
+    docs = ["a b c a b", "b a", "c", "a b c d e a b c d e"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    W, MIN, K = 2, 2, 10
+    # brute force
+    from collections import Counter
+    cx, cp = Counter(), Counter()
+    n_tok = n_pairs = 0
+    for d in docs:
+        ws = d.split()
+        cx.update(ws)
+        n_tok += len(ws)
+        for i in range(len(ws)):
+            for dd in (1, 2):
+                if i + dd < len(ws):
+                    a, b = sorted((ws[i], ws[i + dd]))
+                    cp[(a, b)] += 1
+                    n_pairs += 1
+    want = sorted(((c, a, b) for (a, b), c in cp.items()
+                   if c >= MIN), key=lambda x: (-x[0], x[1], x[2]))[:K]
+    out = windowed_cooc_pmi(rd.from_arrow(t).repartition(3),
+                            window=W, min_count=MIN, k=K).to_pandas()
+    got = list(zip(out["c_xy"], out["w1"], out["w2"]))
+    assert got == [(c, a, b) for c, a, b in want]
+    for _, r in out.iterrows():
+        exp = math.log(((float(r["c_xy"]) * n_tok) * n_tok)
+                       / ((float(cx[r["w1"]]) * cx[r["w2"]])
+                          * n_pairs))
+        assert r["pmi"] == exp
+    # cross-document pairs must NOT be counted: ('b','c') appears
+    # within docs only; ('a','a') via doc edges would be spurious
+    assert ("a", "a") not in {(a, b) for _, a, b in want} or \
+        cp[("a", "a")] >= MIN
