@@ -210,3 +210,44 @@ def test_windowed_cooc_pmi_vs_bruteforce(ray_session):
     # within docs only; ('a','a') via doc edges would be spurious
     assert ("a", "a") not in {(a, b) for _, a, b in want} or \
         cp[("a", "a")] >= MIN
+
+
+def test_windowed_cooc_pmi_irregular_whitespace(ray_session):
+    """Both passes must tokenize like the oracle's string_split(text,
+    ' '): runs of spaces yield EMPTY tokens that count toward n_tok,
+    cx, and pairs. Real web text has double/leading/trailing spaces —
+    a str.split() unigram pass would diverge (and KeyError on '')."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.textindex import windowed_cooc_pmi
+
+    docs = ["a  b a  b", " a b", "b a ", "a\tb a\tb a"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    W, MIN, K = 2, 1, 20
+    from collections import Counter
+    cx, cp = Counter(), Counter()
+    n_tok = n_pairs = 0
+    for d in docs:
+        ws = d.split(" ")          # keeps empties, tabs stay in-token
+        cx.update(ws)
+        n_tok += len(ws)
+        for i in range(len(ws)):
+            for dd in range(1, W + 1):
+                if i + dd < len(ws):
+                    a, b = sorted((ws[i], ws[i + dd]))
+                    cp[(a, b)] += 1
+                    n_pairs += 1
+    want = sorted(((c, a, b) for (a, b), c in cp.items()
+                   if c >= MIN), key=lambda x: (-x[0], x[1], x[2]))[:K]
+    out = windowed_cooc_pmi(rd.from_arrow(t).repartition(2),
+                            window=W, min_count=MIN, k=K).to_pandas()
+    got = list(zip(out["c_xy"], out["w1"], out["w2"]))
+    assert got == [(c, a, b) for c, a, b in want]
+    for _, r in out.iterrows():
+        exp = math.log(((float(r["c_xy"]) * n_tok) * n_tok)
+                       / ((float(cx[r["w1"]]) * cx[r["w2"]])
+                          * n_pairs))
+        assert r["pmi"] == exp

@@ -356,25 +356,58 @@ def windowed_cooc_pmi(docs_ds, window: int = 2, min_count: int = 5,
 
     Shape: per-batch vectorized pair counting (dictionary-encode
     tokens once, shift-and-pack for every offset d ≤ window), ONE
-    bucketed exchange on hash(w1); unigram counts ride the existing
-    word_counts_ds (combiner + one slim exchange) and are broadcast
-    (bounded by vocabulary size — the LM-table bound documented on
-    lm_doc_scores). PMI is computed on the final ≤k rows with the
-    IEEE expression tree ((c_xy·n_tok)·n_tok) / ((c_x·c_y)·n_pairs)
+    bucketed exchange on hash(w1).  Unigram counts use the SAME
+    tokenizer (``pc.split_pattern(text, " ")`` — keeps empty tokens,
+    mirroring the oracle's ``string_split``; NOT Python ``str.split``,
+    which collapses whitespace runs and would diverge on real web
+    text) through their own combiner + slim bucketed exchange.  The
+    finish is fully distributed: the distinct-pair table is bounded
+    by ``window · n_tok`` rows (each token position opens ≤ window
+    pairs) and stays in the object store; min_count filtering happens
+    per bucket (complete counts — pairs co-locate on hash(w1)), the
+    global top-k uses the partial-top-k merge (stages/topk.py), and
+    unigram counts are fetched ONLY for the ≤ 2k surviving words via
+    an is_in filter — no O(V) driver dict, no whole-pair-table driver
+    concat.  PMI is computed on the final ≤k rows with the IEEE
+    expression tree ((c_xy·n_tok)·n_tok) / ((c_x·c_y)·n_pairs)
     mirrored verbatim by the SQL oracle, ln via libm — hash-exact."""
     import math
 
     import pyarrow.compute as pc
-    import ray
 
-    from .bpe import word_counts_ds
     from .common import mix_bucket
     from .dedup import _word_hash
+    from .topk import top_k
 
-    wc = word_counts_ds(docs_ds, text_col=text_col).materialize()
-    wc_tbl = wc.to_pandas()
-    cx = dict(zip(wc_tbl["word"], wc_tbl["cnt"].astype(int)))
-    n_tok = int(wc_tbl["cnt"].sum())
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], " ")
+        flat = pc.list_flatten(toks)
+        enc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        vocab = enc.dictionary.to_pylist()
+        if not vocab:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        h = np.fromiter((_word_hash(w) & 0x7FFFFFFF for w in vocab),
+                        dtype=np.int64, count=len(vocab))
+        return pa.table({
+            "word": pa.array(vocab, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "bkt": pa.array(mix_bucket(h, num_buckets), pa.int64())})
+
+    def uni_fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("word", as_index=False)["cnt"].sum()
+        return pa.Table.from_pandas(df[["word", "cnt"]],
+                                    preserve_index=False)
+
+    uni = (docs_ds.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("bkt").map_groups(uni_fold, batch_format="pyarrow")
+           .materialize())
+    n_tok = int(uni.sum("cnt") or 0)
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch[text_col], " ")
@@ -438,16 +471,40 @@ def windowed_cooc_pmi(docs_ds, window: int = 2, min_count: int = 5,
              .groupby("kbkt").map_groups(fold, batch_format="pyarrow")
              .materialize())
     n_pairs = int(pairs.sum("c") or 0)
-    # final top-k + PMI: the pair table is vocabulary-bounded; top-k
-    # selection + the ≤k-row float pass happen on the driver like the
-    # other top-k finishes
-    import pyarrow as _pa
-    blocks = [ray.get(r) for r in pairs.to_arrow_refs()]
-    tbl = _pa.concat_tables([b for b in blocks if b.num_rows])
-    df = tbl.to_pandas()
-    df = df[df["c"] >= min_count]
+
+    # distributed finish: per-bucket counts are COMPLETE (pairs
+    # co-locate on hash(w1)), so min_count filters in-stream, then the
+    # partial-top-k merge brings only ≤ k slim rows to the driver
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c" not in batch.column_names:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return batch.select(["w1", "w2", "c"]).filter(
+            pc.greater_equal(batch["c"], min_count))
+
+    cand = top_k(pairs.map_batches(keep, batch_format="pyarrow"),
+                 ["c", "w1", "w2"], k,
+                 descending=[True, False, False])
+    df = cand.to_pandas()
     df = df.sort_values(["c", "w1", "w2"],
                         ascending=[False, True, True]).head(k)
+
+    # fetch unigram counts ONLY for the ≤ 2k surviving words
+    words = sorted({*df["w1"], *df["w2"]})
+    wset = pa.array(words, pa.string())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return batch.select(["word", "cnt"]).filter(
+            pc.is_in(batch["word"], value_set=wset))
+
+    cx_df = (uni.map_batches(pick, batch_format="pyarrow").to_pandas()
+             if words else None)
+    cx = (dict(zip(cx_df["word"], cx_df["cnt"].astype(int)))
+          if cx_df is not None else {})
     pmi = [math.log(((float(cxy) * n_tok) * n_tok)
                     / ((float(cx[a]) * cx[b]) * n_pairs))
            for a, b, cxy in zip(df["w1"], df["w2"], df["c"])]
