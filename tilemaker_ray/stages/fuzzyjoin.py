@@ -61,13 +61,20 @@ def fuzzy_word_pairs(docs_ds, max_doc_id: int = 50,
     with ``doc_id < max_doc_id``."""
 
     def words(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        ws = set()
-        for keep, t in zip(ids < max_doc_id,
-                           batch[text_col].to_pylist()):
-            if keep:
-                ws.update(t.split())
-        ws = sorted(ws)
+        import pyarrow.compute as pc
+
+        # vectorized tokenize: C++ whitespace split + dictionary
+        # encode; dropping "" reproduces str.split() exactly (Arrow
+        # emits empty tokens only at string boundaries). The only
+        # per-word Python is the fnv hash over the batch-distinct
+        # vocabulary — bounded by vocab, not corpus bytes.
+        kept = batch.filter(pc.less(batch[id_col], max_doc_id))
+        flat = pc.list_flatten(
+            pc.utf8_split_whitespace(kept[text_col]))
+        enc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+            else flat)
+        ws = sorted(w for w in enc.dictionary.to_pylist() if w != "")
         h = np.fromiter((_word_hash(w) & 0x7FFFFFFF for w in ws),
                         dtype=np.int64, count=len(ws))
         return pa.table({
@@ -119,14 +126,27 @@ def fuzzy_word_pairs(docs_ds, max_doc_id: int = 50,
                     if edit_distance_is_1(members[i], members[j]):
                         o1.append(members[i])
                         o2.append(members[j])
+        ph = np.fromiter(
+            (_word_hash(a + "\x00" + b) & 0x7FFFFFFF
+             for a, b in zip(o1, o2)), dtype=np.int64, count=len(o1))
         return pa.table({"w1": pa.array(o1, pa.string()),
-                         "w2": pa.array(o2, pa.string())})
+                         "w2": pa.array(o2, pa.string()),
+                         "pbkt": pa.array(
+                             _mix_bucket(ph, num_buckets), pa.int64())})
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["w1", "w2"])
+        return pa.Table.from_pandas(df[["w1", "w2"]],
+                                    preserve_index=False)
 
     cand = (vocab.map_batches(variant_rows, batch_format="pyarrow")
             .groupby("kbkt").map_groups(pairs, batch_format="pyarrow"))
-    # a pair can surface from several shared variants — distinct
-    return (cand.groupby(["w1", "w2"]).count()
-            .select_columns(["w1", "w2"]))
+    # a pair can surface from several shared variants — distinct via
+    # ONE slim packed-int bucketed exchange (the repo's cheap-groupby
+    # pattern; a two-string-key hash aggregate has multi-second fixed
+    # cost in Ray 2.49)
+    return (cand.groupby("pbkt")
+            .map_groups(distinct_pairs, batch_format="pyarrow"))
 
 
 def fuzzy_word_pairs_reference(texts_by_id: dict,
