@@ -228,7 +228,10 @@ def ensure_pages_parquet(n: int, cache_root: str = "/tmp/tilemaker_ray_cache") -
         # OSError with NO completed destination (e.g. cross-device
         # tmp) is a real failure, not a lost race — re-raise it
         shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.exists(done):
+        # the winner writes `done` only AFTER its os.replace lands:
+        # classify by the swapped OUTPUT too, or a loser racing inside
+        # that window re-raises despite a complete byte-identical copy
+        if os.path.exists(done) or os.path.exists(out):
             return out
         raise
     with open(done, "w") as f:

@@ -307,14 +307,20 @@ _ENCODE_CACHE: dict = {}
 _ENCODE_CACHE_MAX_WORDS = 1_000_000
 
 
+_ENCODE_CACHE_MAX_LISTS = 4
+
+
 def _encode_cache_for(key) -> dict:
-    """Per-worker word cache for ONE merge list: switching to a new
-    merge list drops the old caches (a long-lived worker serving
-    several BPE jobs would otherwise leak every vocabulary it ever
-    saw), and each cache is entry-bounded."""
+    """Per-worker word caches keyed by merge-list identity, bounded to
+    a few lists (insertion-order eviction). Two encode stages with
+    different merges interleaving on one worker (e.g. tokenize + id
+    encode over the same corpus) must NOT evict each other per batch;
+    the small cap still stops a long-lived worker from leaking every
+    vocabulary it ever saw across many BPE jobs."""
     cache = _ENCODE_CACHE.get(key)
     if cache is None:
-        _ENCODE_CACHE.clear()
+        while len(_ENCODE_CACHE) >= _ENCODE_CACHE_MAX_LISTS:
+            _ENCODE_CACHE.pop(next(iter(_ENCODE_CACHE)))
         cache = _ENCODE_CACHE[key] = {}
     return cache
 

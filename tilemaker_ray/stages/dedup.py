@@ -496,7 +496,11 @@ def hamming64_near_dups(sig_ds, max_hamming: int = 3,
     preserved but pair-level completeness is not (logged when it
     fires). Pair-complete consumers must raise max_bucket to their
     corpus' worst duplicate-class size."""
-    assert 64 % n_bands == 0, "n_bands must divide 64"
+    if 64 % n_bands != 0:
+        # NOT an assert: under python -O the check would vanish and
+        # 64 // n_bands silently leaves the top bits un-banded,
+        # breaking the pigeonhole full-recall guarantee
+        raise ValueError(f"n_bands={n_bands} must divide 64")
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole "

@@ -648,6 +648,10 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
         np.logspace(0, np.log10(nb - 1), 9)).astype(np.int64))
     while len(edges) < 9:                 # tiny spectra: pad edges
         edges = np.append(edges, edges[-1] + 1)
+    # clamp padded edges into the spectrum so every band spans ≥1 bin
+    # (an empty spec[:, lo:hi] slice would mean-NaN the feature and
+    # silently zero bits for very short clips)
+    edges = np.minimum(edges, nb - 1)
     feats = np.empty((n_slices, 8), dtype=np.float64)
     for b in range(8):
         lo, hi = int(edges[b]), max(int(edges[b + 1]), int(edges[b]) + 1)
