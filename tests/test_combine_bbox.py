@@ -97,3 +97,63 @@ def test_bbox_restricts_tiles(ray_session):
     # berlin content exists
     zooms = set(tiles["zoom"])
     assert 14 in zooms
+
+
+def _poly_rows(polys, layer="lot", zord=7, name="p"):
+    """Rows for polygon features anchored in the same z14 tile."""
+    rows = []
+    for i, ext in enumerate(polys):
+        ext = np.asarray(ext)
+        lon, lat = float(ext[0, 0]), float(ext[0, 1])
+        x = tm.lon2tilex(np.array([lon]), 14)
+        y = tm.lat2tiley(np.array([lat]), 14)
+        rows.append({"fuid": i, "kind": 3, "layer": layer, "name": name,
+                     "minzoom": 9, "z_order": zord, "lon": lon, "lat": lat,
+                     "geom_wkb": wkb.polygon_wkb(ext),
+                     "attrs_json": "",
+                     "base_tiles": tm.tile_id(14, x, y).tolist()})
+    return pd.DataFrame(rows)
+
+
+def _sq_lonlat(base, i0, j0, i1, j1, step=0.0004):
+    """Closed lon/lat square on a small grid near ``base``."""
+    x0, y0 = base[0] + i0 * step, base[1] + j0 * step
+    x1, y1 = base[0] + i1 * step, base[1] + j1 * step
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+
+
+def test_combine_polygons_unions_adjacent_squares():
+    """Reference parity (tile_worker.cpp:393-405): two adjacent
+    same-attribute squares in a combine_polygons layer dissolve their
+    shared border into ONE merged ring, not a two-part multipolygon."""
+    cfg = EngineConfig(layers=(LayerDef("lot", minzoom=9,
+                                        combine_polygons=True),))
+    base = (13.4000, 52.5000)
+    p1 = _sq_lonlat(base, 0, 0, 4, 4)
+    p2 = _sq_lonlat(base, 4, 0, 8, 4)    # shares the right border of p1
+    df = _poly_rows([p1, p2])
+    tiles = encode_subtree(df, cfg, zmin=14, zmax=14).to_pandas()
+    assert len(tiles) == 1
+    dec = mvt.decode_tile(gzip.decompress(tiles.iloc[0]["tile_gz"]))
+    feats = dec["lot"]["features"]
+    assert len(feats) == 1
+    parts = mvt.decode_geometry(feats[0]["geometry"])
+    assert len(parts) == 1            # ONE ring: the border dissolved
+    ring = np.asarray(parts[0])
+    xs = sorted(set(ring[:, 0].tolist()))
+    assert len(xs) >= 2               # spans both squares' width
+
+
+def test_combine_polygons_disjoint_stay_multipolygon():
+    cfg = EngineConfig(layers=(LayerDef("lot", minzoom=9,
+                                        combine_polygons=True),))
+    base = (13.4000, 52.5000)
+    p1 = _sq_lonlat(base, 0, 0, 3, 3)
+    p2 = _sq_lonlat(base, 6, 6, 9, 9)    # no shared border
+    df = _poly_rows([p1, p2])
+    tiles = encode_subtree(df, cfg, zmin=14, zmax=14).to_pandas()
+    dec = mvt.decode_tile(gzip.decompress(tiles.iloc[0]["tile_gz"]))
+    feats = dec["lot"]["features"]
+    assert len(feats) == 1            # still one combined FEATURE
+    parts = mvt.decode_geometry(feats[0]["geometry"])
+    assert len(parts) == 2            # ...with two rings

@@ -43,6 +43,7 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..geo import antimeridian as _antimeridian
 from ..geo import clip as _clip
 from ..geo import dissolve as _dissolve
+from ..geo import polyunion as _polyunion
 from ..geo import simplify as _simplify
 from ..geo import tilemath as tm
 from ..geo import wkb as _wkb
@@ -290,6 +291,7 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
         # (combine_lines → ReorderMultiLinestring endpoint linking,
         # src/tile_worker.cpp:29-77,381-405)
         all_parts: list = []
+        feature_parts: list = []
         gtype = 0
         for j in range(s, e):
             gt, payload = parsed(int(f_sl[j]))
@@ -297,10 +299,21 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
                                        margin, ldef,
                                        ring_class_memo=ring_class_memo)
             all_parts.extend(parts)
+            if parts:
+                feature_parts.append(parts)
         if all_parts:
             if gtype == mvt.GEOM_LINESTRING and ldef.combine_lines \
                     and len(all_parts) > 1:
                 all_parts = reorder_multilinestring(all_parts)
+            elif gtype == mvt.GEOM_POLYGON and ldef.combine_polygons \
+                    and len(feature_parts) > 1:
+                # geometric union of the run (reference
+                # tile_worker.cpp:393-405 union_many): adjacent
+                # same-attribute polygons dissolve shared borders;
+                # None → keep the concatenated parts
+                u = _polyunion.union_polygon_runs(feature_parts)
+                if u is not None:
+                    all_parts = u
             lb = layers.get(lname)
             if lb is None:
                 lb = layers[lname] = mvt.LayerBuilder(lname, extent)
