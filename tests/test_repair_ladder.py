@@ -111,3 +111,43 @@ def test_wide_latitude_ring_repairs_in_projected_space():
     # projected-space crossing is real: warp and check
     w = np.stack([ring[:, 0], tm.lat2latp(ring[:, 1])], axis=1)
     assert _ring_self_intersects(w)
+
+
+def test_guard_detects_crossing_past_64_segments():
+    """Rings above the dense-pair cap use grid-bucketed candidates
+    (the reference's R-tree guard analog, geom.cpp:17-138) instead of
+    skipping the check."""
+    import numpy as np
+    # 200-vertex near-circle, then swap two far-apart vertices to
+    # force a crossing
+    t = np.linspace(0, 2 * np.pi, 201)[:-1]
+    ring = np.stack([1000 + 500 * np.cos(t), 1000 + 500 * np.sin(t)],
+                    axis=1)
+    assert not _ring_self_intersects(ring)          # simple: no hit
+    crossed = ring.copy()
+    crossed[[50, 52]] = crossed[[52, 50]]           # local bowtie
+    assert _ring_self_intersects(crossed)
+    # far-apart swap: crossing segments live in distant index space
+    crossed2 = ring.copy()
+    crossed2[[10, 100]] = crossed2[[100, 10]]
+    assert _ring_self_intersects(crossed2)
+
+
+def test_large_simplified_ring_stays_valid():
+    """End-to-end: DP-simplifying a >64-pt concave ring must never
+    emit a self-crossing ring (the guard rejects the simplification
+    and keeps the original)."""
+    import numpy as np
+    from tilemaker_ray.geo import simplify as _simplify
+    rng = np.random.RandomState(7)
+    t = np.linspace(0, 2 * np.pi, 161)[:-1]
+    r = 400 + rng.uniform(-80, 80, size=len(t))
+    ring = np.stack([2048 + r * np.cos(t), 2048 + r * np.sin(t)], axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    for level in (2.0, 8.0, 32.0):
+        c2 = _simplify.simplify_ring(ring, level,
+                                     algorithm="douglas_peucker")
+        if c2 is None:
+            continue
+        out = c2 if not _ring_self_intersects(c2) else ring
+        assert not _ring_self_intersects(out)

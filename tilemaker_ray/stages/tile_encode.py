@@ -329,23 +329,38 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
     return n_encoded, gz, hashlib.md5(body).hexdigest()
 
 
-def _ring_self_intersects(ring: np.ndarray, max_check: int = 64) -> bool:
-    """Non-adjacent segment crossing test (O(n²), size-capped — rings
-    past the cap skip the guard, like the reference's R-tree fallback
-    bounds)."""
+def _ring_self_intersects(ring: np.ndarray, max_check: int = 64,
+                          max_pairs: int = 262144) -> bool:
+    """Non-adjacent segment crossing test.
+
+    Small rings (≤ ``max_check`` segments) test all pairs in one
+    broadcast call; larger rings bucket segments on a uniform grid
+    sized so the expected bucket occupancy is O(1) and test only
+    co-bucketed pairs — the analog of the reference's R-tree guard
+    (/root/reference/src/geom.cpp:17-138), near-linear instead of the
+    former hard skip past 64 segments.  Only a pathological ring whose
+    candidate-pair count exceeds ``max_pairs`` (everything stacked in
+    one cell) skips the guard."""
     p = ring[:-1] if len(ring) and (ring[0] == ring[-1]).all() else ring
     n = len(p)
-    if n < 4 or n > max_check:
+    if n < 4:
         return False
     from ..geo.pip import segments_cross
     a0 = p
     a1 = np.roll(p, -1, axis=0)
-    # all non-adjacent segment pairs in ONE broadcast call (the former
-    # per-i Python loop dominated low-zoom shard encode): triu k=2
-    # minus the wrap-adjacent (0, n-1) pair
-    i, j = np.triu_indices(n, k=2)
-    keep = ~((i == 0) & (j == n - 1))
+    if n <= max_check:
+        # all non-adjacent segment pairs in ONE broadcast call (the
+        # former per-i Python loop dominated low-zoom shard encode):
+        # triu k=2 minus the wrap-adjacent (0, n-1) pair
+        i, j = np.triu_indices(n, k=2)
+    else:
+        i, j = _grid_candidate_pairs(a0, a1, n, max_pairs)
+        if i is None:
+            return False
+    keep = ~(((i == 0) & (j == n - 1)) | (j == i + 1))
     i, j = i[keep], j[keep]
+    if len(i) == 0:
+        return False
     hit = np.asarray(segments_cross(
         a0[i, 0], a0[i, 1], a1[i, 0], a1[i, 1],
         a0[j, 0], a0[j, 1], a1[j, 0], a1[j, 1]))
@@ -359,6 +374,47 @@ def _ring_self_intersects(ring: np.ndarray, max_check: int = 64) -> bool:
               | np.all(a1[hi] == a0[hj], axis=1)
               | np.all(a1[hi] == a1[hj], axis=1))
     return bool((~shared).any())
+
+
+def _grid_candidate_pairs(a0: np.ndarray, a1: np.ndarray, n: int,
+                          max_pairs: int):
+    """Candidate non-adjacent segment pairs sharing a grid cell.
+
+    Cell size = bbox diagonal scale / √n, so uniformly distributed
+    segments land ~O(1) per cell.  Each segment registers in every
+    cell its own bbox covers (conservative superset of the cells it
+    touches).  Returns (i, j) index arrays with i < j, deduplicated,
+    or (None, None) when the pair count blows past ``max_pairs``."""
+    lo = np.minimum(a0, a1)
+    hi = np.maximum(a0, a1)
+    span = float(max(hi[:, 0].max() - lo[:, 0].min(),
+                     hi[:, 1].max() - lo[:, 1].min(), 1e-9))
+    cell = span / max(np.sqrt(n), 1.0)
+    cx0 = np.floor(lo[:, 0] / cell).astype(np.int64)
+    cy0 = np.floor(lo[:, 1] / cell).astype(np.int64)
+    cx1 = np.floor(hi[:, 0] / cell).astype(np.int64)
+    cy1 = np.floor(hi[:, 1] / cell).astype(np.int64)
+    buckets: dict = {}
+    for s in range(n):
+        for gx in range(cx0[s], cx1[s] + 1):
+            for gy in range(cy0[s], cy1[s] + 1):
+                buckets.setdefault((gx, gy), []).append(s)
+    pairs = set()
+    for members in buckets.values():
+        m = len(members)
+        if m < 2:
+            continue
+        for ii in range(m):
+            si = members[ii]
+            for jj in range(ii + 1, m):
+                sj = members[jj]
+                pairs.add((si, sj) if si < sj else (sj, si))
+        if len(pairs) > max_pairs:
+            return None, None
+    if not pairs:
+        return (np.empty(0, dtype=np.int64),) * 2
+    arr = np.asarray(sorted(pairs), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
 
 
 def reorder_multilinestring(parts: list, max_pts: int = 6000) -> list:
