@@ -41,6 +41,41 @@ def _read(sf_dir: str, table: str, columns=None, row_filter=None):
                            **kw)
 
 
+ORACLE_STAGE_DIR = "/tmp/tilemaker_ray_oracle"
+
+
+def _stage_for_oracle(ds, name: str) -> str:
+    """Write a (slim) intermediate Dataset to a FIXED parquet path the
+    paired SQL oracle reads with ``read_parquet``.
+
+    The driver protocol registers only the ten sf tables as views, so
+    operators whose input is NOT one of those tables (WARC shards,
+    decoded media) stage the exact records both engines must aggregate:
+    the Ray pipeline continues FROM the staged parquet and the oracle
+    reads the same files, so the distributed exchange + float finish is
+    what the hash certifies (the staging step itself — WARC parse,
+    codec decode — is pinned by dedicated pytest byte/roundtrip
+    oracles). The path is per-query-name and overwritten atomically on
+    every call, which keeps the oracle SQL static across sf dirs; the
+    extra columnar write is an oracle-protocol artifact, not part of
+    the production pipeline shape."""
+    import shutil
+
+    out = os.path.join(ORACLE_STAGE_DIR, name)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(ORACLE_STAGE_DIR, exist_ok=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(out):
+            raise
+    return out
+
+
 def _nation_table(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
@@ -2248,8 +2283,11 @@ def q_corpus_curation_docs(sf_dir: str):
 def q_warc_host_stats(sf_dir: str):
     """Same per-host aggregation as host_stats_pages but ingested
     from WARC shards (write once to a versioned /tmp cache, then the
-    file-per-task distributed read + record parse). Rows-only; pytest
-    pins its equality against the parquet-ingested host stats."""
+    file-per-task distributed read + record parse). The parsed
+    (url, text) records are staged for the SQL oracle
+    (_stage_for_oracle), so the hash certifies the host-parse regex +
+    combiner-first exchange; WARC record parsing itself is pinned by
+    the pytest roundtrip/parity oracles in tests/test_warc.py."""
     import ray.data as rd
     from ..sources import pages as _pages
     from ..sources import warc as _warc
@@ -2288,9 +2326,9 @@ def q_warc_host_stats(sf_dir: str):
         return pa.table({"url": batch["url"],
                          "text": pa.array(texts, pa.string())})
 
-    return host_stats(pages.map_batches(with_text,
-                                        batch_format="pyarrow")) \
-        .sort("host")
+    records = pages.map_batches(with_text, batch_format="pyarrow")
+    staged = _stage_for_oracle(records, "warc_host_stats")
+    return host_stats(rd.read_parquet(staged)).sort("host")
 
 
 # ---------------------------------------------------------------------------
@@ -2302,17 +2340,38 @@ def q_media_codec_features(sf_dir: str):
     """Decode + feature-extract over REAL PNG/JPEG/WAV payloads (no
     FAK* stand-in): PNG images cycle all five scanline filters, JPEG
     images exercise the engine's own baseline Huffman+DCT decoder,
-    audio is RIFF PCM16. Rows-only (binary media has no SQL analog); the
-    pytest oracle round-trips every payload against numpy
-    (tests/test_media_codecs.py). Row count scales with the sf
-    tables like the sibling media_features query."""
+    audio is RIFF PCM16. The decode emits EXACT integer sufficient
+    statistics (n, Σv, Σv²) which are staged for the SQL oracle; both
+    engines then derive mean/std through the identical IEEE tree
+    (multimodal.media_moments ↔ the mirrored SQL), so the hash
+    certifies the float finish while the binary decode itself is
+    pinned by the codec roundtrip oracles (tests/test_media_codecs.py)."""
+    import ray.data as rd
     import pyarrow.parquet as _pq
     from ..stages.multimodal import MediaFeatures, real_media_dataset
     n = _pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")).num_rows
-    return real_media_dataset(n).map_batches(
+    feats = real_media_dataset(n).map_batches(
         MediaFeatures, concurrency=2, batch_size=128,
-        batch_format="pyarrow")
+        batch_format="pyarrow").select_columns(
+        ["media_id", "kind", "n_elems", "sum_v", "sumsq_v"])
+    staged = _stage_for_oracle(feats, "media_codec_features")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from ..stages.multimodal import media_moments
+        ms = [media_moments(int(nn), int(s), int(q))
+              for nn, s, q in zip(batch["n_elems"].to_pylist(),
+                                  batch["sum_v"].to_pylist(),
+                                  batch["sumsq_v"].to_pylist())]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "n_elems": batch["n_elems"],
+            "mean_val": pa.array([m[0] for m in ms], pa.float64()),
+            "std_val": pa.array([m[1] for m in ms], pa.float64())})
+
+    return rd.read_parquet(staged).map_batches(finish,
+                                               batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -4184,6 +4243,35 @@ ORACLE_SQL["cooc_pmi_docs"] = """
             JOIN cx b ON b.word = cp.w2, tot
     WHERE c_xy >= 5
     ORDER BY c_xy DESC, w1, w2 LIMIT 50"""
+
+# staged-parquet oracles (_stage_for_oracle): the Ray query writes the
+# records both engines must aggregate to a fixed path; the SQL mirrors
+# the Ray-side parse/float tree verbatim over the same files
+ORACLE_SQL["warc_host_stats"] = """
+    WITH rec AS (
+      SELECT url, text
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/warc_host_stats/*.parquet')),
+    n AS (
+      SELECT lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS netloc,
+             length(text) AS nch
+      FROM rec),
+    h AS (
+      SELECT regexp_extract(netloc,
+                 '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1) AS host, nch
+      FROM n)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(nch) AS BIGINT) AS sum_chars
+    FROM h GROUP BY host ORDER BY host"""
+
+ORACLE_SQL["media_codec_features"] = """
+    SELECT media_id, kind, n_elems,
+           CAST(sum_v AS DOUBLE) / n_elems AS mean_val,
+           sqrt(greatest(CAST(sumsq_v AS DOUBLE) / n_elems
+                - (CAST(sum_v AS DOUBLE) / n_elems)
+                  * (CAST(sum_v AS DOUBLE) / n_elems), 0)) AS std_val
+    FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/media_codec_features/*.parquet')"""
 
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50

@@ -124,6 +124,17 @@ def _decode(payload: bytes):
     return decode_external(payload)
 
 
+def media_moments(n: int, s: int, ssq: int) -> tuple:
+    """mean / population-std from exact integer sums through the IEEE
+    expression tree mirrored by the media_codec_features SQL oracle:
+    ``mean = CAST(s AS DOUBLE)/n``,
+    ``std = sqrt(greatest(CAST(ssq AS DOUBLE)/n - mean*mean, 0))``."""
+    import math
+    mean = float(s) / n
+    var = float(ssq) / n - mean * mean
+    return mean, math.sqrt(max(var, 0.0))
+
+
 class MediaFeatures:
     """Actor-pool stage: decode + per-item feature extraction. State
     (none heavy here; a model would load in __init__) amortized per
@@ -136,22 +147,35 @@ class MediaFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.calls += 1
         feats = {"media_id": [], "kind": [], "mean_val": [], "std_val": [],
-                 "n_elems": []}
+                 "n_elems": [], "sum_v": [], "sumsq_v": []}
         for mid, kind, payload in zip(batch["media_id"].to_pylist(),
                                       batch["kind"].to_pylist(),
                                       batch["payload"].to_pylist()):
             k, arr = _decode(payload)
+            # EXACT integer sufficient statistics (uint8 / int16
+            # samples fit int64 comfortably), then mean/std through the
+            # explicit IEEE tree a SQL oracle can mirror verbatim:
+            # mean = CAST(s AS DOUBLE)/n; var = max(ssq/n − mean², 0)
+            a = arr.astype(np.int64, copy=False)
+            n = int(a.size)
+            s = int(a.sum())
+            ssq = int((a * a).sum())
+            mean, std = media_moments(n, s, ssq)
             feats["media_id"].append(mid)
             feats["kind"].append(k)
-            feats["mean_val"].append(float(arr.mean()))
-            feats["std_val"].append(float(arr.std()))
-            feats["n_elems"].append(int(arr.size))
+            feats["mean_val"].append(mean)
+            feats["std_val"].append(std)
+            feats["n_elems"].append(n)
+            feats["sum_v"].append(s)
+            feats["sumsq_v"].append(ssq)
         return pa.table({
             "media_id": pa.array(feats["media_id"], pa.int64()),
             "kind": pa.array(feats["kind"], pa.string()),
             "mean_val": pa.array(feats["mean_val"], pa.float64()),
             "std_val": pa.array(feats["std_val"], pa.float64()),
             "n_elems": pa.array(feats["n_elems"], pa.int64()),
+            "sum_v": pa.array(feats["sum_v"], pa.int64()),
+            "sumsq_v": pa.array(feats["sumsq_v"], pa.int64()),
         })
 
 
