@@ -283,3 +283,36 @@ def test_audio_fp_pipeline(ray_session):
         audio_fingerprint_fn, batch_format="pyarrow").to_pandas()
     assert len(df) == 20                # only the audio rows
     assert df["afp"].nunique() > 10
+
+
+def test_color_jpeg_yields_typed_skip_row():
+    """Payloads outside the codec envelope (e.g. 3-component color
+    JPEG) must produce a typed skip row — quantifiable at 100-TB
+    scale — never kill the stage."""
+    import numpy as np
+    import pyarrow as pa
+    from tilemaker_ray.stages.multimodal import (MediaFeatures,
+                                                 synth_real_media_batch)
+    src = synth_real_media_batch({"id": np.arange(8)})
+    payloads = src["payload"].to_pylist()
+    kinds = src["kind"].to_pylist()
+    # forge a color JPEG: patch the SOF0 component count of a real
+    # grayscale baseline JPEG from 1 to 3
+    ji = next(i for i, p in enumerate(payloads)
+              if p[:2] == b"\xff\xd8")
+    buf = bytearray(payloads[ji])
+    sof = buf.find(b"\xff\xc0")
+    assert sof > 0
+    buf[sof + 2 + 2 + 5] = 3          # marker+len, then prec,h,h,w,w,N
+    payloads[ji] = bytes(buf)
+    t = pa.table({"media_id": src["media_id"], 
+                  "kind": pa.array(kinds, pa.string()),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = MediaFeatures()(t).to_pandas().set_index("media_id")
+    skip = out.loc[ji]
+    assert skip["n_elems"] == 0
+    assert "NotImplementedError" in skip["skip_reason"]
+    assert np.isnan(skip["mean_val"]) or skip["mean_val"] is None
+    ok = out.drop(index=ji)
+    assert (ok["skip_reason"] == "").all()
+    assert (ok["n_elems"] > 0).all()

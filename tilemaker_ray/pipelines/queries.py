@@ -2354,7 +2354,8 @@ def q_media_codec_features(sf_dir: str):
     feats = real_media_dataset(n).map_batches(
         MediaFeatures, concurrency=2, batch_size=128,
         batch_format="pyarrow").select_columns(
-        ["media_id", "kind", "n_elems", "sum_v", "sumsq_v"])
+        ["media_id", "kind", "n_elems", "sum_v", "sumsq_v",
+         "skip_reason"])
     staged = _stage_for_oracle(feats, "media_codec_features")
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -2368,7 +2369,8 @@ def q_media_codec_features(sf_dir: str):
             "kind": batch["kind"],
             "n_elems": batch["n_elems"],
             "mean_val": pa.array([m[0] for m in ms], pa.float64()),
-            "std_val": pa.array([m[1] for m in ms], pa.float64())})
+            "std_val": pa.array([m[1] for m in ms], pa.float64()),
+            "skip_reason": batch["skip_reason"]})
 
     return rd.read_parquet(staged).map_batches(finish,
                                                batch_format="pyarrow")
@@ -4266,10 +4268,14 @@ ORACLE_SQL["warc_host_stats"] = """
 
 ORACLE_SQL["media_codec_features"] = """
     SELECT media_id, kind, n_elems,
-           CAST(sum_v AS DOUBLE) / n_elems AS mean_val,
-           sqrt(greatest(CAST(sumsq_v AS DOUBLE) / n_elems
-                - (CAST(sum_v AS DOUBLE) / n_elems)
-                  * (CAST(sum_v AS DOUBLE) / n_elems), 0)) AS std_val
+           CASE WHEN n_elems = 0 THEN NULL
+                ELSE CAST(sum_v AS DOUBLE) / n_elems END AS mean_val,
+           CASE WHEN n_elems = 0 THEN NULL
+                ELSE sqrt(greatest(CAST(sumsq_v AS DOUBLE) / n_elems
+                     - (CAST(sum_v AS DOUBLE) / n_elems)
+                       * (CAST(sum_v AS DOUBLE) / n_elems), 0)) END
+           AS std_val,
+           skip_reason
     FROM read_parquet(
         '/tmp/tilemaker_ray_oracle/media_codec_features/*.parquet')"""
 

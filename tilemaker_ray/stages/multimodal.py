@@ -128,8 +128,11 @@ def media_moments(n: int, s: int, ssq: int) -> tuple:
     """mean / population-std from exact integer sums through the IEEE
     expression tree mirrored by the media_codec_features SQL oracle:
     ``mean = CAST(s AS DOUBLE)/n``,
-    ``std = sqrt(greatest(CAST(ssq AS DOUBLE)/n - mean*mean, 0))``."""
+    ``std = sqrt(greatest(CAST(ssq AS DOUBLE)/n - mean*mean, 0))``;
+    skip rows (n = 0) yield NULLs on both sides."""
     import math
+    if n == 0:
+        return None, None
     mean = float(s) / n
     var = float(ssq) / n - mean * mean
     return mean, math.sqrt(max(var, 0.0))
@@ -147,19 +150,32 @@ class MediaFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.calls += 1
         feats = {"media_id": [], "kind": [], "mean_val": [], "std_val": [],
-                 "n_elems": [], "sum_v": [], "sumsq_v": []}
+                 "n_elems": [], "sum_v": [], "sumsq_v": [],
+                 "skip_reason": []}
         for mid, kind, payload in zip(batch["media_id"].to_pylist(),
                                       batch["kind"].to_pylist(),
                                       batch["payload"].to_pylist()):
-            k, arr = _decode(payload)
-            # EXACT integer sufficient statistics (uint8 / int16
-            # samples fit int64 comfortably), then mean/std through the
-            # explicit IEEE tree a SQL oracle can mirror verbatim:
-            # mean = CAST(s AS DOUBLE)/n; var = max(ssq/n − mean², 0)
-            a = arr.astype(np.int64, copy=False)
-            n = int(a.size)
-            s = int(a.sum())
-            ssq = int((a * a).sum())
+            # a 100-TB crawl WILL contain payloads outside the codec
+            # envelope (progressive/color JPEG, exotic WAV): emit a
+            # TYPED skip row (reason quantifiable downstream) instead
+            # of killing the run
+            try:
+                k, arr = _decode(payload)
+                reason = ""
+            except (NotImplementedError, ValueError) as err:
+                k, arr, reason = kind, None, \
+                    f"{type(err).__name__}: {err}"
+            if arr is None:
+                n = s = ssq = 0
+            else:
+                # EXACT integer sufficient statistics (uint8 / int16
+                # samples fit int64 comfortably), then mean/std through
+                # the explicit IEEE tree a SQL oracle mirrors verbatim:
+                # mean = CAST(s AS DOUBLE)/n; var = max(ssq/n−mean², 0)
+                a = arr.astype(np.int64, copy=False)
+                n = int(a.size)
+                s = int(a.sum())
+                ssq = int((a * a).sum())
             mean, std = media_moments(n, s, ssq)
             feats["media_id"].append(mid)
             feats["kind"].append(k)
@@ -168,6 +184,7 @@ class MediaFeatures:
             feats["n_elems"].append(n)
             feats["sum_v"].append(s)
             feats["sumsq_v"].append(ssq)
+            feats["skip_reason"].append(reason)
         return pa.table({
             "media_id": pa.array(feats["media_id"], pa.int64()),
             "kind": pa.array(feats["kind"], pa.string()),
@@ -176,6 +193,7 @@ class MediaFeatures:
             "n_elems": pa.array(feats["n_elems"], pa.int64()),
             "sum_v": pa.array(feats["sum_v"], pa.int64()),
             "sumsq_v": pa.array(feats["sumsq_v"], pa.int64()),
+            "skip_reason": pa.array(feats["skip_reason"], pa.string()),
         })
 
 
