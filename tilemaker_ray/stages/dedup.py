@@ -25,6 +25,7 @@ only per-document token lists (unavoidable for text shingling).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -931,6 +932,124 @@ def minhash_dedup_keep(docs_ds, threshold: float = 0.7, n_perm=64,
                               n_bands=n_bands, shingle_k=shingle_k)
     return keep_one_per_component(docs_ds, pairs,
                                   num_buckets=num_buckets)
+
+
+def resumable_minhash_dedup_keep(docs_ds, out_dir: str,
+                                 threshold: float = 0.7, n_perm=64,
+                                 n_bands=16, shingle_k=5,
+                                 num_buckets: int = 256,
+                                 n_partitions: int = 16,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text"):
+    """Checkpointed near-dup removal: the corpus minus duplicate-
+    component members (component-minimum kept), resumable like the
+    flagship tile shuffle (state/checkpoint.py).  Returns
+    ``(newly_written_kept_ds, reused_partition_keys)``.
+
+    Two checkpointed stages:
+
+    - ``drops`` — the global drop-id set from LSH pairs + connected
+      components.  All-to-all work but a TINY artifact (8 bytes per
+      duplicate doc), checkpointed as one unit: a resumed run whose
+      decision pass finished never re-shingles the corpus.
+    - ``kept`` — the corpus rewrite minus drops, partitioned by
+      ``hash(doc_id) % n_partitions``.  This is the phase that moves
+      every surviving byte, so it is where per-partition resume pays:
+      completed partitions are filtered out BEFORE the rewrite and
+      their parquet is reused verbatim (presence-based skip, lineage
+      fingerprints recorded for audit — same contract as
+      resumable_tiles).
+
+    The drop set is broadcast once via ``ray.put`` (duplicates are a
+    small fraction of a deduped corpus; if drops ever outgrew worker
+    heap the rewrite would switch to the bucketed anti-join of
+    keep_one_per_component at the cost of exchanging the text
+    column)."""
+    import time
+
+    import ray
+
+    from ..state import checkpoint as cp
+
+    done_drops = cp.load_completed(out_dir, "drops")
+    if "all" in done_drops and os.path.isdir(
+            cp.partition_dir(out_dir, "all")):
+        drops_tbl = cp.read_partition(out_dir, "all")
+    else:
+        t0 = time.perf_counter()
+        pairs = minhash_near_dups(docs_ds, threshold=threshold,
+                                  n_perm=n_perm, n_bands=n_bands,
+                                  shingle_k=shingle_k)
+        comp = connected_components_min_label(pairs,
+                                              num_buckets=num_buckets)
+
+        def only_dups(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "doc_id" not in b.column_names:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids != b["comp"].to_numpy(zero_copy_only=False)
+            return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+        blocks = [ray.get(r) for r in
+                  comp.map_batches(only_dups, batch_format="pyarrow")
+                      .to_arrow_refs()]
+        blocks = [b for b in blocks if b.num_rows]
+        drops_tbl = (pa.concat_tables(blocks) if blocks
+                     else pa.table({id_col: pa.array([], pa.int64())}))
+        drops_tbl = drops_tbl.sort_by(id_col)
+        cp.write_partition(
+            out_dir, "drops", "all",
+            cp.fingerprint_table(drops_tbl, columns=(id_col,)),
+            drops_tbl.num_rows, drops_tbl,
+            int((time.perf_counter() - t0) * 1000))
+    drop_ids = drops_tbl[id_col].to_numpy(zero_copy_only=False)
+    drops_ref = ray.put(np.sort(drop_ids))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = _mix_bucket(ids, n_partitions)
+        return batch.append_column("ckpt_part",
+                                   pa.array(part, pa.int64()))
+
+    ds = docs_ds.map_batches(add_part, batch_format="pyarrow")
+    done = cp.load_completed(out_dir, "kept")
+    reused = []
+    done_keys = np.asarray(
+        [int(k) for k in done
+         if os.path.isdir(cp.partition_dir(out_dir, k))],
+        dtype=np.int64)
+    if len(done_keys):
+        reused = [str(k) for k in sorted(done_keys.tolist())]
+
+        def drop_done(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(
+                b["ckpt_part"], value_set=pa.array(done_keys))))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    out_cols = [id_col, text_col]
+
+    def rewrite(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part_key = str(int(group["ckpt_part"][0].as_py()))
+        drops = ray.get(drops_ref)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(drops, ids)
+        pos = np.minimum(pos, max(len(drops) - 1, 0))
+        is_drop = (drops[pos] == ids) if len(drops) else \
+            np.zeros(len(ids), dtype=bool)
+        kept = group.filter(pa.array(~is_drop)).select(out_cols)
+        kept = kept.sort_by(id_col)
+        cp.write_partition(
+            out_dir, "kept", part_key,
+            cp.fingerprint_table(group, columns=(id_col,)),
+            group.num_rows, kept,
+            int((time.perf_counter() - t0) * 1000))
+        return kept
+
+    new_kept = ds.groupby("ckpt_part").map_groups(
+        rewrite, batch_format="pyarrow")
+    return new_kept, reused
 
 
 def simhash_dedup_keep(docs_ds, max_hamming: int = 3,
