@@ -4281,12 +4281,65 @@ ORACLE_SQL["media_codec_features"] = """
 
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
-    # entries only. Round-3 composition: the queries the round-2 gate
-    # never saw, preferring SQL-oracle-backed ones (47 oracle + 3
-    # rows-only: raster_polygonize, pagerank_sites, flagship_tiles).
-    # Everything below the cap marker keeps the local pytest gate
-    # (tests/test_queries_oracle.py mirrors the driver protocol over
-    # ALL oracle-backed queries).
+    # entries only. Round-4 composition: the 12 queries no prior gate
+    # ever saw (cooc_pmi_docs / warc_host_stats / media_codec_features
+    # now SQL-oracled; 9 rows-only with pytest oracles), the three
+    # paths this round changed (fuzzy join, flagship with the polygon
+    # union, media features), and 35 SQL-certified fillers. With this
+    # rotation every query in the suite has a driver row in at least
+    # one round. The local gate (tests/test_queries_oracle.py) still
+    # runs ALL oracle-backed queries every pytest session.
+    "cooc_pmi_docs": q_cooc_pmi_docs,
+    "kll_value_quantiles": q_kll_value_quantiles,
+    "media_codec_features": q_media_codec_features,
+    "warc_host_stats": q_warc_host_stats,
+    "bpe_token_count_docs": q_bpe_token_count_docs,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "dedup_spans_docs": q_dedup_spans_docs,
+    "image_phash_dups": q_image_phash_dups,
+    "audio_fp_dups": q_audio_fp_dups,
+    "rank_weighted_sample": q_rank_weighted_sample,
+    "hll_users_by_type": q_hll_users_by_type,
+    "fuzzy_word_pairs": q_fuzzy_word_pairs,
+    "flagship_tiles": q_flagship_tiles,
+    "media_features": q_media_features,
+    "sigfilter_docs": q_sigfilter_docs,
+    "token_count_docs": q_token_count_docs,
+    "lang_stats_docs": q_lang_stats_docs,
+    "langid_docs": q_langid_docs,
+    "quality_docs": q_quality_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "subword_count_docs": q_subword_count_docs,
+    "redact_docs": q_redact_docs,
+    "normalize_docs": q_normalize_docs,
+    "repetition_docs": q_repetition_docs,
+    "top_quality_docs": q_top_quality_docs,
+    "dist_events": q_dist_events,
+    "sample_k_events": q_sample_k_events,
+    "ntile_events": q_ntile_events,
+    "global_rank_events": q_global_rank_events,
+    "top_events_per_user": q_top_events_per_user,
+    "event_deltas": q_event_deltas,
+    "running_totals_events": q_running_totals_events,
+    "rolling_events": q_rolling_events,
+    "first_value_events": q_first_value_events,
+    "window_events": q_window_events,
+    "ann_top5": q_ann_top5,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "word_count_topk": q_word_count_topk,
+    "tile_topk_z8": q_tile_topk_z8,
+    "knn_customer_nation": q_knn_customer_nation,
+    "pivot_orders": q_pivot_orders,
+    "skyline_lineitem": q_skyline_lineitem,
+    "mode_event_type": q_mode_event_type,
+    "distinct_users": q_distinct_users,
+    "tile_count_z10": q_tile_count_z10,
+    "pip_admin_events": q_pip_admin_events,
+    "area_concave_events": q_area_concave_events,
+    "user_tracks": q_user_tracks,
+    "revenue_by_nation": q_revenue_by_nation,
+    # --- beyond the driver's 50-query cap ---
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,
@@ -4331,75 +4384,24 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "knn_graph_events": q_knn_graph_events,
     "bloom_semi_lineitem": q_bloom_semi_lineitem,
-    "user_tracks": q_user_tracks,
-    "revenue_by_nation": q_revenue_by_nation,
     "knn_triangles": q_knn_triangles,
-    "fuzzy_word_pairs": q_fuzzy_word_pairs,
-    "skyline_lineitem": q_skyline_lineitem,
-    "flagship_tiles": q_flagship_tiles,
-    # --- beyond the driver's 50-query cap ---
-    "cooc_pmi_docs": q_cooc_pmi_docs,
-    "kll_value_quantiles": q_kll_value_quantiles,
-    "media_codec_features": q_media_codec_features,
-    "warc_host_stats": q_warc_host_stats,
-    "bpe_token_count_docs": q_bpe_token_count_docs,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semdedup_embeddings": q_semdedup_embeddings,
-    "dedup_spans_docs": q_dedup_spans_docs,
-    "image_phash_dups": q_image_phash_dups,
-    "audio_fp_dups": q_audio_fp_dups,
-    "rank_weighted_sample": q_rank_weighted_sample,
-    "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
-    "hll_users_by_type": q_hll_users_by_type,
-    "tile_count_z10": q_tile_count_z10,
-    "pip_admin_events": q_pip_admin_events,
-    "knn_customer_nation": q_knn_customer_nation,
-    "tile_topk_z8": q_tile_topk_z8,
     "tile_rollup": q_tile_rollup,
-    "dedup_exact_docs": q_dedup_exact_docs,
-    "token_count_docs": q_token_count_docs,
-    "lang_stats_docs": q_lang_stats_docs,
-    "window_events": q_window_events,
-    "ann_top5": q_ann_top5,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
-    "langid_docs": q_langid_docs,
-    "quality_docs": q_quality_docs,
-    "fingerprint_docs": q_fingerprint_docs,
-    "subword_count_docs": q_subword_count_docs,
-    "event_deltas": q_event_deltas,
-    "running_totals_events": q_running_totals_events,
-    "rolling_events": q_rolling_events,
-    "ntile_events": q_ntile_events,
-    "redact_docs": q_redact_docs,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
-    "sample_k_events": q_sample_k_events,
     "full_outer_counts": q_full_outer_counts,
-    "first_value_events": q_first_value_events,
     "hll_distinct_users": q_hll_distinct_users,
-    "distinct_users": q_distinct_users,
-    "mode_event_type": q_mode_event_type,
-    "pivot_orders": q_pivot_orders,
-    "top_quality_docs": q_top_quality_docs,
-    "dist_events": q_dist_events,
-    "normalize_docs": q_normalize_docs,
     "customer_order_counts": q_customer_order_counts,
     "unit_dedup_docs": q_unit_dedup_docs,
-    "repetition_docs": q_repetition_docs,
-    "global_rank_events": q_global_rank_events,
-    "top_events_per_user": q_top_events_per_user,
     "host_stats_pages": q_host_stats_pages,
     "assemble_ways": q_assemble_ways,
     "assemble_ways_join": q_assemble_ways_join,
     "used_nodes": q_used_nodes,
-    "sigfilter_docs": q_sigfilter_docs,
     "covered_by_squares": q_covered_by_squares,
-    "area_concave_events": q_area_concave_events,
     "relation_udf_tag": q_relation_udf_tag,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
-    "word_count_topk": q_word_count_topk,
 }
