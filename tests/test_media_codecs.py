@@ -285,10 +285,10 @@ def test_audio_fp_pipeline(ray_session):
     assert df["afp"].nunique() > 10
 
 
-def test_color_jpeg_yields_typed_skip_row():
-    """Payloads outside the codec envelope (e.g. 3-component color
-    JPEG) must produce a typed skip row — quantifiable at 100-TB
-    scale — never kill the stage."""
+def test_unsupported_jpeg_yields_typed_skip_row():
+    """Payloads outside the codec envelope (e.g. progressive JPEG)
+    must produce a typed skip row — quantifiable at 100-TB scale —
+    never kill the stage."""
     import numpy as np
     import pyarrow as pa
     from tilemaker_ray.stages.multimodal import (MediaFeatures,
@@ -296,14 +296,13 @@ def test_color_jpeg_yields_typed_skip_row():
     src = synth_real_media_batch({"id": np.arange(8)})
     payloads = src["payload"].to_pylist()
     kinds = src["kind"].to_pylist()
-    # forge a color JPEG: patch the SOF0 component count of a real
-    # grayscale baseline JPEG from 1 to 3
+    # forge a progressive JPEG: rewrite the SOF0 marker to SOF2
     ji = next(i for i, p in enumerate(payloads)
               if p[:2] == b"\xff\xd8")
     buf = bytearray(payloads[ji])
     sof = buf.find(b"\xff\xc0")
     assert sof > 0
-    buf[sof + 2 + 2 + 5] = 3          # marker+len, then prec,h,h,w,w,N
+    buf[sof + 1] = 0xC2
     payloads[ji] = bytes(buf)
     t = pa.table({"media_id": src["media_id"], 
                   "kind": pa.array(kinds, pa.string()),
@@ -316,3 +315,58 @@ def test_color_jpeg_yields_typed_skip_row():
     ok = out.drop(index=ji)
     assert (ok["skip_reason"] == "").all()
     assert (ok["n_elems"] > 0).all()
+
+
+def test_color_jpeg_decodes_to_luma():
+    """Baseline YCbCr 4:2:0 color JPEG: the decoder advances through
+    the interleaved chroma blocks and returns the luma plane."""
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
+                                                   encode_jpeg_color)
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_color(rgb))
+    assert out.shape == (h, w)
+    luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+            + 0.114 * rgb[..., 2])
+    # smooth gradient: quantization-level error only
+    assert np.abs(out.astype(float) - luma).max() < 8
+
+    # noisy color image: bitstream survives (error bounded by quant)
+    rng = np.random.RandomState(5)
+    noisy = rng.randint(0, 256, (24, 31, 3), dtype=np.uint8)
+    out2 = decode_jpeg_gray(encode_jpeg_color(noisy))
+    assert out2.shape == (24, 31)
+    luma2 = (0.299 * noisy[..., 0] + 0.587 * noisy[..., 1]
+             + 0.114 * noisy[..., 2])
+    assert np.abs(out2.astype(float) - luma2).mean() < 40
+
+
+def test_color_jpeg_odd_dims_and_tiny():
+    import numpy as np
+    from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
+                                                   encode_jpeg_color)
+    for (h, w) in [(1, 1), (7, 9), (16, 16), (17, 15)]:
+        rgb = np.full((h, w, 3), 77, dtype=np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_color(rgb))
+        assert out.shape == (h, w)
+        # constant image: luma 77*0.299+77*0.587+77*0.114 = 77
+        assert np.abs(out.astype(float) - 77).max() <= 2
+
+
+def test_real_media_mix_includes_color_jpeg():
+    import numpy as np
+    from tilemaker_ray.stages.multimodal import (MediaFeatures,
+                                                 synth_real_media_batch)
+    src = synth_real_media_batch({"id": np.arange(16)})
+    pays = src["payload"].to_pylist()
+    # id 6 and 14 are color JPEGs: 3-component SOF0
+    for i in (6, 14):
+        p = pays[i]
+        sof = p.find(b"\xff\xc0")
+        assert p[sof + 2 + 2 + 5] == 3
+    out = MediaFeatures()(src).to_pandas()
+    assert (out["skip_reason"] == "").all()     # everything decodes
+    assert (out["n_elems"] > 0).all()

@@ -175,12 +175,14 @@ def decode_wav_pcm16(data: bytes):
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (grayscale): pure-stdlib encoder + decoder.
+# Baseline JPEG: pure-stdlib encoder + decoder.
 #
 # Closes the round-2 verdict's last codec hole. Scope: 8-bit baseline
-# sequential DCT, single component (grayscale), no subsampling —
-# enough to decode thumbnails/previews a crawl pipeline actually
-# meets, and honest NotImplementedError beyond (progressive, color).
+# sequential DCT — single-component grayscale AND interleaved
+# multi-component color (YCbCr, any baseline sampling incl. 4:2:0;
+# color decodes to its luma plane, the pipeline's grayscale image
+# representation). Honest NotImplementedError beyond (progressive,
+# 16-bit quant tables).
 # The bitstream is SELF-DESCRIBING: the decoder reads DQT/DHT from
 # the stream (as the spec requires), so roundtrip correctness never
 # depends on baked-in table constants. Entropy coding is bit-level
@@ -427,16 +429,19 @@ def encode_jpeg_gray(img: np.ndarray, qtbl: np.ndarray | None = None) -> bytes:
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → 8-bit grayscale ndarray (h, w). Reads
     DQT/DHT from the stream; handles byte stuffing, DRI/RSTn, APPn/COM
-    skip. Raises NotImplementedError for progressive (SOF2) or
-    multi-component scans."""
+    skip, single-component streams AND interleaved multi-component
+    (color YCbCr, any baseline sampling incl. 4:2:0) streams — color
+    images decode to their LUMA plane (the pipeline's image
+    representation is grayscale). Raises NotImplementedError for
+    progressive (SOF2) only."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict = {}
     huff: dict = {}
     h = w = None
-    qsel = 0
-    dcsel = acsel = 0
+    comps: list = []               # (cid, H, V, Tq) in SOF order
+    scomps: list = []              # (cid, Td, Ta) in SOS order
     dri = 0
     scan_start = None
     while pos + 4 <= len(data):
@@ -461,12 +466,12 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 i += 65
         elif m in (0xC0, 0xC1):
             prec, hh, ww, ncomp = struct.unpack_from(">BHHB", body)
-            if prec != 8 or ncomp != 1:
-                raise NotImplementedError(
-                    "only 8-bit single-component (grayscale) baseline "
-                    "JPEG is supported")
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
             h, w = hh, ww
-            qsel = body[8]        # prec,h,h,w,w,ncomp,id,HV,Tq
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif m == 0xC2:
             raise NotImplementedError("progressive JPEG")
         elif m == 0xC4:
@@ -481,15 +486,22 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         elif m == 0xDD:
             (dri,) = struct.unpack_from(">H", body)
         elif m == 0xDA:
-            dcsel, acsel = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si:3 + 2 * si]
+                scomps.append((cs, tdta >> 4, tdta & 0xF))
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
     if scan_start is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
+    if len(comps) > 1:
+        return _decode_scan_interleaved(data, scan_start, h, w, comps,
+                                        scomps, huff, qtables, dri)
+    dcsel, acsel = scomps[0][1], scomps[0][2]
     dctab = huff[(0, dcsel)]
     actab = huff[(1, acsel)]
-    q = qtables[qsel]
+    q = qtables[comps[0][3]]
     bh, bw = (h + 7) // 8, (w + 7) // 8
     rdr = _BitReader(data[scan_start:])
     coef = np.zeros((bh * bw, 64), dtype=np.int64)
@@ -530,6 +542,210 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     img = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
         .reshape(bh * 8, bw * 8) + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _huff_block(rdr: "_BitReader", dctab: dict, actab: dict,
+                pred: int, out_row: np.ndarray) -> int:
+    """Decode one 8×8 block's coefficients into ``out_row`` (zigzag
+    order); returns the updated DC predictor."""
+    cat = _read_symbol(rdr, dctab)
+    diff = _extend(rdr.read(cat), cat) if cat else 0
+    pred += diff
+    out_row[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_symbol(rdr, actab)
+        r, s = rs >> 4, rs & 0xF
+        if rs == 0x00:
+            break                          # EOB
+        if rs == 0xF0:
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflow")
+        out_row[k] = _extend(rdr.read(s), s)
+        k += 1
+    return pred
+
+
+def _decode_scan_interleaved(data: bytes, scan_start: int, h: int,
+                             w: int, comps: list, scomps: list,
+                             huff: dict, qtables: dict,
+                             dri: int) -> np.ndarray:
+    """Interleaved baseline scan (ncomp > 1, e.g. YCbCr 4:2:0): decode
+    every component's MCU blocks (the bitstream interleaves them, so
+    chroma must be entropy-decoded to advance), then IDCT ONLY the
+    luma component and return it as the grayscale image — chroma
+    coefficients are discarded, matching the pipeline's grayscale
+    image representation."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    sel = {cs: (td, ta) for cs, td, ta in scomps}
+    plan = []                      # per comp: (nbw, coef, dctab, actab)
+    for cid, ch, cv, tq in comps:
+        td, ta = sel[cid]
+        plan.append({
+            "H": ch, "V": cv, "q": qtables[tq],
+            "nbw": mcux * ch,
+            "coef": np.zeros((mcuy * cv * mcux * ch, 64),
+                             dtype=np.int64),
+            "dc": huff[(0, td)], "ac": huff[(1, ta)]})
+    rdr = _BitReader(data[scan_start:])
+    preds = [0] * len(comps)
+    mi = 0
+    nmcu = mcuy * mcux
+    while mi < nmcu:
+        my, mx = divmod(mi, mcux)
+        try:
+            for ci, p in enumerate(plan):
+                for v in range(p["V"]):
+                    for u in range(p["H"]):
+                        bi = (my * p["V"] + v) * p["nbw"] \
+                            + mx * p["H"] + u
+                        preds[ci] = _huff_block(
+                            rdr, p["dc"], p["ac"], preds[ci],
+                            p["coef"][bi])
+            mi += 1
+            if dri and mi % dri == 0 and mi < nmcu:
+                _skip_restart(rdr)
+                preds = [0] * len(comps)
+        except _RestartMarker:
+            rdr.align()
+            preds = [0] * len(comps)
+    # luma = SOF component 0 by convention (YCbCr / YCCK put Y first)
+    p = plan[0]
+    nbh, nbw = mcuy * p["V"], p["nbw"]
+    dezz = np.zeros_like(p["coef"])
+    dezz[:, _ZIGZAG] = p["coef"]
+    F = dezz.reshape(nbh * nbw, 8, 8).astype(np.float64) * p["q"]
+    blocks = np.einsum("ji,bjk,kl->bil", _DCT, F, _DCT)
+    img = blocks.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(nbh * 8, nbw * 8) + 128.0
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    # a non-max-sampled luma (unusual) upsamples to the image grid
+    sy, sx = vmax // p["V"], hmax // p["H"]
+    if sy > 1 or sx > 1:
+        img = np.repeat(np.repeat(img, sy, axis=0), sx, axis=1)
+    return img[:h, :w]
+
+
+def encode_jpeg_color(rgb: np.ndarray, qtbl: np.ndarray | None = None,
+                      qtbl_c: np.ndarray | None = None) -> bytes:
+    """8-bit RGB (h, w, 3) → baseline YCbCr 4:2:0 JPEG bytes (JFIF
+    color matrix, 2×2-mean chroma subsampling, interleaved MCUs, two
+    quant tables, separate luma/chroma Huffman pairs built canonically
+    from the stream's own statistics — self-describing, like the
+    grayscale encoder)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).astype(np.float64)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mh, mw = (h + 15) // 16, (w + 15) // 16
+    qy = _QTBL_DEFAULT if qtbl is None else np.asarray(qtbl, np.int64)
+    qc = qy if qtbl_c is None else np.asarray(qtbl_c, np.int64)
+
+    def pad_to(plane, ph, pw):
+        return np.pad(plane, ((0, ph - plane.shape[0]),
+                              (0, pw - plane.shape[1])), mode="edge")
+
+    yp = pad_to(y, mh * 16, mw * 16)
+    cbp = pad_to(cb, mh * 16, mw * 16)
+    crp = pad_to(cr, mh * 16, mw * 16)
+    # 4:2:0 chroma: 2×2 mean
+    cbs = cbp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+    crs = crp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+
+    def comp_zz(plane, q):
+        bh, bw2 = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (plane - 128.0).reshape(bh, 8, bw2, 8) \
+            .transpose(0, 2, 1, 3)
+        F = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
+        Q = np.round(F / q).astype(np.int64)
+        return Q.reshape(bh * bw2, 64).take(_ZIGZAG, axis=1), bw2
+
+    yzz, ynbw = comp_zz(yp, qy)
+    cbzz, cnbw = comp_zz(cbs, qc)
+    crzz, _ = comp_zz(crs, qc)
+
+    def block_syms(row, dcdiff):
+        out = []
+        cat = _category(dcdiff)
+        out.append(("dc", cat, _mag_bits(dcdiff, cat), cat))
+        nz = np.flatnonzero(row[1:]) + 1
+        prev = 0
+        for j in nz:
+            run = int(j) - prev - 1
+            while run >= 16:
+                out.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            v = int(row[j])
+            cat = _category(v)
+            out.append(("ac", (run << 4) | cat, _mag_bits(v, cat), cat))
+            prev = int(j)
+        if prev != 63:
+            out.append(("ac", 0x00, 0, 0))
+        return out
+
+    # MCU-ordered symbol stream, per table class (0 = luma, 1 = chroma)
+    preds = [0, 0, 0]
+    mcu_syms: list = []
+    for my in range(mh):
+        for mx in range(mw):
+            for v in range(2):
+                for u in range(2):
+                    bi = (my * 2 + v) * ynbw + mx * 2 + u
+                    d = int(yzz[bi, 0]) - preds[0]
+                    preds[0] = int(yzz[bi, 0])
+                    mcu_syms.append((0, block_syms(yzz[bi], d)))
+            for ci, czz in ((1, cbzz), (2, crzz)):
+                bi = my * cnbw + mx
+                d = int(czz[bi, 0]) - preds[ci]
+                preds[ci] = int(czz[bi, 0])
+                mcu_syms.append((1, block_syms(czz[bi], d)))
+    freqs = {(0, "dc"): {}, (0, "ac"): {}, (1, "dc"): {}, (1, "ac"): {}}
+    for cls, syms in mcu_syms:
+        for kind, sym, _, _ in syms:
+            f = freqs[(cls, kind)]
+            f[sym] = f.get(sym, 0) + 1
+    tables = {}
+    for key, f in freqs.items():
+        bits, vals = _huff_canonical(f if f else {0: 1})
+        tables[key] = (bits, vals, _assign_codes(bits, vals))
+    bwr = _BitWriter()
+    for cls, syms in mcu_syms:
+        for kind, sym, extra, elen in syms:
+            c, ln = tables[(cls, kind)][2][sym]
+            bwr.write(c, ln)
+            if elen:
+                bwr.write(extra, elen)
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qy.reshape(64).take(_ZIGZAG)
+               .astype(np.uint8).tobytes())
+    out += seg(0xDB, b"\x01" + qc.reshape(64).take(_ZIGZAG)
+               .astype(np.uint8).tobytes())
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for (cls, kind), (bits, vals, _) in sorted(tables.items()):
+        tc = 0 if kind == "dc" else 1
+        out += seg(0xC4, bytes([(tc << 4) | cls]) + bytes(bits)
+                   + bytes(vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_table(bits: list, vals: list) -> dict:

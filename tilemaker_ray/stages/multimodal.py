@@ -253,13 +253,14 @@ class FrameSampler:
 
 
 def synth_real_media_batch(batch: dict) -> pa.Table:
-    """Deterministic REAL-format media rows, cycling three codecs:
+    """Deterministic REAL-format media rows, cycling four codecs:
     ids ≡ 0 (mod 4) → 8-bit grayscale PNG (cycling all five scanline
     filters so the decoder's every branch runs in production paths),
-    ids ≡ 2 (mod 4) → baseline grayscale JPEG (the engine's own
-    Huffman+DCT codec), odd ids → mono PCM16 WAV."""
-    from .media_codecs import (encode_jpeg_gray, encode_png_gray,
-                               encode_wav_pcm16)
+    ids ≡ 2 (mod 8) → baseline grayscale JPEG, ids ≡ 6 (mod 8) →
+    baseline COLOR JPEG (YCbCr 4:2:0, interleaved MCUs — decoded to
+    its luma plane), odd ids → mono PCM16 WAV."""
+    from .media_codecs import (encode_jpeg_color, encode_jpeg_gray,
+                               encode_png_gray, encode_wav_pcm16)
     ids = np.asarray(batch["id"], dtype=np.int64)
     rows = {k: [] for k in ("media_id", "kind", "payload", "width",
                             "height", "n_frames")}
@@ -271,6 +272,9 @@ def synth_real_media_batch(batch: dict) -> pa.Table:
             if i % 4 == 0:
                 payload = encode_png_gray(img,
                                           filter_type=(i // 2) % 5)
+            elif i % 8 == 6:
+                rgbimg = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                payload = encode_jpeg_color(rgbimg)
             else:
                 payload = encode_jpeg_gray(img)
             rows["kind"].append("image")
