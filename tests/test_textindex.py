@@ -251,3 +251,55 @@ def test_windowed_cooc_pmi_irregular_whitespace(ray_session):
                        / ((float(cx[r["w1"]]) * cx[r["w2"]])
                           * n_pairs))
         assert r["pmi"] == exp
+
+
+def test_jaccard_pairs_vs_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.textindex import jaccard_pairs
+
+    docs = ["a b c d e f", "a b c d e g", "x y z w v u",
+            "a b c d e f", "p q r s t u v w x y z"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    NG, DF, TH = 3, 50, 0.4
+    # brute force over df-filtered trigram sets
+    from collections import Counter
+    sets = []
+    for d in docs:
+        ws = d.split(" ")
+        sets.append({" ".join(ws[i:i + NG])
+                     for i in range(len(ws) - NG + 1)})
+    df = Counter(s for st in sets for s in st)
+    sets = [{s for s in st if df[s] <= DF} for st in sets]
+    want = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            c = len(sets[i] & sets[j])
+            if c and c / (len(sets[i]) + len(sets[j]) - c) >= TH:
+                want.append((i, j, c,
+                             float(c) / (len(sets[i]) + len(sets[j])
+                                         - c)))
+    out = jaccard_pairs(rd.from_arrow(t).repartition(3), ngram=NG,
+                        df_max=DF, threshold=TH).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    got = [(int(r.doc_a), int(r.doc_b), int(r.n_shared),
+            float(r.jaccard)) for r in out.itertuples()]
+    assert got == sorted(want)
+    # the exact duplicate pair (0, 3) must be J = 1.0
+    assert (0, 3, 4, 1.0) in got
+
+
+def test_jaccard_pairs_df_cap_excludes_boilerplate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from tilemaker_ray.stages.textindex import jaccard_pairs
+
+    # the same boilerplate trigram in every doc; df_max=2 excludes it,
+    # so docs share NOTHING that counts
+    docs = ["same same same u%d" % i for i in range(5)]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = jaccard_pairs(rd.from_arrow(t).repartition(2), ngram=3,
+                        df_max=2, threshold=0.01).to_pandas()
+    assert len(out) == 0

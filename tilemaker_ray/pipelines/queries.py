@@ -1770,6 +1770,18 @@ def q_inverted_index(sf_dir: str):
 # SQL oracle is exact)
 # ---------------------------------------------------------------------------
 
+def q_jaccard_pairs_docs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup join (the precise statistic
+    MinHash-LSH estimates): document pairs whose df-filtered distinct
+    word-trigram sets have J ≥ 0.5 (stages/textindex.py::jaccard_pairs
+    — four slim exchanges, text rides once, df_max mirrored in the
+    oracle so hot boilerplate shingles are excluded on both sides;
+    jaccard computed through the mirrored IEEE tree — hash-exact)."""
+    from ..stages.textindex import jaccard_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_pairs(ds, ngram=3, df_max=50, threshold=0.5)
+
+
 def q_copy_pairs(sf_dir: str):
     """Shared-shingle plagiarism pairs over documents. Two slim
     exchanges (shingle-hash bucket → pair-key bucket); the df<=50 cap
@@ -4246,6 +4258,34 @@ ORACLE_SQL["cooc_pmi_docs"] = """
     WHERE c_xy >= 5
     ORDER BY c_xy DESC, w1, w2 LIMIT 50"""
 
+ORACLE_SQL["jaccard_pairs_docs"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2])) AS term
+      FROM documents),
+    s AS (SELECT DISTINCT doc_id, term FROM tok),
+    f AS (SELECT term FROM s GROUP BY term HAVING COUNT(*) <= 50),
+    g AS (SELECT s.doc_id, s.term FROM s
+          WHERE s.term IN (SELECT term FROM f)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM g a JOIN g b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+           AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+               JOIN sz sb ON sb.doc_id = inter.doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+          >= 0.5"""
+
 # staged-parquet oracles (_stage_for_oracle): the Ray query writes the
 # records both engines must aggregate to a fixed path; the SQL mirrors
 # the Ray-side parse/float tree verbatim over the same files
@@ -4338,8 +4378,9 @@ QUERIES = {
     "pip_admin_events": q_pip_admin_events,
     "area_concave_events": q_area_concave_events,
     "user_tracks": q_user_tracks,
-    "revenue_by_nation": q_revenue_by_nation,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     # --- beyond the driver's 50-query cap ---
+    "revenue_by_nation": q_revenue_by_nation,
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,
     "value_quantiles_cont": q_value_quantiles_cont,

@@ -169,6 +169,216 @@ def copy_pairs(docs_ds, ngram: int = 5, df_max: int = 50,
             .groupby("pbkt").map_groups(count, batch_format="pyarrow"))
 
 
+def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
+                  threshold: float = 0.5, num_buckets: int = 64):
+    """Exact n-gram Jaccard near-dup join: document pairs whose
+    df-filtered distinct word-``ngram`` shingle sets satisfy
+    J(a, b) = |Sa ∩ Sb| / (|Sa| + |Sb| − |Sa ∩ Sb|) ≥ ``threshold``.
+
+    The EXACT member of the near-dup family (MinHash estimates this
+    statistic; here it is computed precisely, with the same df_max
+    boilerplate-shingle filter mirrored in the SQL oracle so the hot
+    keys that would make the join quadratic are excluded on BOTH
+    sides — the copy_pairs semantics, extended with set sizes).
+
+    Shape: four slim exchanges, document text rides only the first —
+    (1) distinct (doc, shingle) postings bucketed by shingle hash:
+    each bucket computes df as run length, drops df > df_max, emits
+    triu pair rows AND per-doc size partials; (2) pair counts on a
+    packed (a,b) key and sizes on a doc key (in parallel branches);
+    (3) sizes attach to pairs on hash(doc_a); (4) on hash(doc_b).
+    Jaccard uses the mirrored IEEE tree
+    ``CAST(c AS DOUBLE) / (na + nb − c)`` and a float threshold both
+    engines evaluate on identical doubles — hash-exact."""
+    from .common import mix_bucket
+    from .dedup import bucket_pairs_from_runs
+
+    def extract(batch: pa.Table) -> pa.Table:
+        d, w, _tf = doc_term_freqs(batch, ngram=ngram)
+        if len(w):
+            uw, inv = np.unique(w, return_inverse=True)
+            bkt = word_buckets(uw, num_buckets)[inv]
+        else:
+            bkt = np.array([], dtype=np.int64)
+        return pa.table({"term": pa.array(w, pa.string()),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "kbkt": pa.array(bkt, pa.int64())})
+
+    def pairs_and_sizes(g: pa.Table) -> pa.Table:
+        # df filter first: runs are this bucket's complete postings
+        term = np.asarray(g["term"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, term))
+        term, ids = term[order], ids[order]
+        brk = np.ones(len(term), dtype=bool)
+        brk[1:] = term[1:] != term[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(term)]])
+        df = ends - starts
+        keep_run = df <= df_max
+        keep = np.zeros(len(term), dtype=bool)
+        for s, e, k in zip(starts, ends, keep_run):
+            if k:
+                keep[s:e] = True
+        kept = pa.table({"term": pa.array(term[keep], pa.string()),
+                         "doc_id": pa.array(ids[keep], pa.int64())})
+        pr = bucket_pairs_from_runs(kept, ["term"], "doc_id",
+                                    max_bucket=df_max, overflow="drop")
+        ud, cnt = (np.unique(ids[keep], return_counts=True)
+                   if keep.any() else
+                   (np.array([], np.int64), np.array([], np.int64)))
+        a = np.concatenate([pr["doc_a"].to_numpy(zero_copy_only=False),
+                            ud.astype(np.int64)])
+        b = np.concatenate([pr["doc_b"].to_numpy(zero_copy_only=False),
+                            np.full(len(ud), -1, np.int64)])
+        v = np.concatenate([np.ones(pr.num_rows, np.int64),
+                            cnt.astype(np.int64)])
+        role = np.concatenate([np.zeros(pr.num_rows, np.int8),
+                               np.ones(len(ud), np.int8)])
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "role": pa.array(role, pa.int8())})
+
+    mixed = (docs_ds.map_batches(extract, batch_format="pyarrow")
+             .groupby("kbkt").map_groups(pairs_and_sizes,
+                                         batch_format="pyarrow"))
+
+    _EMPTY = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64()),
+                       "v": pa.array([], pa.int64()),
+                       "role": pa.array([], pa.int8()),
+                       "jbkt": pa.array([], pa.int64())})
+
+    def route(key_of):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "a" not in b.column_names:
+                return _EMPTY
+            k = key_of(b)
+            return b.append_column("jbkt",
+                                   pa.array(mix_bucket(k, num_buckets),
+                                            pa.int64()))
+        return f
+
+    def fold_counts(g: pa.Table) -> pa.Table:
+        # pairs: sum shared-shingle partials on the packed (a,b) key;
+        # sizes: sum per-doc partials — both are plain segment sums
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        role = g["role"].to_numpy(zero_copy_only=False)
+        out = {"a": [], "b": [], "v": [], "role": []}
+        for r in (0, 1):
+            m = role == r
+            if not m.any():
+                continue
+            key = a[m].astype(np.uint64) << np.uint64(32)
+            key |= (b[m].astype(np.int64) + 1).astype(np.uint64)
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sums, inv, v[m])
+            out["a"].extend((uk >> np.uint64(32)).astype(np.int64)
+                            .tolist())
+            out["b"].extend(((uk & np.uint64(0xFFFFFFFF))
+                             .astype(np.int64) - 1).tolist())
+            out["v"].extend(sums.tolist())
+            out["role"].extend([r] * len(uk))
+        return pa.table({"a": pa.array(out["a"], pa.int64()),
+                         "b": pa.array(out["b"], pa.int64()),
+                         "v": pa.array(out["v"], pa.int64()),
+                         "role": pa.array(out["role"], pa.int8())})
+
+    # exchange 2: complete c per pair / n per doc (size rows already
+    # carry b = -1 so the same packed key works for both roles)
+    totals = (mixed.map_batches(
+        route(lambda b: np.where(
+            b["role"].to_numpy(zero_copy_only=False) == 0,
+            b["a"].to_numpy(zero_copy_only=False)
+            * np.int64(1315423911)
+            ^ b["b"].to_numpy(zero_copy_only=False),
+            b["a"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow")
+        .groupby("jbkt").map_groups(fold_counts, batch_format="pyarrow"))
+
+    def attach(ds, key_col_idx, out_name):
+        """exchange: route pair rows by doc key (a or b) together with
+        size rows; in-bucket searchsorted join attaches the size."""
+        def key_of(b: pa.Table) -> np.ndarray:
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            role = b["role"].to_numpy(zero_copy_only=False)
+            k = a if key_col_idx == 0 else np.where(role == 1, a, bb)
+            return k
+
+        def join(g: pa.Table) -> pa.Table:
+            role = g["role"].to_numpy(zero_copy_only=False)
+            a = g["a"].to_numpy(zero_copy_only=False)
+            bb = g["b"].to_numpy(zero_copy_only=False)
+            v = g["v"].to_numpy(zero_copy_only=False)
+            sdoc = a[role == 1]
+            sn = v[role == 1]
+            so = np.argsort(sdoc, kind="stable")
+            sdoc, sn = sdoc[so], sn[so]
+            pm = role == 0
+            cols = {c: g[c].to_numpy(zero_copy_only=False)[pm]
+                    for c in g.column_names if c not in ("jbkt",)}
+            key = (cols["a"] if key_col_idx == 0 else cols["b"])
+            pos = np.searchsorted(sdoc, key)
+            pos = np.minimum(pos, max(len(sdoc) - 1, 0))
+            n = sn[pos] if len(sdoc) else np.zeros(len(key), np.int64)
+            cols[out_name] = n.astype(np.int64)
+            # size rows ride along until the LAST attach
+            out = {c: pa.array(vv, pa.int64() if c != "role"
+                               else pa.int8())
+                   for c, vv in cols.items()}
+            t = pa.table(out)
+            if key_col_idx == 0:
+                sz = pa.table({
+                    "a": pa.array(sdoc, pa.int64()),
+                    "b": pa.array(np.full(len(sdoc), -1, np.int64),
+                                  pa.int64()),
+                    "v": pa.array(sn, pa.int64()),
+                    "role": pa.array(np.ones(len(sdoc), np.int8),
+                                     pa.int8()),
+                    out_name: pa.array(np.zeros(len(sdoc), np.int64),
+                                       pa.int64())})
+                t = pa.concat_tables([t, sz])
+            return t
+
+        return (ds.map_batches(route(key_of), batch_format="pyarrow")
+                .groupby("jbkt").map_groups(join,
+                                            batch_format="pyarrow"))
+
+    with_na = attach(totals, 0, "na")
+    with_nb = attach(with_na, 1, "nb")
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "n_shared": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if b.num_rows == 0 or "role" not in b.column_names:
+            return empty
+        role = b["role"].to_numpy(zero_copy_only=False)
+        m = role == 0
+        if not m.any():
+            return empty
+        a = b["a"].to_numpy(zero_copy_only=False)[m]
+        bb = b["b"].to_numpy(zero_copy_only=False)[m]
+        c = b["v"].to_numpy(zero_copy_only=False)[m]
+        na = b["na"].to_numpy(zero_copy_only=False)[m]
+        nb = b["nb"].to_numpy(zero_copy_only=False)[m]
+        jac = c.astype(np.float64) / (na + nb - c)
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(bb[keep], pa.int64()),
+            "n_shared": pa.array(c[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return with_nb.map_batches(finish, batch_format="pyarrow")
+
+
 def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64):
     """Bigram language-model statistics: (w1, w2, c12, c1, logp) with
     c12 = corpus count of the bigram, c1 = total bigrams starting with
