@@ -370,3 +370,44 @@ def test_real_media_mix_includes_color_jpeg():
     out = MediaFeatures()(src).to_pandas()
     assert (out["skip_reason"] == "").all()     # everything decodes
     assert (out["n_elems"] > 0).all()
+
+
+def test_non_interleaved_multiscan_jpeg_is_typed():
+    """Review-found: a 3-component SOF whose first SOS declares only
+    one component (legal baseline multi-scan) must raise a TYPED
+    NotImplementedError, not KeyError."""
+    import struct
+    import numpy as np
+    import pytest
+    from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
+                                                   encode_jpeg_gray)
+    base = bytearray(encode_jpeg_gray(np.full((8, 8), 50, np.uint8)))
+    sof = base.find(b"\xff\xc0")
+    # rewrite SOF to declare 3 components (extend the segment)
+    comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    body = base[sof + 4:sof + 4 + 6][:5] + b"\x03" + comps
+    newsof = b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+    end = sof + 4 + struct.unpack_from(">H", base, sof + 2)[0] - 2
+    patched = bytes(base[:sof]) + newsof + bytes(base[end:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(patched)
+
+
+def test_truncated_payload_yields_skip_row_not_crash():
+    """Review-found: struct.error from a truncated SOF escaped the
+    typed-skip catch and killed the stage."""
+    import numpy as np
+    import pyarrow as pa
+    from tilemaker_ray.stages.multimodal import MediaFeatures
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array([b"\xff\xd8\xff\xc0\x00\x04\x08\x00",
+                             b"\x89PNG\r\n\x1a\ngarbage"],
+                            pa.binary()),
+        "width": pa.array([0, 0], pa.int32()),
+        "height": pa.array([0, 0], pa.int32()),
+        "n_frames": pa.array([0, 0], pa.int32())})
+    out = MediaFeatures()(t).to_pandas()
+    assert (out["n_elems"] == 0).all()
+    assert (out["skip_reason"] != "").all()

@@ -132,3 +132,15 @@ def test_oversize_run_falls_back():
     out = union_polygon_runs([[big], [big.copy()],
                               [sq(0, 0, 1, 1)]])
     assert out is None  # > MAX_UNION_EDGES
+
+
+def test_crossing_sliver_overlap_falls_back():
+    """Review-found: a sub-half-cell crossing sliver slipped past the
+    float area screen and produced a spurious extra ring. The exact
+    proper-crossing test must force the concat fallback."""
+    a = sq(0, 0, 10, 10)
+    b = np.asarray([[10, 0], [10, 4], [9, 5], [10, 5], [10, 10],
+                    [20, 10], [20, 0], [10, 0]], dtype=np.int64)
+    assert ring_area(b.astype(np.float64)) < 0
+    out = union_polygon_runs([[a], [b]])
+    assert out is None          # overlap detected -> keep concat

@@ -13,13 +13,15 @@ Algorithm (exact, no geometry library):
 
 1. bbox union-find over the run's features (mirrors geom.cpp:232-258);
    singleton components pass through untouched.
-2. Per component, a conservative interior-overlap screen
-   (clip.polygon_intersection_area on exterior rings): genuinely
-   overlapping features fall back to concatenation — the pre-existing
-   behavior — because edge cancellation is only exact for
-   interior-disjoint inputs.  This is the documented parity gap vs the
-   reference's full boolean union; rendering output for overlapping
-   same-attribute fills is identical, tile bytes differ.
+2. Per component, an EXACT integer interior-overlap screen
+   (_interiors_overlap_exact: proper boundary crossings + edge
+   midpoints strictly inside another feature, both in doubled-integer
+   arithmetic): genuinely overlapping features fall back to
+   concatenation — the pre-existing behavior — because edge
+   cancellation is only exact for interior-disjoint inputs.  This is
+   the documented parity gap vs the reference's full boolean union;
+   rendering output for overlapping same-attribute fills is identical,
+   tile bytes differ.
 3. Edge cancellation: every directed boundary edge carries polygon
    coverage on its RIGHT (exterior rings negative shoelace, holes
    positive — the _finish_ring convention).  Collinear edges are
@@ -47,7 +49,7 @@ from math import gcd
 
 import numpy as np
 
-from .clip import polygon_intersection_area, ring_area
+from .clip import ring_area
 
 # beyond this many edges the O(pairs) overlap screen and per-line
 # splits stop being tile-local noise; fall back to concatenation
@@ -73,18 +75,88 @@ def _find(parent: list, x: int) -> int:
     return x
 
 
-def _feature_exteriors(rings: list) -> list:
-    return [r for r in rings if ring_area(r.astype(np.float64)) < 0]
+def _strict_inside_mask(pts2: np.ndarray, rings: list) -> np.ndarray:
+    """Even-odd membership for DOUBLED integer points ``pts2`` in the
+    region of ``rings`` (feature = exteriors minus holes), EXACT
+    integer arithmetic; points on any boundary count as NOT strictly
+    inside."""
+    m = len(pts2)
+    inside = np.zeros(m, dtype=np.int64)
+    onb = np.zeros(m, dtype=bool)
+    px = pts2[:, 0][:, None]
+    py = pts2[:, 1][:, None]
+    for r in rings:
+        a = (r[:-1].astype(np.int64) * 2)
+        b = (r[1:].astype(np.int64) * 2)
+        x1, y1 = a[:, 0][None, :], a[:, 1][None, :]
+        x2, y2 = b[:, 0][None, :], b[:, 1][None, :]
+        cr = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        within = ((np.minimum(x1, x2) <= px) & (px <= np.maximum(x1, x2))
+                  & (np.minimum(y1, y2) <= py)
+                  & (py <= np.maximum(y1, y2)))
+        onb |= ((cr == 0) & within).any(axis=1)
+        cond = (y1 > py) != (y2 > py)
+        dy = y2 - y1
+        lhs = (px - x1) * dy
+        rhs = (py - y1) * (x2 - x1)
+        lt = np.where(dy > 0, lhs < rhs, lhs > rhs)
+        inside += (cond & lt).sum(axis=1)
+    return (inside % 2 == 1) & ~onb
 
 
-def _interiors_overlap(fa: list, fb: list) -> bool:
-    """Conservative screen: any exterior-ring pair with intersection
-    area above half a grid cell counts as a real interior overlap
-    (border-sharing neighbors measure ~0 up to float noise)."""
-    for ra in _feature_exteriors(fa):
-        for rb in _feature_exteriors(fb):
-            if polygon_intersection_area([ra], [rb]) > 0.5:
-                return True
+def _interiors_overlap_exact(members: list,
+                             max_edges: int = 1024) -> bool:
+    """EXACT integer overlap screen for a component, replacing the
+    earlier float-area heuristic a review broke with a sub-half-cell
+    crossing sliver.  Interiors of two valid features overlap iff
+    (a) their boundaries properly cross, or (b) a boundary piece of
+    one runs strictly inside the other — detected by edge MIDPOINTS
+    (doubled coordinates keep everything integer-exact; midpoints ON
+    the other boundary are the legitimate shared-border case).  The
+    remaining overlap class, same-direction collinear boundary runs,
+    is caught downstream by the |net| > 1 cancellation backstop.
+    Components over ``max_edges`` are declared un-unionable."""
+    segs = []
+    for fi, rings in enumerate(members):
+        for r in rings:
+            a = r[:-1].astype(np.int64)
+            b = r[1:].astype(np.int64)
+            keep = (a != b).any(axis=1)
+            segs.append((a[keep], b[keep],
+                         np.full(int(keep.sum()), fi, np.int64)))
+    A = np.concatenate([s[0] for s in segs])
+    B = np.concatenate([s[1] for s in segs])
+    F = np.concatenate([s[2] for s in segs])
+    n = len(A)
+    if n > max_edges:
+        return True  # too big to certify disjoint → force fallback
+    # (a) proper boundary crossings between different features
+    i, j = np.triu_indices(n, k=1)
+    m = F[i] != F[j]
+    loi = np.minimum(A, B)
+    hii = np.maximum(A, B)
+    m &= ~((hii[i, 0] < loi[j, 0]) | (hii[j, 0] < loi[i, 0])
+           | (hii[i, 1] < loi[j, 1]) | (hii[j, 1] < loi[i, 1]))
+    i, j = i[m], j[m]
+    if len(i):
+        def orient(p, q, r):
+            return ((q[:, 0] - p[:, 0]) * (r[:, 1] - p[:, 1])
+                    - (q[:, 1] - p[:, 1]) * (r[:, 0] - p[:, 0]))
+
+        d1 = orient(A[i], B[i], A[j])
+        d2 = orient(A[i], B[i], B[j])
+        d3 = orient(A[j], B[j], A[i])
+        d4 = orient(A[j], B[j], B[i])
+        proper = (((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+                  & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0)))
+        if proper.any():
+            return True
+    # (b) an edge midpoint of one feature strictly inside another
+    mids2 = A + B          # doubled midpoints, exact integers
+    for fj, rings in enumerate(members):
+        pts = mids2[F != fj]
+        if len(pts) and _strict_inside_mask(pts, rings).any():
+            return True
     return False
 
 
@@ -330,9 +402,7 @@ def union_polygon_runs(features: list) -> list | None:
         if len(members) == 1:
             out.extend(members[0])
             continue
-        overlap = any(
-            _interiors_overlap(members[i], members[j])
-            for i in range(len(members)) for j in range(i))
+        overlap = _interiors_overlap_exact(members)
         u = None if overlap else _union_component(members)
         if u is None:
             for m in members:

@@ -42,6 +42,7 @@ def _read(sf_dir: str, table: str, columns=None, row_filter=None):
 
 
 ORACLE_STAGE_DIR = "/tmp/tilemaker_ray_oracle"
+_STAGE_SEQ = [0]
 
 
 def _stage_for_oracle(ds, name: str) -> str:
@@ -66,13 +67,29 @@ def _stage_for_oracle(ds, name: str) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(ORACLE_STAGE_DIR, exist_ok=True)
     ds.write_parquet(tmp)
+    # per-call token: detects a concurrent staging of the SAME query
+    # name (possibly from a different sf_dir). Silently adopting
+    # another process' files would make Ray and the oracle agree on
+    # the WRONG input — fail loudly instead.
+    token = f"{os.getpid()}.{_STAGE_SEQ[0]}"
+    _STAGE_SEQ[0] += 1
+    with open(os.path.join(tmp, "_STAGED_BY"), "w") as f:
+        f.write(token)
     shutil.rmtree(out, ignore_errors=True)
     try:
         os.replace(tmp, out)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(out):
-            raise
+    try:
+        with open(os.path.join(out, "_STAGED_BY")) as f:
+            seen = f.read()
+    except OSError:
+        seen = "<missing>"
+    if seen != token:
+        raise RuntimeError(
+            f"_stage_for_oracle({name!r}): concurrent staging detected "
+            f"(found {seen}, expected {token}) — rerun without a "
+            "concurrent run of the same query")
     return out
 
 

@@ -1006,6 +1006,10 @@ def resumable_minhash_dedup_keep(docs_ds, out_dir: str,
     drops_ref = ray.put(np.sort(drop_ids))
 
     def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string()),
+                             "ckpt_part": pa.array([], pa.int64())})
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         part = _mix_bucket(ids, n_partitions)
         return batch.append_column("ckpt_part",
@@ -1022,6 +1026,10 @@ def resumable_minhash_dedup_keep(docs_ds, out_dir: str,
         reused = [str(k) for k in sorted(done_keys.tolist())]
 
         def drop_done(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "ckpt_part" not in b.column_names:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 text_col: pa.array([], pa.string()),
+                                 "ckpt_part": pa.array([], pa.int64())})
             return b.filter(pc.invert(pc.is_in(
                 b["ckpt_part"], value_set=pa.array(done_keys))))
 

@@ -496,6 +496,11 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     if scan_start is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
     if len(comps) > 1:
+        if len(scomps) != len(comps):
+            # legal baseline layout this decoder does not cover: each
+            # component in its own scan (non-interleaved multi-scan)
+            raise NotImplementedError(
+                "non-interleaved multi-scan baseline JPEG")
         return _decode_scan_interleaved(data, scan_start, h, w, comps,
                                         scomps, huff, qtables, dri)
     dcsel, acsel = scomps[0][1], scomps[0][2]
@@ -509,24 +514,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     bi = 0
     while bi < bh * bw:
         try:
-            cat = _read_symbol(rdr, dctab)
-            diff = _extend(rdr.read(cat), cat) if cat else 0
-            pred += diff
-            coef[bi, 0] = pred
-            k = 1
-            while k < 64:
-                rs = _read_symbol(rdr, actab)
-                r, s = rs >> 4, rs & 0xF
-                if rs == 0x00:
-                    break                      # EOB
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                coef[bi, k] = _extend(rdr.read(s), s)
-                k += 1
+            pred = _huff_block(rdr, dctab, actab, pred, coef[bi])
             bi += 1
             if dri and bi % dri == 0 and bi < bh * bw:
                 _skip_restart(rdr)

@@ -28,6 +28,7 @@ JPEG) — the branch a deployment fills with PIL/libav.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -162,7 +163,13 @@ class MediaFeatures:
             try:
                 k, arr = _decode(payload)
                 reason = ""
-            except (NotImplementedError, ValueError) as err:
+            except (NotImplementedError, ValueError, KeyError,
+                    IndexError, struct.error, zlib.error, EOFError,
+                    OverflowError) as err:
+                # malformed payloads surface every one of these from
+                # the pure-Python codecs (truncated SOF → struct.error,
+                # missing Huffman table → KeyError, …); all of them
+                # mean "this record, not this run"
                 k, arr, reason = kind, None, \
                     f"{type(err).__name__}: {err}"
             if arr is None:

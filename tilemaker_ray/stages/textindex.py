@@ -195,6 +195,12 @@ def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
 
     def extract(batch: pa.Table) -> pa.Table:
         d, w, _tf = doc_term_freqs(batch, ngram=ngram)
+        # the packed (a, b+1) pair key downstream needs both ids in
+        # [0, 2^32 − 1); fail loudly like copy_pairs instead of
+        # silently merging distinct pairs
+        if len(d) and (d.min() < 0 or d.max() >= (1 << 32) - 1):
+            raise ValueError(
+                "jaccard_pairs: doc ids must be in [0, 2^32 - 1)")
         if len(w):
             uw, inv = np.unique(w, return_inverse=True)
             bkt = word_buckets(uw, num_buckets)[inv]
@@ -244,16 +250,24 @@ def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
              .groupby("kbkt").map_groups(pairs_and_sizes,
                                          batch_format="pyarrow"))
 
-    _EMPTY = pa.table({"a": pa.array([], pa.int64()),
-                       "b": pa.array([], pa.int64()),
-                       "v": pa.array([], pa.int64()),
-                       "role": pa.array([], pa.int8()),
-                       "jbkt": pa.array([], pa.int64())})
+    def _empty_mixed(extra=()):
+        # the typed empty MUST carry the stage's full live schema —
+        # a zero-column block answered with a narrower schema breaks
+        # the downstream sort-groupby concat (the repo's recorded
+        # empty-block pitfall)
+        cols = {"a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int8())}
+        for c in extra:
+            cols[c] = pa.array([], pa.int64())
+        cols["jbkt"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
-    def route(key_of):
+    def route(key_of, extra=()):
         def f(b: pa.Table) -> pa.Table:
             if b.num_rows == 0 or "a" not in b.column_names:
-                return _EMPTY
+                return _empty_mixed(extra)
             k = key_of(b)
             return b.append_column("jbkt",
                                    pa.array(mix_bucket(k, num_buckets),
@@ -345,7 +359,9 @@ def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
                 t = pa.concat_tables([t, sz])
             return t
 
-        return (ds.map_batches(route(key_of), batch_format="pyarrow")
+        extra = ("na",) if key_col_idx == 1 else ()
+        return (ds.map_batches(route(key_of, extra),
+                               batch_format="pyarrow")
                 .groupby("jbkt").map_groups(join,
                                             batch_format="pyarrow"))
 

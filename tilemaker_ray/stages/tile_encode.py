@@ -395,7 +395,15 @@ def _grid_candidate_pairs(a0: np.ndarray, a1: np.ndarray, n: int,
     cx1 = np.floor(hi[:, 0] / cell).astype(np.int64)
     cy1 = np.floor(hi[:, 1] / cell).astype(np.int64)
     buckets: dict = {}
+    # cap REGISTRATIONS too, not just pairs: a long diagonal segment's
+    # bbox can cover O(n) cells, making registration itself O(n²)
+    # before the pair cap could ever fire
+    max_reg = 32 * n
+    n_reg = 0
     for s in range(n):
+        n_reg += (cx1[s] - cx0[s] + 1) * (cy1[s] - cy0[s] + 1)
+        if n_reg > max_reg:
+            return None, None
         for gx in range(cx0[s], cx1[s] + 1):
             for gy in range(cy0[s], cy1[s] + 1):
                 buckets.setdefault((gx, gy), []).append(s)

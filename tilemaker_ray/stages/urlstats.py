@@ -34,8 +34,12 @@ def parse_url_fn(batch: pa.Table, url_col: str = "url") -> pa.Table:
     for the synthetic corpus and for .com/.org/... hosts); ``tld`` the
     last label; ``path_depth`` the number of non-empty path segments."""
     parts = pc.extract_regex(batch[url_col], _URL_RE)
-    scheme = pc.ascii_lower(pc.struct_field(parts, "scheme"))
-    netloc = pc.ascii_lower(pc.struct_field(parts, "host"))
+    # utf8_lower, not ascii_lower: urllib's .hostname lowercases with
+    # str.lower() (Unicode), and the warc_host_stats SQL oracle's
+    # lower() is Unicode too — ascii_lower would diverge on any
+    # non-ASCII host label in real crawl data
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    netloc = pc.utf8_lower(pc.struct_field(parts, "host"))
     path = pc.struct_field(parts, "path")
     # host = netloc minus userinfo / port (IPv6 brackets kept whole)
     hostm = pc.extract_regex(netloc, r"^(?:[^@]*@)?(?P<h>\[[^\]]*\]|[^:]*)")
