@@ -532,6 +532,36 @@ def q_word_count_topk(sf_dir: str, k: int = 100):
             .sort(["n", "word"], descending=[True, False]).limit(k))
 
 
+def q_cms_word_freq_docs(sf_dir: str, k: int = 20):
+    """Count-Min sketch (stages/sketch.py) frequency estimates for the
+    corpus's exact top-k words, next to their exact counts. The sketch
+    is the streaming path for word/ngram frequency at 10^12 rows: each
+    block ships <= depth*width nonzero cells, one groupby-sum merges
+    (counters are linear), the driver folds a fixed 4x2048 matrix —
+    volume independent of corpus size and vocabulary. Approximate by
+    design -> rows-only for the driver; tests/test_cms.py pins the
+    merged matrix bit-exact vs a single-process reference, partition
+    invariance, and the never-undercounts guarantee."""
+    from ..stages.dedup import _word_hash
+    from ..stages.sketch import cms_estimate, cms_matrix, cms_word_cells
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    import ray as _ray
+    cells = pa.concat_tables(
+        _ray.get(list(cms_word_cells(ds).to_arrow_refs())))
+    mat = cms_matrix(cells)  # <= depth*width merged rows, bounded
+    exact = q_word_count_topk(sf_dir, k).to_pandas()
+    wh = np.fromiter((_word_hash(w) for w in exact["word"]),
+                     dtype=np.uint64, count=len(exact))
+    est = cms_estimate(mat, wh)
+    n_exact = exact["n"].to_numpy().astype(np.int64)
+    return pa.table({
+        "word": pa.array(list(exact["word"]), pa.string()),
+        "n_exact": pa.array(n_exact, pa.int64()),
+        "n_est": pa.array(est, pa.int64()),
+        "overcount": pa.array(est - n_exact, pa.int64())})
+
+
 SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
                 "ru": 200}
 SAMPLE_DEFAULT = 100
@@ -1676,6 +1706,17 @@ def q_session_windows(sf_dir: str):
                                  columns=["user_id", "ts", "event_id"]))
 
 
+def q_interval_coverage_users(sf_dir: str):
+    """Interval-union coverage per user (windows.interval_coverage):
+    each event claims [ts, ts + floor(value s)]; overlapping/touching
+    claims merge; output = merged-island count + covered µs. Oracle =
+    the classic gaps-and-islands window chain (running MAX(e) →
+    strict-greater island heads → per-island MAX(e)-MIN(s))."""
+    from ..stages.windows import interval_coverage
+    return interval_coverage(_read(sf_dir, "events",
+                                   columns=["user_id", "ts", "value"]))
+
+
 def q_relation_region_tag(sf_dir: str):
     """J3+M6+M7: nation/region form a nested relation tree (nation's
     parent = region); tag propagation bounces region_name down; the
@@ -2358,6 +2399,152 @@ def q_warc_host_stats(sf_dir: str):
     records = pages.map_batches(with_text, batch_format="pyarrow")
     staged = _stage_for_oracle(records, "warc_host_stats")
     return host_stats(rd.read_parquet(staged)).sort("host")
+
+
+# ---------------------------------------------------------------------------
+# Q51u: canonical-URL dedup — duplicate-URL collapse over a crawl
+# frontier (stages/urlstats.py::canonicalize_urls)
+# ---------------------------------------------------------------------------
+
+def q_canon_url_dedup(sf_dir: str):
+    """Collapse crawl duplicates by canonical URL: strip fragments and
+    tracking params, lowercase the authority, drop default ports and a
+    trailing slash, then keep one representative per canonical form
+    (earliest warc_ts, lexicographically-first raw URL).
+
+    The synthetic crawl's URLs are already clean, so the query first
+    explodes each page into deterministic dirty variants (tracking
+    params, uppercase host + :443, trailing slash, mixed query) — the
+    variants exercise every canonicalization rule. The dirty table is
+    staged for the oracle and BOTH engines canonicalize independently
+    (the kernel is RE2 on both sides, so the SQL mirrors the rule chain
+    verbatim): the hash certifies the rule chain AND the groupby
+    finish, not just the aggregation. Scale shape: one map_batches
+    pass + one slim (canon_url, url, ts) groupby — ≤2.4 rows per page
+    ride the exchange; the reference analog is the used-object
+    semi-join dedup (J6, /root/reference/src/tilemaker.cpp node/way
+    used-set pass) applied to crawl URLs."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+    from ..sources import pages as _pages
+    from ..stages.urlstats import canonicalize_urls
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url", "warc_ts"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks()
+        ts = pc.cast(pc.cast(batch["warc_ts"], pa.timestamp("us")),
+                     pa.int64())
+        pid = pc.cast(pc.struct_field(
+            pc.extract_regex(url, r"/(?P<id>[0-9]+)$"), "id"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        outs = []
+
+        def emit(mask, urls, off):
+            t = pa.table({"url_dirty": urls,
+                          "ts_us": pc.add(ts, pa.scalar(off, pa.int64()))})
+            outs.append(t.filter(pa.array(mask)) if mask is not None else t)
+
+        emit(None, url, 0)  # v0: as crawled
+        emit(pid % 2 == 0, pc.binary_join_element_wise(
+            url, "?utm_source=feed&utm_campaign=x#top", ""), 1)
+        m = pc.extract_regex(
+            url,
+            r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<tail>.*)$")
+        emit(pid % 3 == 0, pc.binary_join_element_wise(
+            pc.utf8_upper(pc.struct_field(m, "head")), ":443",
+            pc.struct_field(m, "tail"), ""), 2)
+        emit(pid % 5 == 0,
+             pc.binary_join_element_wise(url, "/", ""), 3)
+        # v4 canonicalizes to url?a=1&b=2 — a DISTINCT canonical form,
+        # so not every variant collapses into the base group
+        emit(pid % 7 == 0, pc.binary_join_element_wise(
+            url, "?a=1&utm_medium=y&b=2", ""), 4)
+        return pa.concat_tables(outs)
+
+    staged = _stage_for_oracle(
+        ds.map_batches(dirty, batch_format="pyarrow"), "canon_url_dedup")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canon_url", canonicalize_urls(batch["url_dirty"]))
+
+    return (rd.read_parquet(staged)
+            .map_batches(canon, batch_format="pyarrow")
+            .groupby("canon_url")
+            .aggregate(Count(alias_name="n_dups"),
+                       Min("url_dirty", alias_name="kept_url"),
+                       Min("ts_us", alias_name="first_ts")))
+
+
+# ---------------------------------------------------------------------------
+# Q51c: compression-ratio quality signal (textstats.compress_stats_fn)
+# ---------------------------------------------------------------------------
+
+def q_compress_ratio_docs(sf_dir: str):
+    """Corpus information-density profile: per-(lang, source) zlib
+    compressibility — n_docs, total UTF-8 bytes, total DEFLATE bytes,
+    and the aggregate ratio (one IEEE division over exchanged int64
+    sums, so the float is exact on both engines). The per-doc DEFLATE
+    lengths are staged for the oracle (DuckDB has no zlib — the staged
+    integers are the records both engines aggregate; the compressor
+    itself is pinned by the golden-value pytest in
+    tests/test_textstats_extra.py). Combiner shape: per-batch partial
+    sums inside map_batches, one slim (lang, source) groupby-sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Count
+    from ..stages.textstats import compress_stats_fn
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = compress_stats_fn(batch)
+        return (s.append_column("lang", batch["lang"])
+                 .append_column("source", batch["source"]))
+
+    staged = _stage_for_oracle(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        "compress_ratio_docs")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # combiner: one row per (lang, source) per batch
+        key = pc.binary_join_element_wise(batch["lang"],
+                                          batch["source"], "\x1f")
+        d = key.combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["n_bytes"].to_numpy(zero_copy_only=False)
+        cb = batch["comp_bytes"].to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        parts = pc.split_pattern(d.dictionary, "\x1f")
+        return pa.table({
+            "lang": pc.list_element(parts, 0),
+            "source": pc.list_element(parts, 1),
+            "part_docs": pa.array(np.bincount(codes, minlength=k)
+                                  .astype(np.int64), pa.int64()),
+            "part_bytes": pa.array(
+                np.bincount(codes, weights=nb, minlength=k)
+                .astype(np.int64), pa.int64()),
+            "part_comp": pa.array(
+                np.bincount(codes, weights=cb, minlength=k)
+                .astype(np.int64), pa.int64())})
+
+    agg = (rd.read_parquet(staged)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source"])
+           .aggregate(Sum("part_docs", alias_name="n_docs"),
+                      Sum("part_bytes", alias_name="sum_bytes"),
+                      Sum("part_comp", alias_name="sum_comp")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ratio = pc.divide(
+            pc.cast(batch["sum_comp"], pa.float64()),
+            pc.cast(batch["sum_bytes"], pa.float64()))
+        return batch.append_column("comp_ratio", ratio)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -3544,6 +3731,35 @@ ORACLE_SQL["sliding_window"] = """
     SELECT user_id, window_start, COUNT(*) AS n_events
     FROM w GROUP BY 1, 2"""
 
+ORACLE_SQL["interval_coverage_users"] = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + GREATEST(
+                 CAST(FLOOR(value * 1000000.0) AS BIGINT), 0) AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM iv),
+    h AS (
+      SELECT user_id, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+               AS head
+      FROM m),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(head) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS isl
+      FROM h),
+    isl AS (
+      SELECT user_id, isl, MAX(e) - MIN(s) AS len
+      FROM g GROUP BY user_id, isl)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS covered_us
+    FROM isl GROUP BY user_id"""
+
 ORACLE_SQL["session_windows"] = """
     WITH o AS (
       SELECT user_id, epoch_us(ts) AS us,
@@ -4336,6 +4552,36 @@ ORACLE_SQL["media_codec_features"] = """
     FROM read_parquet(
         '/tmp/tilemaker_ray_oracle/media_codec_features/*.parquet')"""
 
+ORACLE_SQL["compress_ratio_docs"] = """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+           CAST(SUM(comp_bytes) AS BIGINT) AS sum_comp,
+           CAST(SUM(comp_bytes) AS DOUBLE) / CAST(SUM(n_bytes) AS DOUBLE)
+             AS comp_ratio
+    FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/compress_ratio_docs/*.parquet')
+    GROUP BY lang, source"""
+
+# canonical-URL dedup: the oracle re-canonicalizes the staged dirty
+# URLs itself with the RE2 chain mirrored from
+# stages/urlstats.py::canonicalize_urls (both engines are RE2 with the
+# same global-replace resume semantics), so the hash certifies the rule
+# chain — see CANON_SQL_STEPS / CANON_SQL_EXPR next to the kernel.
+from ..stages.urlstats import CANON_SQL_EXPR as _CANON_EXPR
+from ..stages.urlstats import CANON_SQL_STEPS as _CANON_STEPS
+
+ORACLE_SQL["canon_url_dedup"] = (
+    "WITH c AS (SELECT url_dirty, ts_us, " + _CANON_EXPR
+    + " AS canon_url FROM ("
+    + _CANON_STEPS.format(
+        col="url_dirty",
+        src="read_parquet('/tmp/tilemaker_ray_oracle/canon_url_dedup/"
+            "*.parquet')")
+    + """))
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(url_dirty) AS kept_url, MIN(ts_us) AS first_ts
+    FROM c GROUP BY canon_url""")
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -4462,4 +4708,8 @@ QUERIES = {
     "relation_udf_tag": q_relation_udf_tag,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
+    "canon_url_dedup": q_canon_url_dedup,
+    "interval_coverage_users": q_interval_coverage_users,
+    "compress_ratio_docs": q_compress_ratio_docs,
+    "cms_word_freq_docs": q_cms_word_freq_docs,
 }

@@ -394,3 +394,87 @@ def hll_grouped_distinct(ds, key_col: str, col: str, p: int = 12):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate frequency table
+# ---------------------------------------------------------------------------
+# Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+# count-min sketch and its applications"). depth x width counter
+# matrix; row r indexes items by splitmix64(fnv1a64(item) ^ seed_r).
+# Counters are LINEAR in the input, so the distributed form is exactly
+# a sum: each block emits its nonzero cells as (cell, count) rows, one
+# groupby-sum merges them, and the <= depth*width merged rows are a
+# bounded driver fold (same size story as the HLL register blobs).
+# Point query = min over rows; estimates NEVER undercount.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+# row seeds: splitmix64 of small constants, fixed forever (a seed
+# change silently invalidates persisted sketches)
+_CMS_SEEDS = _splitmix64(np.arange(1, 65, dtype=np.uint64))
+
+
+def cms_cells(word_hashes: np.ndarray, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, n) flat cell ids (row r's cells offset by r*width)."""
+    wh = word_hashes.astype(np.uint64)
+    rows = []
+    for r in range(depth):
+        idx = _splitmix64(wh ^ _CMS_SEEDS[r]) % np.uint64(width)
+        rows.append(idx.astype(np.int64) + r * width)
+    return np.stack(rows)
+
+
+def cms_word_cells(ds, text_col: str = "text", depth: int = CMS_DEPTH,
+                   width: int = CMS_WIDTH):
+    """documents -> merged CMS cells: (cell:int64, n:int64), at most
+    depth*width rows. Per-batch combiner: words dictionary-encode once,
+    per-word counts go through bincount, and each block ships only its
+    nonzero cells."""
+    import pyarrow.compute as _pc
+    from .dedup import _word_hash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = _pc.list_flatten(
+            _pc.split_pattern(batch[text_col], " ")).combine_chunks()
+        if len(flat) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "part_n": pa.array([], pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        wh = np.fromiter((_word_hash(w) for w in vocab),
+                         dtype=np.uint64, count=len(vocab))
+        cells = cms_cells(wh, depth, width)          # (depth, V)
+        mat = np.zeros(depth * width, dtype=np.int64)
+        for r in range(depth):
+            np.add.at(mat, cells[r], cnt)
+        nz = np.flatnonzero(mat)
+        return pa.table({"cell": pa.array(nz, pa.int64()),
+                         "part_n": pa.array(mat[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("part_n", alias_name="n")))
+
+
+def cms_matrix(cells_table: pa.Table, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> np.ndarray:
+    """Merged (cell, n) rows -> dense (depth, width) matrix."""
+    mat = np.zeros(depth * width, dtype=np.int64)
+    cell = cells_table["cell"].to_numpy(zero_copy_only=False)
+    n = cells_table["n"].to_numpy(zero_copy_only=False)
+    mat[cell] = n
+    return mat.reshape(depth, width)
+
+
+def cms_estimate(mat: np.ndarray, word_hashes: np.ndarray,
+                 width: int = CMS_WIDTH) -> np.ndarray:
+    """Point-query estimates: min over rows (>= true count always)."""
+    depth = mat.shape[0]
+    cells = cms_cells(word_hashes, depth, width)
+    ests = np.stack([mat.reshape(-1)[cells[r]] for r in range(depth)])
+    return ests.min(axis=0)

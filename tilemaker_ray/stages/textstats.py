@@ -242,3 +242,29 @@ def repetition_fn(batch: pa.Table, id_col: str = "doc_id",
         "top_word_frac": pa.array(top_count.astype(np.float64) / nw_f,
                                   pa.float64()),
     })
+
+
+def compress_stats_fn(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6) -> pa.Table:
+    """Per-document zlib compressibility — the cheap information-density
+    quality signal large-scale corpus curation uses (boilerplate and
+    template spam compress far better than prose; gibberish compresses
+    worse). The zlib DEFLATE loop is C; Python only walks the offsets,
+    so the stage stays IO-bound at corpus scale.
+
+    Emits integer sufficient statistics only (UTF-8 byte length +
+    compressed length) so any downstream ratio/aggregate can be an
+    exact IEEE expression over exchanged int64s.
+    """
+    import zlib
+
+    col = batch[text_col]
+    bin_col = pc.cast(col, pa.binary())
+    n_bytes = pc.binary_length(bin_col).to_numpy(zero_copy_only=False)
+    comp = np.fromiter(
+        (len(zlib.compress(v.as_py(), level)) for v in bin_col),
+        dtype=np.int64, count=len(bin_col))
+    return pa.table({
+        id_col: batch[id_col],
+        "n_bytes": pa.array(n_bytes.astype(np.int64), pa.int64()),
+        "comp_bytes": pa.array(comp, pa.int64())})

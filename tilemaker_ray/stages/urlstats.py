@@ -94,3 +94,76 @@ def host_topk(pages_ds, k: int = 50):
     """Top-k hosts by page count (stable tie-break on host name)."""
     return (host_stats(pages_ds)
             .sort(["n_pages", "host"], descending=[True, False]).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl dedup by canonical URL)
+# ---------------------------------------------------------------------------
+
+# RE2 on both engines: Arrow's replace_substring_regex and DuckDB's
+# regexp_replace share the regex dialect AND the global-replace resume
+# semantics, so the SQL oracle can mirror this chain verbatim.
+_TRACK_RE = r"([?&])(?:utm_[a-z]+|gclid|fbclid)=[^&]*"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_urls(arr) -> pa.Array:
+    """Vectorized crawl-style URL canonicalization — the key function of
+    a duplicate-URL collapse pass over a 10^12-row crawl frontier.
+
+    Rules (each a single RE2 pass, applied in this order):
+      1. strip the fragment (``#...``);
+      2. drop tracking query params (``utm_*`` / ``gclid`` / ``fbclid``),
+         keeping the leading separator;
+      3. collapse the separator runs rule 2 leaves behind
+         (``?&&a=1`` → ``?a=1``) and 4. strip a dangling ``?``/``&``;
+      5. lowercase the scheme+authority only (path/query stay
+         case-sensitive per RFC 3986) and drop a default ``:80``/``:443``
+         port; schemeless strings are lowercased whole;
+      6. strip one trailing slash (``/x/`` ≡ ``/x``, ``/`` ≡ root).
+
+    Consecutive tracking params are handled by rule 2+3 together: RE2
+    global replace resumes AFTER each replacement, so ``?utm_a=1&utm_b=2``
+    becomes ``?&&`` debris that rule 3 collapses — the oracle relies on
+    the identical resume behavior. Known approximation (documented, and
+    mirrored by the oracle either way): ``//`` runs in the path are kept
+    and only ONE trailing slash is stripped.
+    """
+    u = pc.replace_substring_regex(arr, r"#.*", "")
+    u = pc.replace_substring_regex(u, _TRACK_RE, r"\1")
+    u = pc.replace_substring_regex(u, r"([?&])&+", r"\1")
+    u = pc.replace_substring_regex(u, r"[?&]$", "")
+    m = pc.extract_regex(
+        u, r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<tail>.*)$")
+    head = pc.utf8_lower(pc.struct_field(m, "head"))
+    head = pc.replace_substring_regex(head, r":(80|443)$", "")
+    tail = pc.struct_field(m, "tail")
+    canon = pc.if_else(pc.is_valid(m),
+                       pc.binary_join_element_wise(head, tail, ""),
+                       pc.utf8_lower(u))
+    return pc.replace_substring_regex(canon, r"/$", "")
+
+
+# The DuckDB mirror of canonicalize_urls over a column named u —
+# kept next to the kernel so the two rule chains are reviewed together.
+# {col} is substituted with the source column expression.
+CANON_SQL_EXPR = """
+        regexp_replace(
+          CASE WHEN regexp_matches(c3, '^[A-Za-z][A-Za-z0-9+.-]*://')
+               THEN regexp_replace(lower(regexp_extract(c3,
+                        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                    ':(80|443)$', '')
+                    || regexp_replace(c3,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+               ELSE lower(c3) END,
+          '/$', '')
+"""
+
+CANON_SQL_STEPS = """
+      SELECT *, regexp_replace(c2, '[?&]$', '') AS c3 FROM (
+        SELECT *, regexp_replace(c1, '([?&])&+', '\\1', 'g') AS c2 FROM (
+          SELECT *, regexp_replace(c0,
+              '([?&])(?:utm_[a-z]+|gclid|fbclid)=[^&]*', '\\1', 'g') AS c1
+          FROM (SELECT *, regexp_replace({col}, '#.*', '') AS c0
+                FROM {src}) s0) s1) s2
+"""

@@ -105,3 +105,79 @@ def session_windows(events_ds, gap_us: int = US_PER_HOUR,
     return (events_ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("bkt").map_groups(sessions_bucket,
                                        batch_format="pyarrow"))
+
+
+def interval_coverage(events_ds, scale_us: int = 1_000_000,
+                      num_buckets: int = 256):
+    """Per-user union of (possibly overlapping) time intervals
+    ``[ts, ts + floor(value·scale_us)]``: merged-island count and total
+    covered microseconds. The classic interval-union / gaps-and-islands
+    operator (uptime coverage, watch-time, crawl-politeness windows) —
+    the geometric analog is the reference's shared-border polygon
+    dissolve (tile_worker.cpp:393-405) in one dimension.
+
+    Shape: one map_batches interval pass, ONE bucketed exchange
+    (users hash into ``num_buckets``; all users of a bucket resolved in
+    one vectorized lexsort + segmented-cummax pass — no per-user
+    map_groups, no driver work). Touching intervals (gap 0) merge, like
+    the SQL mirror's strict ``s > pmax`` island test.
+    """
+
+    def iv(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        s = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                       * float(scale_us)).astype(np.int64)
+        np.maximum(dur, 0, out=dur)
+        return pa.table({
+            "bkt": pa.array(mix_bucket(uid, num_buckets), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + dur, pa.int64())})
+
+    def cover(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_islands": pa.array([], pa.int64()),
+                          "covered_us": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        # Shift each user's timeline into a disjoint int64 range so ONE
+        # global exclusive cummax implements the per-user running max.
+        lo = int(s.min())
+        span = int(e.max()) - lo + 1
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        uidx = np.cumsum(new_user) - 1
+        if (uidx[-1] + 1) * span >= 2**62:  # int64-shift overflow guard
+            raise ValueError(
+                "interval_coverage: user-count x time-span exceeds the "
+                "int64 shift range; raise num_buckets so each bucket "
+                "holds fewer users")
+        off = uidx * span
+        ss, ee = (s - lo) + off, (e - lo) + off
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        prev[1:] = np.maximum.accumulate(ee)[:-1]
+        head = ss > prev
+        heads_idx = np.flatnonzero(head)
+        seg_max_e = np.maximum.reduceat(ee, heads_idx)
+        isl_len = seg_max_e - ss[heads_idx]  # offsets cancel in-island
+        isl_user = uid[heads_idx]
+        uh = np.ones(len(heads_idx), dtype=bool)
+        uh[1:] = isl_user[1:] != isl_user[:-1]
+        uh_idx = np.flatnonzero(uh)
+        covered = np.add.reduceat(isl_len, uh_idx)
+        n_isl = np.diff(np.append(uh_idx, len(heads_idx)))
+        return pa.table({
+            "user_id": pa.array(isl_user[uh_idx], pa.int64()),
+            "n_islands": pa.array(n_isl, pa.int64()),
+            "covered_us": pa.array(covered, pa.int64())})
+
+    return (events_ds.map_batches(iv, batch_format="pyarrow")
+            .groupby("bkt").map_groups(cover, batch_format="pyarrow"))
