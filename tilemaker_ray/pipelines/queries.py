@@ -4588,10 +4588,15 @@ QUERIES = {
     # ever saw (cooc_pmi_docs / warc_host_stats / media_codec_features
     # now SQL-oracled; 9 rows-only with pytest oracles), the three
     # paths this round changed (fuzzy join, flagship with the polygon
-    # union, media features), and 35 SQL-certified fillers. With this
-    # rotation every query in the suite has a driver row in at least
-    # one round. The local gate (tests/test_queries_oracle.py) still
-    # runs ALL oracle-backed queries every pytest session.
+    # union, media features), the five operators ADDED this round
+    # (jaccard pairs, canonical-URL dedup, interval coverage,
+    # compression ratio — all SQL-exact — plus the rows-only Count-Min
+    # sketch), and SQL-certified fillers. The four fillers rotated out
+    # for the new operators (token_count / lang_stats / langid /
+    # quality) were hash-certified in rounds 1-3 and unchanged since.
+    # With this rotation every query in the suite has a driver row in
+    # at least one round. The local gate (tests/test_queries_oracle.py)
+    # still runs ALL oracle-backed queries every pytest session.
     "cooc_pmi_docs": q_cooc_pmi_docs,
     "kll_value_quantiles": q_kll_value_quantiles,
     "media_codec_features": q_media_codec_features,
@@ -4608,10 +4613,10 @@ QUERIES = {
     "flagship_tiles": q_flagship_tiles,
     "media_features": q_media_features,
     "sigfilter_docs": q_sigfilter_docs,
-    "token_count_docs": q_token_count_docs,
-    "lang_stats_docs": q_lang_stats_docs,
-    "langid_docs": q_langid_docs,
-    "quality_docs": q_quality_docs,
+    "canon_url_dedup": q_canon_url_dedup,
+    "interval_coverage_users": q_interval_coverage_users,
+    "compress_ratio_docs": q_compress_ratio_docs,
+    "cms_word_freq_docs": q_cms_word_freq_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
     "redact_docs": q_redact_docs,
@@ -4708,8 +4713,8 @@ QUERIES = {
     "relation_udf_tag": q_relation_udf_tag,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_dedup_keep": q_simhash_dedup_keep,
-    "canon_url_dedup": q_canon_url_dedup,
-    "interval_coverage_users": q_interval_coverage_users,
-    "compress_ratio_docs": q_compress_ratio_docs,
-    "cms_word_freq_docs": q_cms_word_freq_docs,
+    "token_count_docs": q_token_count_docs,
+    "lang_stats_docs": q_lang_stats_docs,
+    "langid_docs": q_langid_docs,
+    "quality_docs": q_quality_docs,
 }
