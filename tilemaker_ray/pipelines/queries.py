@@ -539,9 +539,9 @@ def q_cms_word_freq_docs(sf_dir: str, k: int = 20):
     block ships <= depth*width nonzero cells, one groupby-sum merges
     (counters are linear), the driver folds a fixed 4x2048 matrix —
     volume independent of corpus size and vocabulary. Approximate by
-    design -> rows-only for the driver; tests/test_cms.py pins the
-    merged matrix bit-exact vs a single-process reference, partition
-    invariance, and the never-undercounts guarantee."""
+    design -> rows-only for the driver; tests/test_round4_ops.py pins
+    the merged matrix bit-exact vs a single-process reference,
+    partition invariance, and the never-undercounts guarantee."""
     from ..stages.dedup import _word_hash
     from ..stages.sketch import cms_estimate, cms_matrix, cms_word_cells
 
@@ -2494,7 +2494,7 @@ def q_compress_ratio_docs(sf_dir: str):
     tests/test_textstats_extra.py). Combiner shape: per-batch partial
     sums inside map_batches, one slim (lang, source) groupby-sum."""
     import ray.data as rd
-    from ray.data.aggregate import Sum, Count
+    from ray.data.aggregate import Sum
     from ..stages.textstats import compress_stats_fn
 
     ds = _read(sf_dir, "documents",

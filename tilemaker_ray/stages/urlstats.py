@@ -104,7 +104,6 @@ def host_topk(pages_ds, k: int = 50):
 # regexp_replace share the regex dialect AND the global-replace resume
 # semantics, so the SQL oracle can mirror this chain verbatim.
 _TRACK_RE = r"([?&])(?:utm_[a-z]+|gclid|fbclid)=[^&]*"
-_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
 def canonicalize_urls(arr) -> pa.Array:

@@ -154,7 +154,9 @@ def interval_coverage(events_ds, scale_us: int = 1_000_000,
         new_user = np.ones(n, dtype=bool)
         new_user[1:] = uid[1:] != uid[:-1]
         uidx = np.cumsum(new_user) - 1
-        if (uidx[-1] + 1) * span >= 2**62:  # int64-shift overflow guard
+        # guard in PYTHON ints — numpy int64 would wrap silently and
+        # defeat the check
+        if int(uidx[-1] + 1) * int(span) >= 2**62:
             raise ValueError(
                 "interval_coverage: user-count x time-span exceeds the "
                 "int64 shift range; raise num_buckets so each bucket "
