@@ -1,0 +1,209 @@
+"""Kernel oracles for the third-wave crawl operators (round 4):
+SURT keys, robots longest-match filtering, snapshot delta, anchor-text
+aggregation. End-to-end + DuckDB-hash coverage lives in
+test_queries_oracle.py (all four queries are ORACLE_SQL-backed); here
+each kernel is pinned against a brute-force single-process reference.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tilemaker_ray.stages.pagerank import page_links_anchored
+from tilemaker_ray.stages.urlstats import (make_robots_rules,
+                                           robots_verdict_fn, surt_key)
+
+
+# ---------------------------------------------------------------------------
+# SURT
+# ---------------------------------------------------------------------------
+
+def test_surt_key_cases():
+    urls = pa.array([
+        "https://maps.Example.com/x/1?q=2#f",   # subdomain + query + frag
+        "https://www.foo.IO:8080/a/",            # www + port stripped
+        "http://example.de/tokyo/123",           # plain
+        "not a url",                             # schemeless fallback
+        "https://single/",                       # one-label host
+        "ftp://A.B.C.D/e",                       # deep host
+    ])
+    assert surt_key(urls).to_pylist() == [
+        "com,example,maps)/x/1?q=2",
+        "io,foo)/a/",
+        "de,example)/tokyo/123",
+        "not a url",
+        "single)/",
+        "d,c,b,a)/e",
+    ]
+
+
+def test_surt_key_brute_reversal():
+    # the offsets-permutation reversal vs a per-row Python reference
+    rng = np.random.RandomState(7)
+    hosts = []
+    for _ in range(500):
+        n = rng.randint(1, 6)
+        hosts.append(".".join(
+            "l%d" % rng.randint(0, 9) for _ in range(n)))
+    urls = pa.array([f"https://{h}/p/{i}" for i, h in enumerate(hosts)])
+    got = surt_key(urls).to_pylist()
+    for u, h, g in zip(urls.to_pylist(), hosts, got):
+        exp = ",".join(reversed(h.split("."))) + ")" + u.split(h, 1)[1]
+        assert g == exp, (u, g, exp)
+
+
+# ---------------------------------------------------------------------------
+# Robots longest-match
+# ---------------------------------------------------------------------------
+
+def _brute_verdict(url, rules):
+    import re
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)([^#]*)", url)
+    host = m.group(1).lower()
+    path = re.sub(r"\?.*$", "", m.group(2))
+    best_allow = best_dis = 0
+    for rh, rp, ra in rules:
+        if rh == host and path.startswith(rp):
+            if ra:
+                best_allow = max(best_allow, len(rp))
+            else:
+                best_dis = max(best_dis, len(rp))
+    return ("allow" if best_allow >= best_dis else "disallow",
+            max(best_allow, best_dis))
+
+
+def test_robots_verdict_brute():
+    rules_t = make_robots_rules()
+    rules = list(zip(rules_t["host"].to_pylist(),
+                     rules_t["prefix"].to_pylist(),
+                     rules_t["allow"].to_pylist()))
+    # sample urls covering every host and hot/override sections
+    urls = []
+    for i, (h, p, a) in enumerate(rules):
+        urls.append(f"https://{h}{p}{i}")         # exact-prefix hit
+        urls.append(f"https://{h}{p.rstrip('/')}x/{i}")  # near-miss
+    urls += [f"https://example.com/losangeles/{s}" for s in
+             ("1", "19", "2", "", "100/deep")]
+    got = robots_verdict_fn(rules_t)(
+        pa.table({"url": pa.array(urls)})).to_pydict()
+    for u, v, ln in zip(got["url"], got["verdict"], got["rule_len"]):
+        ev, eln = _brute_verdict(u, rules)
+        assert (v, ln) == (ev, eln), (u, v, ln, ev, eln)
+
+
+def test_robots_allow_override_tiebreak():
+    rules = pa.table({
+        "host": pa.array(["h.x", "h.x", "h.x"]),
+        "prefix": pa.array(["/a/", "/a/1", "/b/"]),
+        "allow": pa.array([False, True, False])})
+    fn = robots_verdict_fn(rules)
+    out = fn(pa.table({"url": pa.array([
+        "https://h.x/a/19",   # allow (longer override)
+        "https://h.x/a/29",   # disallow
+        "https://h.x/c/1",    # no match -> allow, len 0
+    ])})).to_pydict()
+    assert out["verdict"] == ["allow", "disallow", "allow"]
+    assert out["rule_len"] == [4, 3, 0]
+    # equal-length allow vs disallow resolves to allow
+    rules2 = pa.table({"host": pa.array(["h.x", "h.x"]),
+                       "prefix": pa.array(["/a/", "/a/"]),
+                       "allow": pa.array([True, False])})
+    out2 = robots_verdict_fn(rules2)(
+        pa.table({"url": pa.array(["https://h.x/a/1"])})).to_pydict()
+    assert out2["verdict"] == ["allow"]
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta (brute dict oracle over the real documents table)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_delta_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.pipelines.queries import q_snapshot_delta_docs
+
+    sf = "/root/testdata/sf0.001"
+    got = q_snapshot_delta_docs(sf).to_pandas()
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"]).to_pydict()
+    exp = {}
+    for did, lang, nch in zip(t["doc_id"], t["lang"], t["n_chars"]):
+        in_old, in_new = did % 10 != 0, did % 7 != 0
+        sig_old, sig_new = nch, nch + (8 if did % 3 == 0 else 0)
+        if in_old and in_new:
+            st = "unchanged" if sig_old == sig_new else "changed"
+        elif in_old:
+            st = "removed"
+        elif in_new:
+            st = "added"
+        else:
+            continue
+        exp[did] = (lang, st)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[r["doc_id"]] == (r["lang"], r["status"])
+    # every status class must actually occur
+    assert set(got["status"]) == {"added", "removed", "changed",
+                                  "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# Anchored link derivation: partition invariance
+# ---------------------------------------------------------------------------
+
+def test_page_links_anchored_partition_invariant():
+    urls = pa.array([f"https://example.com/city{i % 7}/{i}"
+                     for i in range(100)])
+    whole = page_links_anchored(pa.table({"url": urls}), 3)
+    parts = [page_links_anchored(
+        pa.table({"url": urls.slice(off, 25)}), 3) for off in
+        range(0, 100, 25)]
+    merged = pa.concat_tables(parts)
+    key = lambda t: sorted(zip(t["src"].to_pylist(),
+                               t["dsth"].to_pylist(),
+                               t["anchor"].to_pylist()))
+    assert key(whole) == key(merged)
+    # anchors draw from the corpus vocabulary and repeat across sources
+    assert len(set(whole["anchor"].to_pylist())) > 1
+
+
+def test_anchor_rollup_matches_pandas():
+    # the per-bucket rollup kernel (sum / distinct / modal anchor with
+    # count-desc, anchor-asc ties) vs a pandas reference
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    dst = rng.choice(["s1", "s2", "s3"], 400)
+    anchor = rng.choice(["a", "b", "c", "d"], 400)
+    df = pd.DataFrame({"dst": dst, "anchor": anchor})
+    c = df.groupby(["dst", "anchor"]).size().reset_index(name="n")
+    exp = {}
+    for d, g in c.groupby("dst"):
+        g = g.sort_values(["n", "anchor"], ascending=[False, True])
+        exp[d] = (int(g["n"].sum()), len(g), g.iloc[0]["anchor"])
+
+    from tilemaker_ray.pipelines.queries import ORACLE_SQL  # noqa: F401
+    # exercise the same kernel shape the query uses: pack, unique, sum
+    t = pa.table({"dst": pa.array(dst), "anchor": pa.array(anchor),
+                  "n": pa.array(np.ones(400, np.int64))})
+    dd = t["dst"].combine_chunks().dictionary_encode()
+    ad = t["anchor"].combine_chunks().dictionary_encode()
+    dc = dd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ac = ad.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    na = len(ad.dictionary)
+    key = dc * na + ac
+    uk, inv = np.unique(key, return_inverse=True)
+    cnt = np.zeros(len(uk), np.int64)
+    np.add.at(cnt, inv, t["n"].to_numpy())
+    d2, a2 = uk // na, uk % na
+    anchors = np.asarray(ad.dictionary.to_pylist())
+    dsts = np.asarray(dd.dictionary.to_pylist())
+    order = np.lexsort((anchors[a2], -cnt, d2))
+    first = np.ones(len(order), bool)
+    first[1:] = d2[order][1:] != d2[order][:-1]
+    top = order[first]
+    for i in range(len(top)):
+        d = dsts[d2[top[i]]]
+        n_links = int(cnt[d2 == d2[top[i]]].sum())
+        n_anchors = int((d2 == d2[top[i]]).sum())
+        assert exp[d] == (n_links, n_anchors, anchors[a2[top[i]]])

@@ -4582,21 +4582,322 @@ ORACLE_SQL["canon_url_dedup"] = (
            MIN(url_dirty) AS kept_url, MIN(ts_us) AS first_ts
     FROM c GROUP BY canon_url""")
 
+
+# ---------------------------------------------------------------------------
+# Q52: third-wave crawl operators — snapshot delta, SURT index, robots
+# filter, anchor-text aggregation (round 4, second session)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_delta_docs(sf_dir: str):
+    """Crawl snapshot delta: classify every document as added / removed
+    / changed / unchanged between two crawl dumps — the incremental
+    re-crawl primitive (only 'added'+'changed' re-enter the pipeline,
+    so a 100-TB monthly dump costs a fraction of a cold run). Reference
+    analog: the used-object diff a tile rebuild does against the
+    previous archive (J5 merge, stages/sinks.py::merge_tilesets).
+
+    Snapshot membership and the per-side content signature are derived
+    deterministically from doc_id (the fixture stand-in — in production
+    the two dumps arrive as separate tables and the pipeline below is
+    identical from the union on): OLD = docs with id % 10 != 0, NEW =
+    id % 7 != 0, and ids % 3 == 0 get an 8-char edit in the new dump.
+
+    Scale shape: each doc contributes ≤2 slim (doc_id, side, sig) rows;
+    ONE exchange keyed by hash(doc_id) bucket; a single lexsort + run
+    walk resolves every doc in a bucket (no per-doc groups, no driver
+    state). The FULL OUTER JOIN the oracle runs is exactly this
+    exchange."""
+    import ray.data  # noqa: F401
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        in_old = did % 10 != 0
+        in_new = did % 7 != 0
+        sig_new = nch + np.where(did % 3 == 0, 8, 0)
+        parts = []
+        for mask, side, sig in ((in_old, 0, nch), (in_new, 1, sig_new)):
+            m = pa.array(mask)
+            parts.append(pa.table({
+                "doc_id": pa.array(did[mask], pa.int64()),
+                "lang": batch["lang"].filter(m),
+                "side": pa.array(np.full(int(mask.sum()), side, np.int8)),
+                "sig": pa.array(sig[mask], pa.int64()),
+                "bkt": pa.array(mix_bucket(did[mask], 32), pa.int64())}))
+        return pa.concat_tables(parts)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, did))
+        did_s, side_s, sig_s = did[order], side[order], sig[order]
+        first = np.ones(len(did_s), dtype=bool)
+        first[1:] = did_s[1:] != did_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(did_s)))
+        status = np.empty(len(starts), dtype=object)
+        one = counts == 1
+        status[one & (side_s[starts] == 1)] = "added"
+        status[one & (side_s[starts] == 0)] = "removed"
+        two = counts == 2
+        same = np.zeros(len(starts), dtype=bool)
+        same[two] = sig_s[starts[two]] == sig_s[starts[two] + 1]
+        status[two & same] = "unchanged"
+        status[two & ~same] = "changed"
+        lang = g["lang"].take(pa.array(order[starts], pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(did_s[starts], pa.int64()),
+            "lang": lang,
+            "status": pa.array(status.tolist(), pa.string())})
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("bkt").map_groups(resolve, batch_format="pyarrow"))
+
+
+ORACLE_SQL["snapshot_delta_docs"] = """
+    WITH o AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS sig
+               FROM documents WHERE doc_id % 10 <> 0),
+         n AS (SELECT doc_id, lang,
+                      CAST(n_chars + CASE WHEN doc_id % 3 = 0
+                                          THEN 8 ELSE 0 END AS BIGINT) AS sig
+               FROM documents WHERE doc_id % 7 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           COALESCE(o.lang, n.lang) AS lang,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.sig = n.sig THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+def q_surt_index_urls(sf_dir: str):
+    """CDX-style archive index: every frontier URL keyed by its SURT
+    (Sort-friendly URI Reordering Transform — reversed host labels, so
+    one domain's hosts sort contiguously) plus the archive position the
+    global order assigns. This is how Common Crawl's index shards are
+    laid out; position ranges become the resumable output partitions.
+
+    Scale shape: the SURT kernel is pure Arrow (stages/urlstats.py::
+    surt_key) fused into the scan; the ORDER BY is the rank machinery's
+    ONE sort exchange + O(n_blocks) driver metadata walk
+    (stages/rank.py). URLs are staged for the oracle (pages is not a
+    driver view); the SQL recomputes the SURT itself with the mirrored
+    RE2 + list_reverse chain, so the hash certifies the transform AND
+    the global ordering."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..stages.rank import global_rank
+    from ..stages.urlstats import surt_key
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n), columns=["url"])
+    staged = _stage_for_oracle(ds, "surt_index_urls")
+
+    def key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("surt", surt_key(batch["url"]))
+
+    keyed = rd.read_parquet(staged).map_batches(key, batch_format="pyarrow")
+    return global_rank(keyed, ["surt", "url"], rn_col="pos",
+                       rank_col=None)
+
+
+from ..stages.urlstats import SURT_SQL_EXPR as _SURT_EXPR  # noqa: E402
+
+ORACLE_SQL["surt_index_urls"] = ("""
+    WITH s AS (SELECT url, """
+    + _SURT_EXPR.format(col="url") + """ AS surt
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/surt_index_urls/*.parquet'))
+    SELECT url, surt,
+           CAST(ROW_NUMBER() OVER (ORDER BY surt, url) AS BIGINT) AS pos
+    FROM s
+""")
+
+
+def q_robots_filter_urls(sf_dir: str):
+    """Robots-exclusion filtering of the crawl frontier under Google
+    robots semantics: per URL the LONGEST matching rule governs, an
+    allow and a disallow of equal length resolve to allow, no match
+    means allow. The synthetic rule set (urlstats.make_robots_rules)
+    disallows ~1/4 of host sections and carries longer allow overrides
+    so longest-match is genuinely exercised.
+
+    Scale shape: the rule table is tiny and broadcast once into the
+    map_batches closure (the ray.put small-side pattern); matching is
+    one C-speed starts_with + host-equality pass per rule — no
+    shuffle at all, the filter fuses into the frontier scan. Rules and
+    URLs are both staged so the oracle's LEFT JOIN + GROUP BY
+    recomputes the longest-match resolution independently."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..stages.urlstats import make_robots_rules, robots_verdict_fn
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n), columns=["url"])
+    rules = make_robots_rules()
+    _stage_for_oracle(rd.from_arrow(rules), "robots_rules")
+    staged = _stage_for_oracle(ds, "robots_filter_urls")
+    return rd.read_parquet(staged).map_batches(
+        robots_verdict_fn(rules), batch_format="pyarrow")
+
+
+ORACLE_SQL["robots_filter_urls"] = """
+    WITH u AS (SELECT url,
+                 lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                 regexp_replace(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                     '\\?.*$', '') AS path
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/robots_filter_urls/*.parquet')),
+         m AS (SELECT u.url,
+                 MAX(CASE WHEN r.allow THEN length(r.prefix)
+                          ELSE 0 END) AS ba,
+                 MAX(CASE WHEN NOT r.allow THEN length(r.prefix)
+                          ELSE 0 END) AS bd
+               FROM u LEFT JOIN read_parquet(
+                   '/tmp/tilemaker_ray_oracle/robots_rules/*.parquet') r
+                 ON u.host = r.host AND starts_with(u.path, r.prefix)
+               GROUP BY u.url)
+    SELECT url,
+           CASE WHEN COALESCE(ba, 0) >= COALESCE(bd, 0)
+                THEN 'allow' ELSE 'disallow' END AS verdict,
+           CAST(GREATEST(COALESCE(ba, 0), COALESCE(bd, 0)) AS BIGINT)
+               AS rule_len
+    FROM m
+"""
+
+
+def q_anchor_text_sites(sf_dir: str):
+    """Per-target anchor-text aggregation — the classic web-search
+    signal (a page is described best by the text of links POINTING AT
+    it): for every destination site, total in-links, distinct anchor
+    vocabulary, and the modal anchor (ties: higher count, then
+    lexicographically smaller anchor). Link+anchor extraction is the
+    deterministic fixture stand-in (pagerank.page_links_anchored);
+    everything downstream is the real operator.
+
+    Scale shape: per-batch (dst, anchor) count combiner → ONE exchange
+    keyed by hash(dst) bucket (all of a destination's rows co-locate) →
+    vectorized per-bucket rollup. The staged (dst, anchor) table is
+    what both engines aggregate; the derivation is pinned by the
+    partition-invariance pytest."""
+    import zlib
+
+    import ray
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..stages.common import mix_bucket
+    from ..stages.pagerank import page_links_anchored
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n), columns=["url"])
+    links = ds.map_batches(lambda b: page_links_anchored(b, 3),
+                           batch_format="pyarrow").materialize()
+    sites = sorted(set(links.map_batches(
+        lambda b: pa.table({"src": pc.unique(b["src"].combine_chunks())}),
+        batch_format="pyarrow").to_pandas()["src"]))
+    sites_ref = ray.put(np.asarray(sites, dtype=object))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        sa = ray.get(sites_ref)
+        m = len(sa)
+        d = (batch["dsth"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % np.uint64(m)).astype(np.int64)
+        return pa.table({"dst": pa.array(sa[d], pa.string()),
+                         "anchor": batch["anchor"]})
+
+    staged = _stage_for_oracle(
+        links.map_batches(resolve, batch_format="pyarrow"),
+        "anchor_text_sites")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gb = pa.table({"dst": batch["dst"], "anchor": batch["anchor"]}) \
+            .group_by(["dst", "anchor"]).aggregate([([], "count_all")])
+        # bucket by a deterministic string hash of dst (crc32 over the
+        # per-batch DICTIONARY — bounded by distinct sites, not rows)
+        dd = gb["dst"].combine_chunks().dictionary_encode()
+        codes = dd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_h = np.fromiter(
+            (zlib.crc32(s.encode()) for s in dd.dictionary.to_pylist()),
+            dtype=np.int64, count=len(dd.dictionary))
+        return pa.table({"dst": gb["dst"], "anchor": gb["anchor"],
+                         "n": gb["count_all"],
+                         "bkt": pa.array(mix_bucket(dict_h[codes], 16),
+                                         pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        dd = g["dst"].combine_chunks().dictionary_encode()
+        ad = g["anchor"].combine_chunks().dictionary_encode()
+        dc = dd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ac = ad.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = g["n"].to_numpy(zero_copy_only=False)
+        na = len(ad.dictionary)
+        key = dc * na + ac
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(cnt, inv, nv)
+        d2, a2 = uk // na, uk % na
+        anchors = np.asarray(ad.dictionary.to_pylist())
+        dsts = np.asarray(dd.dictionary.to_pylist())
+        n_links = np.bincount(d2, weights=cnt,
+                              minlength=len(dsts)).astype(np.int64)
+        n_anchors = np.bincount(d2, minlength=len(dsts)).astype(np.int64)
+        order = np.lexsort((anchors[a2], -cnt, d2))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = d2[order][1:] != d2[order][:-1]
+        top = order[first]
+        return pa.table({
+            "dst": pa.array(dsts[d2[top]], pa.string()),
+            "n_links": pa.array(n_links[d2[top]], pa.int64()),
+            "n_anchors": pa.array(n_anchors[d2[top]], pa.int64()),
+            "top_anchor": pa.array(anchors[a2[top]], pa.string())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bkt").map_groups(final, batch_format="pyarrow"))
+
+
+ORACLE_SQL["anchor_text_sites"] = """
+    WITH c AS (SELECT dst, anchor, COUNT(*) AS n
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/anchor_text_sites/*.parquet')
+               GROUP BY dst, anchor),
+         t AS (SELECT dst, anchor,
+                      ROW_NUMBER() OVER (PARTITION BY dst
+                                         ORDER BY n DESC, anchor) AS rn
+               FROM c),
+         s AS (SELECT dst, CAST(SUM(n) AS BIGINT) AS n_links,
+                      CAST(COUNT(*) AS BIGINT) AS n_anchors
+               FROM c GROUP BY dst)
+    SELECT s.dst, s.n_links, s.n_anchors, t.anchor AS top_anchor
+    FROM s JOIN t ON t.dst = s.dst AND t.rn = 1
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
     # ever saw (cooc_pmi_docs / warc_host_stats / media_codec_features
     # now SQL-oracled; 9 rows-only with pytest oracles), the three
     # paths this round changed (fuzzy join, flagship with the polygon
-    # union, media features), the five operators ADDED this round
+    # union, media features), the nine operators ADDED this round
     # (jaccard pairs, canonical-URL dedup, interval coverage,
-    # compression ratio — all SQL-exact — plus the rows-only Count-Min
-    # sketch), and SQL-certified fillers. The four fillers rotated out
-    # for the new operators (token_count / lang_stats / langid /
-    # quality) were hash-certified in rounds 1-3 and unchanged since.
-    # With this rotation every query in the suite has a driver row in
-    # at least one round. The local gate (tests/test_queries_oracle.py)
-    # still runs ALL oracle-backed queries every pytest session.
+    # compression ratio, snapshot delta, SURT index, robots filter,
+    # anchor-text aggregation — all SQL-exact — plus the rows-only
+    # Count-Min sketch), and SQL-certified fillers. The eight fillers
+    # rotated out for the new operators (token_count / lang_stats /
+    # langid / quality / tile_count_z10 / pip_admin_events /
+    # area_concave_events / user_tracks) were hash-certified in rounds
+    # 1-3 and unchanged since. With this rotation every query in the
+    # suite has a driver row in at least one round. The local gate
+    # (tests/test_queries_oracle.py) still runs ALL oracle-backed
+    # queries every pytest session.
     "cooc_pmi_docs": q_cooc_pmi_docs,
     "kll_value_quantiles": q_kll_value_quantiles,
     "media_codec_features": q_media_codec_features,
@@ -4617,6 +4918,10 @@ QUERIES = {
     "interval_coverage_users": q_interval_coverage_users,
     "compress_ratio_docs": q_compress_ratio_docs,
     "cms_word_freq_docs": q_cms_word_freq_docs,
+    "snapshot_delta_docs": q_snapshot_delta_docs,
+    "surt_index_urls": q_surt_index_urls,
+    "robots_filter_urls": q_robots_filter_urls,
+    "anchor_text_sites": q_anchor_text_sites,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
     "redact_docs": q_redact_docs,
@@ -4642,11 +4947,11 @@ QUERIES = {
     "skyline_lineitem": q_skyline_lineitem,
     "mode_event_type": q_mode_event_type,
     "distinct_users": q_distinct_users,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "tile_count_z10": q_tile_count_z10,
     "pip_admin_events": q_pip_admin_events,
     "area_concave_events": q_area_concave_events,
     "user_tracks": q_user_tracks,
-    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     # --- beyond the driver's 50-query cap ---
     "revenue_by_nation": q_revenue_by_nation,
     "stratified_sample": q_stratified_sample,

@@ -60,6 +60,39 @@ def page_links(batch: pa.Table, k: int = 3) -> pa.Table:
                          pa.int64())})
 
 
+def page_links_anchored(batch: pa.Table, k: int = 3) -> pa.Table:
+    """:func:`page_links` plus a deterministic anchor word per link —
+    the stand-in for <a href>ANCHOR TEXT</a> extraction (the synthetic
+    corpus' HTML carries no anchor tags; same fixture strategy as
+    page_links above: the derivation is one vectorized hash, the
+    downstream per-target anchor aggregation is the real operator a
+    search-index pipeline runs). Anchor words draw from the corpus
+    vocabulary so multiple sources voting the same anchor for one
+    target is common, as on the real web."""
+    from ..sources.pages import _WORDS
+
+    col = batch["url"].combine_chunks() \
+        if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
+    m = pc.extract_regex(col, pattern=r"^(?P<head>.*)/(?P<tail>\d+)$")
+    m = m.filter(pc.is_valid(m))
+    srcs = pc.struct_field(m, "head")
+    idxs = pc.cast(pc.struct_field(m, "tail"), pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.uint64)
+    words = np.asarray(_WORDS)
+    src_rep = pa.concat_arrays([srcs] * k)
+    dsts, anchors = [], []
+    for j in range(k):
+        dsts.append(_splitmix64(idxs ^ np.uint64(0xA5A5 + j)))
+        aw = _splitmix64(idxs ^ np.uint64(0xBEEF00 + j)) \
+            % np.uint64(len(words))
+        anchors.append(words[aw.astype(np.int64)])
+    return pa.table({
+        "src": src_rep,
+        "dsth": pa.array(np.concatenate(dsts).astype(np.int64),
+                         pa.int64()),
+        "anchor": pa.array(np.concatenate(anchors), pa.string())})
+
+
 def _resolve_fn(sites_ref):
     """(src, dsth) → per-batch pre-aggregated (sd, w) where sd packs
     the (src, dst) SITE INDICES into one int64 — the downstream

@@ -166,3 +166,152 @@ CANON_SQL_STEPS = """
           FROM (SELECT *, regexp_replace({col}, '#.*', '') AS c0
                 FROM {src}) s0) s1) s2
 """
+
+
+# ---------------------------------------------------------------------------
+# SURT keys (CDX-style canonical URL index ordering)
+# ---------------------------------------------------------------------------
+
+_SURT_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+                r"(?P<host>[^/?#]*)(?P<rest>[^#]*)")
+
+
+def surt_key(arr) -> pa.Array:
+    """Vectorized SURT (Sort-friendly URI Reordering Transform) keys —
+    the ordering key of a web-archive CDX index (Common Crawl's index
+    files sort captures by SURT so one host's pages, and one domain's
+    hosts, are contiguous on disk).
+
+    Key = reversed host labels joined with ',' + ')' + path?query:
+    ``https://maps.example.com/x/1?q=2#f`` → ``com,example,maps)/x/1?q=2``.
+    The scheme and fragment are dropped, the host is lowercased, one
+    ``www.`` prefix and an explicit port are stripped. Schemeless
+    strings fall back to the whole string lowercased.
+
+    The label reversal is pure Arrow+numpy: split_pattern gives a
+    ListArray, a permutation built from its offsets reverses each
+    list's slots in one ``take``, and binary_join re-joins — no Python
+    loop, so the stage fuses into the frontier scan at crawl scale.
+    """
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    m = pc.extract_regex(arr, _SURT_URL_RE)
+    host = pc.utf8_lower(pc.struct_field(m, "host"))
+    host = pc.replace_substring_regex(host, r":[0-9]+$", "")
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    rest = pc.struct_field(m, "rest")
+    labels = pc.split_pattern(host, ".")
+    if isinstance(labels, pa.ChunkedArray):
+        labels = labels.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(labels), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    values = labels.flatten()
+    starts, ends = offs[:-1], offs[1:]
+    list_id = np.repeat(np.arange(len(lens)), lens)
+    idx = np.arange(offs[-1], dtype=np.int64)
+    # element at output slot k of list i reads input slot s_i+e_i-1-k
+    perm = (starts + ends - 1)[list_id] - idx
+    rev_values = values.take(pa.array(perm, pa.int64()))
+    rev_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                         rev_values)
+    joined = pc.binary_join(rev_lists, ",")
+    built = pc.binary_join_element_wise(joined, ")", rest, "")
+    return pc.if_else(pc.is_valid(m), built, pc.utf8_lower(arr))
+
+
+# DuckDB mirror of surt_key over {col} (RE2 + the same list reversal).
+SURT_SQL_EXPR = """
+    CASE WHEN regexp_matches({col}, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         THEN array_to_string(list_reverse(string_split(
+                  regexp_replace(regexp_replace(
+                      lower(regexp_extract({col},
+                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                      ':[0-9]+$', ''), '^www\\.', ''), '.')), ',')
+              || ')' || regexp_extract({col},
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+         ELSE lower({col}) END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robots-style URL prefix filtering (longest-match, allow wins ties)
+# ---------------------------------------------------------------------------
+
+def make_robots_rules() -> pa.Table:
+    """Deterministic synthetic robots rule set over the crawl's host ×
+    section universe (the link-extraction stand-in pattern of
+    stages/pagerank.py::page_links: the RULES are fixture data; the
+    matching semantics below are the real operator).
+
+    Per (host=example.{tld}, section): a splitmix draw disallows ~1/4
+    of sections (``Disallow: /{section}/``); half of those also carry a
+    LONGER allow override (``Allow: /{section}/1``) so page ids
+    starting with '1' stay crawlable — exercising true longest-match
+    resolution, not just first-match. Every host additionally
+    disallows ``/private/`` (a prefix no synthetic URL has — the
+    zero-match path).
+    """
+    from ..sources.pages import CITIES, _TLDS, _splitmix64
+
+    hosts, prefixes, allows = [], [], []
+    for ti, tld in enumerate(_TLDS):
+        host = f"example.{tld}"
+        hosts.append(host); prefixes.append("/private/"); allows.append(False)
+        for ci, (cname, _, _) in enumerate(CITIES):
+            h = int(_splitmix64(np.array([ti * 1009 + ci + 7],
+                                         dtype=np.uint64))[0])
+            if h % 4 == 0:
+                hosts.append(host); prefixes.append(f"/{cname}/")
+                allows.append(False)
+                if h % 8 == 0:
+                    hosts.append(host); prefixes.append(f"/{cname}/1")
+                    allows.append(True)
+    return pa.table({"host": pa.array(hosts, pa.string()),
+                     "prefix": pa.array(prefixes, pa.string()),
+                     "allow": pa.array(allows, pa.bool_())})
+
+
+def robots_verdict_fn(rules: pa.Table):
+    """map_batches body: url → (url, verdict, rule_len) under Google
+    robots semantics — the longest matching rule governs; an allow and
+    a disallow of equal length resolve to allow; no match → allow with
+    rule_len 0.
+
+    The rule table is broadcast once (callers pass it through the
+    closure / ray.put — a few KB per million URLs of frontier per
+    host shard). Matching is one C-speed ``starts_with`` + host
+    equality per rule over the whole batch — O(R·B) vector ops with
+    R small. At real-web rule counts, dictionary-encode the host
+    column and apply only each host's rule group (same kernel,
+    per-group slices); the synthetic universe has 8 hosts so the flat
+    pass is already host-grouped in practice.
+    """
+    rule_rows = list(zip(rules["host"].to_pylist(),
+                         rules["prefix"].to_pylist(),
+                         rules["allow"].to_pylist()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(batch["url"], _SURT_URL_RE)
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        rest = pc.struct_field(parts, "rest")
+        # path only: cut the query off rest
+        path = pc.replace_substring_regex(rest, r"\?.*$", "")
+        n = batch.num_rows
+        best_allow = np.zeros(n, dtype=np.int64)
+        best_dis = np.zeros(n, dtype=np.int64)
+        for rh, rp, ra in rule_rows:
+            mk = pc.and_(pc.equal(host, rh), pc.starts_with(path, rp))
+            mk = mk.to_numpy(zero_copy_only=False)
+            mk = np.where(mk == None, False, mk).astype(bool)  # noqa: E711
+            ln = len(rp)
+            tgt = best_allow if ra else best_dis
+            np.maximum(tgt, np.where(mk, ln, 0), out=tgt)
+        verdict = np.where(best_allow >= best_dis, "allow", "disallow")
+        rule_len = np.maximum(best_allow, best_dis)
+        return pa.table({
+            "url": batch["url"],
+            "verdict": pa.array(verdict.tolist(), pa.string()),
+            "rule_len": pa.array(rule_len, pa.int64())})
+
+    return fn
