@@ -1,0 +1,202 @@
+"""Kernel oracles for the fourth-wave round-4 operators: MIME
+sniffing, eTLD+1 registered-domain resolution, training sequence
+packing, mixture sampling, re-crawl scheduling. End-to-end DuckDB-hash
+coverage lives in test_queries_oracle.py (all five queries are
+ORACLE_SQL-backed); here each kernel is pinned against a brute-force
+single-process reference.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from tilemaker_ray.stages.multimodal import (SNIFF_RULES, prefix_matrix,
+                                             sniff_mime)
+from tilemaker_ray.stages.urlstats import (NO_REG_DOMAIN,
+                                           PUBLIC_SUFFIXES,
+                                           registered_domain)
+
+
+# ---------------------------------------------------------------------------
+# MIME sniffing
+# ---------------------------------------------------------------------------
+
+CASES = [
+    (b"\x89PNG\r\n\x1a\n" + b"x" * 20, "image/png"),
+    (b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+    (b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wav"),
+    (b"RIFF\x10\x00\x00\x00AVI LIST", "application/riff"),
+    (b"RIFF\x00\x00", "application/riff"),  # too short for WAVE check
+    (b"\x1f\x8b\x08\x00gz", "application/gzip"),
+    (b"PK\x03\x04\x14\x00zip", "application/zip"),
+    (b"%PDF-1.7\n", "application/pdf"),
+    (b"FAKI\x04\x00\x04\x00px", "x-fake/image"),
+    (b"FAKA\x10\x00\x00\x00ss", "x-fake/audio"),
+    (b"FAKV\x02\x00\x02\x00\x01\x00f", "x-fake/video"),
+    (b"<html><body>t</body></html>", "text/html"),
+    (b"<", "text/html"),
+    (b"", "empty"),
+    (b"\x89PN", "unknown"),                  # truncated png magic
+    (b"plain text here", "unknown"),
+    (b"\xff\xd8", "unknown"),                # jpeg needs 3 bytes
+]
+
+
+def brute_sniff(payload: bytes) -> str:
+    for mime, off, magic in SNIFF_RULES:
+        if len(payload) < off + len(magic):
+            continue
+        if mime == "audio/wav" and payload[:4] != b"RIFF":
+            continue
+        if payload[off:off + len(magic)] == magic:
+            return mime
+    return "empty" if len(payload) == 0 else "unknown"
+
+
+def test_sniff_mime_cases():
+    col = pa.array([p for p, _ in CASES], pa.binary())
+    assert sniff_mime(col).to_pylist() == [m for _, m in CASES]
+    # and the table above agrees with the rule-driven brute force
+    assert [brute_sniff(p) for p, _ in CASES] == [m for _, m in CASES]
+
+
+def test_sniff_mime_sliced_and_chunked():
+    col = pa.array([p for p, _ in CASES], pa.binary())
+    sl = col.slice(3, 9)
+    assert sniff_mime(sl).to_pylist() == [m for _, m in CASES][3:12]
+    ch = pa.chunked_array([col.slice(0, 5), col.slice(5)])
+    assert sniff_mime(ch).to_pylist() == [m for _, m in CASES]
+
+
+def test_sniff_mime_random_brute():
+    rng = np.random.RandomState(7)
+    magics = [m for _, _, m in SNIFF_RULES] + [b"", b"RIFF", b"\x89"]
+    payloads = []
+    for i in range(500):
+        head = magics[rng.randint(len(magics))]
+        body = bytes(rng.randint(0, 256, rng.randint(0, 24),
+                                 dtype=np.uint8).tolist())
+        payloads.append(head + body if rng.rand() < 0.8 else body)
+    col = pa.array(payloads, pa.binary())
+    assert sniff_mime(col).to_pylist() == [brute_sniff(p)
+                                           for p in payloads]
+
+
+def test_prefix_matrix_matches_python_slices():
+    rng = np.random.RandomState(3)
+    payloads = [bytes(rng.randint(0, 256, rng.randint(0, 30),
+                                  dtype=np.uint8).tolist())
+                for _ in range(200)]
+    mat, lengths = prefix_matrix(pa.array(payloads, pa.binary()), 12)
+    for i, p in enumerate(payloads):
+        assert lengths[i] == len(p)
+        want = (p[:12] + b"\x00" * 12)[:12]
+        assert bytes(mat[i].tobytes()) == want
+
+
+# ---------------------------------------------------------------------------
+# registered domain (eTLD+1)
+# ---------------------------------------------------------------------------
+
+def brute_reg_domain(host: str, suffixes=PUBLIC_SUFFIXES) -> str:
+    best = None
+    for s in suffixes:
+        if (host == s or host.endswith("." + s)) \
+                and (best is None or len(s) > len(best)):
+            best = s
+    if best is None:                      # implicit * rule: last label
+        labels = host.split(".")
+        if len(labels) < 2:
+            return NO_REG_DOMAIN
+        return ".".join(labels[-2:])
+    if host == best:
+        return NO_REG_DOMAIN
+    stem = host[:-(len(best) + 1)]
+    return stem.split(".")[-1] + "." + best
+
+
+def test_registered_domain_cases():
+    cases = {
+        "www.bbc.co.uk": "bbc.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "a.b.github.io": "b.github.io",
+        "github.io": NO_REG_DOMAIN,       # host IS a public suffix
+        "mysite.github.io": "mysite.github.io",
+        "x.com": "x.com",
+        "deep.sub.shop.com.au": "shop.com.au",
+        "weird.zz": "weird.zz",           # implicit rule
+        "a.b.weird.zz": "weird.zz",
+        "localhost": NO_REG_DOMAIN,       # single label, no rule
+        "k12.ca.us": NO_REG_DOMAIN,
+        "pupil.school.k12.ca.us": "school.k12.ca.us",
+        "ca.us": "ca.us",                 # matches 'us', label 'ca'
+    }
+    got = registered_domain(pa.array(list(cases), pa.string()))
+    assert got.to_pylist() == list(cases.values())
+    assert [brute_reg_domain(h) for h in cases] == list(cases.values())
+
+
+def test_registered_domain_random_brute():
+    rng = np.random.RandomState(11)
+    subs = ["", "www", "a.b", "x"]
+    names = ["acme", "github", "co", "k12"]
+    sfx = PUBLIC_SUFFIXES + ["zz", "dev", "ca.us"]
+    hosts = []
+    for i in range(800):
+        parts = [p for p in (subs[rng.randint(len(subs))],
+                             names[rng.randint(len(names))],
+                             sfx[rng.randint(len(sfx))]) if p]
+        hosts.append(".".join(parts) if rng.rand() < 0.9
+                     else sfx[rng.randint(len(sfx))])
+    got = registered_domain(pa.array(hosts, pa.string())).to_pylist()
+    assert got == [brute_reg_domain(h) for h in hosts]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing arithmetic
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_brute(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.cumulative import cumulative
+
+    rng = np.random.RandomState(5)
+    n_tok = rng.randint(0, 40, 300)
+    L = 16
+    ds = rd.from_arrow(pa.table({
+        "part": pa.array(np.zeros(300, np.int64)),
+        "doc_id": pa.array(np.arange(300), pa.int64()),
+        "cost": pa.array(n_tok + 1, pa.int64())}))
+    cum = cumulative(ds, ["part"], ["doc_id"], "cost",
+                     ops=("sum",), out_cols=["cum"]).to_pandas()
+    cum = cum.sort_values("doc_id").reset_index(drop=True)
+    run = 0
+    for i in range(300):
+        run += n_tok[i] + 1
+        assert cum["cum"][i] == run
+        start = run - (n_tok[i] + 1)
+        # the arithmetic the query applies per row
+        assert start // L <= (run - 1) // L
+        assert (run - 1) // L - start // L + 1 >= 1
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling + re-crawl arithmetic (pure-rule mirrors)
+# ---------------------------------------------------------------------------
+
+def test_mixture_quota_rule():
+    # quota per source must match the staged table's rule
+    for i in range(20):
+        assert 3 <= 3 + (i * 5) % 11 <= 13
+
+
+def test_recrawl_interval_monotone():
+    # more changes -> shorter interval; bounds are [8, 30] days
+    prev = None
+    for changes in range(5):
+        rate = changes / 4.0
+        iv = int(np.ceil(30.0 / (1.0 + 3.0 * rate)))
+        if prev is not None:
+            assert iv <= prev
+        prev = iv
+    assert int(np.ceil(30.0 / 1.0)) == 30
+    assert int(np.ceil(30.0 / 4.0)) == 8

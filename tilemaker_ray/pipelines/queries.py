@@ -4880,6 +4880,400 @@ ORACLE_SQL["anchor_text_sites"] = """
 """
 
 
+def q_mime_sniff_media(sf_dir: str):
+    """MIME sniffing (magic-byte container detection) over a mixed
+    binary media column: the first stage of any 100-TB multimodal
+    pipeline is "what IS this payload", because the verdict routes
+    each row to the right decoder pool. The fixture mixes the three
+    FAK* synthetic containers, the four REAL codecs (PNG with all five
+    scanline filters, gray+color baseline JPEG, PCM16 WAV), and
+    planted adversarial rows (gzip, zip, PDF, bare-RIFF non-WAVE,
+    HTML, empty, truncated-PNG, junk) so every CASE branch carries
+    rows. Reference analog: the input-container probe tilemaker's
+    --input dispatch does on .pbf/.geojson/.shp.
+
+    Scale shape: classification is pure offsets math on the Arrow
+    binary buffers (stages/multimodal.py::sniff_mime — one gather, no
+    per-row Python), the per-batch combiner emits O(#mimes) rows, and
+    one tiny groupby folds the partials. The payload table is staged;
+    the oracle RE-CLASSIFIES each blob itself from hex(payload)
+    prefixes, so the hash certifies the sniffing rules, not just the
+    aggregation."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Max, Min, Sum
+    from ..stages.multimodal import (media_dataset, mime_sniff_fn,
+                                     real_media_dataset)
+
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def planted(batch: dict) -> pa.Table:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        payloads = []
+        for i in ids.tolist():
+            filler = bytes([(i * 37 + j) % 251 for j in range(40)])
+            payloads.append([
+                b"\x1f\x8b\x08\x00" + filler,      # gzip member
+                b"PK\x03\x04\x14\x00" + filler,    # zip local header
+                b"%PDF-1.7\n" + filler,            # pdf
+                b"RIFF\x28\x00\x00\x00AVI " + filler,  # riff, not wav
+                b"<html><body>x</body></html>",
+                b"",                                # empty
+                b"\x89PN",                          # truncated png
+                filler,                             # junk → unknown
+            ][i % 8])
+        return pa.table({
+            "media_id": pa.array(ids + 2_000_000, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    def shift(off):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "media_id": pc.add(b["media_id"], pa.scalar(off,
+                                                            pa.int64())),
+                "payload": b["payload"]})
+        return fn
+
+    mixed = (media_dataset(n).map_batches(shift(0),
+                                          batch_format="pyarrow")
+             .union(real_media_dataset(n).map_batches(
+                 shift(1_000_000), batch_format="pyarrow"))
+             .union(rd.range(max(n // 2, 16)).map_batches(
+                 planted, batch_format="numpy")))
+    staged = _stage_for_oracle(mixed, "mime_sniff_media")
+    return (rd.read_parquet(staged)
+            .map_batches(mime_sniff_fn, batch_format="pyarrow")
+            .groupby("mime")
+            .aggregate(Sum("n_sum"), Sum("b_sum"), Min("bmin_min"),
+                       Max("bmax_max"))
+            .map_batches(lambda b: pa.table({
+                "mime": b["mime"],
+                "n_payloads": pc.cast(b["sum(n_sum)"], pa.int64()),
+                "total_bytes": pc.cast(b["sum(b_sum)"], pa.int64()),
+                "min_bytes": pc.cast(b["min(bmin_min)"], pa.int64()),
+                "max_bytes": pc.cast(b["max(bmax_max)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+# The CASE chain mirrors stages/multimodal.py::SNIFF_RULES in ORDER;
+# hex() is uppercase in DuckDB, prefixes are byte-aligned so left()
+# on the hex string is exact. WAVE requires RIFF at 0 AND 'WAVE' at 8.
+ORACLE_SQL["mime_sniff_media"] = """
+    WITH c AS (SELECT
+            CASE WHEN left(hex(payload), 16) = '89504E470D0A1A0A'
+                     THEN 'image/png'
+                 WHEN left(hex(payload), 6) = 'FFD8FF'
+                     THEN 'image/jpeg'
+                 WHEN left(hex(payload), 8) = '52494646'
+                      AND substring(hex(payload), 17, 8) = '57415645'
+                     THEN 'audio/wav'
+                 WHEN left(hex(payload), 8) = '52494646'
+                     THEN 'application/riff'
+                 WHEN left(hex(payload), 4) = '1F8B'
+                     THEN 'application/gzip'
+                 WHEN left(hex(payload), 8) = '504B0304'
+                     THEN 'application/zip'
+                 WHEN left(hex(payload), 8) = '25504446'
+                     THEN 'application/pdf'
+                 WHEN left(hex(payload), 8) = '46414B49'
+                     THEN 'x-fake/image'
+                 WHEN left(hex(payload), 8) = '46414B41'
+                     THEN 'x-fake/audio'
+                 WHEN left(hex(payload), 8) = '46414B56'
+                     THEN 'x-fake/video'
+                 WHEN left(hex(payload), 2) = '3C'
+                     THEN 'text/html'
+                 WHEN octet_length(payload) = 0 THEN 'empty'
+                 ELSE 'unknown' END AS mime,
+            CAST(octet_length(payload) AS BIGINT) AS nb
+        FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/mime_sniff_media/*.parquet'))
+    SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           MIN(nb) AS min_bytes, MAX(nb) AS max_bytes
+    FROM c GROUP BY mime
+"""
+
+
+def q_registered_domain_stats(sf_dir: str):
+    """eTLD+1 rollup: group crawl hosts by their REGISTERED domain
+    under publicsuffix.org longest-match semantics (a.blogspot.com ≠
+    b.blogspot.com; www.bbc.co.uk = news.bbc.co.uk) — the key every
+    per-site stage (crawl budget, dedup scope, PageRank node) must
+    group by. Hosts are derived deterministically from doc_id (the
+    fixture stand-in; in production they come off parse_url_fn) and
+    exercise nested rules (io vs github.io), 3-label rules
+    (k12.ca.us), suffix-only hosts, single-label hosts, and unlisted
+    TLDs that fall to the implicit '*' rule.
+
+    Scale shape: the suffix table (≈10k rules for the real PSL) is
+    broadcast once; matching is one C-speed ends_with pass per rule
+    fused into the scan (stages/urlstats.py::registered_domain), then
+    a combiner-first groupby on the registered domain. Hosts AND the
+    rule table are staged; the oracle re-resolves longest-match itself
+    (LEFT JOIN + ROW_NUMBER over rule length) and re-extracts the
+    registrable label, so the hash certifies the resolution
+    algorithm."""
+    import ray.data as rd
+    from ..stages.urlstats import (make_suffix_table, registered_domain,
+                                   PUBLIC_SUFFIXES)
+
+    _stage_for_oracle(rd.from_arrow(make_suffix_table()),
+                      "psl_suffixes")
+
+    _SUBS = ["www", "blog", "api", "cdn", "shop", ""]
+    _NAMES = ["acme", "globex", "initech", "umbrella", "hooli",
+              "wayne", "stark", "wonka"]
+    _SFX = PUBLIC_SUFFIXES + ["zz", "internal", "dev"]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = np.asarray(_SUBS, object)[did % len(_SUBS)]
+        name = np.asarray(_NAMES, object)[(did // 7) % len(_NAMES)]
+        sfx = np.asarray(_SFX, object)[(did // 3) % len(_SFX)]
+        host = np.where(sub == "", name + "." + sfx,
+                        sub + "." + name + "." + sfx)
+        host = np.where(did % 97 == 0, sfx, host)        # host IS a suffix
+        host = np.where(did % 131 == 0, "localhost", host)
+        return pa.table({"host": pa.array(host.tolist(), pa.string())})
+
+    staged = _stage_for_oracle(
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(derive, batch_format="pyarrow"),
+        "registered_domain_stats")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = registered_domain(batch["host"])
+        t = pa.table({"reg_domain": reg, "host": batch["host"]})
+        return (t.group_by(["reg_domain", "host"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["reg_domain", "host", "n"]))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return (pa.table({"reg_domain": batch["reg_domain"],
+                          "host": batch["host"], "n": batch["n"]})
+                .group_by(["reg_domain", "host"])
+                .aggregate([("n", "sum")])
+                .group_by("reg_domain")
+                .aggregate([("n_sum", "sum"), ([], "count_all")])
+                .rename_columns(["reg_domain", "n_hosts_rows",
+                                 "n_distinct_hosts"]))
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "reg_domain": batch["reg_domain"],
+            "n_hosts_rows": pc.cast(batch["n_hosts_rows"], pa.int64()),
+            "n_distinct_hosts": pc.cast(batch["n_distinct_hosts"],
+                                        pa.int64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("reg_domain")
+            .map_groups(final, batch_format="pyarrow")
+            .map_batches(cast_out, batch_format="pyarrow"))
+
+
+from ..stages.urlstats import REG_DOMAIN_SQL_CASE as _REG_CASE  # noqa: E402
+
+ORACLE_SQL["registered_domain_stats"] = ("""
+    WITH h AS (SELECT host, ROW_NUMBER() OVER () AS rid
+               FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/registered_domain_stats/*.parquet')),
+         m AS (SELECT h.rid, h.host, s.suffix
+               FROM h LEFT JOIN read_parquet(
+                   '/tmp/tilemaker_ray_oracle/psl_suffixes/*.parquet') s
+                 ON h.host = s.suffix
+                    OR ends_with(h.host, '.' || s.suffix)),
+         b AS (SELECT host, suffix FROM (
+                   SELECT rid, host, suffix,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY rid
+                              ORDER BY (suffix IS NULL),
+                                       length(suffix) DESC, suffix) rn
+                   FROM m) WHERE rn = 1),
+         r AS (SELECT host, """
+    + _REG_CASE.format(host="host", suffix="suffix") + """ AS reg_domain
+               FROM b)
+    SELECT reg_domain, CAST(COUNT(*) AS BIGINT) AS n_hosts_rows,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_distinct_hosts
+    FROM r GROUP BY reg_domain
+""")
+
+
+def q_pack_sequences_docs(sf_dir: str, seq_len: int = 512):
+    """Training sequence packing: concatenate every document's tokens
+    (plus one EOS) in doc_id order and cut the stream into fixed
+    seq_len context windows — the map from corpus to training batches
+    every LLM pretraining job runs (GPT-style packing, no padding).
+    Output: each doc's global token offset and the first/last sequence
+    it lands in (a doc spanning k windows contributes k-1 split
+    points).
+
+    Scale shape: token counts are one vectorized split_pattern pass;
+    the global offset is the distributed running sum
+    (stages/cumulative.py — ONE sort exchange, O(n_blocks) driver
+    scalars); everything after is per-row arithmetic. No
+    materialization: the 10¹²-token stream is never built, only its
+    offsets."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def costs(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(batch["text"], " "))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(toks, pa.int64()),
+            "cost": pc.cast(pc.add(toks, 1), pa.int64()),
+            "part": pa.array(np.zeros(batch.num_rows, np.int64))})
+
+    from ..stages.cumulative import cumulative
+    cum = cumulative(ds.map_batches(costs, batch_format="pyarrow"),
+                     ["part"], ["doc_id"], "cost", ops=("sum",),
+                     out_cols=["cum"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False)
+        cost = batch["cost"].to_numpy(zero_copy_only=False)
+        start = c - cost
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "start_off": pa.array(start, pa.int64()),
+            "first_seq": pa.array(start // seq_len, pa.int64()),
+            "last_seq": pa.array((c - 1) // seq_len, pa.int64()),
+            "n_seqs": pa.array((c - 1) // seq_len - start // seq_len
+                               + 1, pa.int64())})
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["pack_sequences_docs"] = """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      SUM(n_tokens + 1) OVER (
+                          ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(cum - (n_tokens + 1) AS BIGINT) AS start_off,
+           CAST((cum - (n_tokens + 1)) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+           CAST((cum - 1) // 512 - (cum - (n_tokens + 1)) // 512 + 1
+                AS BIGINT) AS n_seqs
+    FROM c
+"""
+
+
+def q_mixture_sample_docs(sf_dir: str):
+    """Training-data mixture sampling: select documents to hit a
+    per-source quota table (the data-mixing step of every pretraining
+    corpus — web 60%, books 30%, code 10% — here a deterministic
+    per-source quota), keeping each source's BEST documents (quality
+    = n_chars here, ties by doc_id) up to its quota.
+
+    Scale shape: per-source quality ranking is the rank machinery's
+    ONE sort exchange (stages/rank.py::partitioned_rank, giant
+    partitions stay parallel); the quota table is tiny and broadcast
+    into the filter closure. The quota table is staged so the
+    oracle's QUALIFY re-resolves the selection independently."""
+    import ray
+    import ray.data as rd
+    from ..stages.rank import partitioned_rank
+
+    sids = list(range(20))
+    quota = pa.table({
+        "source": pa.array([f"src{i}" for i in sids], pa.string()),
+        "quota": pa.array([3 + (i * 5) % 11 for i in sids],
+                          pa.int64())})
+    _stage_for_oracle(rd.from_arrow(quota), "mixture_quotas")
+    qmap_ref = ray.put(dict(zip(quota["source"].to_pylist(),
+                                quota["quota"].to_pylist())))
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    ranked = partitioned_rank(ds, "source", ["n_chars", "doc_id"],
+                              descending=[True, False], rn_col="rn")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qmap_ref)
+        src = batch["source"].to_pylist()
+        rn = batch["rn"].to_numpy(zero_copy_only=False)
+        q = np.fromiter((qm.get(s, 0) for s in src), dtype=np.int64,
+                        count=len(src))
+        return batch.filter(pa.array(rn <= q))
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+ORACLE_SQL["mixture_sample_docs"] = """
+    WITH r AS (SELECT doc_id, source, n_chars,
+                      CAST(ROW_NUMBER() OVER (
+                          PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                          AS rn
+               FROM documents)
+    SELECT r.doc_id, r.source, r.n_chars, r.rn
+    FROM r JOIN read_parquet(
+        '/tmp/tilemaker_ray_oracle/mixture_quotas/*.parquet') q
+      ON r.source = q.source
+    WHERE r.rn <= q.quota
+"""
+
+
+def q_recrawl_priority_urls(sf_dir: str):
+    """Adaptive re-crawl scheduling (Cho & Garcia-Molina revisit
+    policy): estimate each page's change rate from its crawl history
+    and derive the next-visit interval — high-churn pages re-crawl
+    daily, static ones monthly. The 4-epoch change history is derived
+    deterministically from doc_id (fixture stand-in for the snapshot
+    deltas of 4 consecutive dumps — q_snapshot_delta_docs produces
+    exactly these bits in production).
+
+    Scale shape: pure per-row arithmetic fused into the scan — no
+    shuffle, no state; at 10¹² URLs this costs one pass."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        changes = np.zeros(len(did), dtype=np.int64)
+        for e in range(1, 5):
+            changes += ((did + e * 7919) % 5 == 0).astype(np.int64)
+        rate = changes / 4.0
+        interval = np.ceil(30.0 / (1.0 + 3.0 * rate)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "n_changes": pa.array(changes, pa.int64()),
+            "change_rate": pa.array(rate, pa.float64()),
+            "interval_days": pa.array(interval, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+ORACLE_SQL["recrawl_priority_urls"] = """
+    WITH c AS (SELECT doc_id, lang,
+                      CAST((CASE WHEN (doc_id + 7919) % 5 = 0
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN (doc_id + 15838) % 5 = 0
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN (doc_id + 23757) % 5 = 0
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN (doc_id + 31676) % 5 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_changes
+               FROM documents)
+    SELECT doc_id, lang, n_changes,
+           n_changes / 4.0 AS change_rate,
+           CAST(ceil(30.0 / (1.0 + 3.0 * (n_changes / 4.0)))
+                AS BIGINT) AS interval_days
+    FROM c
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -4890,10 +5284,14 @@ QUERIES = {
     # (jaccard pairs, canonical-URL dedup, interval coverage,
     # compression ratio, snapshot delta, SURT index, robots filter,
     # anchor-text aggregation — all SQL-exact — plus the rows-only
-    # Count-Min sketch), and SQL-certified fillers. The eight fillers
-    # rotated out for the new operators (token_count / lang_stats /
-    # langid / quality / tile_count_z10 / pip_admin_events /
-    # area_concave_events / user_tracks) were hash-certified in rounds
+    # Count-Min sketch), the FIVE second-wave round-4 operators (MIME
+    # sniffing, eTLD+1 rollup, sequence packing, mixture sampling,
+    # re-crawl scheduling — all SQL-exact), and SQL-certified fillers.
+    # Fillers rotated out for the new operators (token_count /
+    # lang_stats / langid / quality / tile_count_z10 /
+    # pip_admin_events / area_concave_events / user_tracks /
+    # knn_customer_nation / pivot_orders / skyline_lineitem /
+    # mode_event_type / distinct_users) were hash-certified in rounds
     # 1-3 and unchanged since. With this rotation every query in the
     # suite has a driver row in at least one round. The local gate
     # (tests/test_queries_oracle.py) still runs ALL oracle-backed
@@ -4922,6 +5320,12 @@ QUERIES = {
     "surt_index_urls": q_surt_index_urls,
     "robots_filter_urls": q_robots_filter_urls,
     "anchor_text_sites": q_anchor_text_sites,
+    "mime_sniff_media": q_mime_sniff_media,
+    "registered_domain_stats": q_registered_domain_stats,
+    "pack_sequences_docs": q_pack_sequences_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "recrawl_priority_urls": q_recrawl_priority_urls,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
     "redact_docs": q_redact_docs,
@@ -4941,18 +5345,17 @@ QUERIES = {
     "ann_top5": q_ann_top5,
     "dedup_exact_docs": q_dedup_exact_docs,
     "word_count_topk": q_word_count_topk,
+    # --- beyond the driver's 50-query cap ---
     "tile_topk_z8": q_tile_topk_z8,
     "knn_customer_nation": q_knn_customer_nation,
     "pivot_orders": q_pivot_orders,
     "skyline_lineitem": q_skyline_lineitem,
     "mode_event_type": q_mode_event_type,
     "distinct_users": q_distinct_users,
-    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "tile_count_z10": q_tile_count_z10,
     "pip_admin_events": q_pip_admin_events,
     "area_concave_events": q_area_concave_events,
     "user_tracks": q_user_tracks,
-    # --- beyond the driver's 50-query cap ---
     "revenue_by_nation": q_revenue_by_nation,
     "stratified_sample": q_stratified_sample,
     "value_quantiles": q_value_quantiles,

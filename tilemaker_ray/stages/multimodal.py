@@ -350,3 +350,90 @@ def audio_fingerprint_fn(batch: pa.Table) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "afp": pa.array(np.asarray(sigs, dtype=np.uint64)
                         .astype(np.int64), pa.int64())})
+
+
+# --------------------------------------------------------------------
+# MIME sniffing (magic-byte container detection)
+# --------------------------------------------------------------------
+# A 100-TB crawl's media columns arrive mislabeled or unlabeled; the
+# first production stage is always "what IS this payload" from its
+# leading bytes (the file(1) / WHATWG-sniffing model), because the
+# verdict routes each row to the right decoder pool. Reference analog:
+# the container probe tilemaker's --input does on .pbf vs .geojson vs
+# .shp before picking a reader (src/options_parser.cpp dispatch).
+
+# (mime, offset, magic). FIRST match wins — mirror the paired SQL
+# oracle's CASE order exactly. 'wav' must precede the bare RIFF rule;
+# all rules fit in the first SNIFF_K bytes.
+SNIFF_RULES = [
+    ("image/png", 0, b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", 0, b"\xff\xd8\xff"),
+    ("audio/wav", 8, b"WAVE"),          # guarded by RIFF at 0 below
+    ("application/riff", 0, b"RIFF"),
+    ("application/gzip", 0, b"\x1f\x8b"),
+    ("application/zip", 0, b"PK\x03\x04"),
+    ("application/pdf", 0, b"%PDF"),
+    ("x-fake/image", 0, b"FAKI"),
+    ("x-fake/audio", 0, b"FAKA"),
+    ("x-fake/video", 0, b"FAKV"),
+    ("text/html", 0, b"<"),
+]
+SNIFF_K = 12  # bytes of prefix any rule may inspect
+
+
+def prefix_matrix(col, k: int = SNIFF_K):
+    """(n, k) zero-padded uint8 prefix matrix + int64 lengths for a
+    binary column — pure offsets math on the Arrow buffers (one gather,
+    no per-row Python). The zero pad is safe for magic matching: every
+    rule also requires length >= offset + len(magic)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_large_binary(arr.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    # slice-aware: honor arr.offset into the shared buffers
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dt,
+                         count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offs[:-1].astype(np.int64)
+    lengths = (offs[1:].astype(np.int64) - starts)
+    idx = starts[:, None] + np.arange(k, dtype=np.int64)[None, :]
+    valid = np.arange(k, dtype=np.int64)[None, :] < lengths[:, None]
+    mat = data[np.minimum(idx, max(len(data) - 1, 0))] if len(data) \
+        else np.zeros((len(arr), k), np.uint8)
+    mat = np.where(valid, mat, 0).astype(np.uint8)
+    return mat, lengths
+
+
+def sniff_mime(col) -> pa.Array:
+    """Vectorized magic-byte classification of a binary column →
+    string mime labels ('empty' for zero-length, 'unknown' otherwise
+    unmatched)."""
+    mat, lengths = prefix_matrix(col)
+    n = len(lengths)
+    out = np.full(n, "unknown", dtype=object)
+    undecided = np.ones(n, dtype=bool)
+    for mime, off, magic in SNIFF_RULES:
+        pat = np.frombuffer(magic, dtype=np.uint8)
+        m = (lengths >= off + len(pat)) & undecided
+        if mime == "audio/wav":
+            riff = np.frombuffer(b"RIFF", dtype=np.uint8)
+            m &= (mat[:, 0:4] == riff[None, :]).all(axis=1)
+        m &= (mat[:, off:off + len(pat)] == pat[None, :]).all(axis=1)
+        out[m] = mime
+        undecided &= ~m
+    out[undecided & (lengths == 0)] = "empty"
+    return pa.array(out.tolist(), pa.string())
+
+
+def mime_sniff_fn(batch: pa.Table) -> pa.Table:
+    """map_batches body: (media_id, payload) → per-mime sufficient
+    statistics, combiner-first (the groupby downstream merges per-batch
+    partials, so only O(#mimes) rows leave each task)."""
+    import pyarrow.compute as pc
+    mime = sniff_mime(batch["payload"])
+    nb = pa.array(prefix_matrix(batch["payload"])[1], pa.int64())
+    t = pa.table({"mime": mime, "n": pa.array(np.ones(len(mime), np.int64)),
+                  "b": nb, "bmin": nb, "bmax": nb})
+    return t.group_by("mime").aggregate(
+        [("n", "sum"), ("b", "sum"), ("bmin", "min"), ("bmax", "max")])
