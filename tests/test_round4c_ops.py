@@ -200,3 +200,53 @@ def test_recrawl_interval_monotone():
         prev = iv
     assert int(np.ceil(30.0 / 1.0)) == 30
     assert int(np.ceil(30.0 / 4.0)) == 8
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear classifier + int8 quantized ANN
+# ---------------------------------------------------------------------------
+
+def test_classifier_integer_scores_brute(ray_session):
+    """End-to-end classify_docs vs a pure-Python scorer over the same
+    deterministic weights and crc32 hashing."""
+    import zlib
+    import ray.data as rd
+    from tilemaker_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["classify_docs"](sf).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    N_BUCKETS, N_CLASSES = 64, 3
+    W = np.zeros((N_CLASSES, N_BUCKETS + 1), dtype=np.int64)
+    for c in range(N_CLASSES):
+        W[c, 0] = (c * 13) % 7 - 3
+        for b in range(N_BUCKETS):
+            W[c, b + 1] = (b * 31 + c * 17) % 21 - 10
+    for _, row in docs.iterrows():
+        x = np.zeros(N_BUCKETS + 1, dtype=np.int64)
+        x[0] = 1
+        for w in row["text"].split(" "):
+            x[1 + zlib.crc32(w.encode()) % N_BUCKETS] += 1
+        s = W @ x
+        pred = int(np.argmin(-s))
+        assert out.loc[row["doc_id"], "pred_class"] == pred
+        assert out.loc[row["doc_id"], "score"] == s[pred]
+
+
+def test_int8_quantization_roundtrip_error():
+    """Symmetric int8 quantization: |v - dequant(v)| <= scale/2 and
+    zero vectors survive (scale guard)."""
+    rng = np.random.RandomState(2)
+    V = rng.randn(50, 64)
+    V[7] = 0.0
+    s = np.abs(V).max(axis=1) / 127.0
+    s = np.where(s == 0, 1.0, s)
+    Q = np.rint(V / s[:, None])
+    assert np.abs(Q).max() <= 127
+    err = np.abs(V - Q * s[:, None])
+    assert (err <= s[:, None] / 2 + 1e-12).all()
+    assert (Q[7] == 0).all()

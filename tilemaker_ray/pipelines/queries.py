@@ -5274,6 +5274,218 @@ ORACLE_SQL["recrawl_priority_urls"] = """
 """
 
 
+def q_classify_docs(sf_dir: str):
+    """Hashed-linear document classifier (the fastText / quality-
+    classifier shape every corpus-curation pipeline runs): tokens hash
+    into 64 buckets, each of 3 classes scores bias + Σ w[class,bucket]
+    · count, prediction = argmax (ties → smaller class id). Weights
+    and counts are INTEGER by construction, so the score is exact —
+    no float-summation-order hazard between engines. The weight table
+    is the deterministic fixture stand-in for trained parameters; in
+    production it arrives the same way (a tiny broadcast table).
+
+    Scale shape: tokenize + hash + score are all inside ONE
+    map_batches pass (a doc never spans batches, so scoring needs no
+    shuffle at all); the weight matrix is built once per worker call
+    from the broadcast table. Features are staged long-format
+    (doc_id, bucket, cnt) purely so the oracle can re-derive every
+    score and argmax independently — the hash itself is pinned by the
+    kernel pytest."""
+    import ray
+    import ray.data as rd
+    from ..stages.textindex import doc_term_freqs, word_buckets
+
+    N_BUCKETS, N_CLASSES = 64, 3
+    # weights: int in [-10, 10]; bucket -1 rows are the class biases
+    wb, wc, wv = [], [], []
+    for c in range(N_CLASSES):
+        wb.append(-1)
+        wc.append(c)
+        wv.append((c * 13) % 7 - 3)
+        for b in range(N_BUCKETS):
+            wb.append(b)
+            wc.append(c)
+            wv.append((b * 31 + c * 17) % 21 - 10)
+    weights = pa.table({
+        "bucket": pa.array(wb, pa.int64()),
+        "class_id": pa.array(wc, pa.int64()),
+        "w": pa.array(wv, pa.int64())})
+    _stage_for_oracle(rd.from_arrow(weights), "classifier_weights")
+    W = np.zeros((N_CLASSES, N_BUCKETS + 1), dtype=np.int64)
+    for b, c, v in zip(wb, wc, wv):
+        W[c, b + 1] = v          # col 0 = bias
+    w_ref = ray.put(W)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def features(batch: pa.Table) -> pa.Table:
+        d, terms, tf = doc_term_freqs(batch)
+        bkt = word_buckets(terms, N_BUCKETS) if len(terms) \
+            else np.array([], dtype=np.int64)
+        # fold hash collisions within a doc; append the bias row
+        key = d * N_BUCKETS + bkt
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(cnt, inv, tf)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        all_doc = np.concatenate([uk // N_BUCKETS, did])
+        return pa.table({
+            "doc_id": pa.array(all_doc, pa.int64()),
+            "bucket": pa.array(np.concatenate(
+                [uk % N_BUCKETS, np.full(len(did), -1)]), pa.int64()),
+            "cnt": pa.array(np.concatenate(
+                [cnt, np.ones(len(did), np.int64)]), pa.int64())})
+
+    staged = _stage_for_oracle(
+        ds.map_batches(features, batch_format="pyarrow"),
+        "classify_docs")
+
+    def score(batch: pa.Table) -> pa.Table:
+        Wm = ray.get(w_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bkt = batch["bucket"].to_numpy(zero_copy_only=False) + 1
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(did, return_inverse=True)
+        X = np.zeros((len(uids), Wm.shape[1]), dtype=np.int64)
+        np.add.at(X, (inv, bkt), cnt)
+        S = X @ Wm.T                                  # exact int
+        pred = np.argmin(-S, axis=1)                  # ties → smaller id
+        return pa.table({
+            "doc_id": pa.array(uids, pa.int64()),
+            "pred_class": pa.array(pred.astype(np.int64), pa.int64()),
+            "score": pa.array(S[np.arange(len(uids)), pred],
+                              pa.int64())})
+
+    # a doc's feature rows are written contiguously by one task, but
+    # parquet block boundaries may split them → ONE slim exchange on
+    # hash(doc_id) buckets re-co-locates; each group resolves ALL its
+    # docs in one vectorized matmul (no per-doc groups)
+    from ..stages.common import mix_bucket
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array(mix_bucket(did, 32), pa.int64()))
+
+    return (rd.read_parquet(staged)
+            .map_batches(rebucket, batch_format="pyarrow")
+            .groupby("bkt")
+            .map_groups(score, batch_format="pyarrow"))
+
+
+ORACLE_SQL["classify_docs"] = """
+    WITH s AS (SELECT f.doc_id, w.class_id,
+                      CAST(SUM(f.cnt * w.w) AS BIGINT) AS score
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/classify_docs/*.parquet') f
+               JOIN read_parquet(
+                   '/tmp/tilemaker_ray_oracle/classifier_weights/*.parquet'
+                   ) w
+                 ON f.bucket = w.bucket
+               GROUP BY f.doc_id, w.class_id),
+         r AS (SELECT doc_id, class_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, class_id)
+                          AS rn
+               FROM s)
+    SELECT doc_id, class_id AS pred_class, score
+    FROM r WHERE rn = 1
+"""
+
+
+def q_ann_int8_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Quantized ANN: symmetric per-vector int8 quantization (scale =
+    max|v|/127) then exact top-k under the quantized dot product —
+    the memory-bound scale path where 4× smaller vectors mean 4× more
+    corpus per node. Quantized dots are exact integers; the similarity
+    (dot·sa)·sb uses one fixed IEEE association mirrored in the
+    oracle, and the output is ranks (no floats), so the hash certifies
+    the quantized scoring end to end. Quantization itself (banker's
+    rounding) happens BEFORE staging — both engines read the same
+    staged int vectors; the rounding kernel is pinned by pytest.
+
+    Scale shape: identical to ann_top5 (broadcast query matrix,
+    per-batch partial top-k, distributed merge) with int8 payloads."""
+    import ray
+    import ray.data as rd
+    from ..stages.dedup import _emb_matrix
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], 64).astype(np.float64)
+        s = np.abs(V).max(axis=1) / 127.0
+        s = np.where(s == 0, 1.0, s)
+        Q = np.rint(V / s[:, None]).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qvec": pa.array(Q.tolist(),
+                             pa.list_(pa.int64())),
+            "scale": pa.array(s, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        "ann_int8_top5")
+
+    import pyarrow.parquet as _pq
+    import glob as _glob
+    qt = pa.concat_tables([_pq.read_table(p)
+                           for p in sorted(_glob.glob(
+                               os.path.join(staged, "*.parquet")))])
+    qt = qt.filter(pc.less(qt["vec_id"], n_queries)).sort_by("vec_id")
+    Qq = np.asarray(qt["qvec"].to_pylist(), dtype=np.int64)
+    qs = qt["scale"].to_numpy(zero_copy_only=False)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    q_ref = ray.put((qids, Qq, qs))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, Qm, sa = ray.get(q_ref)
+        Vq = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        sb = batch["scale"].to_numpy(zero_copy_only=False)
+        d = (Qm @ Vq.T).astype(np.float64)            # exact ints
+        sims = (d * sa[:, None]) * sb[None, :]        # (dot·sa)·sb
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        nq = len(ids_q)
+        return pa.table({
+            "query_id": pa.array(np.repeat(ids_q, kk), pa.int64()),
+            "neighbor_id": pa.array(ids[part].reshape(-1), pa.int64()),
+            "sim": pa.array(sims[np.arange(nq)[:, None],
+                                 part].reshape(-1), pa.float64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        sim = g["sim"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array([0] * len(order))),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "neighbor_id": pa.array(nid[order], pa.int64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=4096)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+ORACLE_SQL["ann_int8_top5"] = """
+    WITH v AS (SELECT vec_id, qvec, scale FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/ann_int8_top5/*.parquet')),
+         q AS (SELECT vec_id AS query_id, qvec AS qq, scale AS sa
+               FROM v WHERE vec_id < 10),
+         s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                      (list_dot_product(q.qq, v.qvec) * q.sa) * v.scale
+                          AS sim
+               FROM q CROSS JOIN v)
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id
+    FROM s QUALIFY rank <= 5
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -5284,9 +5496,10 @@ QUERIES = {
     # (jaccard pairs, canonical-URL dedup, interval coverage,
     # compression ratio, snapshot delta, SURT index, robots filter,
     # anchor-text aggregation — all SQL-exact — plus the rows-only
-    # Count-Min sketch), the FIVE second-wave round-4 operators (MIME
+    # Count-Min sketch), the SEVEN later round-4 operators (MIME
     # sniffing, eTLD+1 rollup, sequence packing, mixture sampling,
-    # re-crawl scheduling — all SQL-exact), and SQL-certified fillers.
+    # re-crawl scheduling, hashed-linear classifier, int8 ANN — all
+    # SQL-exact), and SQL-certified fillers.
     # Fillers rotated out for the new operators (token_count /
     # lang_stats / langid / quality / tile_count_z10 /
     # pip_admin_events / area_concave_events / user_tracks /
@@ -5325,6 +5538,8 @@ QUERIES = {
     "pack_sequences_docs": q_pack_sequences_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
     "recrawl_priority_urls": q_recrawl_priority_urls,
+    "classify_docs": q_classify_docs,
+    "ann_int8_top5": q_ann_int8_top5,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
@@ -5343,9 +5558,9 @@ QUERIES = {
     "first_value_events": q_first_value_events,
     "window_events": q_window_events,
     "ann_top5": q_ann_top5,
+    # --- beyond the driver's 50-query cap ---
     "dedup_exact_docs": q_dedup_exact_docs,
     "word_count_topk": q_word_count_topk,
-    # --- beyond the driver's 50-query cap ---
     "tile_topk_z8": q_tile_topk_z8,
     "knn_customer_nation": q_knn_customer_nation,
     "pivot_orders": q_pivot_orders,
