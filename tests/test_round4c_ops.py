@@ -250,3 +250,53 @@ def test_int8_quantization_roundtrip_error():
     err = np.abs(V - Q * s[:, None])
     assert (err <= s[:, None] / 2 + 1e-12).all()
     assert (Q[7] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# token budget + crawl-trap templates
+# ---------------------------------------------------------------------------
+
+def test_token_budget_prefix_rule(ray_session):
+    """keep iff running total <= budget is a PREFIX per source (token
+    counts are >= 1, so the cumsum is strictly increasing) and the
+    query's kept set matches a brute per-source walk."""
+    import pyarrow.parquet as pq
+    from tilemaker_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["token_budget_docs"](sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet").to_pandas()
+    docs["n_tokens"] = docs["text"].map(lambda t: len(t.split(" ")))
+    budgets = {f"src{i}": 300 + ((i * 7) % 5) * 150 for i in range(20)}
+    kept = set()
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True])
+        run = 0
+        for _, row in g.iterrows():
+            run += row["n_tokens"]
+            if run <= budgets[src]:
+                kept.add(row["doc_id"])
+            else:
+                break               # prefix: once over, always over
+    assert set(out["doc_id"]) == kept
+
+
+def test_crawl_trap_template_rule():
+    """Template extraction: hex runs first (they subsume digits), then
+    digit runs — same RE2 order both engines apply."""
+    import re
+    cases = {
+        "https://h.com/cal/2026/8/14": "https://h.com/cal/N/N/N",
+        "https://h.com/s/0a1b2c3d4e5f6071/view":
+            "https://h.com/s/H/view",
+        "https://h.com/p/123?page=9": "https://h.com/p/N?page=N",
+        "https://h.com/deadbeef99/x": "https://h.com/H/x",
+        "https://h.com/plain": "https://h.com/plain",
+        # 7 hex chars: below the run threshold, digits still fold
+        "https://h.com/abc1234/x": "https://h.com/abcN/x",
+    }
+    for url, want in cases.items():
+        t = re.sub(r"[0-9a-f]{8,}", "H", url)
+        t = re.sub(r"[0-9]+", "N", t)
+        assert t == want, (url, t, want)

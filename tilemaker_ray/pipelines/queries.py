@@ -5486,6 +5486,177 @@ ORACLE_SQL["ann_int8_top5"] = """
 """
 
 
+def q_token_budget_docs(sf_dir: str):
+    """Quality-weighted token budget allocation: each source gets a
+    token budget (the per-domain caps a pretraining mixture sets, not
+    a doc-count quota — long docs consume more budget); fill it from
+    that source's docs in quality order (n_chars DESC, ties doc_id)
+    and keep a doc only while the RUNNING token total stays within
+    budget. Complements q_mixture_sample_docs (count quotas) with the
+    budget-in-tokens variant actually used for corpus assembly.
+
+    Scale shape: per-source running totals ride the distributed
+    cumulative machinery (stages/cumulative.py — ONE sort exchange,
+    O(n_blocks) driver scalars, giant sources span blocks and stay
+    parallel); the budget table is tiny, staged for the oracle and
+    broadcast into the filter closure."""
+    import ray
+    import ray.data as rd
+    from ..stages.cumulative import cumulative
+
+    sids = list(range(20))
+    budgets = pa.table({
+        "source": pa.array([f"src{i}" for i in sids], pa.string()),
+        "budget": pa.array([300 + ((i * 7) % 5) * 150 for i in sids],
+                           pa.int64())})
+    _stage_for_oracle(rd.from_arrow(budgets), "token_budgets")
+    b_ref = ray.put(dict(zip(budgets["source"].to_pylist(),
+                             budgets["budget"].to_pylist())))
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": batch["source"],
+                         "n_chars": batch["n_chars"],
+                         "n_tokens": n_tok})
+
+    cum = cumulative(ds.map_batches(tokens, batch_format="pyarrow"),
+                     ["source"], ["n_chars", "doc_id"], "n_tokens",
+                     ops=("sum",), out_cols=["cum_tokens"],
+                     descending=[True, False])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bm = ray.get(b_ref)
+        src = batch["source"].to_pylist()
+        cumv = batch["cum_tokens"].to_numpy(zero_copy_only=False)
+        lim = np.fromiter((bm.get(s, 0) for s in src), dtype=np.int64,
+                          count=len(src))
+        out = batch.filter(pa.array(cumv <= lim))
+        return out.select(["doc_id", "source", "n_tokens",
+                           "cum_tokens"])
+
+    return cum.map_batches(keep, batch_format="pyarrow")
+
+
+ORACLE_SQL["token_budget_docs"] = """
+    WITH t AS (SELECT doc_id, source, n_chars,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                      SUM(n_tokens) OVER (
+                          PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM t)
+    SELECT c.doc_id, c.source, c.n_tokens,
+           CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+    FROM c JOIN read_parquet(
+        '/tmp/tilemaker_ray_oracle/token_budgets/*.parquet') b
+      ON c.source = b.source
+    WHERE c.cum_tokens <= b.budget
+"""
+
+
+def q_crawl_trap_hosts(sf_dir: str):
+    """Crawl-trap detection: hosts whose URL space explodes through
+    machine-generated paths (calendars, session ids, pagination) show
+    MANY urls collapsing onto FEW path templates — the
+    urls-per-template ratio is the classic frontier-guard signal.
+    Templates replace long hex runs with 'H' then digit runs with 'N'
+    (hex first — it subsumes digits). The fixture explodes each page
+    into deterministic trap variants (calendar dates, 16-hex session
+    ids, page numbers) so real traps exist.
+
+    Scale shape: template extraction is two C-speed RE2 passes fused
+    into the scan; per-batch (host, template) combiner then ONE slim
+    distinct exchange — only template strings ride it, never URLs.
+    URLs are staged; the oracle re-derives host, template AND ratio
+    with the same RE2 (both engines run RE2, so the rule mirrors
+    verbatim), certifying the whole detector."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks()
+        pid = pc.cast(pc.struct_field(
+            pc.extract_regex(url, r"/(?P<id>[0-9]+)$"), "id"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        outs = [pa.table({"url": url})]
+        m2 = pid % 2 == 0
+        outs.append(pa.table({"url": pc.binary_join_element_wise(
+            url, "/cal/2026/8/", pa.array((pid % 28 + 1).astype(str)),
+            "")}).filter(pa.array(m2)))
+        m3 = pid % 3 == 0
+        hexs = pa.array([format((p * 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF,
+                                "016x") for p in pid.tolist()])
+        outs.append(pa.table({"url": pc.binary_join_element_wise(
+            url, "/s/", hexs, "/view", "")}).filter(pa.array(m3)))
+        m5 = pid % 5 == 0
+        outs.append(pa.table({"url": pc.binary_join_element_wise(
+            url, "?page=", pa.array((pid % 40).astype(str)),
+            "")}).filter(pa.array(m5)))
+        return pa.concat_tables(outs)
+
+    staged = _stage_for_oracle(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "crawl_trap_hosts")
+
+    def templ(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks()
+        host = pc.struct_field(pc.extract_regex(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)"), "h")
+        t = pc.replace_substring_regex(url, r"[0-9a-f]{8,}", "H")
+        t = pc.replace_substring_regex(t, r"[0-9]+", "N")
+        g = pa.table({"host": host, "template": t}) \
+            .group_by(["host", "template"]).aggregate([([], "count_all")])
+        return pa.table({"host": g["host"], "template": g["template"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        gg = pa.table({"host": g["host"], "template": g["template"],
+                       "n": g["n"]}) \
+            .group_by(["host", "template"]).aggregate([("n", "sum")])
+        n_urls = int(pc.sum(gg["n_sum"]).as_py())
+        n_templates = gg.num_rows
+        return pa.table({
+            "host": gg["host"].take(pa.array([0], pa.int64())),
+            "n_urls": pa.array([n_urls], pa.int64()),
+            "n_templates": pa.array([n_templates], pa.int64()),
+            "urls_per_template": pa.array(
+                [n_urls / n_templates], pa.float64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(templ, batch_format="pyarrow")
+            .groupby("host")
+            .map_groups(final, batch_format="pyarrow"))
+
+
+ORACLE_SQL["crawl_trap_hosts"] = """
+    WITH u AS (SELECT url,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                 regexp_replace(
+                     regexp_replace(url, '[0-9a-f]{8,}', 'H', 'g'),
+                     '[0-9]+', 'N', 'g') AS template
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/crawl_trap_hosts/*.parquet'))
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT template) AS BIGINT) AS n_templates,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT template)
+               AS urls_per_template
+    FROM u GROUP BY host
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -5496,10 +5667,11 @@ QUERIES = {
     # (jaccard pairs, canonical-URL dedup, interval coverage,
     # compression ratio, snapshot delta, SURT index, robots filter,
     # anchor-text aggregation — all SQL-exact — plus the rows-only
-    # Count-Min sketch), the SEVEN later round-4 operators (MIME
+    # Count-Min sketch), the NINE later round-4 operators (MIME
     # sniffing, eTLD+1 rollup, sequence packing, mixture sampling,
-    # re-crawl scheduling, hashed-linear classifier, int8 ANN — all
-    # SQL-exact), and SQL-certified fillers.
+    # re-crawl scheduling, hashed-linear classifier, int8 ANN, token
+    # budget allocation, crawl-trap detection — all SQL-exact), and
+    # SQL-certified fillers.
     # Fillers rotated out for the new operators (token_count /
     # lang_stats / langid / quality / tile_count_z10 /
     # pip_admin_events / area_concave_events / user_tracks /
@@ -5540,6 +5712,8 @@ QUERIES = {
     "recrawl_priority_urls": q_recrawl_priority_urls,
     "classify_docs": q_classify_docs,
     "ann_int8_top5": q_ann_int8_top5,
+    "token_budget_docs": q_token_budget_docs,
+    "crawl_trap_hosts": q_crawl_trap_hosts,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
@@ -5557,8 +5731,8 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "first_value_events": q_first_value_events,
     "window_events": q_window_events,
-    "ann_top5": q_ann_top5,
     # --- beyond the driver's 50-query cap ---
+    "ann_top5": q_ann_top5,
     "dedup_exact_docs": q_dedup_exact_docs,
     "word_count_topk": q_word_count_topk,
     "tile_topk_z8": q_tile_topk_z8,
