@@ -183,10 +183,27 @@ def test_pack_sequences_brute(ray_session):
 # mixture sampling + re-crawl arithmetic (pure-rule mirrors)
 # ---------------------------------------------------------------------------
 
-def test_mixture_quota_rule():
-    # quota per source must match the staged table's rule
-    for i in range(20):
-        assert 3 <= 3 + (i * 5) % 11 <= 13
+def test_mixture_sample_brute(ray_session):
+    """End-to-end mixture sampling vs a pandas walk: per source, the
+    kept set is exactly the quota-best docs by (n_chars DESC, doc_id)."""
+    import pyarrow.parquet as pq
+    from tilemaker_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["mixture_sample_docs"](sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "source",
+                                  "n_chars"]).to_pandas()
+    kept = set()
+    for src, g in docs.groupby("source"):
+        quota = 3 + (int(src[3:]) * 5) % 11
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(quota)
+        kept.update(g["doc_id"])
+    assert set(out["doc_id"]) == kept
+    # rn column really is the per-source quality rank
+    one = out[out["source"] == "src0"].sort_values("rn")
+    assert (one["n_chars"].diff().dropna() <= 0).all()
 
 
 def test_recrawl_interval_monotone():
@@ -300,3 +317,18 @@ def test_crawl_trap_template_rule():
         t = re.sub(r"[0-9a-f]{8,}", "H", url)
         t = re.sub(r"[0-9]+", "N", t)
         assert t == want, (url, t, want)
+
+
+def test_registered_domain_null_host():
+    """parse_url_fn emits null hosts for malformed URLs; the kernel
+    must pass nulls through, not crash."""
+    got = registered_domain(
+        pa.array(["www.acme.com", None, "x.co.uk"], pa.string()))
+    assert got.to_pylist() == ["acme.com", None, "x.co.uk"]
+
+
+def test_sniff_mime_null_payload():
+    """A null payload (failed fetch) is 'null', distinct from 'empty',
+    matching the oracle's CASE WHEN payload IS NULL branch."""
+    got = sniff_mime(pa.array([None, b"", b"\x1f\x8b"], pa.binary()))
+    assert got.to_pylist() == ["null", "empty", "application/gzip"]

@@ -4961,7 +4961,8 @@ def q_mime_sniff_media(sf_dir: str):
 # on the hex string is exact. WAVE requires RIFF at 0 AND 'WAVE' at 8.
 ORACLE_SQL["mime_sniff_media"] = """
     WITH c AS (SELECT
-            CASE WHEN left(hex(payload), 16) = '89504E470D0A1A0A'
+            CASE WHEN payload IS NULL THEN 'null'
+                 WHEN left(hex(payload), 16) = '89504E470D0A1A0A'
                      THEN 'image/png'
                  WHEN left(hex(payload), 6) = 'FFD8FF'
                      THEN 'image/jpeg'
@@ -5445,8 +5446,14 @@ def q_ann_int8_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
         sims = (d * sa[:, None]) * sb[None, :]        # (dot·sa)·sb
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         nq = len(ids_q)
+        # quantization makes EXACT sim ties likely (identical int
+        # vectors + scales); select per-batch top-k under the oracle's
+        # full order (sim DESC, neighbor_id ASC) so boundary ties
+        # can't drop the neighbor ROW_NUMBER would keep
+        part = np.empty((nq, kk), dtype=np.int64)
+        for qi in range(nq):
+            part[qi] = np.lexsort((ids, -sims[qi]))[:kk]
         return pa.table({
             "query_id": pa.array(np.repeat(ids_q, kk), pa.int64()),
             "neighbor_id": pa.array(ids[part].reshape(-1), pa.int64()),

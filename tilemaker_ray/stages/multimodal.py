@@ -407,9 +407,13 @@ def prefix_matrix(col, k: int = SNIFF_K):
 
 def sniff_mime(col) -> pa.Array:
     """Vectorized magic-byte classification of a binary column →
-    string mime labels ('empty' for zero-length, 'unknown' otherwise
-    unmatched)."""
-    mat, lengths = prefix_matrix(col)
+    string mime labels ('empty' for zero-length, 'null' for null
+    slots — a failed fetch is not an empty payload — 'unknown'
+    otherwise unmatched)."""
+    import pyarrow.compute as pc
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    mat, lengths = prefix_matrix(arr)
     n = len(lengths)
     out = np.full(n, "unknown", dtype=object)
     undecided = np.ones(n, dtype=bool)
@@ -423,6 +427,8 @@ def sniff_mime(col) -> pa.Array:
         out[m] = mime
         undecided &= ~m
     out[undecided & (lengths == 0)] = "empty"
+    if arr.null_count:
+        out[pc.is_null(arr).to_numpy(zero_copy_only=False)] = "null"
     return pa.array(out.tolist(), pa.string())
 
 
@@ -432,7 +438,10 @@ def mime_sniff_fn(batch: pa.Table) -> pa.Table:
     partials, so only O(#mimes) rows leave each task)."""
     import pyarrow.compute as pc
     mime = sniff_mime(batch["payload"])
-    nb = pa.array(prefix_matrix(batch["payload"])[1], pa.int64())
+    # binary_length is null-preserving (a null payload contributes no
+    # bytes, matching SUM/MIN/MAX-over-NULL on the oracle side) and
+    # avoids a second prefix-matrix gather on the hot path
+    nb = pc.cast(pc.binary_length(batch["payload"]), pa.int64())
     t = pa.table({"mime": mime, "n": pa.array(np.ones(len(mime), np.int64)),
                   "b": nb, "bmin": nb, "bmax": nb})
     return t.group_by("mime").aggregate(

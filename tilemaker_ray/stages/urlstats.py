@@ -362,9 +362,13 @@ def registered_domain(host_col, suffixes=None) -> pa.Array:
         suffixes = PUBLIC_SUFFIXES
     best_len = np.zeros(n, dtype=np.int64)
     best_idx = np.full(n, -1, dtype=np.int64)
+    # null hosts (parse_url_fn emits them for malformed URLs) must not
+    # poison the masks — fill to False here, emit null at the end
+    nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
     for i, s in enumerate(suffixes):
-        m = pc.or_(pc.equal(arr, s), pc.ends_with(arr, "." + s)) \
-            .to_numpy(zero_copy_only=False)
+        m = pc.fill_null(
+            pc.or_(pc.equal(arr, s), pc.ends_with(arr, "." + s)),
+            False).to_numpy(zero_copy_only=False).astype(bool)
         m = m & (len(s) > best_len)
         best_idx[m] = i
         best_len[m] = len(s)
@@ -384,6 +388,7 @@ def registered_domain(host_col, suffixes=None) -> pa.Array:
         regv = reg.to_numpy(zero_copy_only=False)
         ok = pc.is_valid(ex).to_numpy(zero_copy_only=False)
         out[rows[ok]] = regv[ok]
+    out[nulls] = None
     return pa.array(out.tolist(), pa.string())
 
 
