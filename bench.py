@@ -132,6 +132,13 @@ def run_scaling() -> dict:
                              check=True).stdout
         r = json.loads(out.strip().splitlines()[-1])
         r["pre_load"] = round(pre, 2)
+        # a neighbor can spike MID-leg (observed: pre 0.4/1.98 but
+        # loadavg 13 at finish → apparent efficiency 0.66 on an
+        # unchanged pipeline). The 1-min loadavg at leg end includes
+        # our own Ray workers, so subtract the CPUs this leg is
+        # entitled to before comparing against the threshold.
+        r["post_load_excess"] = round(
+            max(0.0, os.getloadavg()[0] - ncpu), 2)
         return r
 
     lo, hi = 8, 32
@@ -149,9 +156,13 @@ def run_scaling() -> dict:
         "n_pages": r_hi["n_pages"],
         "pre_load_8": r_lo["pre_load"],
         "pre_load_32": r_hi["pre_load"],
+        "post_excess_8": r_lo["post_load_excess"],
+        "post_excess_32": r_hi["post_load_excess"],
         "max_load": max_load,
         "contaminated": bool(r_lo["pre_load"] > max_load
-                             or r_hi["pre_load"] > max_load),
+                             or r_hi["pre_load"] > max_load
+                             or r_lo["post_load_excess"] > max_load
+                             or r_hi["post_load_excess"] > max_load),
     }
 
 
