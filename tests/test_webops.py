@@ -207,3 +207,78 @@ def test_anchor_rollup_matches_pandas():
         n_links = int(cnt[d2 == d2[top[i]]].sum())
         n_anchors = int((d2 == d2[top[i]]).sum())
         assert exp[d] == (n_links, n_anchors, anchors[a2[top[i]]])
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (REP wire format)
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_txt_groups_and_rules():
+    from tilemaker_ray.stages.urlstats import parse_robots_txt
+    txt = """
+# comment line
+User-agent: googlebot
+Disallow: /nogoogle/
+
+User-agent: *
+Disallow: /private/
+Allow: /private/open
+Disallow: /*.pdf$
+Disallow:
+Allow: /tmp/*/ok
+Crawl-delay: 10
+Sitemap: https://ex.com/sitemap.xml
+"""
+    r = parse_robots_txt("ex.com", txt)
+    rows = list(zip(r["prefix"].to_pylist(), r["allow"].to_pylist(),
+                    r["pattern"].to_pylist()))
+    # '*' group selected (we are not googlebot); empty Disallow and
+    # unknown fields dropped; wildcard rules translated to RE2
+    assert rows == [
+        ("/private/", False, None),
+        ("/private/open", True, None),
+        ("/*.pdf$", False, "^/.*\\.pdf$"),
+        ("/tmp/*/ok", True, "^/tmp/.*/ok"),
+    ]
+    # named-agent selection beats '*', longest agent token wins
+    g = parse_robots_txt("ex.com", txt, agent="googlebot-news")
+    assert g["prefix"].to_pylist() == ["/nogoogle/"]
+
+
+def test_parse_robots_txt_consecutive_agents_share_group():
+    from tilemaker_ray.stages.urlstats import parse_robots_txt
+    txt = """User-agent: a
+User-agent: b
+Disallow: /x/
+User-agent: *
+Disallow: /y/
+"""
+    assert parse_robots_txt("h", txt, agent="a")["prefix"] \
+        .to_pylist() == ["/x/"]
+    assert parse_robots_txt("h", txt, agent="b")["prefix"] \
+        .to_pylist() == ["/x/"]
+    assert parse_robots_txt("h", txt, agent="zzz")["prefix"] \
+        .to_pylist() == ["/y/"]
+
+
+def test_robots_wildcard_verdicts():
+    import pyarrow as pa
+    from tilemaker_ray.stages.urlstats import (parse_robots_txt,
+                                               robots_verdict_wildcard_fn)
+    txt = """User-agent: *
+Disallow: /private/
+Allow: /private/open
+Disallow: /*.pdf$
+Allow: /tmp/*/ok
+"""
+    fn = robots_verdict_wildcard_fn(parse_robots_txt("ex.com", txt))
+    out = fn(pa.table({"url": pa.array([
+        "https://ex.com/private/x",      # prefix disallow
+        "https://ex.com/private/open/y",  # longer allow wins
+        "https://ex.com/doc.pdf",         # $-anchored wildcard
+        "https://ex.com/doc.pdfx",        # anchor rejects
+        "https://ex.com/tmp/a/ok",        # mid-pattern wildcard
+        "https://other.com/doc.pdf",      # other host unaffected
+    ])}))
+    assert out["verdict"].to_pylist() == [
+        "disallow", "allow", "disallow", "allow", "allow", "allow"]

@@ -404,3 +404,136 @@ REG_DOMAIN_SQL_CASE = """
                '([^.]+[.][^.]+)$', 1), ''), '(public-suffix)')
     END
 """
+
+
+# --------------------------------------------------------------------
+# robots.txt parsing (REP wire format → rule table)
+# --------------------------------------------------------------------
+
+def parse_robots_txt(host: str, text: str,
+                     agent: str = "*") -> pa.Table:
+    """Parse one robots.txt body into the (host, prefix, allow,
+    pattern) rule table the frontier filter consumes — the Robots
+    Exclusion Protocol per RFC 9309 / the public Google robots spec:
+
+    - ``User-agent`` lines open a group; CONSECUTIVE user-agent lines
+      share the group's rules; group selection picks the most
+      specific matching agent (longest agent token that is a prefix
+      of ours, '*' matches anything and loses to any named match).
+    - ``Allow`` / ``Disallow`` carry path patterns; an empty
+      ``Disallow:`` means no rule (crawl everything).
+    - ``#`` starts a comment; field names are case-insensitive;
+      unknown fields (Crawl-delay, Sitemap) are ignored here.
+    - Patterns may contain ``*`` (any run) and a trailing ``$``
+      (end anchor). Plain prefixes stay prefixes (``pattern`` NULL);
+      wildcard rules get an RE2 translation in ``pattern`` for
+      match_substring_regex — the evaluator applies whichever form a
+      rule carries. Longest-match precedence counts PATTERN length
+      (spec rule), not matched length.
+
+    Returns the same columns robots_verdict_fn broadcasts, plus
+    ``pattern`` (NULL for plain prefix rules).
+    """
+    import re as _re
+
+    groups = []          # (agent_tokens, rules)
+    cur_agents, cur_rules = [], []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_group_header and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(value.lower())
+            in_group_header = True
+        elif field in ("allow", "disallow"):
+            in_group_header = False
+            if not cur_agents:
+                continue             # rules before any user-agent line
+            if value == "" and field == "disallow":
+                continue             # empty Disallow: = no rule
+            cur_rules.append((field == "allow", value))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+
+    agent = agent.lower()
+    best_key, chosen = None, []
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                key = (0, 0)
+            elif agent.startswith(a):
+                key = (1, len(a))
+            else:
+                continue
+            if best_key is None or key > best_key:
+                best_key, chosen = key, rules
+            elif key == best_key:
+                chosen = chosen + rules   # spec: merge same-specificity
+    hosts, prefixes, allows, patterns = [], [], [], []
+    for allow, pat in chosen:
+        hosts.append(host)
+        allows.append(allow)
+        if "*" in pat or pat.endswith("$"):
+            anchored = pat.endswith("$")
+            body = pat[:-1] if anchored else pat
+            rx = "^" + ".*".join(_re.escape(p)
+                                 for p in body.split("*"))
+            if anchored:
+                rx += "$"
+            prefixes.append(pat)      # length for precedence
+            patterns.append(rx)
+        else:
+            prefixes.append(pat)
+            patterns.append(None)
+    return pa.table({"host": pa.array(hosts, pa.string()),
+                     "prefix": pa.array(prefixes, pa.string()),
+                     "allow": pa.array(allows, pa.bool_()),
+                     "pattern": pa.array(patterns, pa.string())})
+
+
+def robots_verdict_wildcard_fn(rules: pa.Table):
+    """robots_verdict_fn generalized to parsed rule tables that may
+    carry RE2-translated wildcard patterns: plain rules use the
+    C-speed starts_with pass, wildcard rules one match_substring_regex
+    pass each — same O(R·B) shape, precedence by PATTERN length."""
+    has_pattern = "pattern" in rules.column_names
+    rule_rows = list(zip(
+        rules["host"].to_pylist(), rules["prefix"].to_pylist(),
+        rules["allow"].to_pylist(),
+        rules["pattern"].to_pylist() if has_pattern
+        else [None] * rules.num_rows))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(batch["url"], _SURT_URL_RE)
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        rest = pc.struct_field(parts, "rest")
+        path = pc.replace_substring_regex(rest, r"\?.*$", "")
+        n = batch.num_rows
+        best_allow = np.zeros(n, dtype=np.int64)
+        best_dis = np.zeros(n, dtype=np.int64)
+        for rh, rp, ra, rx in rule_rows:
+            if rx is None:
+                mk = pc.and_(pc.equal(host, rh),
+                             pc.starts_with(path, rp))
+            else:
+                mk = pc.and_(pc.equal(host, rh),
+                             pc.match_substring_regex(path, rx))
+            mk = pc.fill_null(mk, False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            tgt = best_allow if ra else best_dis
+            np.maximum(tgt, np.where(mk, len(rp), 0), out=tgt)
+        verdict = np.where(best_allow >= best_dis, "allow", "disallow")
+        return pa.table({
+            "url": batch["url"],
+            "verdict": pa.array(verdict.tolist(), pa.string()),
+            "rule_len": pa.array(np.maximum(best_allow, best_dis),
+                                 pa.int64())})
+
+    return fn
