@@ -282,3 +282,58 @@ Allow: /tmp/*/ok
     ])}))
     assert out["verdict"].to_pylist() == [
         "disallow", "allow", "disallow", "allow", "allow", "allow"]
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing + frontier assembly
+# ---------------------------------------------------------------------------
+
+def test_parse_sitemap_urlset_and_index():
+    from tilemaker_ray.stages.urlstats import parse_sitemap_xml
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://ex.com/a?x=1&amp;y=2 </loc>
+       <lastmod>2026-01-01</lastmod></url>
+  <url><loc>https://ex.com/b</loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    t = parse_sitemap_xml(xml)
+    assert t["url"].to_pylist() == ["https://ex.com/a?x=1&y=2",
+                                    "https://ex.com/b"]
+    assert t["lastmod"].to_pylist() == ["2026-01-01", None]
+    assert t["is_index"].to_pylist() == [False, False]
+
+    idx = ("<sitemapindex><sitemap>"
+           "<loc>https://ex.com/s1.xml</loc></sitemap>"
+           "<sitemap><loc>https://ex.com/s2.xml</loc>"
+           "<lastmod>2026-02-02</lastmod></sitemap></sitemapindex>")
+    ti = parse_sitemap_xml(idx)
+    assert ti["url"].to_pylist() == ["https://ex.com/s1.xml",
+                                     "https://ex.com/s2.xml"]
+    assert ti["is_index"].to_pylist() == [True, True]
+
+
+def test_sitemap_discovery_from_robots():
+    from tilemaker_ray.stages.urlstats import extract_sitemap_urls
+    txt = """User-agent: *
+Disallow: /x/
+Sitemap: https://ex.com/sitemap.xml
+sitemap: https://ex.com/news.xml  # comment
+"""
+    assert extract_sitemap_urls(txt) == [
+        "https://ex.com/sitemap.xml", "https://ex.com/news.xml"]
+
+
+def test_sitemap_frontier_robots_filtered():
+    import pyarrow as pa
+    from tilemaker_ray.stages.urlstats import (parse_robots_txt,
+                                               sitemap_frontier_fn)
+    xml = ("<urlset><url><loc>https://ex.com/ok</loc></url>"
+           "<url><loc>https://ex.com/private/no</loc></url></urlset>")
+    rules = {"ex.com": parse_robots_txt(
+        "ex.com", "User-agent: *\nDisallow: /private/\n")}
+    out = sitemap_frontier_fn(rules)(
+        pa.table({"host": ["ex.com", "other.com"],
+                  "body": [xml, "<urlset></urlset>"]}))
+    assert out["url"].to_pylist() == ["https://ex.com/ok"]
+    assert out["host"].to_pylist() == ["ex.com"]
