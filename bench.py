@@ -120,26 +120,38 @@ def run_scaling() -> dict:
     n4 = _pages.n_pages_for_sf_dir(sf_dir) * 4
     max_load = float(os.environ.get("GRAFT_MAX_LOAD", "2.0"))
 
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+
     def one(ncpu: int) -> dict:
-        pre = _wait_for_idle(max_load)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_N_PAGES=str(n4),
-                   # efficiency is computed from the headline only; the
-                   # query sweep would just add noise to each level
-                   GRAFT_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        r = json.loads(out.strip().splitlines()[-1])
-        r["pre_load"] = round(pre, 2)
-        # a neighbor can spike MID-leg (observed: pre 0.4/1.98 but
-        # loadavg 13 at finish → apparent efficiency 0.66 on an
-        # unchanged pipeline). The 1-min loadavg at leg end includes
-        # our own Ray workers, so subtract the CPUs this leg is
-        # entitled to before comparing against the threshold.
-        r["post_load_excess"] = round(
-            max(0.0, os.getloadavg()[0] - ncpu), 2)
-        return r
+        """One leg = MIN wall time over ``reps`` runs. Host-neighbor
+        noise only ever ADDS time (observed same-code efficiency
+        scatter 0.66→1.18 purely by which leg caught a spike), so the
+        per-leg min is a noise-robust estimator of the clean time;
+        set GRAFT_SCALING_REPS=3 on noisy hosts."""
+        best = None
+        for _ in range(reps):
+            pre = _wait_for_idle(max_load)
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_N_PAGES=str(n4),
+                       # efficiency is computed from the headline only;
+                       # the query sweep would just add noise per level
+                       GRAFT_HEADLINE_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            r["pre_load"] = round(pre, 2)
+            # a neighbor can spike MID-leg (pre 0.4/1.98 but loadavg
+            # 13 at finish → apparent efficiency 0.66 on an unchanged
+            # pipeline). The 1-min loadavg at leg end includes our own
+            # Ray workers, so subtract the CPUs this leg is entitled
+            # to before comparing against the threshold.
+            r["post_load_excess"] = round(
+                max(0.0, os.getloadavg()[0] - ncpu), 2)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = 8, 32
     r_lo = one(lo)
@@ -159,6 +171,7 @@ def run_scaling() -> dict:
         "post_excess_8": r_lo["post_load_excess"],
         "post_excess_32": r_hi["post_load_excess"],
         "max_load": max_load,
+        "reps_per_leg": reps,
         "contaminated": bool(r_lo["pre_load"] > max_load
                              or r_hi["pre_load"] > max_load
                              or r_lo["post_load_excess"] > max_load
