@@ -332,3 +332,30 @@ def test_sniff_mime_null_payload():
     matching the oracle's CASE WHEN payload IS NULL branch."""
     got = sniff_mime(pa.array([None, b"", b"\x1f\x8b"], pa.binary()))
     assert got.to_pylist() == ["null", "empty", "application/gzip"]
+
+
+def test_phrase_match_overlaps_and_boundaries(ray_session):
+    """Overlapping matches count at every position; pairs never match
+    across doc boundaries; the 'no match' phrase reports zeros."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+    from tilemaker_ray.pipelines import queries as Q
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # doc1: 'batch batch batch' -> 2 overlapping hits
+        # doc2 ends with 'batch', doc3 starts with 'batch' -> no
+        # cross-doc match; doc3 has one more hit
+        "text": pa.array(["batch batch batch", "x batch",
+                          "batch batch y"], pa.string())})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="phrase_")
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    out = Q.QUERIES["phrase_match_docs"](d).to_pandas() \
+        .set_index("phrase")
+    assert out.loc["batch batch", "n_hits"] == 3
+    assert out.loc["batch batch", "n_docs"] == 2
+    assert out.loc["no match", "n_hits"] == 0
+    assert out.loc["no match", "n_docs"] == 0
