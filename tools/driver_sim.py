@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--first", type=int, default=0,
                     help="limit to the first N queries (0 = all)")
+    ap.add_argument("--names", default="",
+                    help="comma-separated query names to check "
+                         "(overrides --first)")
     args = ap.parse_args()
 
     import duckdb
@@ -71,7 +74,13 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
                     f"'{os.path.join(args.sf, t)}.parquet')")
 
-    names = list(qs)[:args.first] if args.first else list(qs)
+    if args.names:
+        names = [n.strip() for n in args.names.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    else:
+        names = list(qs)[:args.first] if args.first else list(qs)
     failed, times = {}, {}
     n_pass = n_rows_only = 0
     for name in names:
