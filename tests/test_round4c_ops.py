@@ -359,3 +359,20 @@ def test_phrase_match_overlaps_and_boundaries(ray_session):
     assert out.loc["batch batch", "n_docs"] == 2
     assert out.loc["no match", "n_hits"] == 0
     assert out.loc["no match", "n_docs"] == 0
+
+
+def test_hits_one_iteration_brute():
+    """authority = in-degree, hub = sum of authorities over out-links
+    (hub0 = 1), on a hand graph with a clear hub and authority."""
+    edges = [("h", "a1"), ("h", "a2"), ("h", "a3"),
+             ("x", "a1"), ("a1", "x")]
+    indeg = {}
+    for s, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    hub = {}
+    for s, d in edges:
+        hub[s] = hub.get(s, 0) + indeg[d]
+    # h points at three authorities, two of them shared -> top hub
+    assert indeg == {"a1": 2, "a2": 1, "a3": 1, "x": 1}
+    assert hub == {"h": 4, "x": 2, "a1": 1}
+    assert max(hub, key=hub.get) == "h"

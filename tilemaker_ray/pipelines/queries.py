@@ -5783,6 +5783,99 @@ ORACLE_SQL["sitemap_frontier_hosts"] = """
 """
 
 
+def q_hits_sites(sf_dir: str):
+    """HITS hub/authority scores over the site link graph — one exact
+    integer iteration (Kleinberg's algorithm with hub₀ = 1): authority
+    = distinct in-links, hub = Σ authority over out-links. Unlike the
+    iterative fixed-point PageRank (rows-only by necessity), a single
+    HITS iteration is integer-exact and fully SQL-expressible, so this
+    is the graph family's hash-certified representative alongside
+    triangles/in-degree/BFS.
+
+    Scale shape: distinct edges via a per-batch combiner + ONE
+    groupby; the authority vector is bounded by #sites and broadcast
+    back into a map pass (ray.put small-side pattern — never a second
+    all-to-all); hub partials fold in a tiny groupby. Edges are
+    staged; the oracle recomputes both halves from them."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..sources import pages as _pages
+    from ..stages.pagerank import page_links
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    sites = sorted(set(links.map_batches(
+        lambda b: pa.table({"src": pc.unique(b["src"].combine_chunks())}),
+        batch_format="pyarrow").to_pandas()["src"]))
+    sites_ref = ray.put(np.asarray(sites, dtype=object))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        sa = ray.get(sites_ref)
+        d = (batch["dsth"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % np.uint64(len(sa))).astype(np.int64)
+        t = pa.table({"src": batch["src"],
+                      "dst": pa.array(sa[d], pa.string())})
+        t = t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        # per-batch distinct combiner: only unique pairs ride
+        return t.group_by(["src", "dst"]).aggregate([]) \
+            .select(["src", "dst"])
+
+    edges = (links.map_batches(resolve, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda b: b.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    staged = _stage_for_oracle(edges, "hits_sites")
+
+    auth_tbl = (rd.read_parquet(staged).groupby("dst").count()
+                .to_pandas())
+    auth_ref = ray.put(dict(zip(auth_tbl["dst"],
+                                auth_tbl["count()"].astype(np.int64))))
+
+    def hub_partial(batch: pa.Table) -> pa.Table:
+        am = ray.get(auth_ref)
+        src = batch["src"].to_pylist()
+        dst = batch["dst"].to_pylist()
+        h = np.fromiter((am.get(d, 0) for d in dst), dtype=np.int64,
+                        count=len(dst))
+        return (pa.table({"site": pa.array(src, pa.string()),
+                          "h": pa.array(h, pa.int64())})
+                .group_by("site").aggregate([("h", "sum")]))
+
+    hubs = (rd.read_parquet(staged)
+            .map_batches(hub_partial, batch_format="pyarrow")
+            .groupby("site").aggregate(Sum("h_sum")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        am = ray.get(auth_ref)
+        site = batch["site"].to_pylist()
+        a = np.fromiter((am.get(s, 0) for s in site), dtype=np.int64,
+                        count=len(site))
+        return pa.table({
+            "site": batch["site"],
+            "authority": pa.array(a, pa.int64()),
+            "hub": pc.cast(batch["sum(h_sum)"], pa.int64())})
+
+    return hubs.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["hits_sites"] = """
+    WITH e AS (SELECT DISTINCT src, dst FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/hits_sites/*.parquet')),
+         a AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS authority
+               FROM e GROUP BY dst)
+    SELECT e.src AS site,
+           CAST(COALESCE(MAX(a2.authority), 0) AS BIGINT) AS authority,
+           CAST(SUM(a.authority) AS BIGINT) AS hub
+    FROM e JOIN a ON a.dst = e.dst
+           LEFT JOIN a a2 ON a2.dst = e.src
+    GROUP BY e.src
+"""
+
+
 PHRASES = [("batch", "batch"), ("sort", "merge"), ("data", "line"),
            ("the", "fast"), ("window", "window"), ("no", "match")]
 
@@ -5931,6 +6024,7 @@ QUERIES = {
     "crawl_trap_hosts": q_crawl_trap_hosts,
     "sitemap_frontier_hosts": q_sitemap_frontier_hosts,
     "phrase_match_docs": q_phrase_match_docs,
+    "hits_sites": q_hits_sites,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
@@ -5945,8 +6039,8 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "event_deltas": q_event_deltas,
     "running_totals_events": q_running_totals_events,
-    "rolling_events": q_rolling_events,
     # --- beyond the driver's 50-query cap ---
+    "rolling_events": q_rolling_events,
     "first_value_events": q_first_value_events,
     "window_events": q_window_events,
     "ann_top5": q_ann_top5,
