@@ -120,7 +120,7 @@ def run_scaling() -> dict:
     n4 = _pages.n_pages_for_sf_dir(sf_dir) * 4
     max_load = float(os.environ.get("GRAFT_MAX_LOAD", "2.0"))
 
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+    reps = max(1, int(os.environ.get("GRAFT_SCALING_REPS", "1")))
 
     def one(ncpu: int) -> dict:
         """One leg = MIN wall time over ``reps`` runs. Host-neighbor

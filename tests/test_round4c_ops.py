@@ -361,18 +361,34 @@ def test_phrase_match_overlaps_and_boundaries(ray_session):
     assert out.loc["no match", "n_docs"] == 0
 
 
-def test_hits_one_iteration_brute():
-    """authority = in-degree, hub = sum of authorities over out-links
-    (hub0 = 1), on a hand graph with a clear hub and authority."""
-    edges = [("h", "a1"), ("h", "a2"), ("h", "a3"),
-             ("x", "a1"), ("a1", "x")]
-    indeg = {}
-    for s, d in edges:
-        indeg[d] = indeg.get(d, 0) + 1
-    hub = {}
-    for s, d in edges:
-        hub[s] = hub.get(s, 0) + indeg[d]
-    # h points at three authorities, two of them shared -> top hub
-    assert indeg == {"a1": 2, "a2": 1, "a3": 1, "x": 1}
-    assert hub == {"h": 4, "x": 2, "a1": 1}
-    assert max(hub, key=hub.get) == "h"
+def test_hits_end_to_end_brute(ray_session):
+    """q_hits_sites vs an independent single-process recomputation:
+    re-derive the link universe with page_links + the same modular
+    site resolution, dedup + drop self-loops in pandas, then check
+    authority = in-degree and hub = Σ authority over out-links for
+    EVERY site."""
+    import ray.data as rd
+    import pandas as pd
+    from tilemaker_ray.pipelines.queries import QUERIES
+    from tilemaker_ray.sources import pages as P
+    from tilemaker_ray.stages.pagerank import page_links
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["hits_sites"](sf).to_pandas().set_index("site")
+
+    n = P.n_pages_for_sf_dir(sf)
+    links = rd.read_parquet(P.ensure_pages_parquet(n),
+                            columns=["url"]) \
+        .map_batches(lambda b: page_links(b, 3),
+                     batch_format="pyarrow").to_pandas()
+    sites = sorted(links["src"].unique())
+    links["dst"] = [sites[int(h) % len(sites)]
+                    for h in links["dsth"].astype("uint64")]
+    e = links[links["src"] != links["dst"]][["src", "dst"]] \
+        .drop_duplicates()
+    indeg = e.groupby("dst").size()
+    hub = e.assign(a=e["dst"].map(indeg)).groupby("src")["a"].sum()
+    assert set(out.index) == set(hub.index)
+    for s in out.index:
+        assert out.loc[s, "hub"] == hub[s]
+        assert out.loc[s, "authority"] == int(indeg.get(s, 0))

@@ -337,3 +337,50 @@ def test_sitemap_frontier_robots_filtered():
                   "body": [xml, "<urlset></urlset>"]}))
     assert out["url"].to_pylist() == ["https://ex.com/ok"]
     assert out["host"].to_pylist() == ["ex.com"]
+
+
+def test_robots_group_separator_lines():
+    """Sitemap/Crawl-delay/unknown lines END a group header: a
+    User-agent line after them starts a NEW group (RFC 9309 grammar),
+    it does not join the previous group."""
+    from tilemaker_ray.stages.urlstats import parse_robots_txt
+    txt = """User-agent: a
+Sitemap: https://x/s.xml
+User-agent: b
+Disallow: /y/
+"""
+    assert parse_robots_txt("h", txt, agent="a")["prefix"] \
+        .to_pylist() == []          # a's group carries no rules
+    assert parse_robots_txt("h", txt, agent="b")["prefix"] \
+        .to_pylist() == ["/y/"]
+
+
+def test_robots_wildcard_matches_query_string():
+    """RFC 9309 matches against path AND query: $-anchored rules must
+    not match a stripped path, and ?sessionid= trap rules must fire."""
+    import pyarrow as pa
+    from tilemaker_ray.stages.urlstats import (parse_robots_txt,
+                                               robots_verdict_wildcard_fn)
+    txt = """User-agent: *
+Disallow: /*.pdf$
+Disallow: /*?sessionid=
+"""
+    fn = robots_verdict_wildcard_fn(parse_robots_txt("ex.com", txt))
+    out = fn(pa.table({"url": pa.array([
+        "https://ex.com/doc.pdf?x=1",        # query breaks the $ match
+        "https://ex.com/page?sessionid=abc",  # trap rule fires
+        "https://ex.com/doc.pdf",             # plain $ match
+    ])}))
+    assert out["verdict"].to_pylist() == ["allow", "disallow",
+                                          "disallow"]
+
+
+def test_sitemap_entity_unescape_order():
+    """'&amp;' unescapes LAST: literal '&amp;lt;' in a loc is the text
+    '&lt;', never double-unescaped to '<'."""
+    from tilemaker_ray.stages.urlstats import parse_sitemap_xml
+    xml = ("<urlset><url>"
+           "<loc>https://ex.com/a?t=&amp;lt;b&amp;gt;</loc>"
+           "</url></urlset>")
+    assert parse_sitemap_xml(xml)["url"].to_pylist() == [
+        "https://ex.com/a?t=&lt;b&gt;"]

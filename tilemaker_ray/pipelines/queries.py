@@ -5761,9 +5761,11 @@ def q_sitemap_frontier_hosts(sf_dir: str):
 
 ORACLE_SQL["sitemap_frontier_hosts"] = """
     WITH u AS (SELECT host, url,
-                 regexp_replace(regexp_extract(url,
-                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
-                     '\\?.*$', '') AS path
+                 -- path AND query (RFC 9309 match target; the Ray
+                 -- side uses the wildcard evaluator's default)
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                     AS path
                FROM read_parquet(
                  '/tmp/tilemaker_ray_oracle/sitemap_frontier_hosts/*.parquet')),
          m AS (SELECT u.host, u.url,
@@ -5836,13 +5838,18 @@ def q_hits_sites(sf_dir: str):
                                 auth_tbl["count()"].astype(np.int64))))
 
     def hub_partial(batch: pa.Table) -> pa.Table:
+        # dictionary-encode dst: one dict lookup per DISTINCT site in
+        # the batch (bounded by #sites), then a numpy gather — the
+        # per-edge path stays out of the Python interpreter
         am = ray.get(auth_ref)
-        src = batch["src"].to_pylist()
-        dst = batch["dst"].to_pylist()
-        h = np.fromiter((am.get(d, 0) for d in dst), dtype=np.int64,
-                        count=len(dst))
-        return (pa.table({"site": pa.array(src, pa.string()),
-                          "h": pa.array(h, pa.int64())})
+        dd = batch["dst"].combine_chunks().dictionary_encode()
+        codes = dd.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dict_auth = np.fromiter(
+            (am.get(d, 0) for d in dd.dictionary.to_pylist()),
+            dtype=np.int64, count=len(dd.dictionary))
+        return (pa.table({"site": batch["src"],
+                          "h": pa.array(dict_auth[codes], pa.int64())})
                 .group_by("site").aggregate([("h", "sum")]))
 
     hubs = (rd.read_parquet(staged)
@@ -5897,7 +5904,8 @@ def q_phrase_match_docs(sf_dir: str):
     VALUES list in the SQL)."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # doc boundaries are row boundaries — only text leaves the scan
+    ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch["text"], " ").combine_chunks()
@@ -5906,9 +5914,8 @@ def q_phrase_match_docs(sf_dir: str):
         # offs[0] — align flat with doc_of explicitly
         flat = toks.values.to_numpy(
             zero_copy_only=False)[offs[0]:offs[-1]]
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = len(flat)
-        doc_of = np.repeat(np.arange(len(did)), np.diff(offs))
+        doc_of = np.repeat(np.arange(batch.num_rows), np.diff(offs))
         rows = {"phrase": [], "docs": [], "hits": []}
         for w1, w2 in PHRASES:
             if n >= 2:

@@ -286,35 +286,12 @@ def robots_verdict_fn(rules: pa.Table):
     column and apply only each host's rule group (same kernel,
     per-group slices); the synthetic universe has 8 hosts so the flat
     pass is already host-grouped in practice.
+
+    Path-only matching (query stripped) — the semantics this
+    function's SQL-mirrored query (robots_filter_urls) certifies;
+    delegates to the generalized evaluator so the kernel exists once.
     """
-    rule_rows = list(zip(rules["host"].to_pylist(),
-                         rules["prefix"].to_pylist(),
-                         rules["allow"].to_pylist()))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        parts = pc.extract_regex(batch["url"], _SURT_URL_RE)
-        host = pc.utf8_lower(pc.struct_field(parts, "host"))
-        rest = pc.struct_field(parts, "rest")
-        # path only: cut the query off rest
-        path = pc.replace_substring_regex(rest, r"\?.*$", "")
-        n = batch.num_rows
-        best_allow = np.zeros(n, dtype=np.int64)
-        best_dis = np.zeros(n, dtype=np.int64)
-        for rh, rp, ra in rule_rows:
-            mk = pc.and_(pc.equal(host, rh), pc.starts_with(path, rp))
-            mk = mk.to_numpy(zero_copy_only=False)
-            mk = np.where(mk == None, False, mk).astype(bool)  # noqa: E711
-            ln = len(rp)
-            tgt = best_allow if ra else best_dis
-            np.maximum(tgt, np.where(mk, ln, 0), out=tgt)
-        verdict = np.where(best_allow >= best_dis, "allow", "disallow")
-        rule_len = np.maximum(best_allow, best_dis)
-        return pa.table({
-            "url": batch["url"],
-            "verdict": pa.array(verdict.tolist(), pa.string()),
-            "rule_len": pa.array(rule_len, pa.int64())})
-
-    return fn
+    return robots_verdict_wildcard_fn(rules, match_query=False)
 
 
 # --------------------------------------------------------------------
@@ -459,6 +436,12 @@ def parse_robots_txt(host: str, text: str,
             if value == "" and field == "disallow":
                 continue             # empty Disallow: = no rule
             cur_rules.append((field == "allow", value))
+        else:
+            # any other recognized-shape line (Sitemap, Crawl-delay,
+            # unknown fields) ends a group header: per the RFC 9309
+            # grammar a User-agent line AFTER it starts a NEW group
+            # rather than joining the previous header
+            in_group_header = False
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
@@ -498,11 +481,18 @@ def parse_robots_txt(host: str, text: str,
                      "pattern": pa.array(patterns, pa.string())})
 
 
-def robots_verdict_wildcard_fn(rules: pa.Table):
+def robots_verdict_wildcard_fn(rules: pa.Table,
+                               match_query: bool = True):
     """robots_verdict_fn generalized to parsed rule tables that may
     carry RE2-translated wildcard patterns: plain rules use the
     C-speed starts_with pass, wildcard rules one match_substring_regex
-    pass each — same O(R·B) shape, precedence by PATTERN length."""
+    pass each — same O(R·B) shape, precedence by PATTERN length.
+
+    RFC 9309 matches against path AND query (the classic
+    ``Disallow: /*?sessionid=`` trap rule, and ``$`` must not match a
+    stripped path) — the default. ``match_query=False`` reproduces
+    the path-only semantics of the legacy prefix evaluator and its
+    SQL-mirrored query."""
     has_pattern = "pattern" in rules.column_names
     rule_rows = list(zip(
         rules["host"].to_pylist(), rules["prefix"].to_pylist(),
@@ -514,7 +504,8 @@ def robots_verdict_wildcard_fn(rules: pa.Table):
         parts = pc.extract_regex(batch["url"], _SURT_URL_RE)
         host = pc.utf8_lower(pc.struct_field(parts, "host"))
         rest = pc.struct_field(parts, "rest")
-        path = pc.replace_substring_regex(rest, r"\?.*$", "")
+        path = rest if match_query else \
+            pc.replace_substring_regex(rest, r"\?.*$", "")
         n = batch.num_rows
         best_allow = np.zeros(n, dtype=np.int64)
         best_dis = np.zeros(n, dtype=np.int64)
@@ -577,8 +568,11 @@ def parse_sitemap_xml(text: str) -> pa.Table:
         if not m:
             continue
         loc = m.group(1)
-        for ent, ch in (("&amp;", "&"), ("&apos;", "'"),
-                        ("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<")):
+        # '&amp;' must unescape LAST: doing it first turns the literal
+        # text '&amp;lt;' into '&lt;' which the later pass would then
+        # wrongly unescape to '<' (double-unescape)
+        for ent, ch in (("&apos;", "'"), ("&quot;", '"'),
+                        ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
             loc = loc.replace(ent, ch)
         lm = _re.search(r"<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", b, _re.S)
         urls.append(loc)
