@@ -392,3 +392,57 @@ def test_hits_end_to_end_brute(ray_session):
     for s in out.index:
         assert out.loc[s, "hub"] == hub[s]
         assert out.loc[s, "authority"] == int(indeg.get(s, 0))
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def brute_winnow(text, k, w):
+    """Pure-Python Schleimer–Wilkerson–Aiken reference."""
+    from tilemaker_ray.stages.textindex import WINNOW_B, WINNOW_M
+    b = text.encode("utf-8")
+    hs = []
+    for i in range(len(b) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * WINNOW_B + b[i + j]) % WINNOW_M
+        hs.append(h)
+    out = set()
+    for e in range(w - 1, len(hs)):
+        window = hs[e - w + 1:e + 1]
+        mn = min(window)
+        # rightmost minimal
+        p = e - list(reversed(window)).index(mn)
+        out.add((p, hs[p]))
+    return out
+
+
+def test_winnow_brute_random():
+    import random
+    from tilemaker_ray.stages.textindex import winnow_fingerprints
+    rng = random.Random(9)
+    alpha = "abcdef gh"
+    texts = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+             for _ in range(60)]
+    k, w = 5, 4
+    d, p, h = winnow_fingerprints(texts, k=k, w=w)
+    got = {}
+    for di, pi, hi in zip(d.tolist(), p.tolist(), h.tolist()):
+        got.setdefault(di, set()).add((pi, hi))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == brute_winnow(t, k, w), i
+
+
+def test_winnow_guarantees():
+    """Shared substrings >= w+k-1 share a fingerprint; gaps <= w."""
+    import numpy as np
+    from tilemaker_ray.stages.textindex import winnow_fingerprints
+    a = "prefix COMMON SHARED RUN OF TEXT suffix one"
+    b = "other COMMON SHARED RUN OF TEXT tail piece"
+    d, p, h = winnow_fingerprints([a, b], k=8, w=4)
+    s0 = set(h[d == 0].tolist())
+    s1 = set(h[d == 1].tolist())
+    assert s0 & s1
+    pp = np.sort(p[d == 0])
+    assert (np.diff(pp) <= 4).all()

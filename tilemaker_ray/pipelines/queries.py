@@ -5785,6 +5785,77 @@ ORACLE_SQL["sitemap_frontier_hosts"] = """
 """
 
 
+def q_winnow_fingerprints_docs(sf_dir: str, k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
+    2003, the MOSS selector): hash every character k-gram, keep the
+    window-min of each w-window (rightmost on ties — the
+    self-synchronizing rule), emit the distinct selected (doc, pos,
+    hash) triples. Guarantees: any shared substring of length >=
+    w+k-1 shares a fingerprint; selected positions are never more
+    than w apart — the robust copy-detection complement to
+    MinHash/SimHash (set-level) and ExactSubstr span dedup.
+
+    Scale shape: hashing + selection are ONE vectorized pass over a
+    flat byte buffer per batch (stages/textindex.py::
+    winnow_fingerprints — no per-doc Python); output is the
+    fingerprint rows themselves (row-level certification). The full
+    k-gram hash table is staged so the oracle re-runs the SELECTION
+    independently (window MIN + rightmost-tie join + distinct); the
+    hash kernel itself is pinned by the pytest brute."""
+    import ray.data as rd
+    from ..stages.textindex import (winnow_fingerprints,
+                                    winnow_gram_hashes)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o, r, a, v = winnow_gram_hashes(texts, k)
+        return pa.table({
+            "doc_id": pa.array(did[o[v]], pa.int64()),
+            "pos": pa.array(r[v], pa.int64()),
+            "h": pa.array(a[v], pa.int64())})
+
+    # staged gram table is consumed only by the oracle; the Ray side
+    # selects straight from the text (same hashes by construction)
+    _stage_for_oracle(
+        ds.map_batches(grams, batch_format="pyarrow"), "winnow_grams")
+
+    def select(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o, r, h = winnow_fingerprints(texts, k=k, w=w)
+        return pa.table({
+            "doc_id": pa.array(did[o], pa.int64()),
+            "pos": pa.array(r, pa.int64()),
+            "h": pa.array(h, pa.int64())})
+
+    return ds.map_batches(select, batch_format="pyarrow")
+
+
+ORACLE_SQL["winnow_fingerprints_docs"] = """
+    WITH g AS (SELECT doc_id, pos, h FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/winnow_grams/*.parquet')),
+         wm AS (SELECT doc_id, pos AS e,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                           AS mn,
+                       COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                           AS cnt
+                FROM g),
+         pick AS (SELECT wm.doc_id, MAX(g2.pos) AS pos, wm.mn AS h
+                  FROM wm JOIN g g2
+                    ON g2.doc_id = wm.doc_id
+                   AND g2.pos BETWEEN wm.e - 3 AND wm.e
+                   AND g2.h = wm.mn
+                  WHERE wm.cnt = 4
+                  GROUP BY wm.doc_id, wm.e, wm.mn)
+    SELECT DISTINCT doc_id, pos, h FROM pick
+"""
+
+
 def q_hits_sites(sf_dir: str):
     """HITS hub/authority scores over the site link graph — one exact
     integer iteration (Kleinberg's algorithm with hub₀ = 1): authority
@@ -6032,6 +6103,7 @@ QUERIES = {
     "sitemap_frontier_hosts": q_sitemap_frontier_hosts,
     "phrase_match_docs": q_phrase_match_docs,
     "hits_sites": q_hits_sites,
+    "winnow_fingerprints_docs": q_winnow_fingerprints_docs,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
@@ -6045,8 +6117,8 @@ QUERIES = {
     "global_rank_events": q_global_rank_events,
     "top_events_per_user": q_top_events_per_user,
     "event_deltas": q_event_deltas,
-    "running_totals_events": q_running_totals_events,
     # --- beyond the driver's 50-query cap ---
+    "running_totals_events": q_running_totals_events,
     "rolling_events": q_rolling_events,
     "first_value_events": q_first_value_events,
     "window_events": q_window_events,

@@ -740,3 +740,95 @@ def windowed_cooc_pmi(docs_ds, window: int = 2, min_count: int = 5,
         "w2": pa.array(df["w2"].tolist(), pa.string()),
         "c_xy": pa.array(df["c"].astype("int64").tolist(), pa.int64()),
         "pmi": pa.array(pmi, pa.float64())}))
+
+
+# --------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — MOSS)
+# --------------------------------------------------------------------
+
+WINNOW_B = 257              # polynomial base
+WINNOW_M = 1_000_003        # prime modulus (< 2^20: k-gram sums stay
+                            # far inside int64 at B*M + 255)
+
+
+def winnow_gram_hashes(texts, k: int = 8):
+    """All character k-gram hashes for a batch of docs, vectorized
+    across ONE flat byte buffer (docs separated by k 0xFF sentinels).
+    Returns (owner, rel_pos, hash, valid) — ``valid`` False for grams
+    that cross a doc boundary (they contain a sentinel byte)."""
+    n_docs = len(texts)
+    bs = [t.encode("utf-8") for t in texts]
+    e = np.array([], dtype=np.int64)
+    if not n_docs:
+        return e, e, e, np.array([], dtype=bool)
+    sep = b"\xff" * k
+    flat = np.frombuffer(sep.join(bs), dtype=np.uint8).astype(np.int64)
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    starts[1:] = np.cumsum(lens[:-1] + k)
+    n = len(flat)
+    if n < k:
+        return e, e, e, np.array([], dtype=bool)
+    pw = np.array([pow(WINNOW_B, k - 1 - j, WINNOW_M)
+                   for j in range(k)], dtype=np.int64)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        acc = (acc + flat[j:j + m] * pw[j]) % WINNOW_M
+    gpos = np.arange(m, dtype=np.int64)
+    owner = np.searchsorted(starts, gpos, side="right") - 1
+    rel = gpos - starts[owner]
+    valid = rel + k <= lens[owner]
+    return owner, rel, acc, valid
+
+def winnow_fingerprints(texts, k: int = 8, w: int = 4):
+    """Winnowing fingerprint selection over character k-grams: hash
+    every k-gram (polynomial rolling hash mod WINNOW_M), then for each
+    window of ``w`` consecutive k-gram hashes keep the minimum — on
+    ties the RIGHTMOST minimal position (the paper's rule, which makes
+    selection self-synchronizing) — and emit the distinct selected
+    (doc, pos, hash) triples. Guarantees: any shared substring of
+    length >= w + k - 1 yields at least one shared fingerprint, and no
+    gap between selected positions exceeds w.
+
+    Vectorized across the whole batch: all docs flatten into ONE byte
+    buffer separated by k 0xFF sentinels (no text byte is 0xFF-clean
+    ASCII in this corpus and k-grams crossing a boundary contain a
+    sentinel, so masking `valid` removes them); the k shifted
+    multiply-adds and the sliding-window minima run on the flat
+    arrays — no per-doc Python in the hot path.
+
+    Returns (doc_idx, pos, h) int64 numpy arrays; doc_idx indexes into
+    ``texts``, pos is the k-gram start offset inside the doc.
+    """
+    owner, rel, acc, valid = winnow_gram_hashes(texts, k)
+    m = len(acc)
+    if not m:
+        e = np.array([], dtype=np.int64)
+        return e, e, e
+    if w <= 0:
+        raise ValueError("w must be >= 1")
+    # sliding windows of w hashes; invalid grams get +inf analog so a
+    # window containing any is droppable via its own validity mask
+    BIG = np.int64(1) << 60
+    hm = np.where(valid, acc, BIG)
+    if m < w:
+        e = np.array([], dtype=np.int64)
+        return e, e, e
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(hm, w)                    # (m-w+1, w)
+    wmin = win.min(axis=1)
+    # rightmost minimal position: argmax over reversed equality
+    rev_eq = (win[:, ::-1] == wmin[:, None])
+    sel = (w - 1) - rev_eq.argmax(axis=1)
+    ends = np.arange(len(wmin), dtype=np.int64)
+    pick = ends + sel                                    # k-gram index
+    # fully-valid windows only: a single sentinel gram (BIG) anywhere
+    # in the window disqualifies it (min-only would accept partial
+    # boundary windows)
+    ok = win.max(axis=1) < BIG
+    # a window straddling two docs mixes sentinel grams -> already
+    # dropped by ok (sentinel grams are BIG); distinct selections only
+    pick = pick[ok]
+    key = np.unique(pick)
+    return owner[key], rel[key], acc[key]
