@@ -384,3 +384,21 @@ def test_sitemap_entity_unescape_order():
            "</url></urlset>")
     assert parse_sitemap_xml(xml)["url"].to_pylist() == [
         "https://ex.com/a?t=&lt;b&gt;"]
+
+
+def test_frontier_merge_collapses_variants(ray_session):
+    """The three candidate streams collapse onto one canonical URL:
+    base (prio 2), trailing-slash sitemap variant (prio 1), tracking-
+    param re-crawl variant (prio 0) — best_prio wins, counts add."""
+    from tilemaker_ray.pipelines.queries import QUERIES
+    out = QUERIES["frontier_merge_urls"]("/root/testdata/sf0.001") \
+        .to_pandas().set_index("canon_url")
+    # page ids divisible by 60 are in ALL three streams
+    hit = [c for c in out.index if c.endswith("/0")]
+    assert hit
+    row = out.loc[hit[0]]
+    assert row["n_candidates"] == 3
+    assert row["best_prio"] == 0
+    # ids divisible by neither 3 nor 20 appear once at prio 2
+    lone = out[(out["n_candidates"] == 1)]
+    assert (lone["best_prio"] == 2).all()

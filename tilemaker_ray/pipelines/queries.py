@@ -5785,6 +5785,82 @@ ORACLE_SQL["sitemap_frontier_hosts"] = """
 """
 
 
+def q_frontier_merge_urls(sf_dir: str):
+    """Crawl-frontier merge — the capstone that composes the crawl
+    family: candidate URLs arrive from THREE sources (outlink
+    extraction prio 2, sitemaps prio 1, re-crawl scheduling prio 0 —
+    lower = more urgent), in different surface forms of the same page
+    (sitemap variants carry a trailing slash, re-crawl variants a
+    tracking param); canonicalization collapses them and each
+    canonical URL keeps its best priority, candidate count, and the
+    lexicographically-first raw form. This is the dedup every frontier
+    runs before scheduling fetches.
+
+    Scale shape: stream derivation + canonicalization fuse into the
+    scan (RE2 chain, stages/urlstats.py::canonicalize_urls); ONE slim
+    (canon_url, prio, url) groupby — ≤2 extra rows per page ride the
+    exchange. The dirty union is staged; the oracle re-canonicalizes
+    with the mirrored chain and re-aggregates, certifying the whole
+    merge."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+    from ..sources import pages as _pages
+    from ..stages.urlstats import canonicalize_urls
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+
+    def streams(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks()
+        pid = pc.cast(pc.struct_field(
+            pc.extract_regex(url, r"/(?P<id>[0-9]+)$"), "id"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        outs = [pa.table({
+            "url_dirty": url,
+            "prio": pa.array(np.full(len(pid), 2, np.int64))})]
+        m_map = pa.array(pid % 20 == 0)
+        outs.append(pa.table({
+            "url_dirty": pc.binary_join_element_wise(url, "/", ""),
+            "prio": pa.array(np.ones(len(pid), np.int64))})
+            .filter(m_map))
+        m_re = pa.array(pid % 3 == 0)
+        outs.append(pa.table({
+            "url_dirty": pc.binary_join_element_wise(
+                url, "?utm_source=recrawl", ""),
+            "prio": pa.array(np.zeros(len(pid), np.int64))})
+            .filter(m_re))
+        return pa.concat_tables(outs)
+
+    staged = _stage_for_oracle(
+        ds.map_batches(streams, batch_format="pyarrow"),
+        "frontier_merge_urls")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canon_url", canonicalize_urls(batch["url_dirty"]))
+
+    return (rd.read_parquet(staged)
+            .map_batches(canon, batch_format="pyarrow")
+            .groupby("canon_url")
+            .aggregate(Count(alias_name="n_candidates"),
+                       Min("prio", alias_name="best_prio"),
+                       Min("url_dirty", alias_name="first_url")))
+
+
+ORACLE_SQL["frontier_merge_urls"] = (
+    "WITH c AS (SELECT url_dirty, prio, " + _CANON_EXPR
+    + " AS canon_url FROM ("
+    + _CANON_STEPS.format(
+        col="url_dirty",
+        src="read_parquet('/tmp/tilemaker_ray_oracle/"
+            "frontier_merge_urls/*.parquet')")
+    + """))
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           MIN(prio) AS best_prio, MIN(url_dirty) AS first_url
+    FROM c GROUP BY canon_url""")
+
+
 def q_winnow_fingerprints_docs(sf_dir: str, k: int = 8, w: int = 4):
     """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
     2003, the MOSS selector): hash every character k-gram, keep the
@@ -6104,6 +6180,7 @@ QUERIES = {
     "phrase_match_docs": q_phrase_match_docs,
     "hits_sites": q_hits_sites,
     "winnow_fingerprints_docs": q_winnow_fingerprints_docs,
+    "frontier_merge_urls": q_frontier_merge_urls,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "subword_count_docs": q_subword_count_docs,
@@ -6116,8 +6193,8 @@ QUERIES = {
     "ntile_events": q_ntile_events,
     "global_rank_events": q_global_rank_events,
     "top_events_per_user": q_top_events_per_user,
-    "event_deltas": q_event_deltas,
     # --- beyond the driver's 50-query cap ---
+    "event_deltas": q_event_deltas,
     "running_totals_events": q_running_totals_events,
     "rolling_events": q_rolling_events,
     "first_value_events": q_first_value_events,
