@@ -1,0 +1,189 @@
+"""Kernel oracles for the fifth-wave round-4 operators: the Gopher
+quality-rule battery, politeness crawl scheduling, and reciprocal-link
+spam scoring. End-to-end DuckDB-hash coverage lives in
+test_queries_oracle.py (all three queries are ORACLE_SQL-backed);
+here each kernel is pinned against a brute-force single-process
+reference.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from tilemaker_ray.stages.textstats import GOPHER_STOPWORDS, gopher_rules_fn
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+def brute_gopher(text: str) -> dict:
+    """Pure-Python reference for one document (same tokenization:
+    split on single space or newline, empty tokens kept)."""
+    ws = []
+    for part in text.split("\n"):
+        ws.extend(part.split(" "))
+    ls = text.split("\n")
+    n_words = len(ws)
+    n_alpha = sum(1 for w in ws if any("a" <= c <= "z" for c in w))
+    n_hash = text.count("#")
+    n_ell = (len(text) - len(text.replace("...", ""))) // 3
+    n_bullet = sum(1 for l in ls if l.startswith("- "))
+    n_ellline = sum(1 for l in ls if l.endswith("..."))
+    n_stop = sum(1 for sw in GOPHER_STOPWORDS if sw in ws)
+    frac_alpha = n_alpha / n_words
+    symbol_ratio = (n_hash + n_ell) / n_words
+    frac_bullet = n_bullet / len(ls)
+    frac_ellline = n_ellline / len(ls)
+    return {
+        "n_words": n_words,
+        "frac_alpha_words": frac_alpha,
+        "symbol_word_ratio": symbol_ratio,
+        "frac_bullet_lines": frac_bullet,
+        "frac_ellipsis_lines": frac_ellline,
+        "n_stop_hits": n_stop,
+        "gopher_keep": bool(
+            20 <= n_words <= 100000 and frac_alpha >= 0.8
+            and symbol_ratio < 0.1 and frac_bullet <= 0.9
+            and frac_ellline <= 0.3 and n_stop >= 1),
+    }
+
+
+GOPHER_CASES = [
+    "- the cat and dog...\nwith a #",
+    "x y z",
+    "a  b",                              # double space -> empty token
+    "the be to of and that have with " + "word " * 20 + "end",
+    "- a\n- b\n- c",                     # all bullets
+    "tail...\nalso...\nplain",
+    "#### # #",
+    "one\n\ntwo",                        # empty line
+    "....",                              # 4 dots -> one '...' (non-overlap)
+    "the be to of and that have with",   # exactly the stopword list (8 words)
+    "- " + "the be to of and that have with okay " * 4 + "x",
+]
+
+
+def test_gopher_rules_brute():
+    batch = pa.table({
+        "doc_id": pa.array(range(len(GOPHER_CASES)), pa.int64()),
+        "dtext": pa.array(GOPHER_CASES, pa.string())})
+    out = gopher_rules_fn(batch).to_pylist()
+    for row, text in zip(out, GOPHER_CASES):
+        ref = brute_gopher(text)
+        for k, v in ref.items():
+            assert row[k] == v, (text, k, row[k], v)
+
+
+def test_gopher_rules_random_brute():
+    rng = np.random.RandomState(7)
+    vocab = ["the", "and", "word", "x9", "-", "#", "be", "alpha",
+             "beta...", "of"]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(1, 60)
+        ws = [vocab[rng.randint(len(vocab))] for _ in range(n)]
+        t = " ".join(ws)
+        # sprinkle newlines / bullet prefixes deterministically
+        t = t.replace(" x9 ", "\n- x9 ").replace(" of ", " of\n")
+        texts.append(t)
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "dtext": pa.array(texts, pa.string())})
+    out = gopher_rules_fn(batch).to_pylist()
+    for row, text in zip(out, texts):
+        ref = brute_gopher(text)
+        for k, v in ref.items():
+            assert row[k] == v, (text, k, row[k], v)
+
+
+def test_gopher_keep_binds_both_ways():
+    """At sf0.001 the composite flag must actually filter (some True,
+    some False) — otherwise the rule battery certifies a constant."""
+    from tilemaker_ray.pipelines.queries import q_gopher_rules_docs
+    out = q_gopher_rules_docs("/root/testdata/sf0.001").to_pandas()
+    assert out["gopher_keep"].any()
+    assert not out["gopher_keep"].all()
+    # the dirtying pass must exercise every rule axis
+    assert (out["frac_bullet_lines"] > 0).any()
+    assert (out["frac_ellipsis_lines"] > 0).any()
+    assert (out["symbol_word_ratio"] > 0).any()
+    assert (out["frac_alpha_words"] < 1.0).any()
+
+
+# ---------------------------------------------------------------------------
+# Politeness scheduling
+# ---------------------------------------------------------------------------
+
+def test_politeness_waves_pandas_oracle():
+    from tilemaker_ray.pipelines.queries import q_politeness_wave_urls
+    out = q_politeness_wave_urls("/root/testdata/sf0.001").to_pandas()
+    # per-host wave = rank of url within host
+    ref = out.sort_values(["host", "url"]).copy()
+    ref["w2"] = ref.groupby("host").cumcount() + 1
+    m = out.merge(ref[["url", "w2"]], on="url")
+    assert (m["wave"] == m["w2"]).all()
+    # global slot = rank over (wave, host, url), a permutation of 1..n
+    s = out.sort_values(["wave", "host", "url"])["slot"].to_numpy()
+    assert (s == np.arange(1, len(out) + 1)).all()
+    # politeness invariant: within a host, waves are 1..k distinct
+    g = out.groupby("host")["wave"]
+    assert (g.max() == g.size()).all() and (g.min() == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Link reciprocity
+# ---------------------------------------------------------------------------
+
+def test_link_reciprocity_hand_graph():
+    """Run the pair-resolution kernel on a hand graph with known
+    reciprocity."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from tilemaker_ray.pipelines import queries as Q
+
+    edges = pa.table({
+        "src": pa.array(["a", "b", "a", "c", "d"], pa.string()),
+        "dst": pa.array(["b", "a", "c", "d", "c"], pa.string())})
+    # reuse the query's internal kernels via a tiny pipeline
+    import tilemaker_ray.stages.common as common
+    from tilemaker_ray.stages.dedup import _word_hash
+
+    def pair_key(batch):
+        src = np.asarray(batch["src"].to_pylist(), dtype=object)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object)
+        flip = src > dst
+        lo = np.where(flip, dst, src)
+        hi = np.where(flip, src, dst)
+        h = np.fromiter((_word_hash(a + "\x00" + b) & 0x7FFFFFFF
+                         for a, b in zip(lo, hi)),
+                        dtype=np.int64, count=len(lo))
+        return pa.table({
+            "src": batch["src"],
+            "lo": pa.array(lo, pa.string()),
+            "hi": pa.array(hi, pa.string()),
+            "pbkt": pa.array(common.mix_bucket(h, 8), pa.int64())})
+
+    def mark_recip(g):
+        lo = np.asarray(g["lo"].to_pylist(), dtype=object)
+        hi = np.asarray(g["hi"].to_pylist(), dtype=object)
+        vocab, codes = np.unique(np.concatenate([lo, hi]),
+                                 return_inverse=True)
+        v = np.int64(max(len(vocab), 1))
+        key = codes[:len(lo)] * v + codes[len(lo):]
+        uk, cnt = np.unique(key, return_counts=True)
+        recip = cnt[np.searchsorted(uk, key)] == 2
+        return pa.table({
+            "site": g["src"],
+            "recip": pa.array(recip.astype(np.int64), pa.int64())})
+
+    out = (rd.from_arrow(edges)
+           .map_batches(pair_key, batch_format="pyarrow")
+           .groupby("pbkt").map_groups(mark_recip, batch_format="pyarrow")
+           .groupby("site").aggregate(Count(), Sum("recip"))
+           .to_pandas().set_index("site"))
+    # a->b reciprocated (b->a), a->c not, c->d and d->c reciprocated
+    assert out.loc["a", "count()"] == 2 and out.loc["a", "sum(recip)"] == 1
+    assert out.loc["b", "count()"] == 1 and out.loc["b", "sum(recip)"] == 1
+    assert out.loc["c", "count()"] == 1 and out.loc["c", "sum(recip)"] == 1
+    assert out.loc["d", "count()"] == 1 and out.loc["d", "sum(recip)"] == 1

