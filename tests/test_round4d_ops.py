@@ -187,3 +187,94 @@ def test_link_reciprocity_hand_graph():
     assert out.loc["b", "count()"] == 1 and out.loc["b", "sum(recip)"] == 1
     assert out.loc["c", "count()"] == 1 and out.loc["c", "sum(recip)"] == 1
     assert out.loc["d", "count()"] == 1 and out.loc["d", "sum(recip)"] == 1
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_brute():
+    """Pure-Python reference: hashed-unigram counts, add-one smoothed
+    log-ratio, exact fixed-point dot — over sf0.001."""
+    import math
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.pipelines.queries import q_dsir_weights_docs
+
+    B = 256
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist(),
+                    t["lang"].to_pylist()))
+    cr = [0] * B
+    ct = [0] * B
+    feats = {}
+    for did, text, lang in docs:
+        c = {}
+        for w in text.split(" "):
+            b = zlib.crc32(w.encode()) % B
+            c[b] = c.get(b, 0) + 1
+        feats[did] = c
+        for b, n in c.items():
+            cr[b] += n
+            if lang == "en":
+                ct[b] += n
+    Cr, Ct = sum(cr), sum(ct)
+    lam = [int(round(1e9 * (math.log((ct[b] + 1) / (Ct + B))
+                            - math.log((cr[b] + 1) / (Cr + B)))))
+           for b in range(B)]
+    ref = {did: sum(n * lam[b] for b, n in c.items())
+           for did, c in feats.items()}
+
+    out = q_dsir_weights_docs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == len(ref)
+    for did, wfp in zip(out["doc_id"], out["weight_fp"]):
+        assert ref[did] == wfp, (did, ref[did], wfp)
+    # weights must separate: target-like docs score higher on average
+    m = out.merge(t.select(["doc_id", "lang"]).to_pandas(), on="doc_id")
+    assert (m[m.lang == "en"]["weight"].mean()
+            > m[m.lang != "en"]["weight"].mean())
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+def test_tfidf_keywords_pandas_oracle():
+    import math
+
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.pipelines.queries import q_tfidf_keywords_docs
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    n = float(len(docs))
+    tf = {}
+    df = {}
+    for did, text in docs:
+        c = {}
+        for w in text.split(" "):
+            c[w] = c.get(w, 0) + 1
+        tf[did] = c
+        for w in c:
+            df[w] = df.get(w, 0) + 1
+    ref = {}
+    for did, c in tf.items():
+        rows = sorted(
+            ((t_, f, df[t_],
+              f * int(math.floor(1e9 * math.log(n / float(df[t_])))))
+             for t_, f in c.items()),
+            key=lambda r: (-r[3], r[0]))[:3]
+        ref[did] = [(t_, f, d, s, i + 1)
+                    for i, (t_, f, d, s) in enumerate(rows)]
+
+    out = q_tfidf_keywords_docs("/root/testdata/sf0.001").to_pandas()
+    got = {}
+    for r in out.sort_values(["doc_id", "rank"]).itertuples():
+        got.setdefault(r.doc_id, []).append(
+            (r.term, r.tf, r.df, r.score_fp, r.rank))
+    assert got == ref

@@ -6395,6 +6395,210 @@ ORACLE_SQL["link_reciprocity_sites"] = """
 """
 
 
+def q_dsir_weights_docs(sf_dir: str, n_buckets: int = 256):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    document by how target-like its hashed-unigram distribution is —
+    weight(d) = Σ_b c_d[b] · (ln p_tgt[b] − ln p_raw[b]) with
+    add-one-smoothed bucket distributions. The target sample is the
+    lang='en' slice (fixture stand-in for the curated domain sample);
+    raw is the whole corpus.
+
+    Engineering shape mirrors classify_docs: features (doc_id, bucket,
+    cnt) are INTEGER crc32-hash counts; λ is quantized to fixed-point
+    int64 (1e-9 units) on the driver from the 256-row bucket-total
+    table, so per-doc weights are EXACT integer dot products with no
+    float-summation-order hazard — the only float is one final
+    division, mirrored by the oracle. Bucket totals: per-batch feature
+    partials + ONE tiny groupby (256 rows to the driver — bounded by
+    n_buckets, not corpus size); scoring: one slim hash(doc_id)
+    exchange to heal parquet block splits, then a vectorized gather-
+    and-segment-sum per group. Features and λ are staged so the oracle
+    re-derives every weight independently."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+    from ..stages.textindex import doc_term_freqs, word_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def features(batch: pa.Table) -> pa.Table:
+        d, terms, tf = doc_term_freqs(batch)
+        bkt = word_buckets(terms, n_buckets) if len(terms) \
+            else np.array([], dtype=np.int64)
+        key = d * n_buckets + bkt
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(cnt, inv, tf)
+        doc = uk // n_buckets
+        # target flag per doc (lang == 'en'), aligned to feature rows
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        is_en = pc.equal(batch["lang"], "en") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = is_en[np.searchsorted(did, doc)] \
+            if len(did) and np.all(np.diff(did) > 0) else \
+            np.asarray([is_en[np.flatnonzero(did == x)[0]] for x in doc],
+                       dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "bucket": pa.array(uk % n_buckets, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "tcnt": pa.array(cnt * tgt, pa.int64())})
+
+    feats = ds.map_batches(features, batch_format="pyarrow") \
+        .materialize()
+    staged = _stage_for_oracle(
+        feats.map_batches(lambda b: b.select(["doc_id", "bucket", "cnt"]),
+                          batch_format="pyarrow"),
+        "dsir_weights_docs")
+
+    # bucket totals: ≤ n_buckets rows reach the driver
+    tot = (feats.groupby("bucket")
+           .aggregate(Sum("cnt"), Sum("tcnt")).to_pandas())
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr[tot["bucket"].to_numpy()] = tot["sum(cnt)"].to_numpy()
+    ct[tot["bucket"].to_numpy()] = tot["sum(tcnt)"].to_numpy()
+    Cr, Ct = int(cr.sum()), int(ct.sum())
+    lam_fp = np.array(
+        [int(round(1e9 * (math.log((int(ct[b]) + 1) / (Ct + n_buckets))
+                          - math.log((int(cr[b]) + 1) / (Cr + n_buckets)))))
+         for b in range(n_buckets)], dtype=np.int64)
+    _stage_for_oracle(rd.from_arrow(pa.table({
+        "bucket": pa.array(np.arange(n_buckets, dtype=np.int64),
+                           pa.int64()),
+        "lam_fp": pa.array(lam_fp, pa.int64())})), "dsir_lambda")
+    lam_ref = ray.put(lam_fp)
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt", pa.array(mix_bucket(did, 32), pa.int64()))
+
+    def score(g: pa.Table) -> pa.Table:
+        lam = ray.get(lam_ref)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        bkt = g["bucket"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(did, return_inverse=True)
+        w = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(w, inv, cnt * lam[bkt])          # exact int64
+        return pa.table({
+            "doc_id": pa.array(uids, pa.int64()),
+            "weight_fp": pa.array(w, pa.int64()),
+            "weight": pa.array(w.astype(np.float64) / 1e9,
+                               pa.float64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(rebucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(score, batch_format="pyarrow"))
+
+
+ORACLE_SQL["dsir_weights_docs"] = """
+    SELECT f.doc_id,
+           CAST(SUM(f.cnt * l.lam_fp) AS BIGINT) AS weight_fp,
+           CAST(SUM(f.cnt * l.lam_fp) AS DOUBLE) / 1e9 AS weight
+    FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/dsir_weights_docs/*.parquet') f
+    JOIN read_parquet(
+        '/tmp/tilemaker_ray_oracle/dsir_lambda/*.parquet') l
+      ON f.bucket = l.bucket
+    GROUP BY f.doc_id
+"""
+
+
+def q_tfidf_keywords_docs(sf_dir: str, k: int = 3):
+    """TF-IDF keyword extraction: the top-k terms of every document by
+    tf · ln(N/df) — the classic per-document salient-term summary
+    (document tagging / index-pruning primitive).
+
+    Distributed shape: (doc_id, term, tf) triples from the shared
+    vectorized term-frequency kernel, then ONE exchange keyed on
+    hash(term) computes df AND attaches it in the same group (every
+    row of a term co-locates, so df = the term's row count — no second
+    pass, no join); idf is quantized per term to fixed-point int64
+    (floor(1e9 · ln(N/df)) — float tree mirrored by the oracle, libm
+    ln both sides), making score_fp = tf · idf_fp an exact integer;
+    the per-doc top-k resolves on the shared rank machinery (ONE sort
+    exchange, ties by term). N is a tiny count aggregate."""
+    import ray.data as rd
+
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import _word_hash
+    from ..stages.rank import partitioned_rank
+    from ..stages.textindex import doc_term_freqs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    nf = float(n_docs)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        d, terms, tf = doc_term_freqs(batch)
+        h = np.fromiter((_word_hash(t) & 0x7FFFFFFF for t in terms),
+                        dtype=np.int64, count=len(terms))
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+            "tbkt": pa.array(mix_bucket(h, 64), pa.int64())})
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        uniq, inv, counts = np.unique(terms, return_inverse=True,
+                                      return_counts=True)
+        df = counts[inv].astype(np.int64)
+        idf_fp = np.floor(
+            1e9 * np.log(nf / counts.astype(np.float64))) \
+            .astype(np.int64)[inv]
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": g["tf"],
+            "df": pa.array(df, pa.int64()),
+            "score_fp": pa.array(tf * idf_fp, pa.int64())})
+
+    scored = (ds.map_batches(tf_rows, batch_format="pyarrow")
+              .groupby("tbkt").map_groups(attach_df,
+                                          batch_format="pyarrow"))
+    ranked = partitioned_rank(scored, part_keys="doc_id",
+                              order_keys=["score_fp", "term"],
+                              descending=[True, False],
+                              rn_col="rank")
+    return ranked.filter(expr=f"rank <= {k}").map_batches(
+        lambda b: b.select(["doc_id", "term", "tf", "df",
+                            "score_fp", "rank"]),
+        batch_format="pyarrow")
+
+
+ORACLE_SQL["tfidf_keywords_docs"] = """
+    WITH tok AS (SELECT doc_id, t.w AS term
+                 FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+         n  AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       tf.tf * CAST(FLOOR(1e9 * ln(
+                           (SELECT n FROM n) / CAST(df.df AS DOUBLE)))
+                           AS BIGINT) AS score_fp
+                FROM tf JOIN df ON tf.term = df.term),
+         r  AS (SELECT doc_id, term, tf, df, score_fp,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score_fp DESC, term) AS BIGINT)
+                           AS rank
+                FROM sc)
+    SELECT doc_id, term, tf, df, score_fp, rank
+    FROM r WHERE rank <= 3
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -6464,15 +6668,17 @@ QUERIES = {
     "normalize_docs": q_normalize_docs,
     "repetition_docs": q_repetition_docs,
     "top_quality_docs": q_top_quality_docs,
-    "dist_events": q_dist_events,
-    "sample_k_events": q_sample_k_events,
+    "dsir_weights_docs": q_dsir_weights_docs,
+    "tfidf_keywords_docs": q_tfidf_keywords_docs,
     "gopher_rules_docs": q_gopher_rules_docs,
     "politeness_wave_urls": q_politeness_wave_urls,
     "link_reciprocity_sites": q_link_reciprocity_sites,
     # --- beyond the driver's 50-query cap ---
-    # (ntile_events / global_rank_events / top_events_per_user were
-    # hash-certified in round 2 and rotated out for the third-wave
-    # round-4 operators above)
+    # (ntile_events / global_rank_events / top_events_per_user /
+    # dist_events / sample_k_events were hash-certified in round 2 and
+    # rotated out for the third-wave round-4 operators above)
+    "dist_events": q_dist_events,
+    "sample_k_events": q_sample_k_events,
     "ntile_events": q_ntile_events,
     "global_rank_events": q_global_rank_events,
     "top_events_per_user": q_top_events_per_user,
