@@ -278,3 +278,103 @@ def test_tfidf_keywords_pandas_oracle():
         got.setdefault(r.doc_id, []).append(
             (r.term, r.tf, r.df, r.score_fp, r.rank))
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+def brute_html_extract(h: str) -> dict:
+    import re as _re
+    h1 = _re.sub(r"(?s)<script[^>]*>.*?</script>", "", h)
+    h1 = _re.sub(r"(?s)<style[^>]*>.*?</style>", "", h1)
+    m = _re.search(r"(?s)<title>(.*?)</title>", h1)
+    title = m.group(1) if m else ""
+    h2 = _re.sub(r"(?s)<head[^>]*>.*?</head>", "", h1)
+    n_links = (len(h2) - len(h2.replace("<a ", ""))) // 3
+    t1 = _re.sub(r"<[^>]*>", " ", h2)
+    t1 = _re.sub(r"[ \n\t]+", " ", t1).strip()
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        t1 = t1.replace(ent, ch)
+    n_words = len(t1.split(" "))
+    return {
+        "title": title, "text_out": t1, "n_links": n_links,
+        "n_words_out": n_words,
+        "link_density": n_links / max(n_words, 1),
+        "is_soft404": bool(
+            _re.search(r"(?i)(404|not found|page missing)", title)
+            or n_words < 5)}
+
+
+HTML_CASES = [
+    '<html><head><title>Error 404 not found</title></head>'
+    '<body><p>gone</p></body></html>',
+    '<html><head><title>ok page</title><style>a{}</style></head>'
+    '<body><h1>Hello</h1><p>one <a href="/x">two</a> three '
+    '&amp; four x&lt;y</p><script>var q="<i>no</i>";</script>'
+    '</body></html>',
+    '<p>bare fragment no head</p>',
+    '<html><head><title>multi\nline</title></head><body>'
+    '<p>a</p>\n<p>b</p>\t<p>c d e f g</p></body></html>',
+    '<body><a href="1">l1</a> <a href="2">l2</a> <a href="3">l3</a>'
+    ' w</body>',
+]
+
+
+def test_html_extract_brute():
+    import ray.data as rd
+
+    import tilemaker_ray.pipelines.queries as Q
+
+    # drive the kernel through the query's extract fn via a tiny
+    # staged table (reuse the public pipeline on handcrafted HTML)
+    batch = pa.table({
+        "doc_id": pa.array(range(len(HTML_CASES)), pa.int64()),
+        "html": pa.array(HTML_CASES, pa.string())})
+    # the extract closure is defined inside the query; exercise it by
+    # monkey-staging: call the query at sf0.001 for end-to-end, and
+    # check the handcrafted cases against DuckDB's mirrored SQL here.
+    import duckdb
+    import os
+    import shutil
+    d = "/tmp/tilemaker_ray_oracle/html_extract_docs_test"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    import pyarrow.parquet as pq
+    pq.write_table(batch, os.path.join(d, "part.parquet"))
+    sql = Q.ORACLE_SQL["html_extract_docs"].replace(
+        "html_extract_docs/*.parquet", "html_extract_docs_test/*.parquet")
+    rows = duckdb.connect().execute(sql).fetchdf() \
+        .sort_values("doc_id").to_dict("records")
+    for row, h in zip(rows, HTML_CASES):
+        ref = brute_html_extract(h)
+        for k, v in ref.items():
+            got = row[k]
+            assert got == v, (h, k, got, v)
+
+
+def test_html_extract_end_to_end_binding():
+    from tilemaker_ray.pipelines.queries import q_html_extract_docs
+    out = q_html_extract_docs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    # the templating pass must exercise every signal
+    assert out["is_soft404"].any() and not out["is_soft404"].all()
+    assert (out["n_links"] > 0).any()
+    assert (out["link_density"] > 0).any()
+    # no tag remnants or entities survive extraction ('x<y' from the
+    # unescaped &lt; entity is legitimate text, not a tag)
+    rem = out["text_out"].str.contains(
+        r"</|<p>|<a |<h1|<script|<style|<html|<head|<body", regex=True)
+    assert not rem.any()
+    assert not out["text_out"].str.contains("&amp;|&lt;", regex=True).any()
+    # body words survive: extracted text ends with the doc's last word
+    import pyarrow.parquet as pq
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    m = out.merge(src, on="doc_id")
+    tail_src = m["text"].str.split(" ").str[-1]
+    tail_out = m["text_out"].str.split(" ").str[-1]
+    # docs whose last group got the entity suffix end with 'x<y'
+    ok = (tail_out == tail_src) | (tail_out == "x<y")
+    assert ok.all()

@@ -6599,6 +6599,150 @@ ORACLE_SQL["tfidf_keywords_docs"] = """
 """
 
 
+def q_html_extract_docs(sf_dir: str):
+    """HTML → text extraction (the WARC-response → WET-conversion
+    step of a crawl pipeline): strip script/style blocks, drop the
+    head, flatten tags, unescape the core entities, collapse
+    whitespace — plus the page-level quality signals main-content
+    extractors key on: title, anchor count, link density, and a
+    soft-404 verdict (title pattern or near-empty body; Bar-Yossef et
+    al. 2004 "Sic transit gloria telae", public).
+
+    The fixture corpus is plain text, so a deterministic templating
+    pass wraps each doc in HTML (title / h1 / p groups / anchors /
+    script / style / entity escapes, rotating on doc_id) and stages
+    it; the oracle re-runs the WHOLE extraction from that HTML with a
+    mirrored RE2 regexp_replace chain (pyarrow and DuckDB both bind
+    RE2, so '(?s)…*?' semantics are identical), certifying the
+    extractor itself. Production points the same kernel at real WARC
+    payloads (sources/warc.py).
+
+    Scale shape: extraction is one vectorized map pass fused into the
+    scan — C-level RE2 over Arrow buffers, no shuffle, no Python per
+    row; at 10¹² pages this is the scan-bound stage it should be."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def templ(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out = []
+        for did, t in zip(ids, texts):
+            ws = t.split(" ")
+            did = int(did)
+            title = ("Error 404 not found" if did % 13 == 0
+                     else f"Doc {did} overview")
+            parts = [f"<html><head><title>{title}</title>"
+                     "<style>p {color: #333}</style></head><body>",
+                     f"<h1>{' '.join(ws[:3])}</h1>"]
+            for g in range(0, (len(ws) + 8) // 9):
+                grp = ws[g * 9:g * 9 + 9]
+                r = g + did
+                if r % 5 == 0 and len(grp) > 1:
+                    grp = list(grp)
+                    grp[1] = f'<a href="/{grp[1]}">{grp[1]}</a>'
+                if r % 7 == 0:
+                    grp = grp + ["&amp;", "x&lt;y"]
+                parts.append("<p>" + " ".join(grp) + "</p>")
+                if r % 4 == 0:
+                    parts.append('<script>var v = "<b>ignored</b>";'
+                                 "</script>")
+            parts.append("</body></html>")
+            out.append("".join(parts))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "html": pa.array(out, pa.string())})
+
+    staged = _stage_for_oracle(
+        ds.map_batches(templ, batch_format="pyarrow"),
+        "html_extract_docs")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        h = batch["html"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        h1 = pc.replace_substring_regex(
+            h, r"(?s)<script[^>]*>.*?</script>", "")
+        h1 = pc.replace_substring_regex(
+            h1, r"(?s)<style[^>]*>.*?</style>", "")
+        tm = pc.extract_regex(h1, r"(?s)<title>(?P<t>.*?)</title>")
+        title = pc.if_else(pc.is_valid(tm),
+                           pc.struct_field(tm, "t"),
+                           pa.scalar("", pa.string()))
+        h2 = pc.replace_substring_regex(
+            h1, r"(?s)<head[^>]*>.*?</head>", "")
+        n_links = (pc.utf8_length(h2).to_numpy(zero_copy_only=False)
+                   .astype(np.int64)
+                   - pc.utf8_length(pc.replace_substring(h2, "<a ", ""))
+                   .to_numpy(zero_copy_only=False).astype(np.int64)) // 3
+        t1 = pc.replace_substring_regex(h2, r"<[^>]*>", " ")
+        t1 = pc.replace_substring_regex(t1, r"[ \n\t]+", " ")
+        t1 = pc.utf8_trim_whitespace(t1)
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&amp;", "&")):
+            t1 = pc.replace_substring(t1, ent, ch)
+        n_words = pc.list_value_length(pc.split_pattern(t1, " ")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dens = n_links.astype(np.float64) \
+            / np.maximum(n_words, 1).astype(np.float64)
+        soft = pc.match_substring_regex(
+            title, r"(?i)(404|not found|page missing)") \
+            .to_numpy(zero_copy_only=False) | (n_words < 5)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "title": title,
+            "text_out": t1,
+            "n_links": pa.array(n_links, pa.int64()),
+            "n_words_out": pa.array(n_words.astype(np.int64),
+                                    pa.int64()),
+            "link_density": pa.array(dens, pa.float64()),
+            "is_soft404": pa.array(soft, pa.bool_())})
+
+    return rd.read_parquet(staged).map_batches(
+        extract, batch_format="pyarrow")
+
+
+ORACLE_SQL["html_extract_docs"] = """
+    WITH s AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(html,
+                          '<script[^>]*>.*?</script>', '', 'gs'),
+                          '<style[^>]*>.*?</style>', '', 'gs') AS h1
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/html_extract_docs/*.parquet')),
+         s2 AS (SELECT doc_id,
+                       regexp_extract(h1, '<title>(.*?)</title>', 1, 's')
+                           AS title,
+                       regexp_replace(h1, '<head[^>]*>.*?</head>', '',
+                                      'gs') AS h2
+                FROM s),
+         s3 AS (SELECT doc_id, title,
+                       CAST((length(h2)
+                             - length(replace(h2, '<a ', ''))) // 3
+                            AS BIGINT) AS n_links,
+                       trim(regexp_replace(regexp_replace(h2,
+                           '<[^>]*>', ' ', 'g'),
+                           '[ ' || chr(10) || chr(9) || ']+', ' ', 'g'))
+                           AS t1
+                FROM s2),
+         s4 AS (SELECT doc_id, title, n_links,
+                       replace(replace(replace(replace(replace(t1,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&amp;', '&') AS text_out
+                FROM s3),
+         c AS (SELECT doc_id, title, text_out, n_links,
+                      CAST(len(string_split(text_out, ' ')) AS BIGINT)
+                          AS n_words_out
+               FROM s4)
+    SELECT doc_id, title, text_out, n_links, n_words_out,
+           CAST(n_links AS DOUBLE)
+               / CAST(greatest(n_words_out, 1) AS DOUBLE)
+               AS link_density,
+           (regexp_matches(title, '(404|not found|page missing)', 'i')
+            OR n_words_out < 5) AS is_soft404
+    FROM c
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -6667,7 +6811,7 @@ QUERIES = {
     "redact_docs": q_redact_docs,
     "normalize_docs": q_normalize_docs,
     "repetition_docs": q_repetition_docs,
-    "top_quality_docs": q_top_quality_docs,
+    "html_extract_docs": q_html_extract_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
     "tfidf_keywords_docs": q_tfidf_keywords_docs,
     "gopher_rules_docs": q_gopher_rules_docs,
@@ -6677,6 +6821,7 @@ QUERIES = {
     # (ntile_events / global_rank_events / top_events_per_user /
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
+    "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "sample_k_events": q_sample_k_events,
     "ntile_events": q_ntile_events,
