@@ -378,3 +378,63 @@ def test_html_extract_end_to_end_binding():
     # docs whose last group got the entity suffix end with 'x<y'
     ok = (tail_out == tail_src) | (tail_out == "x<y")
     assert ok.all()
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN
+# ---------------------------------------------------------------------------
+
+def test_ann_pq_brute():
+    """Single-process PQ reference over sf0.001: same sample-trained
+    codebooks, same encode, same fixed-point ADC — ranks must agree
+    bit-for-bit; and PQ must be a sane ANN (recall vs exact brute-L2
+    well above chance)."""
+    import pyarrow.parquet as pq
+
+    from tilemaker_ray.pipelines.queries import q_ann_pq_top5
+    from tilemaker_ray.stages.similarity import kmeans
+
+    m, sub, n_codes, k = 8, 8, 64, 5
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id")
+    V = np.asarray(t["embedding"].tolist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    Xt = V[ids < 256]
+    books = [kmeans(Xt[:, j * sub:(j + 1) * sub], n_codes, n_iter=10,
+                    seed=42 + j) for j in range(m)]
+    codes = np.stack(
+        [((V[:, j * sub:(j + 1) * sub][:, None, :]
+           - books[j][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+         for j in range(m)], axis=1)
+    ref = {}
+    for qid in range(10):
+        qi = np.flatnonzero(ids == qid)[0]
+        dist = np.zeros(len(ids), dtype=np.int64)
+        for j in range(m):
+            d2 = ((books[j] - V[qi, j * sub:(j + 1) * sub]) ** 2) \
+                .sum(axis=1)
+            lut = np.floor(1e9 * d2 + 0.5).astype(np.int64)
+            dist += lut[codes[:, j]]
+        order = np.lexsort((ids, dist))[:k]
+        ref[qid] = [(r + 1, int(ids[o]), int(dist[o]))
+                    for r, o in enumerate(order)]
+
+    out = q_ann_pq_top5("/root/testdata/sf0.001").to_pandas()
+    got = {}
+    for r in out.sort_values(["query_id", "rank"]).itertuples():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.dist_fp))
+    assert got == ref
+
+    # ANN sanity: PQ top-5 must overlap the exact L2 top-5 far above
+    # chance (random 5-of-n overlap expectation ≈ 25/n « 1)
+    hits = total = 0
+    for qid in range(10):
+        qi = np.flatnonzero(ids == qid)[0]
+        exact = ids[np.lexsort(
+            (ids, ((V - V[qi]) ** 2).sum(axis=1)))[:k]]
+        gotn = {n for _, n, _ in ref[qid]}
+        hits += len(gotn & set(exact.tolist()))
+        total += k
+    assert hits / total >= 0.35, hits / total

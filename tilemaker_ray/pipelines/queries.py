@@ -538,28 +538,54 @@ def q_cms_word_freq_docs(sf_dir: str, k: int = 20):
     is the streaming path for word/ngram frequency at 10^12 rows: each
     block ships <= depth*width nonzero cells, one groupby-sum merges
     (counters are linear), the driver folds a fixed 4x2048 matrix —
-    volume independent of corpus size and vocabulary. Approximate by
-    design -> rows-only for the driver; tests/test_round4_ops.py pins
-    the merged matrix bit-exact vs a single-process reference,
-    partition invariance, and the never-undercounts guarantee."""
+    volume independent of corpus size and vocabulary. The merged cells +
+    queried-word cell ids are staged so the SQL oracle re-derives
+    every estimate (LEAST over the word's depth cells) — the finish
+    is hash-certified; tests/test_round4_ops.py pins the merged
+    matrix bit-exact vs a single-process reference, partition
+    invariance, and the never-undercounts guarantee."""
+    import ray as _ray
+    import ray.data as _rd
+
     from ..stages.dedup import _word_hash
-    from ..stages.sketch import cms_estimate, cms_matrix, cms_word_cells
+    from ..stages.sketch import (cms_cells, cms_estimate, cms_matrix,
+                                 cms_word_cells)
 
     ds = _read(sf_dir, "documents", columns=["text"])
-    import ray as _ray
-    cells = pa.concat_tables(
-        _ray.get(list(cms_word_cells(ds).to_arrow_refs())))
+    # drop empty blocks before the concat: an empty groupby output
+    # block carries no schema and poisons concat_tables
+    parts = [t for t in _ray.get(list(cms_word_cells(ds)
+                                      .to_arrow_refs()))
+             if t.num_rows > 0]
+    cells = pa.concat_tables(parts) if parts else pa.table(
+        {"cell": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())})
     mat = cms_matrix(cells)  # <= depth*width merged rows, bounded
     exact = q_word_count_topk(sf_dir, k).to_pandas()
     wh = np.fromiter((_word_hash(w) for w in exact["word"]),
                      dtype=np.uint64, count=len(exact))
     est = cms_estimate(mat, wh)
     n_exact = exact["n"].to_numpy().astype(np.int64)
+    # stage the merged nonzero cells and each queried word's flat cell
+    # ids so the oracle re-derives every estimate (min over the word's
+    # depth cells, absent cell = 0) independently — the merge itself
+    # stays pinned by the bit-exact pytest reference
+    _stage_for_oracle(_rd.from_arrow(cells), "cms_matrix")
+    wcells = cms_cells(wh)                           # (depth, k) flat ids
+    _stage_for_oracle(_rd.from_arrow(pa.table({
+        "word": pa.array(list(exact["word"]), pa.string()),
+        "n_exact": pa.array(n_exact, pa.int64()),
+        "cell0": pa.array(wcells[0], pa.int64()),
+        "cell1": pa.array(wcells[1], pa.int64()),
+        "cell2": pa.array(wcells[2], pa.int64()),
+        "cell3": pa.array(wcells[3], pa.int64())})),
+        "cms_word_freq_docs")
     return pa.table({
         "word": pa.array(list(exact["word"]), pa.string()),
         "n_exact": pa.array(n_exact, pa.int64()),
         "n_est": pa.array(est, pa.int64()),
         "overcount": pa.array(est - n_exact, pa.int64())})
+
 
 
 SAMPLE_RATES = {"en": 600, "de": 400, "fr": 300, "es": 300, "pt": 200,
@@ -3722,6 +3748,26 @@ ORACLE_SQL = {
 
 ORACLE_SQL["assemble_ways_join"] = ORACLE_SQL["assemble_ways"]
 
+ORACLE_SQL["cms_word_freq_docs"] = """
+    WITH w AS (SELECT word, n_exact, cell0, cell1, cell2, cell3
+               FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/cms_word_freq_docs/*.parquet')),
+         m AS (SELECT cell, n FROM read_parquet(
+                   '/tmp/tilemaker_ray_oracle/cms_matrix/*.parquet'))
+    SELECT w.word, w.n_exact,
+           CAST(LEAST(COALESCE(m0.n, 0), COALESCE(m1.n, 0),
+                      COALESCE(m2.n, 0), COALESCE(m3.n, 0))
+                AS BIGINT) AS n_est,
+           CAST(LEAST(COALESCE(m0.n, 0), COALESCE(m1.n, 0),
+                      COALESCE(m2.n, 0), COALESCE(m3.n, 0))
+                - w.n_exact AS BIGINT) AS overcount
+    FROM w LEFT JOIN m m0 ON m0.cell = w.cell0
+           LEFT JOIN m m1 ON m1.cell = w.cell1
+           LEFT JOIN m m2 ON m2.cell = w.cell2
+           LEFT JOIN m m3 ON m3.cell = w.cell3
+"""
+
+
 ORACLE_SQL["sliding_window"] = """
     WITH k AS (SELECT unnest([0, 1]) AS off),
     w AS (SELECT e.user_id,
@@ -6743,6 +6789,167 @@ ORACLE_SQL["html_extract_docs"] = """
 """
 
 
+def q_ann_pq_top5(sf_dir: str, n_queries: int = 10, k: int = 5,
+                  m: int = 8, n_codes: int = 64, dim: int = 64):
+    """Product-quantization ANN (Jégou et al. 2011, public): split
+    each vector into ``m`` subvectors, vector-quantize every subspace
+    against its own ``n_codes``-centroid codebook, and answer queries
+    by asymmetric distance (ADC) — a per-query lookup table of
+    query-to-centroid partial distances makes each corpus distance m
+    table adds, with the corpus stored as m bytes/vector (16× smaller
+    than float32 at these settings). Completes the ANN family beside
+    brute cosine, IVF and int8.
+
+    Determinism/exactness: codebooks train on the driver from a
+    BOUNDED sample (lowest 256 vec_ids via predicate-pushdown read —
+    the standard train-on-sample PQ recipe, not a corpus
+    materialization) with the shared seeded Lloyd's; LUT entries are
+    quantized to fixed-point int64 (floor(1e9·d²+0.5)), so every ADC
+    distance is an EXACT integer sum of m ints — no float-order
+    hazard — and ranks are certified end to end. Codes and LUT are
+    staged; the oracle re-derives every distance via m scalar joins.
+
+    Scale shape: encode is one map pass (vectorized argmin over
+    (batch × n_codes) per subspace); search is broadcast-LUT +
+    per-batch partial top-k + the distributed bucketed merge — the
+    ann_top5 shape with byte payloads."""
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+
+    from ..stages.dedup import _emb_matrix
+    from ..stages.similarity import kmeans
+
+    sub = dim // m
+
+    # --- codebooks from a bounded sample (predicate-pushdown read) ---
+    train = _read(sf_dir, "embeddings",
+                  columns=["vec_id", "embedding"],
+                  row_filter=(pads.field("vec_id") < 256)) \
+        .to_pandas().sort_values("vec_id")
+    Xt = np.asarray(train["embedding"].tolist(), dtype=np.float64)
+    books = [kmeans(Xt[:, j * sub:(j + 1) * sub], n_codes, n_iter=10,
+                    seed=42 + j) for j in range(m)]
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bks = ray.get(books_ref)
+        V = _emb_matrix(batch["embedding"], dim).astype(np.float64)
+        cols = {"vec_id": batch["vec_id"]}
+        for j in range(m):
+            Vs = V[:, j * sub:(j + 1) * sub]
+            C = bks[j]
+            d2 = (np.sum(Vs * Vs, axis=1, keepdims=True)
+                  - 2.0 * (Vs @ C.T) + np.sum(C * C, axis=1))
+            cols[f"c{j}"] = pa.array(d2.argmin(axis=1).astype(np.int64),
+                                     pa.int64())
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(encode, batch_format="pyarrow"), "ann_pq_top5")
+
+    # --- per-query LUT (n_queries × m × n_codes fixed-point rows) ---
+    qt = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               row_filter=(pads.field("vec_id") < n_queries)) \
+        .to_pandas().sort_values("vec_id")
+    Qm = np.asarray(qt["embedding"].tolist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    lq, ls, lc, ld = [], [], [], []
+    for qi, qid in enumerate(qids):
+        for j in range(m):
+            qsub = Qm[qi, j * sub:(j + 1) * sub]
+            d2 = ((books[j] - qsub) ** 2).sum(axis=1)
+            for code in range(len(books[j])):
+                lq.append(int(qid))
+                ls.append(j)
+                lc.append(code)
+                ld.append(int(np.floor(1e9 * d2[code] + 0.5)))
+    lut_tbl = pa.table({
+        "query_id": pa.array(lq, pa.int64()),
+        "sub": pa.array(ls, pa.int64()),
+        "code": pa.array(lc, pa.int64()),
+        "d_fp": pa.array(ld, pa.int64())})
+    _stage_for_oracle(rd.from_arrow(lut_tbl), "ann_pq_lut")
+    # dense LUT (nq, m, n_codes) for the scan side
+    lut = np.zeros((len(qids), m, n_codes), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    for a, b, c, d in zip(lq, ls, lc, ld):
+        lut[qpos[a], b, c] = d
+    lut_ref = ray.put((qids.astype(np.int64), lut))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, L = ray.get(lut_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        codes = np.stack([batch[f"c{j}"].to_numpy(zero_copy_only=False)
+                          for j in range(m)], axis=1)
+        nq = len(ids_q)
+        kk = min(k, len(ids))
+        # dist[q, v] = Σ_j L[q, j, codes[v, j]] — exact int64
+        dist = np.zeros((nq, len(ids)), dtype=np.int64)
+        for j in range(m):
+            dist += L[:, j, codes[:, j]]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(nq):
+            sel = np.lexsort((ids, dist[qi]))[:kk]
+            out_q.append(np.full(kk, ids_q[qi], dtype=np.int64))
+            out_n.append(ids[sel])
+            out_d.append(dist[qi][sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "dist_fp": pa.array(np.concatenate(out_d), pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        d = g["dist_fp"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, d))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array([0] * len(order))),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "neighbor_id": pa.array(nid[order], pa.int64()),
+            "dist_fp": pa.array(d[order], pa.int64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=4096)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+ORACLE_SQL["ann_pq_top5"] = """
+    WITH c AS (SELECT * FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/ann_pq_top5/*.parquet')),
+         l AS (SELECT query_id, sub, code, d_fp FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/ann_pq_lut/*.parquet')),
+         -- unpivot codes to (vec, sub, code) rows, join the LUT once
+         -- on (sub, code), sum per (query, vec): one linear hash join,
+         -- NOT an m-way self-join (whose valid-but-catastrophic
+         -- LUTxLUT reorder is a 64^m cross product). Exact: the LUT
+         -- is dense (every code 0..n_codes-1 per (query, sub)), so
+         -- each group sums exactly m int64 rows.
+         u AS (SELECT vec_id, 0 AS sub, c0 AS code FROM c
+               UNION ALL SELECT vec_id, 1, c1 FROM c
+               UNION ALL SELECT vec_id, 2, c2 FROM c
+               UNION ALL SELECT vec_id, 3, c3 FROM c
+               UNION ALL SELECT vec_id, 4, c4 FROM c
+               UNION ALL SELECT vec_id, 5, c5 FROM c
+               UNION ALL SELECT vec_id, 6, c6 FROM c
+               UNION ALL SELECT vec_id, 7, c7 FROM c),
+         d AS (SELECT l.query_id, u.vec_id,
+                      CAST(SUM(l.d_fp) AS BIGINT) AS dist_fp
+               FROM u JOIN l ON l.sub = u.sub AND l.code = u.code
+               GROUP BY l.query_id, u.vec_id),
+         r AS (SELECT query_id, vec_id AS neighbor_id, dist_fp,
+                      CAST(ROW_NUMBER() OVER (
+                          PARTITION BY query_id
+                          ORDER BY dist_fp, vec_id) AS BIGINT) AS rank
+               FROM d)
+    SELECT query_id, rank, neighbor_id, dist_fp
+    FROM r WHERE rank <= 5
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Round-4 composition: the 12 queries no prior gate
@@ -6810,7 +7017,7 @@ QUERIES = {
     "subword_count_docs": q_subword_count_docs,
     "redact_docs": q_redact_docs,
     "normalize_docs": q_normalize_docs,
-    "repetition_docs": q_repetition_docs,
+    "ann_pq_top5": q_ann_pq_top5,
     "html_extract_docs": q_html_extract_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
     "tfidf_keywords_docs": q_tfidf_keywords_docs,
@@ -6821,6 +7028,7 @@ QUERIES = {
     # (ntile_events / global_rank_events / top_events_per_user /
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
+    "repetition_docs": q_repetition_docs,
     "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "sample_k_events": q_sample_k_events,
