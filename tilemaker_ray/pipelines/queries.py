@@ -6165,6 +6165,127 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_boilerplate_strip_docs(sf_dir: str):
+    """Site-level boilerplate stripping (the inter-document template
+    removal of CCNet/WET-style extraction): a unit occurring in > 4/5
+    of a site's documents is template (navigation/footer signature) —
+    drop ALL its occurrences site-wide and rebuild each document from
+    the surviving units in original order. Distinct from
+    unit_dedup_docs (global keep-FIRST): this drops every occurrence,
+    thresholds on per-site document frequency (exact integer
+    cross-multiplication, no float), and keeps infrequent repeats.
+
+    Scale shape (`stages/boilerplate.py`): ONE slim exchange counts
+    distinct docs per (site, unit) with exact per-batch distinct
+    partials; only the FREQUENT subset (the template — small by
+    construction) reaches the driver and broadcasts via ray.put; one
+    fused map pass re-explodes, filters by memoized dictionary
+    membership, and rebuilds in place — document text never shuffles.
+    Unit = 1-token block here (the synthetic corpus is single-space
+    text); real pages pass sep='\\n' blocks through the same stage."""
+    from ..stages.boilerplate import strip_boilerplate
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "text"])
+    return strip_boilerplate(ds, block_words=1, num=4, den=5)
+
+
+# same grammar: disjoint 1-token blocks, frequent = present in > 4/5
+# of the site's docs, fully-stripped docs vanish (no surviving rows)
+ORACLE_SQL["boilerplate_strip_docs"] = """
+    WITH toks AS (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w,
+                         unnest(range(0, len(string_split(text, ' '))))
+                             AS pos
+                  FROM documents),
+         site AS (SELECT source, COUNT(*) AS n_docs
+                  FROM documents GROUP BY 1),
+         freq AS (SELECT t.source, t.w,
+                         COUNT(DISTINCT t.doc_id) AS dc
+                  FROM toks t GROUP BY 1, 2),
+         keep AS (SELECT t.doc_id, t.pos, t.w
+                  FROM toks t
+                  JOIN site s ON s.source = t.source
+                  JOIN freq f ON f.source = t.source AND f.w = t.w
+                  WHERE NOT (f.dc * 5 > s.n_docs * 4))
+    SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text
+    FROM keep GROUP BY doc_id
+"""
+
+
+# lexicon for the Aho–Corasick tagging query. Every keyword is
+# BORDER-FREE (no proper prefix equals a suffix), so occurrences of a
+# single keyword can never overlap and the oracle's replace-count
+# (len(text) - len(replace(text, kw, ''))) / len(kw) equals the AC
+# all-positions count; the bordered/overlapping general case is pinned
+# by tests/test_lexicon.py's find-loop brute oracle. Substring
+# semantics on purpose: 'ow' hits inside 'row'/'slow'/'window',
+# 'sort merge' spans a word boundary — this is NOT tokenized phrase
+# matching (q_phrase_match_docs covers that).
+LEXICON = [
+    ("ops", "join"), ("ops", "merge"), ("ops", "sort"), ("ops", "scan"),
+    ("perf", "fast"), ("perf", "slow"), ("perf", "stream"),
+    ("storage", "table"), ("storage", "column"), ("storage", "row"),
+    ("phrase", "sort merge"), ("subword", "art"), ("subword", "ow"),
+]
+
+
+def q_lexicon_tag_docs(sf_dir: str):
+    """Aho–Corasick lexicon tagging (Aho & Corasick 1975): count
+    occurrences of every keyword of every lexicon category in ONE pass
+    over the raw text — the badword/topic-lexicon scan of a C4/Gopher
+    curation run, where per-keyword `count_substring` scans lose once
+    the lexicon has hundreds of entries. Output per category: docs
+    with >= 1 hit and total occurrences (all match positions).
+
+    Scale shape: automaton built once per actor (stateful actor pool,
+    `stages/lexicon.py::LexiconTagger`), scan vectorized ACROSS the
+    batch (a state vector steps the padded byte matrix column-wise —
+    two numpy gathers per byte column, no per-doc Python), per-batch
+    per-category partials fold in a tiny groupby. No shuffle of text."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.lexicon import LexiconTagger
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return (ds.map_batches(LexiconTagger,
+                           fn_constructor_args=(LEXICON,),
+                           batch_format="pyarrow",
+                           concurrency=(1, 4))
+            .groupby("category")
+            .aggregate(Sum("docs"), Sum("hits"))
+            .map_batches(lambda b: pa.table({
+                "category": b["category"],
+                "n_docs": pc.cast(b["sum(docs)"], pa.int64()),
+                "n_hits": pc.cast(b["sum(hits)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+# replace-count is exact because every lexicon keyword is border-free
+# (see LEXICON comment); len() is codepoints in DuckDB and keywords are
+# ASCII, so each removed occurrence shortens the string by exactly
+# len(kw) codepoints even inside multilingual text
+ORACLE_SQL["lexicon_tag_docs"] = """
+    WITH p(category, kw) AS (VALUES
+            ('ops', 'join'), ('ops', 'merge'), ('ops', 'sort'),
+            ('ops', 'scan'),
+            ('perf', 'fast'), ('perf', 'slow'), ('perf', 'stream'),
+            ('storage', 'table'), ('storage', 'column'),
+            ('storage', 'row'),
+            ('phrase', 'sort merge'),
+            ('subword', 'art'), ('subword', 'ow')),
+         h AS (SELECT d.doc_id, p.category,
+                      SUM((len(d.text) - len(replace(d.text, p.kw, '')))
+                          // len(p.kw)) AS hits
+               FROM documents d CROSS JOIN p
+               GROUP BY 1, 2)
+    SELECT category,
+           CAST(COUNT(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) AS n_hits
+    FROM h GROUP BY 1
+"""
+
+
 def q_gopher_rules_docs(sf_dir: str):
     """Gopher quality-rule battery (Rae et al. 2021 §A.1.1, public) —
     the document-level heuristic filter set a pre-training corpus run
@@ -7013,8 +7134,8 @@ QUERIES = {
     "winnow_fingerprints_docs": q_winnow_fingerprints_docs,
     "frontier_merge_urls": q_frontier_merge_urls,
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
-    "fingerprint_docs": q_fingerprint_docs,
-    "subword_count_docs": q_subword_count_docs,
+    "lexicon_tag_docs": q_lexicon_tag_docs,
+    "boilerplate_strip_docs": q_boilerplate_strip_docs,
     "redact_docs": q_redact_docs,
     "normalize_docs": q_normalize_docs,
     "ann_pq_top5": q_ann_pq_top5,
@@ -7029,6 +7150,8 @@ QUERIES = {
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
     "repetition_docs": q_repetition_docs,
+    "subword_count_docs": q_subword_count_docs,
+    "fingerprint_docs": q_fingerprint_docs,
     "top_quality_docs": q_top_quality_docs,
     "dist_events": q_dist_events,
     "sample_k_events": q_sample_k_events,
