@@ -1,0 +1,80 @@
+"""Round-4 fifth-wave operators: GeoIP range-lookup join and the
+exact two-sample KS drift statistic."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ip_geo_brute():
+    """Brute re-derivation: same Knuth hash, same integer boundary
+    math, linear scan instead of searchsorted."""
+    from tilemaker_ray.pipelines.queries import q_ip_geo_events
+
+    nk = np.sort(pq.read_table(f"{SF}/nation.parquet",
+                               columns=["n_nationkey"])
+                 ["n_nationkey"].to_numpy().astype(np.int64))
+    widths = nk + 1
+    total = int(widths.sum())
+    cum = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    los = (cum * 4294967296) // total
+    his = np.concatenate((los[1:] - 1, [4294967295]))
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    users = ev["user_id"].to_numpy().astype(np.int64)
+    ips = (users * 2654435761) % 4294967296
+    exp = {}
+    for u, ip in zip(users, ips):
+        hits = [k for k, lo, hi in zip(nk, los, his)
+                if lo <= ip <= hi]
+        assert len(hits) == 1          # ranges partition the space
+        k = hits[0]
+        ev_c, uset = exp.get(k, (0, set()))
+        uset.add(u)
+        exp[k] = (ev_c + 1, uset)
+
+    got = q_ip_geo_events(SF).to_pandas().sort_values("n_nationkey")
+    assert got["n_nationkey"].tolist() == sorted(exp)
+    for r in got.itertuples():
+        ev_c, uset = exp[r.n_nationkey]
+        assert (r.n_events, r.n_users) == (ev_c, len(uset))
+
+
+def test_ip_geo_boundary_rows():
+    """searchsorted must put ip == lo inside the range and
+    ip == hi inside the same range (BETWEEN semantics)."""
+    los = np.array([0, 100, 4000], dtype=np.int64)
+    for ip, want in [(0, 0), (99, 0), (100, 1), (3999, 1), (4000, 2),
+                     (2**32 - 1, 2)]:
+        ix = np.searchsorted(los, ip, side="right") - 1
+        assert ix == want
+
+
+def test_ks_drift_brute():
+    from tilemaker_ray.pipelines.queries import q_ks_drift_docs
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["n_chars", "lang"]).to_pandas()
+    a = np.sort(t.loc[t["lang"] == "en", "n_chars"].to_numpy())
+    b = np.sort(t.loc[t["lang"] != "en", "n_chars"].to_numpy())
+    n1, n2 = len(a), len(b)
+    xs = np.unique(t["n_chars"].to_numpy())
+    d_num = max(abs(int(np.searchsorted(a, x, side="right")) * n2
+                    - int(np.searchsorted(b, x, side="right")) * n1)
+                for x in xs)
+    got = q_ks_drift_docs(SF).to_pandas()
+    assert got.iloc[0]["d_num"] == d_num
+    assert got.iloc[0]["n1"] == n1
+    assert got.iloc[0]["n2"] == n2
+    # drift statistic is non-degenerate on the synthetic corpus
+    assert 0 < d_num < n1 * n2
+
+
+def test_ks_drift_identical_distributions():
+    """Same sample on both sides -> D = 0 (scipy-style sanity)."""
+    a = np.array([1, 2, 3, 4, 5] * 4)
+    n1 = n2 = len(a)
+    d = max(abs(int((a <= x).sum()) * n2 - int((a <= x).sum()) * n1)
+            for x in np.unique(a))
+    assert d == 0

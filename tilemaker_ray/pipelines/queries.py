@@ -6165,6 +6165,176 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_ks_drift_docs(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift statistic (exact): compare
+    the doc-length distribution of the `en` slice against the rest —
+    the distribution-drift check a recurring crawl runs between
+    snapshots before retraining (did the corpus shift?). D = max over
+    x of |ECDF1(x) - ECDF2(x)|, reported as the EXACT integer
+    numerator max|c1·n2 - c2·n1| with (n1, n2) alongside — no float
+    division, so the driver hash certifies the whole statistic
+    (D = d_num / (n1·n2) for anyone who wants the ratio; at
+    trillion-doc scale the int64 cross-product needs 128-bit limbs —
+    documented, not hit at bench scale).
+
+    Scale shape: per-batch (x, cnt1, tot) partials → ONE groupby over
+    DISTINCT values (bounded by the statistic's support, not corpus
+    size) → the running-sum machinery (`stages/cumulative.py`: one
+    sort exchange + O(n_blocks) driver scalars) evaluated at every
+    distinct x (sufficient — the ECDF gap only changes at data
+    points) → distributed max. No corpus materialization anywhere."""
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.cumulative import cumulative
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is1 = pc.cast(pc.equal(batch["lang"], "en"), pa.int64())
+        t = pa.table({"x": batch["n_chars"], "cnt1": is1,
+                      "tot": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("x").aggregate([("cnt1", "sum"), ("tot", "sum")])
+        return pa.table({"x": g["x"],
+                         "cnt1": pc.cast(g["cnt1_sum"], pa.int64()),
+                         "tot": pc.cast(g["tot_sum"], pa.int64())})
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("x").aggregate(Sum("cnt1"), Sum("tot"))
+            .map_batches(lambda b: pa.table({
+                "p": pa.array(np.zeros(b.num_rows, np.int64)),
+                "x": b["x"],
+                "cnt1": pc.cast(b["sum(cnt1)"], pa.int64()),
+                "tot": pc.cast(b["sum(tot)"], pa.int64())}),
+                batch_format="pyarrow"))
+    # the distinct-value table is bounded by the support (NOT corpus
+    # size); pin it so the four downstream consumers (two scalar sums,
+    # two cumulative sorts) don't re-execute the corpus scan each
+    dist = dist.materialize()
+    n1 = int(dist.sum("cnt1"))
+    n2 = int(dist.sum("tot")) - n1
+    c = cumulative(dist, ["p"], ["x"], "cnt1", ops=("sum",),
+                   out_cols=["c1"])
+    c = cumulative(c, ["p"], ["x"], "tot", ops=("sum",),
+                   out_cols=["call"])
+
+    def gap(batch: pa.Table) -> pa.Table:
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        call = batch["call"].to_numpy(zero_copy_only=False)
+        d = np.abs(c1 * n2 - (call - c1) * n1)
+        return pa.table({"d": pa.array(d, pa.int64())})
+
+    d_num = int(c.map_batches(gap, batch_format="pyarrow").max("d"))
+    return pa.table({"d_num": pa.array([d_num], pa.int64()),
+                     "n1": pa.array([n1], pa.int64()),
+                     "n2": pa.array([n2], pa.int64())})
+
+
+ORACLE_SQL["ks_drift_docs"] = """
+    WITH s AS (SELECT n_chars AS x,
+                      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS cnt1,
+                      COUNT(*) AS tot
+               FROM documents GROUP BY 1),
+         c AS (SELECT x,
+                      SUM(cnt1) OVER (ORDER BY x) AS c1,
+                      SUM(tot) OVER (ORDER BY x) AS call
+               FROM s),
+         n AS (SELECT SUM(cnt1) AS n1, SUM(tot) - SUM(cnt1) AS n2
+               FROM s)
+    SELECT CAST(MAX(ABS(c.c1 * n.n2 - (c.call - c.c1) * n.n1))
+                AS BIGINT) AS d_num,
+           CAST(MAX(n.n1) AS BIGINT) AS n1,
+           CAST(MAX(n.n2) AS BIGINT) AS n2
+    FROM c, n
+"""
+
+
+def q_ip_geo_events(sf_dir: str):
+    """GeoIP-style range-lookup join (the weblog enrichment step:
+    IPv4 → CIDR block → region): events' synthetic IPs (a fixed
+    Knuth-hash of user_id both engines compute) are located in a
+    NON-OVERLAPPING sorted range table derived from `nation`
+    (widths ∝ nationkey+1, integer boundary math — exact in both
+    engines), then rolled up per region.
+
+    Distinct from range_join_events (overlapping intervals, O(n·m)
+    containment mask): non-overlapping sorted ranges admit the
+    O(log m)-per-row ``np.searchsorted`` lookup — the correct kernel
+    for real GeoIP tables (~3M rows, far too wide for a mask).
+
+    Scale shape: range table broadcast once (THE small side), lookup
+    vectorized per batch, ONE slim exchange of (region, user) distinct
+    partials gives exact COUNT(DISTINCT) + event totals."""
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Count, Sum
+
+    nk = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey"])["n_nationkey"] \
+        .to_numpy().astype(np.int64)
+    nk = np.sort(nk)
+    widths = nk + 1
+    total = int(widths.sum())
+    cum_before = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    los = (cum_before * 4294967296) // total      # exact int64
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ip = (u * 2654435761) % 4294967296
+        ix = np.searchsorted(los, ip, side="right") - 1
+        t = pa.table({"n_nationkey": pa.array(nk[ix], pa.int64()),
+                      "user_id": pa.array(u, pa.int64())})
+        g = t.group_by(["n_nationkey", "user_id"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "n_nationkey": g["n_nationkey"],
+            "user_id": g["user_id"],
+            "n": pc.cast(g["count_all"], pa.int64())})
+
+    per_user = (ds.map_batches(lookup, batch_format="pyarrow")
+                .groupby(["n_nationkey", "user_id"])
+                .aggregate(Sum("n")))
+    return (per_user.groupby("n_nationkey")
+            .aggregate(Count(), Sum("sum(n)"))
+            .map_batches(lambda b: pa.table({
+                "n_nationkey": b["n_nationkey"],
+                "n_users": pc.cast(b["count()"], pa.int64()),
+                "n_events": pc.cast(b["sum(sum(n))"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+# boundary math mirrored exactly: widths n_nationkey+1, lo =
+# (cum_before * 2^32) // total, ip = (user_id * 2654435761) % 2^32 —
+# all BIGINT arithmetic, the BETWEEN certifies the range semantics
+ORACLE_SQL["ip_geo_events"] = """
+    WITH r0 AS (SELECT n_nationkey,
+                       COALESCE(SUM(n_nationkey + 1) OVER (
+                           ORDER BY n_nationkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before,
+                       SUM(n_nationkey + 1) OVER () AS total
+                FROM nation),
+         r AS (SELECT n_nationkey,
+                      (cum_before * 4294967296) // total AS lo,
+                      COALESCE(LEAD((cum_before * 4294967296) // total)
+                          OVER (ORDER BY n_nationkey) - 1,
+                          4294967295) AS hi
+               FROM r0),
+         ips AS (SELECT user_id,
+                        (user_id * 2654435761) % 4294967296 AS ip
+                 FROM events)
+    SELECT r.n_nationkey,
+           CAST(COUNT(DISTINCT i.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ips i JOIN r ON i.ip BETWEEN r.lo AND r.hi
+    GROUP BY 1
+"""
+
+
 def q_boilerplate_strip_docs(sf_dir: str):
     """Site-level boilerplate stripping (the inter-document template
     removal of CCNet/WET-style extraction): a unit occurring in > 4/5
@@ -7136,8 +7306,8 @@ QUERIES = {
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "lexicon_tag_docs": q_lexicon_tag_docs,
     "boilerplate_strip_docs": q_boilerplate_strip_docs,
-    "redact_docs": q_redact_docs,
-    "normalize_docs": q_normalize_docs,
+    "ip_geo_events": q_ip_geo_events,
+    "ks_drift_docs": q_ks_drift_docs,
     "ann_pq_top5": q_ann_pq_top5,
     "html_extract_docs": q_html_extract_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
@@ -7150,6 +7320,8 @@ QUERIES = {
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
     "repetition_docs": q_repetition_docs,
+    "normalize_docs": q_normalize_docs,
+    "redact_docs": q_redact_docs,
     "subword_count_docs": q_subword_count_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "top_quality_docs": q_top_quality_docs,
