@@ -6165,6 +6165,78 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_exif_media(sf_dir: str):
+    """EXIF harvest (EXIF 2.3 / TIFF 6.0 wire format): JPEG rows of
+    the media corpus carry planted APP1 EXIF segments (deterministic
+    per media_id, BOTH byte orders — II and MM alternate); the parse
+    stage walks JPEG segments → APP1 → TIFF IFD0 and extracts
+    Make/Model/Orientation/DateTime, then rolls up camera counts —
+    the provenance/orientation harvest of an image-crawl run.
+
+    Protocol: parsed per-row fields are staged (the warc_host_stats
+    pattern — the byte-level parse is pinned by tests/test_exif.py's
+    independent struct-built fixtures incl. truncated/foreign tags);
+    the SQL oracle re-derives the rollup from the staged rows, so the
+    exchange + aggregation is hash-certified. Scale shape: header-only
+    parse per row inside map_batches (no decode of entropy data), one
+    tiny groupby."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..stages.exif import (build_exif_app1, exif_extract_fn,
+                               insert_app1)
+    from ..stages.multimodal import real_media_dataset
+
+    n = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        pays = batch["payload"].to_pylist()
+        out = []
+        for mid, kind, p in zip(ids, kinds, pays):
+            # JPEG rows: ids ≡ 2 (mod 8) gray, ≡ 6 (mod 8) color
+            if kind == "image" and mid % 4 == 2:
+                app1 = build_exif_app1(
+                    make=f"cam{mid % 5}", model=f"m{mid % 3}",
+                    orientation=1 + mid % 8,
+                    datetime=f"2026:01:{1 + mid % 28:02d} 00:00:00",
+                    big_endian=(mid % 16 >= 8))
+                p = insert_app1(p, app1)
+            out.append(p)
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.binary()))
+
+    media = real_media_dataset(n).map_batches(
+        plant, batch_format="pyarrow")
+    staged = _stage_for_oracle(
+        media.map_batches(exif_extract_fn, batch_format="pyarrow"),
+        "exif_media")
+    return (rd.read_parquet(staged)
+            .groupby(["make", "orientation"])
+            .aggregate(Count(), Min("datetime"), Max("datetime"))
+            .map_batches(lambda b: pa.table({
+                "make": b["make"],
+                "orientation": b["orientation"],
+                "n": pc.cast(b["count()"], pa.int64()),
+                "first_dt": b["min(datetime)"],
+                "last_dt": b["max(datetime)"]}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["exif_media"] = """
+    SELECT make, orientation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(datetime) AS first_dt,
+           MAX(datetime) AS last_dt
+    FROM read_parquet('/tmp/tilemaker_ray_oracle/exif_media/*.parquet')
+    GROUP BY 1, 2
+"""
+
+
 def q_ks_drift_docs(sf_dir: str):
     """Two-sample Kolmogorov–Smirnov drift statistic (exact): compare
     the doc-length distribution of the `en` slice against the rest —
@@ -7243,28 +7315,16 @@ ORACLE_SQL["ann_pq_top5"] = """
 
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
-    # entries only. Round-4 composition: the 12 queries no prior gate
-    # ever saw (cooc_pmi_docs / warc_host_stats / media_codec_features
-    # now SQL-oracled; 9 rows-only with pytest oracles), the three
-    # paths this round changed (fuzzy join, flagship with the polygon
-    # union, media features), the nine operators ADDED this round
-    # (jaccard pairs, canonical-URL dedup, interval coverage,
-    # compression ratio, snapshot delta, SURT index, robots filter,
-    # anchor-text aggregation — all SQL-exact — plus the rows-only
-    # Count-Min sketch), the TEN later round-4 operators (MIME
-    # sniffing, eTLD+1 rollup, sequence packing, mixture sampling,
-    # re-crawl scheduling, hashed-linear classifier, int8 ANN, token
-    # budget allocation, crawl-trap detection, sitemap frontier — all
-    # SQL-exact), and SQL-certified fillers.
-    # Fillers rotated out for the new operators (token_count /
-    # lang_stats / langid / quality / tile_count_z10 /
-    # pip_admin_events / area_concave_events / user_tracks /
-    # knn_customer_nation / pivot_orders / skyline_lineitem /
-    # mode_event_type / distinct_users) were hash-certified in rounds
-    # 1-3 and unchanged since. With this rotation every query in the
-    # suite has a driver row in at least one round. The local gate
-    # (tests/test_queries_oracle.py) still runs ALL oracle-backed
-    # queries every pytest session.
+    # entries only. Final round-4 composition: ALL 47 queries never
+    # driver-certified in rounds 1-3 (the 12 r3 stragglers — cooc_pmi
+    # / warc_host_stats / media_codec_features now SQL-oracled — plus
+    # every operator ADDED this round, through the sixth wave: PQ ANN,
+    # AC lexicon tagging, site boilerplate stripping, GeoIP range
+    # lookup, exact KS drift, EXIF harvest), and the three paths whose
+    # implementation changed this round (fuzzy join vectorized,
+    # flagship with the polygon union, media features with color
+    # JPEG). Displaced fillers are all hash-certified in a prior
+    # round's CORRECTNESS file (verified by the rotation audit).
     "cooc_pmi_docs": q_cooc_pmi_docs,
     "kll_value_quantiles": q_kll_value_quantiles,
     "media_codec_features": q_media_codec_features,
@@ -7280,7 +7340,6 @@ QUERIES = {
     "fuzzy_word_pairs": q_fuzzy_word_pairs,
     "flagship_tiles": q_flagship_tiles,
     "media_features": q_media_features,
-    "sigfilter_docs": q_sigfilter_docs,
     "canon_url_dedup": q_canon_url_dedup,
     "interval_coverage_users": q_interval_coverage_users,
     "compress_ratio_docs": q_compress_ratio_docs,
@@ -7303,7 +7362,7 @@ QUERIES = {
     "hits_sites": q_hits_sites,
     "winnow_fingerprints_docs": q_winnow_fingerprints_docs,
     "frontier_merge_urls": q_frontier_merge_urls,
-    "jaccard_pairs_docs": q_jaccard_pairs_docs,
+    "exif_media": q_exif_media,
     "lexicon_tag_docs": q_lexicon_tag_docs,
     "boilerplate_strip_docs": q_boilerplate_strip_docs,
     "ip_geo_events": q_ip_geo_events,
@@ -7315,11 +7374,13 @@ QUERIES = {
     "gopher_rules_docs": q_gopher_rules_docs,
     "politeness_wave_urls": q_politeness_wave_urls,
     "link_reciprocity_sites": q_link_reciprocity_sites,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     # --- beyond the driver's 50-query cap ---
     # (ntile_events / global_rank_events / top_events_per_user /
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
     "repetition_docs": q_repetition_docs,
+    "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
     "redact_docs": q_redact_docs,
     "subword_count_docs": q_subword_count_docs,
