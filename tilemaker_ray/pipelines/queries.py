@@ -6165,6 +6165,83 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_charset_docs(sf_dir: str):
+    """Charset sniffing over raw crawl payloads (the WHATWG-style
+    decode step that runs BEFORE HTML extraction: BOM → strict UTF-8
+    DFA → latin-1 fallback with a high-byte mojibake signal). Payload
+    fixtures are deterministic re-encodings of the documents table
+    (utf-8 / latin-1 bytes / utf-8-BOM / utf-16le-BOM / mid-sequence
+    truncation), so multibyte (zh) and pure-ASCII rows exercise every
+    verdict branch.
+
+    Protocol: per-payload verdicts are staged (the warc pattern); the
+    oracle re-derives the rollup; the byte-level DFA itself is pinned
+    by tests/test_charset.py against Python's own utf-8 decoder over
+    adversarial and random byte strings. Scale shape: one numpy DFA
+    pass over the batch's concatenated payload buffer
+    (`stages/charset.py` — lane-per-row stepping, no per-byte
+    Python), tiny rollup groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.charset import charset_verdicts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        pays = []
+        for i, t in zip(ids, texts):
+            # the synthetic corpus is pure ASCII; plant the legacy/
+            # multibyte cases the sniffer exists for (deterministic
+            # per doc_id, mirrored by the pytest brute)
+            raw = t.encode("utf-8")
+            v = i % 5
+            if v == 0:
+                p = ("\u00e9 " + t).encode("utf-8")   # multibyte utf-8
+            elif v == 1:
+                p = b"\xb0legacy " + raw              # bare high byte
+            elif v == 2:
+                p = b"\xef\xbb\xbf" + raw
+            elif v == 3:
+                p = b"\xff\xfe" + t.encode("utf-16-le")
+            else:
+                # drop the lead byte of the 3-byte U+4E01: the row
+                # starts with bare continuation bytes -> invalid
+                p = ("\u4e01" + t).encode("utf-8")[1:]
+            pays.append(p)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(pays, pa.binary())})
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        v, bp = charset_verdicts(batch["payload"])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "verdict": v, "hi_bp": bp})
+
+    staged = _stage_for_oracle(
+        ds.map_batches(make_payloads, batch_format="pyarrow")
+          .map_batches(verdict, batch_format="pyarrow"),
+        "charset_docs")
+    return (rd.read_parquet(staged)
+            .groupby("verdict")
+            .aggregate(Count(), Sum("hi_bp"))
+            .map_batches(lambda b: pa.table({
+                "verdict": b["verdict"],
+                "n": pc.cast(b["count()"], pa.int64()),
+                "hi_bp_sum": pc.cast(b["sum(hi_bp)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["charset_docs"] = """
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(hi_bp) AS BIGINT) AS hi_bp_sum
+    FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/charset_docs/*.parquet')
+    GROUP BY 1
+"""
+
+
 def q_exif_media(sf_dir: str):
     """EXIF harvest (EXIF 2.3 / TIFF 6.0 wire format): JPEG rows of
     the media corpus carry planted APP1 EXIF segments (deterministic
@@ -7379,6 +7456,8 @@ QUERIES = {
     # (ntile_events / global_rank_events / top_events_per_user /
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
+    # first outside the 50-slot gate: round-5 rotation candidates
+    "charset_docs": q_charset_docs,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
