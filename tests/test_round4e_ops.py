@@ -78,3 +78,30 @@ def test_ks_drift_identical_distributions():
     d = max(abs(int((a <= x).sum()) * n2 - int((a <= x).sum()) * n1)
             for x in np.unique(a))
     assert d == 0
+
+
+def test_novelty_ngram_brute():
+    """Single-process reference: first-occurrence 3-gram attribution
+    by min doc_id over distinct (gram, doc) pairs."""
+    from tilemaker_ray.pipelines.queries import q_novelty_ngram_docs
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    first = {}
+    per_doc = {}
+    for doc, txt in sorted(zip(t["doc_id"], t["text"])):
+        toks = txt.split(" ")
+        grams = {" ".join(toks[i:i + 3])
+                 for i in range(len(toks) - 2)}
+        per_doc[doc] = grams
+        for g in grams:
+            first.setdefault(g, doc)
+    exp = {doc: (sum(1 for g in gs if first[g] == doc), len(gs))
+           for doc, gs in per_doc.items() if gs}
+    got = q_novelty_ngram_docs(SF).to_pandas()
+    assert {r.doc_id: (r.novel, r.total)
+            for r in got.itertuples()} == exp
+    # novelty must differentiate: some docs are fully novel, and at
+    # least one doc restates earlier grams
+    novs = got["novel"] / got["total"]
+    assert (novs == 1).any() and (novs < 1).any()

@@ -6165,6 +6165,133 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_novelty_ngram_docs(sf_dir: str, n: int = 3,
+                         num_buckets: int = 64):
+    """Per-document n-gram novelty (the data-valuation signal behind
+    contribution-weighted corpus selection): for each doc, how many of
+    its DISTINCT token 3-grams have their first GLOBAL occurrence
+    (minimum doc_id) in this doc, out of its distinct-gram total —
+    documents that only restate earlier text score 0, the corpus's
+    first copy of each passage scores high. Integer outputs
+    (novel, total) — no float, hash-exact.
+
+    Scale shape (the tfidf_keywords pattern): grams explode per batch
+    via the flat-token shift trick (no per-row Python), per-batch
+    DISTINCT (gram, doc) partials, ONE hash(gram)-bucketed exchange
+    co-locates all rows of a gram — in-bucket lexsort + segment mins
+    compute first_doc AND the per-doc flags in the same pass — then a
+    second slim (doc, novel, total) exchange folds per doc. Gram identity
+    inside a bucket is the dictionary CODE of the gram string —
+    collision-exact without sorting strings; the 64-bit hash only
+    routes the bucketing."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import _word_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_tok = np.diff(offs)
+        total = int(n_tok.sum())
+        flat = toks.values.to_numpy(zero_copy_only=False)[
+            offs[0]:offs[-1]]
+        doc_of = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), n_tok)
+        if total < n:
+            return pa.table({
+                "b": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64())})
+        # windows of n consecutive tokens fully inside one doc
+        same = np.ones(total - n + 1, dtype=bool)
+        for k in range(1, n):
+            same &= doc_of[:total - n + 1] == doc_of[k:total - n + 1 + k]
+        starts = np.flatnonzero(same)
+        gram_arr = pc.binary_join_element_wise(
+            *[pa.array(flat[starts + k], pa.string())
+              for k in range(n)], " ")
+        doc = doc_of[starts]
+        t = pa.table({"gram": gram_arr,
+                      "doc_id": pa.array(doc, pa.int64())})
+        d = t.group_by(["gram", "doc_id"]).aggregate([])
+        dic = d["gram"].combine_chunks().dictionary_encode()
+        dvals = [_word_hash(v) for v in dic.dictionary.to_pylist()]
+        gh = (np.asarray(dvals, dtype=np.uint64)[
+              dic.indices.to_numpy(zero_copy_only=False)]
+              .astype(np.int64) if dvals else np.empty(0, np.int64))
+        return pa.table({
+            "b": pa.array(mix_bucket(gh, num_buckets), pa.int64()),
+            "gram": d["gram"],
+            "doc_id": d["doc_id"]})
+
+    def per_gram(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        gram = g["gram"].combine_chunks()
+        if len(doc) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "novel": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        # dictionary codes give collision-exact gram identity within
+        # the bucket (all rows of a gram co-locate here), so the sort
+        # is over ints only; (gram, doc) pairs arrive globally
+        # distinct (a doc never spans batches)
+        codes = gram.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, codes))
+        doc, codes = doc[order], codes[order]
+        new_seg = np.ones(len(doc), dtype=bool)
+        new_seg[1:] = codes[1:] != codes[:-1]
+        # rows of a segment are doc-ascending: its first row is the
+        # gram's global first_doc
+        seg_id = np.cumsum(new_seg) - 1
+        first_doc = doc[new_seg][seg_id]
+        novel = (doc == first_doc).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "novel": pa.array(novel, pa.int64()),
+            "total": pa.array(np.ones(len(doc), np.int64))})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(per_gram, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("novel"), Sum("total"))
+            .map_batches(lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "novel": pc.cast(t["sum(novel)"], pa.int64()),
+                "total": pc.cast(t["sum(total)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["novelty_ngram_docs"] = """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok,
+                         unnest(range(0, len(string_split(text, ' '))))
+                             AS pos
+                  FROM documents),
+         g AS (SELECT t1.doc_id,
+                      t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+               FROM toks t1
+               JOIN toks t2 ON t2.doc_id = t1.doc_id
+                           AND t2.pos = t1.pos + 1
+               JOIN toks t3 ON t3.doc_id = t1.doc_id
+                           AND t3.pos = t1.pos + 2),
+         d AS (SELECT DISTINCT doc_id, gram FROM g),
+         f AS (SELECT gram, MIN(doc_id) AS first_doc
+               FROM d GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM d JOIN f USING (gram)
+    GROUP BY 1
+"""
+
+
 def q_charset_docs(sf_dir: str):
     """Charset sniffing over raw crawl payloads (the WHATWG-style
     decode step that runs BEFORE HTML extraction: BOM → strict UTF-8
@@ -7458,6 +7585,7 @@ QUERIES = {
     # rotated out for the third-wave round-4 operators above)
     # first outside the 50-slot gate: round-5 rotation candidates
     "charset_docs": q_charset_docs,
+    "novelty_ngram_docs": q_novelty_ngram_docs,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
