@@ -6165,6 +6165,118 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_areal_interp_tiles(sf_dir: str, z: int = 6):
+    """Areal interpolation (the classic GIS mass-preserving overlay,
+    Goodchild & Lam 1980): redistribute each admin polygon's metric
+    (population ∝ nationkey+1) onto the z6 web-mercator tile grid in
+    proportion to EXACT polygon∩tile overlap area — how a tile
+    pipeline turns region-level statistics into per-tile weights
+    (choropleth → tile heatmap).
+
+    Exactness: overlap areas come from the same Green's-theorem
+    kernel the AreaIntersecting join uses (`geo/clip.py::
+    polygon_intersection_area`, pytest-pinned), quantized to 1e-6-deg²
+    int64; each polygon's denominator is the SUM of its quantized
+    parts (so weights are an exact integer partition of the metric:
+    contribution = (pop · area_fp) // poly_area_fp, int64-safe both
+    engines). Staged (poly, tile, pop, area_fp) rows let the oracle
+    re-derive every division and the tile rollup.
+
+    Scale shape: one map pass over the polygon table (each polygon
+    meets only its bbox-cover tiles — candidate count bounded by
+    polygon size, not corpus), slim staged rows, a per-poly co-located
+    division exchange, a tile-keyed sum. Tile rects are axis-aligned
+    in (lon, lat) because latp→lat is monotone 1-D."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..geo import tilemath as tm
+    from ..geo import wkb as _wkb2
+    from ..geo.clip import polygon_intersection_area
+
+    nt = _nation_table(sf_dir)
+    keys = nt["n_nationkey"].to_numpy().astype(np.int64)
+    diamonds = _nation_diamonds(sf_dir)
+    polys = rd.from_arrow(pa.table({
+        "poly_id": pa.array(keys, pa.int64()),
+        "pop": pa.array((keys + 1) * 1000, pa.int64()),
+        "geom_wkb": diamonds["geom_wkb"]}))
+
+    def overlaps(batch: pa.Table) -> pa.Table:
+        out = {"poly_id": [], "tile_id": [], "pop": [], "area_fp": []}
+        for pid, pop, wkb in zip(batch["poly_id"].to_pylist(),
+                                 batch["pop"].to_pylist(),
+                                 batch["geom_wkb"].to_pylist()):
+            ext = np.asarray(_wkb2.wkb_rings(wkb)[0][0], np.float64)
+            lo_x = int(tm.lon2tilex(np.array([ext[:, 0].min()]), z)[0])
+            hi_x = int(tm.lon2tilex(np.array([ext[:, 0].max()]), z)[0])
+            lo_y = int(tm.lat2tiley(np.array([ext[:, 1].max()]), z)[0])
+            hi_y = int(tm.lat2tiley(np.array([ext[:, 1].min()]), z)[0])
+            for x in range(lo_x, hi_x + 1):
+                lon_a = float(tm.tilex2lon(np.array([x]), z)[0])
+                lon_b = float(tm.tilex2lon(np.array([x + 1]), z)[0])
+                for y in range(lo_y, hi_y + 1):
+                    latp_a = float(tm.tiley2latp(np.array([y + 1]),
+                                                 z)[0])
+                    latp_b = float(tm.tiley2latp(np.array([y]), z)[0])
+                    lat_a = float(tm.latp2lat(np.array([latp_a]))[0])
+                    lat_b = float(tm.latp2lat(np.array([latp_b]))[0])
+                    rect = np.array([[lon_a, lat_a], [lon_b, lat_a],
+                                     [lon_b, lat_b], [lon_a, lat_b],
+                                     [lon_a, lat_a]])
+                    a = polygon_intersection_area([ext], [rect])
+                    afp = int(np.floor(a * 1e6 + 0.5))
+                    if afp > 0:
+                        out["poly_id"].append(pid)
+                        out["tile_id"].append(int(tm.tile_id(
+                            z, np.array([x]), np.array([y]))[0]))
+                        out["pop"].append(pop)
+                        out["area_fp"].append(afp)
+        return pa.table({
+            "poly_id": pa.array(out["poly_id"], pa.int64()),
+            "tile_id": pa.array(out["tile_id"], pa.int64()),
+            "pop": pa.array(out["pop"], pa.int64()),
+            "area_fp": pa.array(out["area_fp"], pa.int64())})
+
+    staged = _stage_for_oracle(
+        polys.map_batches(overlaps, batch_format="pyarrow"),
+        "areal_interp_tiles")
+
+    def divide(g: pa.Table) -> pa.Table:
+        area = g["area_fp"].to_numpy(zero_copy_only=False)
+        pop = g["pop"].to_numpy(zero_copy_only=False)
+        denom = int(area.sum())
+        contrib = (pop * area) // denom
+        return pa.table({"tile_id": g["tile_id"],
+                         "contrib": pa.array(contrib, pa.int64())})
+
+    return (rd.read_parquet(staged)
+            .groupby("poly_id")
+            .map_groups(divide, batch_format="pyarrow")
+            .groupby("tile_id")
+            .aggregate(Sum("contrib"), Count())
+            .map_batches(lambda b: pa.table({
+                "tile_id": b["tile_id"],
+                "pop_fp": pc.cast(b["sum(contrib)"], pa.int64()),
+                "n_parts": pc.cast(b["count()"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["areal_interp_tiles"] = """
+    WITH c AS (SELECT poly_id, tile_id, pop, area_fp
+               FROM read_parquet(
+                 '/tmp/tilemaker_ray_oracle/areal_interp_tiles/*.parquet')),
+         p AS (SELECT poly_id, SUM(area_fp) AS poly_area_fp
+               FROM c GROUP BY 1)
+    SELECT c.tile_id,
+           CAST(SUM((c.pop * c.area_fp) // p.poly_area_fp)
+                AS BIGINT) AS pop_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM c JOIN p USING (poly_id)
+    GROUP BY 1
+"""
+
+
 def q_novelty_ngram_docs(sf_dir: str, n: int = 3,
                          num_buckets: int = 64):
     """Per-document n-gram novelty (the data-valuation signal behind
@@ -7586,6 +7698,7 @@ QUERIES = {
     # first outside the 50-slot gate: round-5 rotation candidates
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
+    "areal_interp_tiles": q_areal_interp_tiles,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
