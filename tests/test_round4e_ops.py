@@ -138,3 +138,41 @@ def test_areal_interp_mass_preservation_and_brute():
     # every polygon genuinely splits across many z6 tiles (a 17x12-deg
     # diamond spans several 5.6-deg tiles), so the division is real
     assert (staged.groupby("poly_id").size() >= 4).all()
+
+
+def test_hex_kring_smooth_brute():
+    """Scatter-sum vs a direct neighbor-lookup reference over the
+    staged per-cell table, plus bit-layout roundtrip."""
+    from tilemaker_ray.geo import tilemath as tm
+    from tilemaker_ray.pipelines.queries import q_hex_kring_smooth
+
+    got = q_hex_kring_smooth(SF).to_pandas()
+    staged = pq.read_table(
+        "/tmp/tilemaker_ray_oracle/hex_kring_smooth").to_pandas()
+    cnt = {(q, r): n for q, r, n in
+           zip(staged["q"], staged["r"], staged["n"])}
+    offs = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+    exp = {}
+    for (q, r), n in cnt.items():
+        for dq, dr in offs:
+            key = (q + dq, r + dr)
+            raw, ring = exp.get(key, (0, 0))
+            exp[key] = (raw + (n if (dq, dr) == (0, 0) else 0),
+                        ring + n)
+    # re-pack and compare
+    import numpy as np
+    exp_cells = {}
+    for (q, r), (raw, ring) in exp.items():
+        cell = int((np.uint64(3) << np.uint64(56))
+                   | (np.uint64(q + (1 << 27)) << np.uint64(28))
+                   | np.uint64(r + (1 << 27)))
+        exp_cells[cell] = (raw, ring)
+    assert {r.cell: (r.n, r.smooth_n)
+            for r in got.itertuples()} == exp_cells
+    # decode roundtrip on every output cell
+    res, q, r = tm.hex_cell_decode(got["cell"].to_numpy())
+    assert (res == 3).all()
+    # smoothing is real: some cell's ring sum exceeds its raw count
+    assert (got["smooth_n"] > got["n"]).any()
+    # spill rows exist (cells with raw 0 receiving neighbors)
+    assert (got["n"] == 0).any()

@@ -6165,6 +6165,101 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_hex_kring_smooth(sf_dir: str, res: int = 3):
+    """K-ring hexagonal smoothing (the H3 hotspot-map idiom): count
+    events per hex cell, then smooth each cell by summing its k=1
+    ring (itself + the 6 axial neighbors) — the spatial low-pass every
+    density/choropleth tile layer applies before rendering.
+
+    Distributed shape: per-cell counts via ONE slim groupby, then the
+    SCATTER pattern — every cell emits its count to its 7 ring
+    coordinates (pure integer axial offsets, vectorized decode →
+    offset → re-encode) and a second slim groupby sums per receiving
+    cell: no broadcast, no neighbor index, skew-free. Cells with zero
+    raw count that receive spill appear with n = 0 (both engines).
+
+    Oracle: the per-cell table (cell, q, r, n) is staged (the axial
+    assignment is pinned by the hex-cover pytest suite); the SQL
+    re-derives the whole scatter-sum from the 7-offset VALUES list and
+    re-packs cell ids with the same integer bit layout."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..geo import tilemath as tm2
+
+    ds = _event_points(sf_dir)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        c = tm2.hex_cell(lon, lat, res)
+        t = pa.table({"cell": pa.array(c, pa.int64())})
+        g = t.group_by("cell").aggregate([([], "count_all")])
+        return pa.table({"cell": g["cell"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    per_cell = (ds.map_batches(cells, batch_format="pyarrow")
+                .groupby("cell").aggregate(Sum("n"))
+                .map_batches(lambda b: (lambda rqr: pa.table({
+                    "cell": b["cell"],
+                    "q": pa.array(rqr[1], pa.int64()),
+                    "r": pa.array(rqr[2], pa.int64()),
+                    "n": pc.cast(b["sum(n)"], pa.int64())}))(
+                    tm2.hex_cell_decode(
+                        b["cell"].to_numpy(zero_copy_only=False))),
+                    batch_format="pyarrow"))
+    staged = _stage_for_oracle(per_cell, "hex_kring_smooth")
+
+    OFFS = np.array([[0, 0, 1], [1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, -1, 0], [1, -1, 0], [-1, 1, 0]], np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        m = len(q)
+        q2 = (q[:, None] + OFFS[None, :, 0]).ravel()
+        r2 = (r[:, None] + OFFS[None, :, 1]).ravel()
+        is_self = np.tile(OFFS[:, 2], m)
+        nn = np.repeat(n, len(OFFS))
+        cell = ((np.uint64(res) << np.uint64(56))
+                | ((q2 + (1 << 27)).astype(np.uint64) << np.uint64(28))
+                | (r2 + (1 << 27)).astype(np.uint64)).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "raw": pa.array(nn * is_self, pa.int64()),
+            "ring": pa.array(nn, pa.int64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(scatter, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("raw"), Sum("ring"))
+            .map_batches(lambda b: pa.table({
+                "cell": b["cell"],
+                "n": pc.cast(b["sum(raw)"], pa.int64()),
+                "smooth_n": pc.cast(b["sum(ring)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+# cell re-pack mirrors tilemath.hex_cell's bit layout verbatim:
+# (res << 56) | ((q + 2^27) << 28) | (r + 2^27)
+ORACLE_SQL["hex_kring_smooth"] = """
+    WITH c AS (SELECT cell, q, r, n FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/hex_kring_smooth/*.parquet')),
+         d(dq, dr, self) AS (VALUES (0, 0, 1), (1, 0, 0), (-1, 0, 0),
+                                    (0, 1, 0), (0, -1, 0), (1, -1, 0),
+                                    (-1, 1, 0)),
+         s AS (SELECT (3 * 72057594037927936)
+                      + ((src.q + d.dq + 134217728) * 268435456)
+                      + (src.r + d.dr + 134217728) AS cell,
+                      src.n * d.self AS raw, src.n AS ring
+               FROM c src CROSS JOIN d)
+    SELECT cell, CAST(SUM(raw) AS BIGINT) AS n,
+           CAST(SUM(ring) AS BIGINT) AS smooth_n
+    FROM s GROUP BY 1
+"""
+
+
 def q_areal_interp_tiles(sf_dir: str, z: int = 6):
     """Areal interpolation (the classic GIS mass-preserving overlay,
     Goodchild & Lam 1980): redistribute each admin polygon's metric
@@ -7699,6 +7794,7 @@ QUERIES = {
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
+    "hex_kring_smooth": q_hex_kring_smooth,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
