@@ -176,3 +176,35 @@ def test_hex_kring_smooth_brute():
     assert (got["smooth_n"] > got["n"]).any()
     # spill rows exist (cells with raw 0 receiving neighbors)
     assert (got["n"] == 0).any()
+
+
+def test_components_customers_structure():
+    """CC query end-to-end at sf0.001: labels must equal a brute
+    union-find over the same edge rule, with non-trivial components."""
+    from tilemaker_ray.pipelines.queries import q_components_customers
+
+    got = q_components_customers(SF).to_pandas()
+    n_cust = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"]).to_pandas()
+    o = o[o["o_orderkey"] % 50 == 0]
+    parent = list(range(n_cust))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ok, cu in zip(o["o_orderkey"], o["o_custkey"]):
+        a, b = find(int(cu)), find(int((ok * 17) % n_cust))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # min-label canonicalization needs full path compression
+    exp = {c: find(c) for c in range(n_cust)}
+    # union-find roots ARE min labels here because we always hang the
+    # larger root under the smaller one
+    assert {r.c_custkey: r.comp for r in got.itertuples()} == exp
+    comps = got.groupby("comp").size()
+    assert (comps >= 3).any()          # non-trivial merge happened
+    assert (comps == 1).any()          # isolated customers preserved

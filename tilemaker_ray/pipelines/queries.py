@@ -6165,6 +6165,86 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_components_customers(sf_dir: str):
+    """Connected components over a sparse customer graph — the FIRST
+    SQL-certified run of the CC machinery (`stages/dedup.py::
+    connected_components_min_label`, the dedup end-game engine whose
+    driver-union-find and distributed pointer-jumping paths were until
+    now pytest-only): edges (o_custkey, (o_orderkey·17) mod n_cust)
+    from every 50th order — a deterministic rule BOTH engines derive
+    from the orders table — give a subcritical graph with many small
+    components; isolated customers keep comp = own key.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure + MIN label —
+    exact, no iteration count to tune. Scale shape: the slim edge rule
+    fuses into the scan; components resolve in the size-adaptive CC
+    engine; the result (bounded by TOUCHED nodes, not customers)
+    broadcasts into one map pass over the customer table."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..stages.dedup import connected_components_min_label
+
+    n_cust = _pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")).num_rows
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cu = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = ok % 50 == 0
+        ok, cu = ok[m], cu[m]
+        v = (ok * 17) % n_cust
+        return pa.table({"doc_a": pa.array(cu, pa.int64()),
+                         "doc_b": pa.array(v, pa.int64())})
+
+    cc = connected_components_min_label(
+        orders.map_batches(edges, batch_format="pyarrow"))
+    parts = [t for t in ray.get(list(cc.to_arrow_refs()))
+             if t.num_rows > 0]
+    lbl = {}
+    for t in parts:
+        lbl.update(zip(t["doc_id"].to_pylist(),
+                       t["comp"].to_pylist()))
+    lbl_ref = ray.put(lbl)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        la = ray.get(lbl_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        comp = np.fromiter((la.get(int(c), int(c)) for c in ck),
+                           dtype=np.int64, count=len(ck))
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    return cust.map_batches(attach, batch_format="pyarrow")
+
+
+ORACLE_SQL["components_customers"] = """
+    WITH RECURSIVE
+      e0 AS (SELECT o_custkey AS u,
+                    (o_orderkey * 17)
+                     % (SELECT COUNT(*) FROM customer) AS v
+             FROM orders WHERE o_orderkey % 50 = 0),
+      e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+      n AS (SELECT DISTINCT u AS node FROM e),
+      reach(node, r) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.v, reach.r FROM e JOIN reach ON reach.node = e.u),
+      m AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY 1)
+    SELECT c.c_custkey,
+           CAST(COALESCE(m.comp, c.c_custkey) AS BIGINT) AS comp
+    FROM customer c LEFT JOIN m ON m.node = c.c_custkey
+"""
+
+
 def q_hex_kring_smooth(sf_dir: str, res: int = 3):
     """K-ring hexagonal smoothing (the H3 hotspot-map idiom): count
     events per hex cell, then smooth each cell by summing its k=1
@@ -7795,6 +7875,7 @@ QUERIES = {
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
     "hex_kring_smooth": q_hex_kring_smooth,
+    "components_customers": q_components_customers,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
