@@ -208,3 +208,28 @@ def test_components_customers_structure():
     comps = got.groupby("comp").size()
     assert (comps >= 3).any()          # non-trivial merge happened
     assert (comps == 1).any()          # isolated customers preserved
+
+
+def test_tile_pyramid_consistency():
+    """Pyramid rollup == direct per-zoom assignment (the halving
+    identity), and totals are zoom-invariant."""
+    from tilemaker_ray.geo import tilemath as tm
+    from tilemaker_ray.functions import derived as dv
+    from tilemaker_ray.pipelines.queries import q_tile_pyramid_counts
+
+    got = q_tile_pyramid_counts(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id"]).to_pandas()
+    lon, lat = dv.event_lonlat(ev["event_id"].to_numpy())
+    total = len(ev)
+    for z in range(4, 11):
+        sub = got[got["z"] == z]
+        assert sub["n_events"].sum() == total, z
+        import collections
+        exp = collections.Counter(zip(tm.lon2tilex(lon, z),
+                                      tm.lat2tiley(lat, z)))
+        assert {(r.tile_x, r.tile_y): r.n_events
+                for r in sub.itertuples()} == dict(exp), z
+    # overview levels genuinely aggregate (fewer tiles per level up)
+    sizes = got.groupby("z").size()
+    assert all(sizes[z] <= sizes[z + 1] for z in range(4, 10))

@@ -6165,6 +6165,64 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_tile_pyramid_counts(sf_dir: str, z_hi: int = 10, z_lo: int = 4):
+    """Tile-pyramid rollup: per-tile event counts at z10 aggregated up
+    the pyramid to z4 by integer halving (parent x = x >> 1) — how a
+    tile server derives every overview level from the base zoom
+    WITHOUT rescanning the corpus (the reference's zoom ladder,
+    tile_coordinates walk). Certifies the parent-halving math
+    (`geo/tilemath.tile_id_parent`) against direct per-zoom SQL
+    assignment, which coincides exactly on the mercator grid.
+
+    Scale shape: one base groupby at z10 (corpus-wide), then ONE map
+    emitting each base tile's (z, x>>dz, y>>dz, n) for all 7 levels +
+    one slim groupby — pyramid volume is a geometric series of the
+    base table, never of the corpus."""
+    from ray.data.aggregate import Sum
+
+    base = q_tile_count_z10(sf_dir)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        x = batch["tile_x"].to_numpy(zero_copy_only=False)
+        y = batch["tile_y"].to_numpy(zero_copy_only=False)
+        n = batch["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        zs, xs, ys, ns = [], [], [], []
+        for z in range(z_lo, z_hi + 1):
+            dz = z_hi - z
+            zs.append(np.full(len(x), z, np.int64))
+            xs.append(x >> dz)
+            ys.append(y >> dz)
+            ns.append(n)
+        return pa.table({
+            "z": pa.array(np.concatenate(zs), pa.int64()),
+            "tile_x": pa.array(np.concatenate(xs), pa.int64()),
+            "tile_y": pa.array(np.concatenate(ys), pa.int64()),
+            "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    return (base.map_batches(lift, batch_format="pyarrow")
+            .groupby(["z", "tile_x", "tile_y"])
+            .aggregate(Sum("n"))
+            .map_batches(lambda b: pa.table({
+                "z": b["z"], "tile_x": b["tile_x"],
+                "tile_y": b["tile_y"],
+                "n_events": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["tile_pyramid_counts"] = f"""
+    WITH t10 AS (SELECT {_TX10} AS x, {_TY10} AS y,
+                        COUNT(*) AS n
+                 FROM events e GROUP BY 1, 2),
+         lv(z) AS (VALUES (10), (9), (8), (7), (6), (5), (4))
+    SELECT lv.z, t10.x >> (10 - lv.z) AS tile_x,
+           t10.y >> (10 - lv.z) AS tile_y,
+           CAST(SUM(t10.n) AS BIGINT) AS n_events
+    FROM t10 CROSS JOIN lv
+    GROUP BY 1, 2, 3
+"""
+
+
 def q_components_customers(sf_dir: str):
     """Connected components over a sparse customer graph — the FIRST
     SQL-certified run of the CC machinery (`stages/dedup.py::
@@ -7876,6 +7934,7 @@ QUERIES = {
     "areal_interp_tiles": q_areal_interp_tiles,
     "hex_kring_smooth": q_hex_kring_smooth,
     "components_customers": q_components_customers,
+    "tile_pyramid_counts": q_tile_pyramid_counts,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
