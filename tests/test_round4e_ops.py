@@ -233,3 +233,38 @@ def test_tile_pyramid_consistency():
     # overview levels genuinely aggregate (fewer tiles per level up)
     sizes = got.groupby("z").size()
     assert all(sizes[z] <= sizes[z + 1] for z in range(4, 10))
+
+
+def test_containment_pairs_brute():
+    """Asymmetric containment vs a brute set reference; must include a
+    high-containment low-jaccard pair shape (or at least agree exactly
+    on everything)."""
+    from tilemaker_ray.pipelines.queries import q_containment_pairs_docs
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    shingles = {}
+    df = {}
+    for doc, txt in zip(t["doc_id"], t["text"]):
+        toks = txt.split(" ")
+        s = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        shingles[doc] = s
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    for doc in shingles:
+        shingles[doc] = {g for g in shingles[doc] if df[g] <= 50}
+    exp = {}
+    docs = sorted(shingles)
+    # brute O(n^2) is fine at sf0.001 (500 docs)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            c = len(shingles[a] & shingles[b])
+            if c and 2 * c >= min(len(shingles[a]), len(shingles[b])):
+                exp[(a, b)] = (c,
+                               (c * 10**9) // len(shingles[a]),
+                               (c * 10**9) // len(shingles[b]))
+    got = q_containment_pairs_docs(SF).to_pandas()
+    assert {(r.doc_a, r.doc_b): (r.n_shared, r.cont_ab_fp,
+                                 r.cont_ba_fp)
+            for r in got.itertuples()} == exp
+    assert len(exp) > 0

@@ -1866,6 +1866,43 @@ def q_jaccard_pairs_docs(sf_dir: str):
     return jaccard_pairs(ds, ngram=3, df_max=50, threshold=0.5)
 
 
+def q_containment_pairs_docs(sf_dir: str):
+    """Asymmetric set containment (quote/subsumption detection,
+    Broder 1997's 'containment' companion to resemblance): pairs where
+    the SMALLER document's df-filtered trigram set is mostly inside
+    the larger's — C = c / min(na, nb) ≥ 1/2 — which symmetric
+    Jaccard misses when sizes differ (a tweet quoted inside an
+    article has tiny J but C ≈ 1). Reuses the exact-intersection
+    machinery (same four slim exchanges); the containment is reported
+    as EXACT fixed-point integers (floor(1e9·c/n)) so the driver hash
+    certifies the asymmetric statistic too.
+
+    Threshold is evaluated by integer cross-multiplication
+    (2·c ≥ min(na, nb)) — no float in the keep decision."""
+    from ..stages.textindex import jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(ds, ngram=3, df_max=50, threshold=0.0,
+                          emit_sizes=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b["n_shared"].to_numpy(zero_copy_only=False)
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        keep = 2 * c >= np.minimum(na, nb)
+        c, na, nb = c[keep], na[keep], nb[keep]
+        return pa.table({
+            "doc_a": b["doc_a"].filter(pa.array(keep)),
+            "doc_b": b["doc_b"].filter(pa.array(keep)),
+            "n_shared": pa.array(c, pa.int64()),
+            "cont_ab_fp": pa.array((c * 1000000000) // np.maximum(na, 1),
+                                   pa.int64()),
+            "cont_ba_fp": pa.array((c * 1000000000) // np.maximum(nb, 1),
+                                   pa.int64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 def q_copy_pairs(sf_dir: str):
     """Shared-shingle plagiarism pairs over documents. Two slim
     exchanges (shingle-hash bucket → pair-key bucket); the df<=50 cap
@@ -4564,6 +4601,39 @@ ORACLE_SQL["jaccard_pairs_docs"] = """
                JOIN sz sb ON sb.doc_id = inter.doc_b
     WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
           >= 0.5"""
+
+# same CTE chain as the jaccard oracle; the keep rule and both
+# containments are integer-exact (cross-multiplied threshold,
+# floor-division fixed point)
+ORACLE_SQL["containment_pairs_docs"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2])) AS term
+      FROM documents),
+    s AS (SELECT DISTINCT doc_id, term FROM tok),
+    f AS (SELECT term FROM s GROUP BY term HAVING COUNT(*) <= 50),
+    g AS (SELECT s.doc_id, s.term FROM s
+          WHERE s.term IN (SELECT term FROM f)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM g a JOIN g b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           CAST((n_shared * 1000000000) // sa.n AS BIGINT)
+               AS cont_ab_fp,
+           CAST((n_shared * 1000000000) // sb.n AS BIGINT)
+               AS cont_ba_fp
+    FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+               JOIN sz sb ON sb.doc_id = inter.doc_b
+    WHERE 2 * n_shared >= LEAST(sa.n, sb.n)
+"""
 
 # staged-parquet oracles (_stage_for_oracle): the Ray query writes the
 # records both engines must aggregate to a fixed path; the SQL mirrors
@@ -7935,6 +8005,7 @@ QUERIES = {
     "hex_kring_smooth": q_hex_kring_smooth,
     "components_customers": q_components_customers,
     "tile_pyramid_counts": q_tile_pyramid_counts,
+    "containment_pairs_docs": q_containment_pairs_docs,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,

@@ -170,7 +170,8 @@ def copy_pairs(docs_ds, ngram: int = 5, df_max: int = 50,
 
 
 def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
-                  threshold: float = 0.5, num_buckets: int = 64):
+                  threshold: float = 0.5, num_buckets: int = 64,
+                  emit_sizes: bool = False):
     """Exact n-gram Jaccard near-dup join: document pairs whose
     df-filtered distinct word-``ngram`` shingle sets satisfy
     J(a, b) = |Sa ∩ Sb| / (|Sa| + |Sb| − |Sa ∩ Sb|) ≥ ``threshold``.
@@ -369,10 +370,14 @@ def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
     with_nb = attach(with_na, 1, "nb")
 
     def finish(b: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64()),
-                          "n_shared": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
+        cols = {"doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())}
+        if emit_sizes:
+            cols["na"] = pa.array([], pa.int64())
+            cols["nb"] = pa.array([], pa.int64())
+        empty = pa.table(cols)
         if b.num_rows == 0 or "role" not in b.column_names:
             return empty
         role = b["role"].to_numpy(zero_copy_only=False)
@@ -386,11 +391,15 @@ def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
         nb = b["nb"].to_numpy(zero_copy_only=False)[m]
         jac = c.astype(np.float64) / (na + nb - c)
         keep = jac >= threshold
-        return pa.table({
+        out = {
             "doc_a": pa.array(a[keep], pa.int64()),
             "doc_b": pa.array(bb[keep], pa.int64()),
             "n_shared": pa.array(c[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64())})
+            "jaccard": pa.array(jac[keep], pa.float64())}
+        if emit_sizes:
+            out["na"] = pa.array(na[keep], pa.int64())
+            out["nb"] = pa.array(nb[keep], pa.int64())
+        return pa.table(out)
 
     return with_nb.map_batches(finish, batch_format="pyarrow")
 
