@@ -268,3 +268,79 @@ def test_containment_pairs_brute():
                                  r.cont_ba_fp)
             for r in got.itertuples()} == exp
     assert len(exp) > 0
+
+
+def test_bipartite_cooc_brute():
+    from tilemaker_ray.pipelines.queries import q_bipartite_cooc_events
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    per_user = ev.drop_duplicates().groupby("user_id")["event_type"] \
+        .apply(set)
+    import collections
+    exp = collections.Counter()
+    for s in per_user:
+        ts = sorted(s)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                exp[(ts[i], ts[j])] += 1
+    got = q_bipartite_cooc_events(SF).to_pandas()
+    assert {(r.type_a, r.type_b): r.n_users
+            for r in got.itertuples()} == dict(exp)
+    assert len(exp) >= 3
+
+
+def _burst_brute(ts_us):
+    """Independent scalar Viterbi with the same integer micro-nat
+    costs and tie rules."""
+    import math
+    g = [max((b - a) // 1_000_000, 1)
+         for a, b in zip(ts_us, ts_us[1:])]
+    if len(g) < 2:
+        return None
+    lam0 = len(g) / float(sum(g))
+    lam1 = 2.0 * lam0
+    import numpy as np
+    ln0 = int(np.floor(-np.log(np.float64(lam0)) * 1e6))
+    ln1 = int(np.floor(-np.log(np.float64(lam1)) * 1e6))
+    l0q = int(np.floor(np.float64(lam0) * 1e6))
+    l1q = int(np.floor(np.float64(lam1) * 1e6))
+    GAMMA, BIG = 4_000_000, 1 << 60
+    D0, D1 = 0, BIG
+    bps = []
+    for gap in g:
+        c0 = ln0 + l0q * gap
+        c1 = ln1 + l1q * gap
+        from1_0 = D1 < D0
+        n0 = (D1 if from1_0 else D0) + c0
+        enter = D0 + GAMMA
+        from0_1 = enter < D1
+        n1 = (enter if from0_1 else D1) + c1
+        bps.append((from1_0, not from0_1))
+        D0, D1 = n0, n1
+    state = 1 if D1 < D0 else 0
+    burst = 0
+    for col in range(len(g) - 1, -1, -1):
+        if state == 1:
+            burst += 1
+        state = int(bps[col][1]) if state == 1 else int(bps[col][0])
+    return len(g), burst
+
+
+def test_burst_detect_brute():
+    from tilemaker_ray.pipelines.queries import q_burst_detect_events
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    exp = {}
+    for uid, grp in ev.groupby("user_id"):
+        r = _burst_brute(sorted(grp["us"]))
+        if r is not None:
+            exp[uid] = r
+    got = q_burst_detect_events(SF).to_pandas()
+    assert {r.user_id: (r.n_gaps, r.n_burst_gaps)
+            for r in got.itertuples()} == exp
+    # the detector differentiates: some users burst, some never do
+    bursts = got["n_burst_gaps"]
+    assert (bursts > 0).any() and (bursts == 0).any()

@@ -4635,6 +4635,16 @@ ORACLE_SQL["containment_pairs_docs"] = """
     WHERE 2 * n_shared >= LEAST(sa.n, sb.n)
 """
 
+
+ORACLE_SQL["bipartite_cooc_events"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d a JOIN d b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
 # staged-parquet oracles (_stage_for_oracle): the Ray query writes the
 # records both engines must aggregate to a fixed path; the SQL mirrors
 # the Ray-side parse/float tree verbatim over the same files
@@ -6233,6 +6243,188 @@ ORACLE_SQL["phrase_match_docs"] = """
                       FROM hits GROUP BY phrase) h
       ON h.phrase = p.w1 || ' ' || p.w2
 """
+
+
+def q_burst_detect_events(sf_dir: str, num_buckets: int = 64):
+    """Kleinberg burst detection (Kleinberg 2002, the 2-state
+    automaton): label each user's inter-event gaps base/burst via a
+    Viterbi DP — burst state models gaps at twice the user's base
+    rate, entering a burst costs γ. The stream-mining classic behind
+    'bursty topic' timelines; here it reports per user how many gaps
+    the optimal path labels burst.
+
+    Determinism: all DP costs are INTEGER micro-nats
+    (floor(1e6·(λ·g − ln λ)) with λ from integer gap sums), ties
+    prefer the base state — the optimal path is bit-stable and the
+    pytest brute (an independent per-user scalar DP) must agree
+    exactly. No SQL oracle: Viterbi is not SQL-expressible (driver
+    records the rows-only check).
+
+    Scale shape: ONE hash(user) exchange; in-bucket the DP runs
+    vectorized ACROSS users (lane per user over padded gap columns —
+    the stages/lexicon.py trick applied to a 2-state Viterbi), so
+    Python cost is O(longest sequence), not O(total events)."""
+    import math
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    GAMMA = 4_000_000              # 4 nats ~ ln(n) at n~100 gaps
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "b", pa.array(mix_bucket(u, num_buckets), pa.int64()))
+
+    def dp(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        users, lens = u[starts], ends - starts - 1
+        keep = lens >= 2               # need >= 2 gaps for a DP
+        users_k = users[keep]
+        if not len(users_k):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "n_burst_gaps": pa.array([], pa.int64())})
+        m = len(users_k)
+        w = int(lens[keep].max())
+        gaps = np.zeros((m, w), np.int64)
+        lam0 = np.zeros(m, np.float64)
+        row = 0
+        for s, e, k in zip(starts, ends, keep):
+            if not k:
+                continue
+            gseq = np.diff(ts[s:e]) // 1_000_000      # seconds
+            gseq = np.maximum(gseq, 1)
+            gaps[row, :len(gseq)] = gseq
+            lam0[row] = len(gseq) / float(gseq.sum())
+            row += 1
+        lam1 = 2.0 * lam0
+        # integer micro-nat cost tables per user per column
+        ln0 = np.floor(-np.log(lam0) * 1e6).astype(np.int64)
+        ln1 = np.floor(-np.log(lam1) * 1e6).astype(np.int64)
+        l0q = np.floor(lam0 * 1e6).astype(np.int64)
+        l1q = np.floor(lam1 * 1e6).astype(np.int64)
+        nl = lens[keep]
+        BIG = np.int64(1 << 60)
+        D0 = np.zeros(m, np.int64)
+        D1 = np.full(m, BIG, np.int64)   # paths start in base state
+        bp0 = np.zeros((m, w), np.bool_)  # True: came from state 1
+        bp1 = np.zeros((m, w), np.bool_)
+        for col in range(w):
+            alive = col < nl
+            c0 = ln0 + l0q * gaps[:, col]
+            c1 = ln1 + l1q * gaps[:, col]
+            from1_0 = D1 < D0            # strict: tie prefers base
+            n0 = np.where(from1_0, D1, D0) + c0
+            enter = D0 + GAMMA
+            from0_1 = enter < D1
+            n1 = np.where(from0_1, enter, D1) + c1
+            bp0[:, col] = from1_0
+            bp1[:, col] = ~from0_1       # True: stayed in burst
+            D0 = np.where(alive, n0, D0)
+            D1 = np.where(alive, n1, D1)
+        # vectorized backtrack
+        state = (D1 < D0).astype(np.int8)
+        burst = np.zeros(m, np.int64)
+        for col in range(w - 1, -1, -1):
+            alive = col < nl
+            burst += np.where(alive & (state == 1), 1, 0)
+            prev1 = np.where(state == 1, bp1[:, col],
+                             bp0[:, col])
+            state = np.where(alive, prev1.astype(np.int8), state)
+        return pa.table({
+            "user_id": pa.array(users_k, pa.int64()),
+            "n_gaps": pa.array(nl, pa.int64()),
+            "n_burst_gaps": pa.array(burst, pa.int64())})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("b").map_groups(dp, batch_format="pyarrow"))
+
+
+def q_bipartite_cooc_events(sf_dir: str, num_buckets: int = 64):
+    """Bipartite projection (the recommender / co-visitation building
+    block): project the user–event-type bipartite graph onto types —
+    for every unordered type pair, how many distinct users touched
+    BOTH. Differs from windowed co-occurrence (positional, windowed):
+    this is set-level co-membership, the 'users who did X also did Y'
+    statistic.
+
+    Scale shape: ONE hash(user)-bucketed exchange of per-batch
+    distinct (user, type) rows (the only corpus-sized step), in-bucket
+    per-user triu pair expansion bounded by the type-vocabulary (not
+    by user activity — distinct types per user ≤ |vocab|), and a tiny
+    (type, type) groupby fold."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["user_id", "event_type"]).aggregate([])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "b": pa.array(mix_bucket(u, num_buckets), pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        # global per-user distinct, then per-user type pairs
+        t = g.group_by(["user_id", "event_type"]).aggregate([])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].combine_chunks()
+        codes_arr = ty.dictionary_encode()
+        raw = codes_arr.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dic = codes_arr.dictionary.to_pylist()
+        # canonical pair order must follow type STRINGS (the oracle's
+        # a < b), not first-appearance dictionary codes
+        vocab = sorted(dic)
+        rank = np.asarray([vocab.index(v) for v in dic], np.int64)
+        codes = rank[raw]
+        order = np.lexsort((codes, u))
+        u, codes = u[order], codes[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            cs = codes[s:e]
+            for i in range(len(cs)):
+                for j in range(i + 1, len(cs)):
+                    out_a.append(cs[i])
+                    out_b.append(cs[j])
+        if not out_a:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        a = np.asarray(out_a, np.int64)
+        b = np.asarray(out_b, np.int64)
+        key = a * len(vocab) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        va = [vocab[int(k) // len(vocab)] for k in uk]
+        vb = [vocab[int(k) % len(vocab)] for k in uk]
+        return pa.table({"type_a": pa.array(va, pa.string()),
+                         "type_b": pa.array(vb, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    return (ds.map_batches(distinct, batch_format="pyarrow")
+            .groupby("b").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n"))
+            .map_batches(lambda t: pa.table({
+                "type_a": t["type_a"], "type_b": t["type_b"],
+                "n_users": pc.cast(t["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
 
 
 def q_tile_pyramid_counts(sf_dir: str, z_hi: int = 10, z_lo: int = 4):
@@ -8006,6 +8198,8 @@ QUERIES = {
     "components_customers": q_components_customers,
     "tile_pyramid_counts": q_tile_pyramid_counts,
     "containment_pairs_docs": q_containment_pairs_docs,
+    "bipartite_cooc_events": q_bipartite_cooc_events,
+    "burst_detect_events": q_burst_detect_events,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
