@@ -344,3 +344,26 @@ def test_burst_detect_brute():
     # the detector differentiates: some users burst, some never do
     bursts = got["n_burst_gaps"]
     assert (bursts > 0).any() and (bursts == 0).any()
+
+
+def test_cohort_retention_brute():
+    from tilemaker_ray.pipelines.queries import (
+        q_cohort_retention_events)
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    wk = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // (7 * 24 * 3600 * 1_000_000)
+    d = set(zip(ev["user_id"], wk))
+    first = {}
+    for u, w in sorted(d):
+        first.setdefault(u, w)
+    import collections
+    exp = collections.Counter((first[u], w) for u, w in d)
+    got = q_cohort_retention_events(SF).to_pandas()
+    assert {(r.cohort_week, r.week): r.n_users
+            for r in got.itertuples()} == dict(exp)
+    # retention decays: the diagonal cell (cohort itself) dominates
+    diag = got[got["cohort_week"] == got["week"]]["n_users"].sum()
+    off = got[got["cohort_week"] != got["week"]]["n_users"].sum()
+    assert diag > 0 and off >= 0

@@ -4645,6 +4645,21 @@ ORACLE_SQL["bipartite_cooc_events"] = """
     GROUP BY 1, 2
 """
 
+
+# epoch-week = epoch_us // (7*24*3600*1e6); DuckDB epoch_us(ts) gives
+# the same int64 microseconds the Ray side derives
+ORACLE_SQL["cohort_retention_events"] = """
+    WITH w AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 604800000000 AS week
+               FROM events),
+         c AS (SELECT user_id, MIN(week) AS cohort_week
+               FROM w GROUP BY 1)
+    SELECT c.cohort_week, w.week,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
 # staged-parquet oracles (_stage_for_oracle): the Ray query writes the
 # records both engines must aggregate to a fixed path; the SQL mirrors
 # the Ray-side parse/float tree verbatim over the same files
@@ -6243,6 +6258,62 @@ ORACLE_SQL["phrase_match_docs"] = """
                       FROM hits GROUP BY phrase) h
       ON h.phrase = p.w1 || ' ' || p.w2
 """
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Cohort retention matrix (the product-analytics classic): users
+    are cohorted by their FIRST event week; for every (cohort week,
+    activity week) cell, how many distinct cohort members were active
+    — the diagonal-decay table every retention dashboard renders.
+    Weeks are integer epoch-week numbers (ts // 7 days), exact in
+    both engines.
+
+    Scale shape: per-batch (user, week) distinct partials → ONE
+    groupby attaches the cohort (min week) in-group and emits the
+    distinct (cohort, week, user) triples — all rows of a user
+    co-locate, so the min and the matrix cells come from the same
+    exchange — then a tiny (cohort, week) fold."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        wk = ts // WEEK_US
+        t = pa.table({"user_id": pa.array(u, pa.int64()),
+                      "week": pa.array(wk, pa.int64())})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    def attach_cohort(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        wk = g["week"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        # global distinct (pairs may repeat across batches)
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+        u, wk = u[keep], wk[keep]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(brk) - 1
+        cohort = wk[brk][seg]          # first (min) week per user
+        return pa.table({
+            "cohort_week": pa.array(cohort, pa.int64()),
+            "week": pa.array(wk, pa.int64()),
+            "n": pa.array(np.ones(len(u), np.int64))})
+
+    return (ds.map_batches(weeks, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(attach_cohort, batch_format="pyarrow")
+            .groupby(["cohort_week", "week"])
+            .aggregate(Sum("n"))
+            .map_batches(lambda t: pa.table({
+                "cohort_week": t["cohort_week"], "week": t["week"],
+                "n_users": pc.cast(t["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
 
 
 def q_burst_detect_events(sf_dir: str, num_buckets: int = 64):
@@ -8200,6 +8271,7 @@ QUERIES = {
     "containment_pairs_docs": q_containment_pairs_docs,
     "bipartite_cooc_events": q_bipartite_cooc_events,
     "burst_detect_events": q_burst_detect_events,
+    "cohort_retention_events": q_cohort_retention_events,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
