@@ -407,3 +407,27 @@ def test_edit_distance_words_brute():
         for b in vocab[i + 1:]:
             if abs(len(a) - len(b)) > 2:
                 assert lev(a, b) > 2
+
+
+def test_forecast_backtest_brute():
+    from tilemaker_ray.pipelines.queries import (
+        q_forecast_backtest_events)
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // (86400 * 1_000_000)
+    lo, hi = int(day.min()), int(day.max())
+    exp = {}
+    for et, grp in day.groupby(ev["event_type"]):
+        grid = np.zeros(hi - lo + 1, np.int64)
+        for d, c in grp.value_counts().items():
+            grid[int(d) - lo] = c
+        e7 = np.abs(grid[7:] - grid[:-7])
+        e1 = np.abs(grid[1:] - grid[:-1])
+        exp[et] = (len(e7), int(e7.sum()), len(e1), int(e1.sum()))
+    got = q_forecast_backtest_events(SF).to_pandas()
+    assert {r.event_type: (r.n7, r.sum_abs_err7, r.n1, r.sum_abs_err1)
+            for r in got.itertuples()} == exp
+    # the backtest is non-degenerate
+    assert all(v[1] > 0 and v[3] > 0 for v in exp.values())

@@ -6260,6 +6260,94 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_forecast_backtest_events(sf_dir: str):
+    """Seasonal-naive forecast backtest (the MASE evaluation of
+    Hyndman & Koehler 2006): per event type, score the lag-7
+    (same-weekday) naive forecast of DAILY event counts against the
+    lag-1 naive baseline — the sanity backtest every traffic-
+    forecasting pipeline runs before trusting a model. Days with no
+    events COUNT AS ZERO (the series is densified over the global
+    day span — skipping gaps would silently shift every lag).
+
+    Output is the exact integer sufficient statistics (n, Σ|err|) for
+    both horizons; MASE = (sum7/n7)/(sum1/n1) follows by division —
+    kept integer so the driver hash certifies the whole backtest.
+
+    Scale shape: per-batch (type, day) count partials → ONE slim
+    groupby; the per-type dense-grid + lag walk runs in-group over
+    the GRID length (bounded by the time span, not event volume)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(days, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).aggregate(Sum("n"))
+              .map_batches(lambda b: pa.table({
+                  "event_type": b["event_type"], "day": b["day"],
+                  "n": pc.cast(b["sum(n)"], pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())      # grid span scalars + group walk
+    lo = int(counts.min("day"))
+    hi = int(counts.max("day"))
+
+    def backtest(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        grid = np.zeros(hi - lo + 1, np.int64)
+        grid[day - lo] = n
+        e7 = np.abs(grid[7:] - grid[:-7])
+        e1 = np.abs(grid[1:] - grid[:-1])
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array([0])),
+            "n7": pa.array([len(e7)], pa.int64()),
+            "sum_abs_err7": pa.array([int(e7.sum())], pa.int64()),
+            "n1": pa.array([len(e1)], pa.int64()),
+            "sum_abs_err1": pa.array([int(e1.sum())], pa.int64())})
+
+    return (counts.groupby("event_type")
+            .map_groups(backtest, batch_format="pyarrow"))
+
+
+ORACLE_SQL["forecast_backtest_events"] = """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+         span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+         g AS (SELECT t.event_type, gs.day
+               FROM (SELECT DISTINCT event_type FROM events) t
+               CROSS JOIN (SELECT unnest(range(
+                   (SELECT lo FROM span),
+                   (SELECT hi FROM span) + 1)) AS day) gs),
+         c AS (SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+               FROM g LEFT JOIN d USING (event_type, day)),
+         w AS (SELECT event_type, day, n,
+                      LAG(n, 7) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS l7,
+                      LAG(n, 1) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS l1
+               FROM c)
+    SELECT event_type,
+           CAST(COUNT(l7) AS BIGINT) AS n7,
+           CAST(SUM(ABS(n - l7)) AS BIGINT) AS sum_abs_err7,
+           CAST(COUNT(l1) AS BIGINT) AS n1,
+           CAST(SUM(ABS(n - l1)) AS BIGINT) AS sum_abs_err1
+    FROM w GROUP BY 1
+"""
+
+
 def q_edit_distance_words(sf_dir: str, max_ed: int = 2,
                           num_buckets: int = 16):
     """Exact Levenshtein pair join over the corpus vocabulary with
@@ -8392,6 +8480,7 @@ QUERIES = {
     "burst_detect_events": q_burst_detect_events,
     "cohort_retention_events": q_cohort_retention_events,
     "edit_distance_words": q_edit_distance_words,
+    "forecast_backtest_events": q_forecast_backtest_events,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
