@@ -431,3 +431,54 @@ def test_forecast_backtest_brute():
             for r in got.itertuples()} == exp
     # the backtest is non-degenerate
     assert all(v[1] > 0 and v[3] > 0 for v in exp.values())
+
+
+def test_dbscan_brute():
+    """Full-matrix single-process DBSCAN (no grid) must agree exactly:
+    same cores, same min-label components, same border rule."""
+    from tilemaker_ray.functions import derived as dv
+    from tilemaker_ray.pipelines.queries import q_dbscan_customers
+
+    # sf0.01: 1500 customers give the full core/border/noise mix
+    # (at sf0.001 every point is noise — parity still checked there
+    # by the driver-protocol sim)
+    SF01 = "/root/testdata/sf0.01"
+    ck = pq.read_table(f"{SF01}/customer.parquet",
+                       columns=["c_custkey"])["c_custkey"] \
+        .to_numpy().astype(np.int64)
+    lon, lat = dv.customer_lonlat(ck)
+    P = np.stack([lon, lat], 1)
+    d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(2)
+    within = d2 <= 64.0
+    core = within.sum(1) >= 5          # includes self
+    # components over core-core edges, min-label
+    parent = {int(c): int(c) for c in ck[core]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.flatnonzero(core)
+    for i in ci:
+        for j in ci:
+            if i < j and within[i, j]:
+                a, b = find(int(ck[i])), find(int(ck[j]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    exp = {}
+    for i, c in enumerate(ck):
+        c = int(c)
+        if core[i]:
+            exp[c] = find(c)
+        else:
+            nb = [find(int(ck[j]))
+                  for j in np.flatnonzero(within[i] & core)
+                  if j != i]
+            exp[c] = min(nb) if nb else -1
+    got = q_dbscan_customers(SF01).to_pandas()
+    assert {r.c_custkey: r.label for r in got.itertuples()} == exp
+    labels = got["label"]
+    assert (labels == -1).any()                  # noise exists
+    assert got[labels >= 0]["label"].nunique() >= 2   # >1 cluster

@@ -6260,6 +6260,220 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_dbscan_customers(sf_dir: str, eps: float = 8.0,
+                       min_pts: int = 5, num_buckets: int = 32):
+    """Exact distributed DBSCAN (Ester et al. 1996) over the customer
+    lattice — the density-clustering classic beside KMeans: core
+    points have ≥ min_pts neighbors within eps (self included),
+    clusters are connected components of the core-core eps-graph,
+    non-core points attach to the MINIMUM core-neighbor label
+    (deterministic border rule), the rest are noise (label −1).
+
+    Exactness: the eps-grid scatter finds every eps-pair EXACTLY ONCE
+    with no dedup exchange — a pair (a < b) is emitted only from the
+    cell where `a` is the OWNER and `b` is owner-or-halo; in the
+    adjacent-cell case the reverse cell sees b as owner with a > b
+    and stays silent. Distances are the same IEEE double expression
+    the oracle evaluates; components come from the SQL-certified CC
+    engine; the oracle re-derives the whole ladder (degrees → cores →
+    recursive-CTE components → border attach).
+
+    Scale shape: one 9-cell scatter exchange of slim (id, lon, lat)
+    rows, per-cell vectorized pair mask, pair table materialized as a
+    DATASET (never the corpus); core/label/border maps are the
+    broadcast small side here — at 10^12 points each becomes one more
+    hash-keyed co-location exchange (the linededup rebuild shape)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import connected_components_min_label
+
+    eps2 = eps * eps
+    OFF = np.array([(dx, dy) for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)], np.int64)
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon, lat = dv.customer_lonlat(ck)
+        cx = np.floor(lon / eps).astype(np.int64)
+        cy = np.floor(lat / eps).astype(np.int64)
+        n = len(ck)
+        ids = np.repeat(ck, 9)
+        lo = np.repeat(lon, 9)
+        la = np.repeat(lat, 9)
+        dx = np.tile(OFF[:, 0], n)
+        dy = np.tile(OFF[:, 1], n)
+        cellx = np.repeat(cx, 9) + dx
+        celly = np.repeat(cy, 9) + dy
+        own = (dx == 0) & (dy == 0)
+        cell = (cellx + (1 << 20)) * (1 << 21) + (celly + (1 << 20))
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "x": pa.array(lo, pa.float64()),
+            "y": pa.array(la, pa.float64()),
+            "own": pa.array(own, pa.bool_()),
+            "b": pa.array(mix_bucket(cell, num_buckets), pa.int64())})
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        own = g["own"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        cell, ids, x, y, own = (cell[order], ids[order], x[order],
+                                y[order], own[order])
+        brk = np.ones(len(cell), dtype=bool)
+        brk[1:] = cell[1:] != cell[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(cell)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            oi = np.flatnonzero(own[s:e]) + s
+            if not len(oi):
+                continue
+            ai, bi = np.meshgrid(oi, np.arange(s, e), indexing="ij")
+            ai, bi = ai.ravel(), bi.ravel()
+            m = ids[ai] < ids[bi]
+            ai, bi = ai[m], bi[m]
+            d2 = (x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2
+            m2 = d2 <= eps2
+            out_a.append(ids[ai[m2]])
+            out_b.append(ids[bi[m2]])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    pairs = (ds.map_batches(scatter, batch_format="pyarrow")
+             .groupby("b").map_groups(cell_pairs,
+                                      batch_format="pyarrow")
+             .materialize())
+
+    # degrees (+1 self) -> core flags
+    def deg_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        ids = np.concatenate([a, b])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    deg = (pairs.map_batches(deg_rows, batch_format="pyarrow")
+           .groupby("id").aggregate(Sum("n")))
+    core = set()
+    for t in ray.get(list(deg.to_arrow_refs())):
+        if t.num_rows:
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            nn = t["sum(n)"].to_numpy(zero_copy_only=False)
+            core.update(int(i) for i, k in zip(ids, nn)
+                        if k + 1 >= min_pts)
+    core_ref = ray.put(core)
+
+    def core_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        cs = ray.get(core_ref)
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        m = np.fromiter(((int(x1) in cs and int(x2) in cs)
+                         for x1, x2 in zip(a, b)),
+                        dtype=bool, count=len(a))
+        return pa.table({"doc_a": pa.array(a[m], pa.int64()),
+                         "doc_b": pa.array(b[m], pa.int64())})
+
+    cc = connected_components_min_label(
+        pairs.map_batches(core_edges, batch_format="pyarrow"))
+    lbl = {}
+    for t in ray.get(list(cc.to_arrow_refs())):
+        if t.num_rows:
+            lbl.update(zip(t["doc_id"].to_pylist(),
+                           t["comp"].to_pylist()))
+    # isolated cores (no core neighbor) label themselves
+    for c in core:
+        lbl.setdefault(c, c)
+
+    # border: min core-neighbor label per non-core point
+    border = {}
+    for t in ray.get(list(pairs.to_arrow_refs())):
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            continue
+        for a, b in zip(t["doc_a"].to_pylist(),
+                        t["doc_b"].to_pylist()):
+            for p, q in ((a, b), (b, a)):
+                if p not in core and q in core:
+                    cand = lbl[q]
+                    if p not in border or cand < border[p]:
+                        border[p] = cand
+    lbl_ref = ray.put(lbl)
+    border_ref = ray.put(border)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        la, bo = ray.get(lbl_ref), ray.get(border_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out = np.fromiter(
+            (la.get(int(c), bo.get(int(c), -1)) for c in ck),
+            dtype=np.int64, count=len(ck))
+        return pa.table({"c_custkey": pa.array(ck, pa.int64()),
+                         "label": pa.array(out, pa.int64())})
+
+    return (_read(sf_dir, "customer", columns=["c_custkey"])
+            .map_batches(attach, batch_format="pyarrow"))
+
+
+ORACLE_SQL["dbscan_customers"] = f"""
+    WITH RECURSIVE
+      p AS (SELECT c.c_custkey AS id, {dv.CU_LON_SQL} AS x,
+                   {dv.CU_LAT_SQL} AS y
+            FROM customer c),
+      pr AS (SELECT a.id AS ia, b.id AS ib
+             FROM p a JOIN p b ON a.id < b.id
+              AND (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) <= 64.0),
+      deg AS (SELECT id, COUNT(*) + 1 AS k
+              FROM (SELECT ia AS id FROM pr
+                    UNION ALL SELECT ib FROM pr)
+              GROUP BY 1),
+      core AS (SELECT id FROM deg WHERE k >= 5),
+      e AS (SELECT ia AS u, ib AS v FROM pr
+            WHERE ia IN (SELECT id FROM core)
+              AND ib IN (SELECT id FROM core)
+            UNION
+            SELECT ib, ia FROM pr
+            WHERE ia IN (SELECT id FROM core)
+              AND ib IN (SELECT id FROM core)),
+      reach(node, r) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.v, reach.r FROM e JOIN reach ON reach.node = e.u),
+      lbl AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY 1),
+      nbrs AS (SELECT ia AS id, ib AS nb FROM pr
+               UNION ALL SELECT ib, ia FROM pr),
+      border AS (SELECT n.id, MIN(l.comp) AS comp
+                 FROM nbrs n
+                 JOIN core c2 ON c2.id = n.nb
+                 JOIN lbl l ON l.node = n.nb
+                 WHERE n.id NOT IN (SELECT id FROM core)
+                 GROUP BY 1)
+    SELECT c.c_custkey,
+           CAST(COALESCE(l.comp, b.comp, -1) AS BIGINT) AS label
+    FROM customer c
+    LEFT JOIN lbl l ON l.node = c.c_custkey
+    LEFT JOIN border b ON b.id = c.c_custkey
+"""
+
+
 def q_forecast_backtest_events(sf_dir: str):
     """Seasonal-naive forecast backtest (the MASE evaluation of
     Hyndman & Koehler 2006): per event type, score the lag-7
@@ -8481,6 +8695,7 @@ QUERIES = {
     "cohort_retention_events": q_cohort_retention_events,
     "edit_distance_words": q_edit_distance_words,
     "forecast_backtest_events": q_forecast_backtest_events,
+    "dbscan_customers": q_dbscan_customers,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
