@@ -482,3 +482,37 @@ def test_dbscan_brute():
     labels = got["label"]
     assert (labels == -1).any()                  # noise exists
     assert got[labels >= 0]["label"].nunique() >= 2   # >1 cluster
+
+
+def test_auc_vs_sklearn_style_reference():
+    """2U/(2·n_pos·n_neg) must equal a direct tie-aware AUC computed
+    from scratch (the scipy rankdata formulation)."""
+    from tilemaker_ray.pipelines.queries import q_auc_embeddings
+    from tilemaker_ray.stages.dedup import _emb_matrix
+    import pyarrow as pa
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    V = _emb_matrix(t["embedding"], 64).astype(np.float64)
+    score = np.floor(V[:, 0] * 1_000_000).astype(np.int64)
+    pos = (t["label"].to_numpy().astype(np.int64) < 5)
+    # tie-averaged ranks from scratch
+    order = np.argsort(score, kind="mergesort")
+    s = score[order]
+    ranks = np.empty(len(s), np.float64)
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0
+        i = j
+    r = np.empty(len(s), np.float64)
+    r[order] = ranks
+    npos, nneg = int(pos.sum()), int((~pos).sum())
+    u = r[pos].sum() - npos * (npos + 1) / 2.0
+    got = q_auc_embeddings(SF).to_pandas().iloc[0]
+    assert got["n_pos"] == npos and got["n_neg"] == nneg
+    assert got["u2"] == int(round(2 * u))
+    auc = got["u2"] / (2.0 * npos * nneg)
+    assert 0.0 <= auc <= 1.0

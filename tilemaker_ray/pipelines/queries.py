@@ -6260,6 +6260,98 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_auc_embeddings(sf_dir: str):
+    """Exact ROC-AUC as the Mann–Whitney rank statistic (the model-
+    evaluation step after training a quality classifier): AUC =
+    U / (n_pos·n_neg) with U from tie-averaged ranks. Reported as the
+    exact INTEGERS (u2 = 2U, n_pos, n_neg) — ties contribute
+    half-ranks, so doubling keeps everything integer and the driver
+    hash certifies the whole evaluation. Score = fixed-point first
+    embedding component, label = class < 5 (deterministic binary task
+    over the synthetic labels; exactness, not model quality, is what
+    is certified — the score is random by construction, AUC ≈ 0.5).
+
+    Scale shape (the ks_drift skeleton): per-batch (score, n_pos, n)
+    partials → groupby bounded by the score support → ONE running-sum
+    exchange gives each tie-group its rank interval → integer fold.
+    No per-row ranks ever materialize."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.cumulative import cumulative
+    from ..stages.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], 64).astype(np.float64)
+        score = np.floor(V[:, 0] * 1_000_000).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = (lab < 5).astype(np.int64)
+        t = pa.table({"score": pa.array(score, pa.int64()),
+                      "np_": pa.array(pos, pa.int64()),
+                      "n": pa.array(np.ones(len(lab), np.int64))})
+        g = t.group_by("score").aggregate([("np_", "sum"),
+                                           ("n", "sum")])
+        return pa.table({"score": g["score"],
+                         "np_": pc.cast(g["np__sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("score").aggregate(Sum("np_"), Sum("n"))
+            .map_batches(lambda b: pa.table({
+                "p": pa.array(np.zeros(b.num_rows, np.int64)),
+                "score": b["score"],
+                "np_": pc.cast(b["sum(np_)"], pa.int64()),
+                "n": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow")
+            .materialize())
+    c = cumulative(dist, ["p"], ["score"], "n", ops=("sum",),
+                   out_cols=["chi"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        np_ = batch["np_"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        chi = batch["chi"].to_numpy(zero_copy_only=False)
+        cb = chi - n                      # rank interval start - 1
+        sum2r = int((np_ * (2 * cb + n + 1)).sum())
+        return pa.table({
+            "sum2r": pa.array([sum2r], pa.int64()),
+            "npos": pa.array([int(np_.sum())], pa.int64()),
+            "ntot": pa.array([int(n.sum())], pa.int64())})
+
+    parts = c.map_batches(fold, batch_format="pyarrow").to_pandas()
+    sum2r = int(parts["sum2r"].sum())
+    npos = int(parts["npos"].sum())
+    ntot = int(parts["ntot"].sum())
+    return pa.table({
+        "u2": pa.array([sum2r - npos * (npos + 1)], pa.int64()),
+        "n_pos": pa.array([npos], pa.int64()),
+        "n_neg": pa.array([ntot - npos], pa.int64())})
+
+
+ORACLE_SQL["auc_embeddings"] = """
+    WITH s AS (SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                               * 1000000) AS BIGINT) AS score,
+                      CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+               FROM embeddings),
+         g AS (SELECT score, SUM(pos) AS np_, COUNT(*) AS n
+               FROM s GROUP BY 1),
+         c AS (SELECT score, np_, n,
+                      COALESCE(SUM(n) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cb
+               FROM g),
+         t AS (SELECT SUM(np_ * (2 * cb + n + 1)) AS sum2r,
+                      SUM(np_) AS npos, SUM(n) AS ntot
+               FROM c)
+    SELECT CAST(sum2r - npos * (npos + 1) AS BIGINT) AS u2,
+           CAST(npos AS BIGINT) AS n_pos,
+           CAST(ntot - npos AS BIGINT) AS n_neg
+    FROM t
+"""
+
+
 def q_dbscan_customers(sf_dir: str, eps: float = 8.0,
                        min_pts: int = 5, num_buckets: int = 32):
     """Exact distributed DBSCAN (Ester et al. 1996) over the customer
@@ -8696,6 +8788,7 @@ QUERIES = {
     "edit_distance_words": q_edit_distance_words,
     "forecast_backtest_events": q_forecast_backtest_events,
     "dbscan_customers": q_dbscan_customers,
+    "auc_embeddings": q_auc_embeddings,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
