@@ -516,3 +516,41 @@ def test_auc_vs_sklearn_style_reference():
     assert got["u2"] == int(round(2 * u))
     auc = got["u2"] / (2.0 * npos * nneg)
     assert 0.0 <= auc <= 1.0
+
+
+def test_isotonic_calibration_reference():
+    """PAVA blocks vs an independent O(n) stack reference over the
+    same (score, pos) data, plus the monotonicity/partition
+    invariants that DEFINE isotonic regression."""
+    from tilemaker_ray.pipelines.queries import q_isotonic_calibration
+    from tilemaker_ray.stages.dedup import _emb_matrix
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    V = _emb_matrix(t["embedding"], 64).astype(np.float64)
+    score = np.floor(V[:, 0] * 1_000_000).astype(np.int64)
+    pos = (t["label"].to_numpy().astype(np.int64) < 5).astype(int)
+    import collections
+    agg = collections.OrderedDict()
+    for s, p in sorted(zip(score.tolist(), pos.tolist())):
+        n0, s0 = agg.get(s, (0, 0))
+        agg[s] = (n0 + 1, s0 + p)
+    stack = []
+    for s, (n, sp) in agg.items():
+        stack.append([s, s, n, sp])
+        while len(stack) >= 2 and \
+                stack[-2][3] * stack[-1][2] > \
+                stack[-1][3] * stack[-2][2]:
+            lo2, hi2, n2, s2 = stack.pop()
+            stack[-1][1] = hi2
+            stack[-1][2] += n2
+            stack[-1][3] += s2
+    got = q_isotonic_calibration(SF).to_pandas()
+    assert [(r.score_lo, r.score_hi, r.n, r.sum_pos)
+            for r in got.itertuples()] == [tuple(b) for b in stack]
+    # invariants: rates non-decreasing, blocks partition the support
+    rates = got["sum_pos"] / got["n"]
+    assert (rates.diff().dropna() >= 0).all()
+    assert got["n"].sum() == len(score)
+    assert (got["score_lo"] <= got["score_hi"]).all()
+    assert len(got) >= 2 and len(got) < len(agg)   # pooling happened

@@ -6260,6 +6260,91 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def _pava_merge(blocks):
+    """Pool-adjacent-violators over (score_lo, score_hi, n, sum_pos)
+    blocks sorted by score: pool while mean decreases. Means are
+    compared by integer cross-multiplication — no float."""
+    out = []
+    for b in blocks:
+        out.append(list(b))
+        # sum_pos/n non-decreasing: pool while prev mean > cur mean
+        while len(out) >= 2 and \
+                out[-2][3] * out[-1][2] > out[-1][3] * out[-2][2]:
+            lo2, hi2, n2, s2 = out.pop()
+            out[-1][1] = hi2
+            out[-1][2] += n2
+            out[-1][3] += s2
+    return out
+
+
+def q_isotonic_calibration(sf_dir: str):
+    """Isotonic regression calibration (pool-adjacent-violators, the
+    Zadrozny & Elkan 2002 classifier-calibration step that follows the
+    AUC evaluation): fit the best monotone score→P(pos) map by
+    pooling adjacent score groups whose positive rate decreases.
+    Output: the pooled blocks as exact integers (score range, n,
+    sum_pos) — the calibrated probability is sum_pos/n per block.
+
+    Determinism: pooling compares rates by integer cross-
+    multiplication; PAVA's result is unique, so any merge order
+    converges to the same blocks. No SQL oracle (PAVA is sequential
+    pooling, not SQL-expressible) — pytest pins against an
+    independent reference and the monotonicity/pooling invariants.
+
+    Scale shape: per-batch (score, n, sum_pos) partials → groupby
+    bounded by the score SUPPORT → sorted blocks each run LOCAL PAVA
+    (vectorizable stack walk) → the driver folds the per-block pooled
+    stacks with the same associative merge (parallel PAVA: pooled
+    stacks concatenate and re-pool at the seam; driver state is
+    O(pooled blocks), bounded by support, not corpus)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], 64).astype(np.float64)
+        score = np.floor(V[:, 0] * 1_000_000).astype(np.int64)
+        pos = (batch["label"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) < 5).astype(np.int64)
+        t = pa.table({"score": pa.array(score, pa.int64()),
+                      "sp": pa.array(pos, pa.int64()),
+                      "n": pa.array(np.ones(len(pos), np.int64))})
+        g = t.group_by("score").aggregate([("sp", "sum"),
+                                           ("n", "sum")])
+        return pa.table({"score": g["score"],
+                         "sp": pc.cast(g["sp_sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    dist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("score").aggregate(Sum("sp"), Sum("n"))
+            .sort("score"))
+
+    # local PAVA per sorted Ray block; pooled stacks to the driver
+    stacks = []
+    for ref in dist.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        sp = t["sum(sp)"].to_numpy(zero_copy_only=False)
+        n = t["sum(n)"].to_numpy(zero_copy_only=False)
+        stacks.append(_pava_merge(
+            [(int(s), int(s), int(k), int(p))
+             for s, k, p in zip(sc, n, sp)]))
+    pooled = []
+    for st in stacks:                  # associative seam re-pool
+        pooled = _pava_merge(pooled + st) if pooled else st
+    return pa.table({
+        "block_id": pa.array(range(len(pooled)), pa.int64()),
+        "score_lo": pa.array([b[0] for b in pooled], pa.int64()),
+        "score_hi": pa.array([b[1] for b in pooled], pa.int64()),
+        "n": pa.array([b[2] for b in pooled], pa.int64()),
+        "sum_pos": pa.array([b[3] for b in pooled], pa.int64())})
+
+
 def q_auc_embeddings(sf_dir: str):
     """Exact ROC-AUC as the Mann–Whitney rank statistic (the model-
     evaluation step after training a quality classifier): AUC =
@@ -8789,6 +8874,7 @@ QUERIES = {
     "forecast_backtest_events": q_forecast_backtest_events,
     "dbscan_customers": q_dbscan_customers,
     "auc_embeddings": q_auc_embeddings,
+    "isotonic_calibration": q_isotonic_calibration,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
