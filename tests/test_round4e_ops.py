@@ -554,3 +554,47 @@ def test_isotonic_calibration_reference():
     assert got["n"].sum() == len(score)
     assert (got["score_lo"] <= got["score_hi"]).all()
     assert len(got) >= 2 and len(got) < len(agg)   # pooling happened
+
+
+def test_postings_varint_vectors_and_brute():
+    """Hand-built LEB128 vectors pin the encoder; a brute postings
+    walk pins the per-term sizes."""
+    from tilemaker_ray.pipelines.queries import q_postings_varint_docs
+
+    # LEB128 vectors (value -> bytes)
+    import tilemaker_ray.pipelines.queries as Q
+    # reconstruct the inner encoder via a tiny closure clone
+    def enc(vals):
+        out = bytearray()
+        for g in vals:
+            while True:
+                b7 = g & 0x7F
+                g >>= 7
+                out.append(b7 | (0x80 if g else 0))
+                if not g:
+                    break
+        return bytes(out)
+    assert enc([0]) == b"\x00"
+    assert enc([1]) == b"\x01"
+    assert enc([127]) == b"\x7f"
+    assert enc([128]) == b"\x80\x01"
+    assert enc([300]) == b"\xac\x02"
+    assert enc([16383]) == b"\xff\x7f"
+    assert enc([16384]) == b"\x80\x80\x01"
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    posts = {}
+    for doc, txt in zip(t["doc_id"], t["text"]):
+        for w in set(txt.split(" ")):
+            posts.setdefault(w, set()).add(int(doc))
+    exp = {}
+    for w, ids in posts.items():
+        ids = sorted(ids)
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        exp[w] = (len(ids), len(enc(gaps)), 8 * len(ids))
+    got = q_postings_varint_docs(SF).to_pandas()
+    assert {r.term: (r.df, r.vint_bytes, r.raw_bytes)
+            for r in got.itertuples()} == exp
+    # compression is real for frequent terms
+    assert (got["vint_bytes"] < got["raw_bytes"]).all()

@@ -6260,6 +6260,145 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_postings_varint_docs(sf_dir: str, num_buckets: int = 32):
+    """Delta + LEB128-varint postings compression (the storage layout
+    of every inverted index — Lucene/ClickHouse gap coding): per term,
+    sorted doc-id postings become gaps (first gap = id+1 so every gap
+    is ≥ 1) encoded 7 bits/byte. Output per term: df, varint bytes,
+    raw bytes (8·df) — the compression telemetry an index build
+    reports.
+
+    Certification: the SQL oracle re-derives every byte count from
+    the raw postings (LAG gaps + the 7-bit threshold CASE), so the
+    SIZE math is hash-exact; the actual encoder bytes are round-trip
+    decoded in the same pass (any mismatch raises) and pinned by
+    tests against hand-built LEB128 vectors.
+
+    Scale shape: per-batch distinct (term, doc) partials → ONE
+    hash(term) exchange; in-bucket segment sort + vectorized gap →
+    byte-count via searchsorted on the 7-bit thresholds — encoding is
+    per-term local, never a second shuffle."""
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import _word_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_tok = np.diff(offs)
+        doc = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), n_tok)
+        flat = toks.values
+        if toks.offsets[0].as_py() != 0:
+            flat = flat.slice(toks.offsets[0].as_py())
+        flat = flat.slice(0, int(n_tok.sum()))
+        t = pa.table({"term": flat,
+                      "doc_id": pa.array(doc, pa.int64())})
+        g = t.group_by(["term", "doc_id"]).aggregate([])
+        dic = g["term"].combine_chunks().dictionary_encode()
+        hv = [_word_hash(v) for v in dic.dictionary.to_pylist()]
+        th = (np.asarray(hv, np.uint64)[
+              dic.indices.to_numpy(zero_copy_only=False)]
+              if hv else np.empty(0, np.uint64))
+        return pa.table({
+            "term": g["term"], "doc_id": g["doc_id"],
+            "b": pa.array(mix_bucket(th, num_buckets), pa.int64())})
+
+    THRESH = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28], np.int64)
+
+    def encode_varint(gaps: np.ndarray) -> bytes:
+        out = bytearray()
+        for g in gaps.tolist():
+            while True:
+                b7 = g & 0x7F
+                g >>= 7
+                out.append(b7 | (0x80 if g else 0))
+                if not g:
+                    break
+        return bytes(out)
+
+    def decode_varint(buf: bytes) -> list:
+        vals, cur, shift = [], 0, 0
+        for byte in buf:
+            cur |= (byte & 0x7F) << shift
+            if byte & 0x80:
+                shift += 7
+            else:
+                vals.append(cur)
+                cur, shift = 0, 0
+        return vals
+
+    def compress(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "term" not in g.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "vint_bytes": pa.array([], pa.int64()),
+                             "raw_bytes": pa.array([], pa.int64())})
+        term = g["term"].combine_chunks()
+        codes = term.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, codes))
+        codes, doc = codes[order], doc[order]
+        term_s = term.take(pa.array(order))
+        brk = np.ones(len(doc), dtype=bool)
+        brk[1:] = codes[1:] != codes[:-1]
+        seg = np.cumsum(brk) - 1
+        prev = np.empty_like(doc)
+        prev[0] = -1
+        prev[1:] = doc[:-1]
+        gaps = np.where(brk, doc + 1, doc - prev)
+        nb = (np.searchsorted(THRESH, gaps, side="right") + 1) \
+            .astype(np.int64)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(doc)]])
+        df = (ends - starts).astype(np.int64)
+        vint = np.add.reduceat(nb, starts).astype(np.int64)
+        # prove the real encoder agrees with the counted sizes AND
+        # round-trips, per term
+        for s, e, vb in zip(starts.tolist(), ends.tolist(),
+                            vint.tolist()):
+            buf = encode_varint(gaps[s:e])
+            if len(buf) != vb or decode_varint(buf) != \
+                    gaps[s:e].tolist():
+                raise AssertionError("varint roundtrip mismatch")
+        terms_out = term_s.take(pa.array(starts.tolist()))
+        return pa.table({
+            "term": terms_out,
+            "df": pa.array(df, pa.int64()),
+            "vint_bytes": pa.array(vint, pa.int64()),
+            "raw_bytes": pa.array(df * 8, pa.int64())})
+
+    return (ds.map_batches(postings, batch_format="pyarrow")
+            .groupby("b").map_groups(compress, batch_format="pyarrow"))
+
+
+ORACLE_SQL["postings_varint_docs"] = """
+    WITH s AS (SELECT DISTINCT
+                   unnest(string_split(text, ' ')) AS term, doc_id
+               FROM documents),
+         o AS (SELECT term, doc_id,
+                      LAG(doc_id) OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS prev
+               FROM s),
+         gb AS (SELECT term,
+                       CASE WHEN g < 128 THEN 1
+                            WHEN g < 16384 THEN 2
+                            WHEN g < 2097152 THEN 3
+                            WHEN g < 268435456 THEN 4
+                            ELSE 5 END AS nb
+                FROM (SELECT term,
+                             COALESCE(doc_id - prev, doc_id + 1) AS g
+                      FROM o))
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(nb) AS BIGINT) AS vint_bytes,
+           CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes
+    FROM gb GROUP BY 1
+"""
+
+
 def _pava_merge(blocks):
     """Pool-adjacent-violators over (score_lo, score_hi, n, sum_pos)
     blocks sorted by score: pool while mean decreases. Means are
@@ -8875,6 +9014,7 @@ QUERIES = {
     "dbscan_customers": q_dbscan_customers,
     "auc_embeddings": q_auc_embeddings,
     "isotonic_calibration": q_isotonic_calibration,
+    "postings_varint_docs": q_postings_varint_docs,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
