@@ -598,3 +598,32 @@ def test_postings_varint_vectors_and_brute():
             for r in got.itertuples()} == exp
     # compression is real for frequent terms
     assert (got["vint_bytes"] < got["raw_bytes"]).all()
+
+
+def test_cusum_brute():
+    from tilemaker_ray.pipelines.queries import q_cusum_events
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // (86400 * 1_000_000)
+    lo, hi = int(day.min()), int(day.max())
+    exp = {}
+    for et, grp in day.groupby(ev["event_type"]):
+        grid = np.zeros(hi - lo + 1, np.int64)
+        for d, c in grp.value_counts().items():
+            grid[int(d) - lo] = c
+        med = int(np.floor(np.median(grid)))
+        s = smax = n_alarm = 0
+        first = -1
+        for i, x in enumerate(grid.tolist()):
+            s = max(0, s + x - med - 1)
+            smax = max(smax, s)
+            if s >= 5:
+                n_alarm += 1
+                if first < 0:
+                    first = lo + i
+        exp[et] = (n_alarm, first, smax)
+    got = q_cusum_events(SF).to_pandas()
+    assert {r.event_type: (r.n_alarm_days, r.first_alarm_day, r.max_s)
+            for r in got.itertuples()} == exp

@@ -6260,6 +6260,75 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_cusum_events(sf_dir: str, slack: int = 1, h: int = 5):
+    """CUSUM changepoint detection (Page 1954) over per-type daily
+    event counts — the stream-monitoring classic that flags sustained
+    upward level shifts a plain threshold misses: S_t = max(0,
+    S_{t-1} + x_t − med − slack), alarm when S_t ≥ h. The reference
+    level is the per-type integer MEDIAN of the densified series
+    (absent days are zero), so the whole recursion is integer and the
+    result bit-stable.
+
+    Output per type: n_alarm_days, first alarm day (−1 if none), max
+    S. Rows-only (the max(0, ·) recursion is not SQL-expressible);
+    pytest pins an independent scalar recursion. Scale shape: the
+    forecast-backtest skeleton — slim count partials, per-type grid
+    walk bounded by the time span."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(days, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).aggregate(Sum("n"))
+              .map_batches(lambda b: pa.table({
+                  "event_type": b["event_type"], "day": b["day"],
+                  "n": pc.cast(b["sum(n)"], pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())
+    lo = int(counts.min("day"))
+    hi = int(counts.max("day"))
+
+    def cusum(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        grid = np.zeros(hi - lo + 1, np.int64)
+        grid[day - lo] = n
+        med = int(np.median(grid))      # integer for odd-ish grids;
+        # np.median of ints can be .5 — floor to keep integers
+        med = int(np.floor(np.median(grid)))
+        s = 0
+        n_alarm = 0
+        first = -1
+        smax = 0
+        for i, x in enumerate(grid.tolist()):
+            s = max(0, s + x - med - slack)
+            smax = max(smax, s)
+            if s >= h:
+                n_alarm += 1
+                if first < 0:
+                    first = lo + i
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array([0])),
+            "n_alarm_days": pa.array([n_alarm], pa.int64()),
+            "first_alarm_day": pa.array([first], pa.int64()),
+            "max_s": pa.array([smax], pa.int64())})
+
+    return (counts.groupby("event_type")
+            .map_groups(cusum, batch_format="pyarrow"))
+
+
 def q_postings_varint_docs(sf_dir: str, num_buckets: int = 32):
     """Delta + LEB128-varint postings compression (the storage layout
     of every inverted index — Lucene/ClickHouse gap coding): per term,
@@ -9015,6 +9084,7 @@ QUERIES = {
     "auc_embeddings": q_auc_embeddings,
     "isotonic_calibration": q_isotonic_calibration,
     "postings_varint_docs": q_postings_varint_docs,
+    "cusum_events": q_cusum_events,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
