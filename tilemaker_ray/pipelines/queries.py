@@ -6305,8 +6305,8 @@ def q_cusum_events(sf_dir: str, slack: int = 1, h: int = 5):
         n = g["n"].to_numpy(zero_copy_only=False)
         grid = np.zeros(hi - lo + 1, np.int64)
         grid[day - lo] = n
-        med = int(np.median(grid))      # integer for odd-ish grids;
-        # np.median of ints can be .5 — floor to keep integers
+        # np.median of ints can be .5 — floor keeps the recursion
+        # integer
         med = int(np.floor(np.median(grid)))
         s = 0
         n_alarm = 0
