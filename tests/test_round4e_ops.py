@@ -627,3 +627,50 @@ def test_cusum_brute():
     got = q_cusum_events(SF).to_pandas()
     assert {r.event_type: (r.n_alarm_days, r.first_alarm_day, r.max_s)
             for r in got.itertuples()} == exp
+
+
+def test_mst_kruskal_parity():
+    """Borůvka under the total order (w, u, v) must equal Kruskal
+    under the same order, edge for edge, per component."""
+    from tilemaker_ray.functions import derived as dv
+    from tilemaker_ray.pipelines.queries import q_mst_customers
+
+    SF01 = "/root/testdata/sf0.01"
+    ck = pq.read_table(f"{SF01}/customer.parquet",
+                       columns=["c_custkey"])["c_custkey"] \
+        .to_numpy().astype(np.int64)
+    lon, lat = dv.customer_lonlat(ck)
+    P = np.stack([lon, lat], 1)
+    d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(2)
+    iu, ju = np.triu_indices(len(ck), k=1)
+    m = d2[iu, ju] <= 64.0
+    edges = sorted(
+        (int(np.floor(d2[i, j] * 1e9)),
+         int(min(ck[i], ck[j])), int(max(ck[i], ck[j])))
+        for i, j in zip(iu[m], ju[m]))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp = []
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            exp.append((a, b, w))
+    exp.sort()
+    got = q_mst_customers(SF01).to_pandas()
+    assert [(r.u, r.v, r.w_fp) for r in got.itertuples()] == exp
+    # forest properties: |E| = |touched nodes| - |components|
+    nodes = {a for _, a, _ in edges} | {b for *_, b in edges} \
+        if False else {a for _, a, b in edges} | \
+        {b for _, a, b in edges}
+    comps = {}
+    for x in nodes:
+        comps.setdefault(find(x), 0)
+    assert len(got) == len(nodes) - len(comps)

@@ -6260,6 +6260,190 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_mst_customers(sf_dir: str, eps: float = 8.0,
+                    num_buckets: int = 32):
+    """Minimum spanning forest via distributed Borůvka (1926; the
+    weighted-graph classic beside PageRank/BFS/CC/triangles/HITS)
+    over the customer eps-graph: per round, every component selects
+    its minimum incident edge under the TOTAL order (w_fp, u, v) —
+    tie-broken packed keys make the forest unique, so Kruskal under
+    the same order must agree edge-for-edge (the pytest oracle).
+    Weights are fixed-point squared distances (floor(1e9·d²)).
+
+    Scale shape: eps-pairs from the DBSCAN no-dedup grid scatter;
+    each Borůvka round = component labels from the SQL-certified CC
+    engine over the forest so far + ONE broadcast of the label map +
+    a per-batch min-edge partial fold (selected edges ≤ #components);
+    O(log n) rounds. Rows-only: MST selection is not SQL-expressible;
+    the brute is exact."""
+    import ray
+
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import connected_components_min_label
+
+    eps2 = eps * eps
+    OFF = np.array([(dx, dy) for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)], np.int64)
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon, lat = dv.customer_lonlat(ck)
+        cx = np.floor(lon / eps).astype(np.int64)
+        cy = np.floor(lat / eps).astype(np.int64)
+        n = len(ck)
+        ids = np.repeat(ck, 9)
+        lo = np.repeat(lon, 9)
+        la = np.repeat(lat, 9)
+        dx = np.tile(OFF[:, 0], n)
+        dy = np.tile(OFF[:, 1], n)
+        cell = ((np.repeat(cx, 9) + dx + (1 << 20)) * (1 << 21)
+                + (np.repeat(cy, 9) + dy + (1 << 20)))
+        own = (dx == 0) & (dy == 0)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "x": pa.array(lo, pa.float64()),
+            "y": pa.array(la, pa.float64()),
+            "own": pa.array(own, pa.bool_()),
+            "b": pa.array(mix_bucket(cell, num_buckets), pa.int64())})
+
+    def cell_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "cell" not in g.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        own = g["own"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        cell, ids, x, y, own = (cell[order], ids[order], x[order],
+                                y[order], own[order])
+        brk = np.ones(len(cell), dtype=bool)
+        brk[1:] = cell[1:] != cell[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(cell)]])
+        eu, ev, ew = [], [], []
+        for s, e in zip(starts, ends):
+            oi = np.flatnonzero(own[s:e]) + s
+            if not len(oi):
+                continue
+            ai, bi = np.meshgrid(oi, np.arange(s, e), indexing="ij")
+            ai, bi = ai.ravel(), bi.ravel()
+            m = ids[ai] < ids[bi]
+            ai, bi = ai[m], bi[m]
+            d2 = (x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2
+            m2 = d2 <= eps2
+            eu.append(ids[ai[m2]])
+            ev.append(ids[bi[m2]])
+            ew.append(np.floor(d2[m2] * 1e9).astype(np.int64))
+        u = np.concatenate(eu) if eu else np.empty(0, np.int64)
+        v = np.concatenate(ev) if ev else np.empty(0, np.int64)
+        w = np.concatenate(ew) if ew else np.empty(0, np.int64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    edges = (ds.map_batches(scatter, batch_format="pyarrow")
+             .groupby("b").map_groups(cell_edges,
+                                      batch_format="pyarrow")
+             .materialize())
+
+    import ray.data as rd
+    forest = []                       # [(u, v, w)] selected so far
+
+    def labels_for(forest_edges):
+        if not forest_edges:
+            return {}
+        t = pa.table({
+            "doc_a": pa.array([e[0] for e in forest_edges],
+                              pa.int64()),
+            "doc_b": pa.array([e[1] for e in forest_edges],
+                              pa.int64())})
+        cc = connected_components_min_label(rd.from_arrow(t))
+        lbl = {}
+        for tt in ray.get(list(cc.to_arrow_refs())):
+            if tt.num_rows:
+                lbl.update(zip(tt["doc_id"].to_pylist(),
+                               tt["comp"].to_pylist()))
+        return lbl
+
+    for _round in range(64):
+        lbl_ref = ray.put(labels_for(forest))
+
+        def min_edge_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "u" not in t.column_names:
+                return pa.table({"comp": pa.array([], pa.int64()),
+                                 "u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64())})
+            la = ray.get(lbl_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            cu = np.fromiter((la.get(int(a), int(a)) for a in u),
+                             np.int64, len(u))
+            cv = np.fromiter((la.get(int(a), int(a)) for a in v),
+                             np.int64, len(v))
+            m = cu != cv
+            u, v, w, cu, cv = u[m], v[m], w[m], cu[m], cv[m]
+            # each surviving edge is a candidate for BOTH endpoint
+            # components; per comp keep the (w, u, v)-minimal edge
+            comp = np.concatenate([cu, cv])
+            uu = np.concatenate([u, u])
+            vv = np.concatenate([v, v])
+            ww = np.concatenate([w, w])
+            order = np.lexsort((vv, uu, ww, comp))
+            comp, uu, vv, ww = (comp[order], uu[order], vv[order],
+                                ww[order])
+            first = np.ones(len(comp), dtype=bool)
+            first[1:] = comp[1:] != comp[:-1]
+            return pa.table({
+                "comp": pa.array(comp[first], pa.int64()),
+                "u": pa.array(uu[first], pa.int64()),
+                "v": pa.array(vv[first], pa.int64()),
+                "w": pa.array(ww[first], pa.int64())})
+
+        def min_edge_fold(g: pa.Table) -> pa.Table:
+            comp = g["comp"].to_numpy(zero_copy_only=False)
+            u = g["u"].to_numpy(zero_copy_only=False)
+            v = g["v"].to_numpy(zero_copy_only=False)
+            w = g["w"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, u, w, comp))
+            comp, u, v, w = comp[order], u[order], v[order], w[order]
+            first = np.ones(len(comp), dtype=bool)
+            first[1:] = comp[1:] != comp[:-1]
+            return pa.table({
+                "u": pa.array(u[first], pa.int64()),
+                "v": pa.array(v[first], pa.int64()),
+                "w": pa.array(w[first], pa.int64())})
+
+        sel = (edges.map_batches(min_edge_partial,
+                                 batch_format="pyarrow")
+               .groupby("comp").map_groups(min_edge_fold,
+                                           batch_format="pyarrow"))
+        new = set()
+        for t in ray.get(list(sel.to_arrow_refs())):
+            if t.num_rows and "u" in t.column_names:
+                new.update(zip(t["u"].to_pylist(),
+                               t["v"].to_pylist(),
+                               t["w"].to_pylist()))
+        new -= set(forest)
+        if not new:
+            break
+        forest.extend(sorted(new))
+
+    forest.sort()
+    return pa.table({
+        "u": pa.array([e[0] for e in forest], pa.int64()),
+        "v": pa.array([e[1] for e in forest], pa.int64()),
+        "w_fp": pa.array([e[2] for e in forest], pa.int64())})
+
+
 def q_cusum_events(sf_dir: str, slack: int = 1, h: int = 5):
     """CUSUM changepoint detection (Page 1954) over per-type daily
     event counts — the stream-monitoring classic that flags sustained
@@ -9085,6 +9269,7 @@ QUERIES = {
     "isotonic_calibration": q_isotonic_calibration,
     "postings_varint_docs": q_postings_varint_docs,
     "cusum_events": q_cusum_events,
+    "mst_customers": q_mst_customers,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
