@@ -674,3 +674,34 @@ def test_mst_kruskal_parity():
     for x in nodes:
         comps.setdefault(find(x), 0)
     assert len(got) == len(nodes) - len(comps)
+
+
+def test_clustering_coef_brute():
+    from tilemaker_ray.functions import derived as dv
+    from tilemaker_ray.pipelines.queries import (
+        q_clustering_coef_customers)
+
+    SF01 = "/root/testdata/sf0.01"
+    ck = pq.read_table(f"{SF01}/customer.parquet",
+                       columns=["c_custkey"])["c_custkey"] \
+        .to_numpy().astype(np.int64)
+    lon, lat = dv.customer_lonlat(ck)
+    P = np.stack([lon, lat], 1)
+    d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(2)
+    within = (d2 <= 64.0) & ~np.eye(len(ck), dtype=bool)
+    exp = {}
+    for i in range(len(ck)):
+        nbs = np.flatnonzero(within[i])
+        deg = len(nbs)
+        if deg == 0:
+            continue
+        tri = int(within[np.ix_(nbs, nbs)].sum() // 2)
+        exp[int(ck[i])] = (deg, tri)
+    got = q_clustering_coef_customers(SF01).to_pandas()
+    assert {r.c_custkey: (r.deg, r.tri)
+            for r in got.itertuples()} == exp
+    # triangles exist and coefficients differentiate
+    assert (got["tri"] > 0).any()
+    dd = got[got["deg"] >= 2]
+    coef = 2 * dd["tri"] / (dd["deg"] * (dd["deg"] - 1))
+    assert coef.nunique() >= 3 and (coef <= 1.0).all()

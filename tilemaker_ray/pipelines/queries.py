@@ -6260,6 +6260,176 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_clustering_coef_customers(sf_dir: str, eps: float = 8.0,
+                                num_buckets: int = 32):
+    """Per-node clustering coefficient over the customer eps-graph
+    (Watts & Strogatz 1998) — the LOCAL sibling of the global
+    triangle count: for each node, triangles among its neighbors and
+    its degree, as exact integers (coefficient = 2·tri/(deg·(deg−1))
+    by division). Completes the graph-statistics family beside
+    global triangles / degree distribution / PageRank / HITS / CC /
+    BFS / MST.
+
+    Scale shape: eps-pairs from the no-dedup grid scatter, ONE
+    exchange builds per-node neighbor lists, wedges are checked
+    against a broadcast edge set (bounded here; at 10^12 edges the
+    check becomes the knn_triangles wedge-join exchange —
+    stages/graphstats.py — same semantics). Oracle re-derives
+    everything from the pair join."""
+    import ray
+
+    from ..stages.common import mix_bucket
+
+    eps2 = eps * eps
+    OFF = np.array([(dx, dy) for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)], np.int64)
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon, lat = dv.customer_lonlat(ck)
+        cx = np.floor(lon / eps).astype(np.int64)
+        cy = np.floor(lat / eps).astype(np.int64)
+        n = len(ck)
+        ids = np.repeat(ck, 9)
+        lo = np.repeat(lon, 9)
+        la = np.repeat(lat, 9)
+        dx = np.tile(OFF[:, 0], n)
+        dy = np.tile(OFF[:, 1], n)
+        cell = ((np.repeat(cx, 9) + dx + (1 << 20)) * (1 << 21)
+                + (np.repeat(cy, 9) + dy + (1 << 20)))
+        own = (dx == 0) & (dy == 0)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "x": pa.array(lo, pa.float64()),
+            "y": pa.array(la, pa.float64()),
+            "own": pa.array(own, pa.bool_()),
+            "b": pa.array(mix_bucket(cell, num_buckets), pa.int64())})
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "cell" not in g.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        own = g["own"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        cell, ids, x, y, own = (cell[order], ids[order], x[order],
+                                y[order], own[order])
+        brk = np.ones(len(cell), dtype=bool)
+        brk[1:] = cell[1:] != cell[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(cell)]])
+        eu, ev = [], []
+        for s, e in zip(starts, ends):
+            oi = np.flatnonzero(own[s:e]) + s
+            if not len(oi):
+                continue
+            ai, bi = np.meshgrid(oi, np.arange(s, e), indexing="ij")
+            ai, bi = ai.ravel(), bi.ravel()
+            m = ids[ai] < ids[bi]
+            ai, bi = ai[m], bi[m]
+            d2 = (x[ai] - x[bi]) ** 2 + (y[ai] - y[bi]) ** 2
+            m2 = d2 <= eps2
+            eu.append(ids[ai[m2]])
+            ev.append(ids[bi[m2]])
+        u = np.concatenate(eu) if eu else np.empty(0, np.int64)
+        v = np.concatenate(ev) if ev else np.empty(0, np.int64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    pairs = (ds.map_batches(scatter, batch_format="pyarrow")
+             .groupby("b").map_groups(cell_pairs,
+                                      batch_format="pyarrow")
+             .materialize())
+
+    import ray as _ray
+    eset = set()
+    for t in _ray.get(list(pairs.to_arrow_refs())):
+        if t.num_rows and "u" in t.column_names:
+            eset.update((int(a) << 32) | int(b)
+                        for a, b in zip(t["u"].to_pylist(),
+                                        t["v"].to_pylist()))
+    eset_ref = _ray.put(eset)
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "hb": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nb = np.concatenate([v, u])
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "nb": pa.array(nb, pa.int64()),
+            "hb": pa.array(mix_bucket(node, num_buckets), pa.int64())})
+
+    def per_node(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "node" not in g.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "tri": pa.array([], pa.int64())})
+        es = _ray.get(eset_ref)
+        node = g["node"].to_numpy(zero_copy_only=False)
+        nb = g["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, node))
+        node, nb = node[order], nb[order]
+        brk = np.ones(len(node), dtype=bool)
+        brk[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(node)]])
+        out_n, out_d, out_t = [], [], []
+        for s, e in zip(starts, ends):
+            nbs = nb[s:e]
+            deg = len(nbs)
+            tri = 0
+            if deg >= 2:
+                ii, jj = np.triu_indices(deg, k=1)
+                keys = (nbs[ii].astype(np.int64) << 32) | nbs[jj]
+                tri = sum(1 for k in keys.tolist() if int(k) in es)
+            out_n.append(int(node[s]))
+            out_d.append(deg)
+            out_t.append(tri)
+        return pa.table({
+            "c_custkey": pa.array(out_n, pa.int64()),
+            "deg": pa.array(out_d, pa.int64()),
+            "tri": pa.array(out_t, pa.int64())})
+
+    return (pairs.map_batches(adjacency, batch_format="pyarrow")
+            .groupby("hb").map_groups(per_node,
+                                      batch_format="pyarrow"))
+
+
+ORACLE_SQL["clustering_coef_customers"] = f"""
+    WITH p AS (SELECT c.c_custkey AS id, {dv.CU_LON_SQL} AS x,
+                      {dv.CU_LAT_SQL} AS y
+               FROM customer c),
+         pr AS (SELECT a.id AS ia, b.id AS ib
+                FROM p a JOIN p b ON a.id < b.id
+                 AND (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 64.0),
+         e AS (SELECT ia AS u, ib AS v FROM pr
+               UNION ALL SELECT ib, ia FROM pr),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         tri AS (SELECT e1.u AS node, COUNT(*) AS tri
+                 FROM e e1 JOIN e e2
+                   ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN pr t ON t.ia = e1.v AND t.ib = e2.v
+                 GROUP BY 1)
+    SELECT d.node AS c_custkey,
+           CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+"""
+
+
 def q_mst_customers(sf_dir: str, eps: float = 8.0,
                     num_buckets: int = 32):
     """Minimum spanning forest via distributed Borůvka (1926; the
@@ -9270,6 +9440,7 @@ QUERIES = {
     "postings_varint_docs": q_postings_varint_docs,
     "cusum_events": q_cusum_events,
     "mst_customers": q_mst_customers,
+    "clustering_coef_customers": q_clustering_coef_customers,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
