@@ -705,3 +705,20 @@ def test_clustering_coef_brute():
     dd = got[got["deg"] >= 2]
     coef = 2 * dd["tri"] / (dd["deg"] * (dd["deg"] - 1))
     assert coef.nunique() >= 3 and (coef <= 1.0).all()
+
+
+def test_confusion_matrix_brute():
+    from tilemaker_ray.pipelines.queries import q_confusion_embeddings
+    from tilemaker_ray.stages.dedup import _emb_matrix
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    V = _emb_matrix(t["embedding"], 64)[:, :10]
+    pred = np.argmax(V, axis=1)
+    truth = t["label"].to_numpy().astype(np.int64)
+    import collections
+    exp = collections.Counter(zip(truth.tolist(), pred.tolist()))
+    got = q_confusion_embeddings(SF).to_pandas()
+    assert {(r.truth, r.pred): r.n
+            for r in got.itertuples()} == dict(exp)
+    assert got["n"].sum() == len(truth)

@@ -6260,6 +6260,53 @@ ORACLE_SQL["phrase_match_docs"] = """
 """
 
 
+def q_confusion_embeddings(sf_dir: str):
+    """Confusion matrix for a nearest-prototype classifier (the
+    evaluation table behind precision/recall/kappa): predict class =
+    argmax of the first 10 embedding components (FIRST max wins ties
+    — numpy argmax and DuckDB list_position share that rule), truth =
+    the stored label; emit exact (truth, pred, n) cells. Kappa /
+    per-class P/R follow by integer arithmetic on the cells.
+
+    Scale shape: pure per-batch argmax + a tiny (10×10 max) groupby —
+    the evaluation never shuffles more than the matrix itself."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], 64)[:, :10]
+        pred = np.argmax(V, axis=1).astype(np.int64)
+        truth = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"truth": pa.array(truth, pa.int64()),
+                      "pred": pa.array(pred, pa.int64()),
+                      "n": pa.array(np.ones(len(pred), np.int64))})
+        g = t.group_by(["truth", "pred"]).aggregate([("n", "sum")])
+        return pa.table({"truth": g["truth"], "pred": g["pred"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["truth", "pred"]).aggregate(Sum("n"))
+            .map_batches(lambda b: pa.table({
+                "truth": b["truth"], "pred": b["pred"],
+                "n": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["confusion_embeddings"] = """
+    SELECT CAST(label AS BIGINT) AS truth,
+           CAST(list_position(embedding[1:10],
+                list_aggregate(embedding[1:10], 'max')) - 1
+                AS BIGINT) AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings
+    GROUP BY 1, 2
+"""
+
+
 def q_clustering_coef_customers(sf_dir: str, eps: float = 8.0,
                                 num_buckets: int = 32):
     """Per-node clustering coefficient over the customer eps-graph
@@ -9441,6 +9488,7 @@ QUERIES = {
     "cusum_events": q_cusum_events,
     "mst_customers": q_mst_customers,
     "clustering_coef_customers": q_clustering_coef_customers,
+    "confusion_embeddings": q_confusion_embeddings,
     "repetition_docs": q_repetition_docs,
     "sigfilter_docs": q_sigfilter_docs,
     "normalize_docs": q_normalize_docs,
