@@ -6402,6 +6402,14 @@ def q_clustering_coef_customers(sf_dir: str, eps: float = 8.0,
             eset.update((int(a) << 32) | int(b)
                         for a, b in zip(t["u"].to_pylist(),
                                         t["v"].to_pylist()))
+    if not eset:
+        # empty graph (sparse sf): return a typed pa.Table directly —
+        # rd.from_arrow(empty).to_pandas() drops the columns (the
+        # repo's recorded empty-block pitfall, dataset-level variant)
+        return pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+            "tri": pa.array([], pa.int64())})
     eset_ref = _ray.put(eset)
 
     def adjacency(t: pa.Table) -> pa.Table:
