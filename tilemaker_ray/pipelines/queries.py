@@ -9410,6 +9410,89 @@ ORACLE_SQL["ann_pq_top5"] = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over z10 tile counts
+# (stages/spatialstats.py) — "is the event density clustered?"
+# ---------------------------------------------------------------------------
+
+def q_moran_tiles(sf_dir: str):
+    """Global Moran's I with rook contiguity over the z5 tile-count
+    lattice — the standard spatial-clustering statistic for the tile
+    layer the flagship emits (z5 keeps the lattice dense enough that
+    the statistic is non-degenerate at every test sf; the z10 grid is
+    1-event-per-tile sparse). Counts derive from the z10 base by the
+    same parent-halving the pyramid rollup certifies. Exact int64
+    sufficient statistics via the scatter pattern (5 slim rows per
+    occupied tile, one hash aggregation, NO pair materialization); the
+    single float divides through a fixed IEEE tree the oracle mirrors
+    verbatim.
+
+    Scale shape: exchange volume is O(occupied tiles), never O(events)
+    — the base tile groupby is the flagship's own first reduction."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.spatialstats import moran_finish, moran_scalars
+
+    z5 = (q_tile_count_z10(sf_dir)
+          .map_batches(lambda b: pa.table({
+              "tile_x": pc.shift_right(b["tile_x"], 5),
+              "tile_y": pc.shift_right(b["tile_y"], 5),
+              "n": pc.cast(b["n_events"], pa.int64())}),
+              batch_format="pyarrow")
+          .groupby(["tile_x", "tile_y"]).aggregate(Sum("n"))
+          .map_batches(lambda b: pa.table({
+              "tile_x": b["tile_x"], "tile_y": b["tile_y"],
+              "n_events": pc.cast(b["sum(n)"], pa.int64())}),
+              batch_format="pyarrow"))
+    sc = moran_scalars(z5)
+    mi = moran_finish(sc)
+    return pa.table({
+        "n_tiles": pa.array([sc["n_tiles"]], pa.int64()),
+        "w_pairs": pa.array([sc["w_pairs"]], pa.int64()),
+        "sum_x": pa.array([sc["sum_x"]], pa.int64()),
+        "sum_xx": pa.array([sc["sum_xx"]], pa.int64()),
+        "cross_a": pa.array([sc["cross_a"]], pa.int64()),
+        "cross_b": pa.array([sc["cross_b"]], pa.int64()),
+        "moran_i": pa.array([mi], pa.float64())})
+
+
+ORACLE_SQL["moran_tiles"] = f"""
+    WITH t AS (SELECT {_TX10} >> 5 AS x, {_TY10} >> 5 AS y,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events e GROUP BY 1, 2),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+                      CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sum_x,
+                      CAST(COALESCE(SUM(n * n), 0) AS BIGINT) AS sum_xx
+               FROM t),
+         d(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+         p AS (SELECT a.n AS xi, b.n AS xj
+               FROM t a CROSS JOIN d
+               JOIN t b ON b.x = a.x + d.dx AND b.y = a.y + d.dy),
+         w AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+                      CAST(COALESCE(SUM(xi * xj), 0) AS BIGINT)
+                          AS cross_a,
+                      CAST(COALESCE(SUM(xi + xj), 0) AS BIGINT)
+                          AS cross_b
+               FROM p)
+    SELECT n_tiles, w_pairs, sum_x, sum_xx, cross_a, cross_b,
+           CASE WHEN n_tiles = 0 OR w_pairs = 0 OR
+                     (CAST(sum_xx AS DOUBLE)
+                      - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x) = 0
+                THEN NULL
+                ELSE (CAST(n_tiles AS DOUBLE) / w_pairs)
+                     * ((CAST(cross_a AS DOUBLE)
+                         - (CAST(sum_x AS DOUBLE) / n_tiles) * cross_b
+                         + (CAST(sum_x AS DOUBLE) / n_tiles)
+                           * (CAST(sum_x AS DOUBLE) / n_tiles)
+                           * w_pairs)
+                        / (CAST(sum_xx AS DOUBLE)
+                           - (CAST(sum_x AS DOUBLE) / n_tiles)
+                             * sum_x))
+           END AS moran_i
+    FROM s, w
+"""
+
+
 QUERIES = {
     # --- driver correctness-gate slots: the driver checks the FIRST 50
     # entries only. Final round-4 composition: ALL 47 queries never
@@ -9477,6 +9560,7 @@ QUERIES = {
     # dist_events / sample_k_events were hash-certified in round 2 and
     # rotated out for the third-wave round-4 operators above)
     # first outside the 50-slot gate: round-5 rotation candidates
+    "moran_tiles": q_moran_tiles,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
