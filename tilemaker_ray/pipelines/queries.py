@@ -9494,6 +9494,80 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (stages/coreset.py) — diversity-
+# maximizing data selection; the SQL oracle replays the k greedy
+# rounds as unrolled CTEs over the staged fixed-point vectors
+# ---------------------------------------------------------------------------
+
+_KC_DIM = 64
+
+
+def _kc_norm(t: str) -> str:
+    return " + ".join(f"{t}.q{j} * {t}.q{j}" for j in range(_KC_DIM))
+
+
+def _kc_d2(a: str, b: str) -> str:
+    return " + ".join(f"({a}.q{j} - {b}.q{j}) * ({a}.q{j} - {b}.q{j})"
+                      for j in range(_KC_DIM))
+
+
+def q_kcenter_embeddings(sf_dir: str, k: int = 4):
+    """Gonzalez farthest-point k-center over the embeddings table:
+    seed = largest-norm vector, then k-1 rounds of "farthest from the
+    selected set", all ties broken by min vec_id. Distances are EXACT
+    int64 on 2^20-fixed-point quantized vectors (staged so both
+    engines read identical integers), which lets the oracle replay
+    the inherently sequential greedy selection as k unrolled CTEs.
+
+    Scale shape: k passes of vectorized map_batches (int64 matmul vs
+    the ≤k broadcast centers), driver folds n_blocks candidate rows a
+    round — the selection never shuffles and never materializes more
+    than the quantized slim table."""
+    import ray.data as rd
+
+    from ..stages.coreset import kcenter_select, quantize_fn
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    quant = emb.map_batches(lambda b: quantize_fn(b, _KC_DIM),
+                            batch_format="pyarrow")
+    staged = _stage_for_oracle(quant, "kcenter_embeddings")
+    sel = kcenter_select(rd.read_parquet(staged), k, _KC_DIM)
+    return pa.table({
+        "rank": pa.array([r for r, _, _ in sel], pa.int64()),
+        "vec_id": pa.array([v for _, v, _ in sel], pa.int64()),
+        "dist_fp": pa.array([d for _, _, d in sel], pa.int64())})
+
+
+ORACLE_SQL["kcenter_embeddings"] = f"""
+    WITH e AS (SELECT * FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/kcenter_embeddings/*.parquet')),
+    s1 AS (SELECT * FROM e
+           ORDER BY ({_kc_norm('e')}) DESC, vec_id LIMIT 1),
+    d1 AS (SELECT e.vec_id, CAST({_kc_d2('e', 's1')} AS BIGINT) AS dm
+           FROM e CROSS JOIN s1),
+    s2 AS (SELECT e.*, d1.dm FROM e JOIN d1 ON d1.vec_id = e.vec_id
+           ORDER BY d1.dm DESC, e.vec_id LIMIT 1),
+    d2 AS (SELECT e.vec_id,
+                  LEAST(d1.dm, CAST({_kc_d2('e', 's2')} AS BIGINT))
+                      AS dm
+           FROM e JOIN d1 ON d1.vec_id = e.vec_id CROSS JOIN s2),
+    s3 AS (SELECT e.*, d2.dm FROM e JOIN d2 ON d2.vec_id = e.vec_id
+           ORDER BY d2.dm DESC, e.vec_id LIMIT 1),
+    d3 AS (SELECT e.vec_id,
+                  LEAST(d2.dm, CAST({_kc_d2('e', 's3')} AS BIGINT))
+                      AS dm
+           FROM e JOIN d2 ON d2.vec_id = e.vec_id CROSS JOIN s3),
+    s4 AS (SELECT e.*, d3.dm FROM e JOIN d3 ON d3.vec_id = e.vec_id
+           ORDER BY d3.dm DESC, e.vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, s1.vec_id,
+           CAST({_kc_norm('s1')} AS BIGINT) AS dist_fp FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), vec_id, dm FROM s2
+    UNION ALL SELECT CAST(3 AS BIGINT), vec_id, dm FROM s3
+    UNION ALL SELECT CAST(4 AS BIGINT), vec_id, dm FROM s4
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data-quality expectations audit — the "great-expectations" style
 # constraint report a 100-TB ingest runs before anything downstream
 # trusts the tables
@@ -9736,6 +9810,7 @@ QUERIES = {
     # first outside the 50-slot gate: round-5 rotation candidates
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
+    "kcenter_embeddings": q_kcenter_embeddings,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
