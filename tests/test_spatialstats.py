@@ -4,7 +4,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from tilemaker_ray.stages.spatialstats import (moran_finish,
+from tilemaker_ray.stages.spatialstats import (geary_finish,
+                                               moran_finish,
                                                moran_scalars)
 
 
@@ -14,27 +15,28 @@ def _brute(x, y, n):
     y = np.asarray(y, np.int64)
     n = np.asarray(n, np.int64)
     N = len(n)
-    A = B = W = 0
+    A = B = W = G = 0
     for i in range(N):
         for j in range(N):
             if abs(int(x[i] - x[j])) + abs(int(y[i] - y[j])) == 1:
                 A += int(n[i]) * int(n[j])
                 B += int(n[i]) + int(n[j])
+                G += (int(n[i]) - int(n[j])) ** 2
                 W += 1
     S = int(n.sum())
     SS = int((n.astype(object) ** 2).sum())
     sc = {"n_tiles": N, "w_pairs": W, "sum_x": S, "sum_xx": SS,
-          "cross_a": A, "cross_b": B}
+          "cross_a": A, "cross_b": B, "cross_sq": G}
     if N == 0 or W == 0:
-        return sc, None
+        return sc, None, None
     xbar = S / N
     den = SS - N * xbar * xbar
     if den == 0.0:
-        return sc, None
+        return sc, None, None
     num = sum((int(n[i]) - xbar) * (int(n[j]) - xbar)
               for i in range(N) for j in range(N)
               if abs(int(x[i] - x[j])) + abs(int(y[i] - y[j])) == 1)
-    return sc, (N / W) * (num / den)
+    return sc, (N / W) * (num / den), ((N - 1) * G) / (2 * W * den)
 
 
 def _run(x, y, n, ray_session):
@@ -44,7 +46,7 @@ def _run(x, y, n, ray_session):
                   "n_events": pa.array(n, pa.int64())})
     ds = rd.from_arrow(t).repartition(3)
     sc = moran_scalars(ds)
-    return sc, moran_finish(sc)
+    return sc, moran_finish(sc), geary_finish(sc)
 
 
 def test_moran_matches_brute(ray_session):
@@ -52,10 +54,11 @@ def test_moran_matches_brute(ray_session):
     cells = rng.choice(15 * 15, size=60, replace=False)
     x, y = cells // 15, cells % 15
     n = rng.randint(1, 40, size=60)
-    sc, mi = _run(x, y, n, ray_session)
-    ref_sc, ref_mi = _brute(x, y, n)
+    sc, mi, gc = _run(x, y, n, ray_session)
+    ref_sc, ref_mi, ref_gc = _brute(x, y, n)
     assert sc == ref_sc
     assert mi == pytest.approx(ref_mi, rel=1e-9)
+    assert gc == pytest.approx(ref_gc, rel=1e-9)
 
 
 def test_moran_clustered_vs_dispersed(ray_session):
@@ -68,24 +71,29 @@ def test_moran_clustered_vs_dispersed(ray_session):
             ys.append(j)
             hi.append(50 if (i < 3 and j < 3) else 1)
             lo.append(50 if (i + j) % 2 == 0 else 1)
-    _, mi_hi = _run(xs, ys, hi, ray_session)
-    _, mi_lo = _run(xs, ys, lo, ray_session)
+    _, mi_hi, gc_hi = _run(xs, ys, hi, ray_session)
+    _, mi_lo, gc_lo = _run(xs, ys, lo, ray_session)
     assert mi_hi > 0.3
     assert mi_lo < -0.9
+    # Geary: clustered < 1 < dispersed
+    assert gc_hi < 1.0 < gc_lo
 
 
 def test_moran_degenerate(ray_session):
     # no adjacent pairs -> W = 0 -> None
-    _, mi = _run([0, 5, 9], [0, 5, 9], [3, 4, 5], ray_session)
-    assert mi is None
+    _, mi, gc = _run([0, 5, 9], [0, 5, 9], [3, 4, 5], ray_session)
+    assert mi is None and gc is None
     # constant surface -> zero variance -> None
-    _, mi2 = _run([0, 1, 2], [0, 0, 0], [7, 7, 7], ray_session)
-    assert mi2 is None
+    _, mi2, gc2 = _run([0, 1, 2], [0, 0, 0], [7, 7, 7], ray_session)
+    assert mi2 is None and gc2 is None
 
 
 def test_moran_two_tiles_exact(ray_session):
     # hand-computed: x = [2, 6] adjacent; xbar = 4, dev = [-2, 2]
     # num = 2 * (-2*2) = -8, den = 8, W = 2, N = 2 -> I = -1
-    sc, mi = _run([3, 4], [9, 9], [2, 6], ray_session)
+    sc, mi, gc = _run([3, 4], [9, 9], [2, 6], ray_session)
     assert sc["w_pairs"] == 2 and sc["cross_a"] == 24
+    assert sc["cross_sq"] == 32
     assert mi == pytest.approx(-1.0)
+    # C = (N-1)*G / (2W*den) = 1*32 / (2*2*8) = 1.0
+    assert gc == pytest.approx(1.0)

@@ -9431,7 +9431,8 @@ def q_moran_tiles(sf_dir: str):
     — the base tile groupby is the flagship's own first reduction."""
     from ray.data.aggregate import Sum
 
-    from ..stages.spatialstats import moran_finish, moran_scalars
+    from ..stages.spatialstats import (geary_finish, moran_finish,
+                                       moran_scalars)
 
     z5 = (q_tile_count_z10(sf_dir)
           .map_batches(lambda b: pa.table({
@@ -9446,6 +9447,7 @@ def q_moran_tiles(sf_dir: str):
               batch_format="pyarrow"))
     sc = moran_scalars(z5)
     mi = moran_finish(sc)
+    gc = geary_finish(sc)
     return pa.table({
         "n_tiles": pa.array([sc["n_tiles"]], pa.int64()),
         "w_pairs": pa.array([sc["w_pairs"]], pa.int64()),
@@ -9453,7 +9455,9 @@ def q_moran_tiles(sf_dir: str):
         "sum_xx": pa.array([sc["sum_xx"]], pa.int64()),
         "cross_a": pa.array([sc["cross_a"]], pa.int64()),
         "cross_b": pa.array([sc["cross_b"]], pa.int64()),
-        "moran_i": pa.array([mi], pa.float64())})
+        "cross_sq": pa.array([sc["cross_sq"]], pa.int64()),
+        "moran_i": pa.array([mi], pa.float64()),
+        "geary_c": pa.array([gc], pa.float64())})
 
 
 ORACLE_SQL["moran_tiles"] = f"""
@@ -9472,9 +9476,11 @@ ORACLE_SQL["moran_tiles"] = f"""
                       CAST(COALESCE(SUM(xi * xj), 0) AS BIGINT)
                           AS cross_a,
                       CAST(COALESCE(SUM(xi + xj), 0) AS BIGINT)
-                          AS cross_b
+                          AS cross_b,
+                      CAST(COALESCE(SUM((xi - xj) * (xi - xj)), 0)
+                           AS BIGINT) AS cross_sq
                FROM p)
-    SELECT n_tiles, w_pairs, sum_x, sum_xx, cross_a, cross_b,
+    SELECT n_tiles, w_pairs, sum_x, sum_xx, cross_a, cross_b, cross_sq,
            CASE WHEN n_tiles = 0 OR w_pairs = 0 OR
                      (CAST(sum_xx AS DOUBLE)
                       - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x) = 0
@@ -9488,7 +9494,16 @@ ORACLE_SQL["moran_tiles"] = f"""
                         / (CAST(sum_xx AS DOUBLE)
                            - (CAST(sum_x AS DOUBLE) / n_tiles)
                              * sum_x))
-           END AS moran_i
+           END AS moran_i,
+           CASE WHEN n_tiles = 0 OR w_pairs = 0 OR
+                     (CAST(sum_xx AS DOUBLE)
+                      - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x) = 0
+                THEN NULL
+                ELSE (CAST(n_tiles - 1 AS DOUBLE) * cross_sq)
+                     / (2.0 * w_pairs)
+                     / (CAST(sum_xx AS DOUBLE)
+                        - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x)
+           END AS geary_c
     FROM s, w
 """
 

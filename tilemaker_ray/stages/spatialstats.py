@@ -53,6 +53,7 @@ def moran_scatter_fn(batch: pa.Table, x_col: str = "tile_x",
     keys = [x * (1 << _KEY_SHIFT) + y]
     occ = [n]
     probe = [np.zeros(len(x), np.int64)]
+    probe2 = [np.zeros(len(x), np.int64)]
     isp = [np.zeros(len(x), np.int64)]
     zero = np.zeros(len(x), np.int64)
     one = np.ones(len(x), np.int64)
@@ -60,11 +61,13 @@ def moran_scatter_fn(batch: pa.Table, x_col: str = "tile_x",
         keys.append((x + dx) * (1 << _KEY_SHIFT) + (y + dy))
         occ.append(zero)
         probe.append(n)
+        probe2.append(n * n)
         isp.append(one)
     return pa.table({
         "cell": pa.array(np.concatenate(keys), pa.int64()),
         "occ": pa.array(np.concatenate(occ), pa.int64()),
         "probe": pa.array(np.concatenate(probe), pa.int64()),
+        "probe2": pa.array(np.concatenate(probe2), pa.int64()),
         "isp": pa.array(np.concatenate(isp), pa.int64())})
 
 
@@ -80,12 +83,18 @@ def moran_cell_partials_fn(batch: pa.Table) -> pa.Table:
         .astype(np.int64)
     probe = batch["sum(probe)"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+    probe2 = batch["sum(probe2)"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
     isp = batch["sum(isp)"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     m = (occ > 0).astype(np.int64)
     return pa.table({
         "a_part": pa.array(occ * probe, pa.int64()),
         "b_part": pa.array(m * (isp * occ + probe), pa.int64()),
+        # Σ_ordered (x_i - x_j)²: per receiving cell j,
+        # deg_j·x_j² + Σ x_i² - 2·x_j·Σ x_i
+        "g_part": pa.array(m * (isp * occ * occ + probe2)
+                           - 2 * occ * probe, pa.int64()),
         "w_part": pa.array(m * isp, pa.int64()),
         "s_part": pa.array(occ, pa.int64()),
         "ss_part": pa.array(occ * occ, pa.int64()),
@@ -104,11 +113,11 @@ def moran_scalars(tile_counts, x_col: str = "tile_x",
         lambda b: moran_scatter_fn(b, x_col, y_col, n_col),
         batch_format="pyarrow")
     cells = scattered.groupby("cell").aggregate(
-        Sum("occ"), Sum("probe"), Sum("isp"))
+        Sum("occ"), Sum("probe"), Sum("probe2"), Sum("isp"))
     parts = cells.map_batches(moran_cell_partials_fn,
                               batch_format="pyarrow")
     agg = parts.aggregate(
-        Sum("a_part"), Sum("b_part"), Sum("w_part"),
+        Sum("a_part"), Sum("b_part"), Sum("g_part"), Sum("w_part"),
         Sum("s_part"), Sum("ss_part"), Sum("n_part"))
     return {
         "n_tiles": int(agg["sum(n_part)"] or 0),
@@ -116,7 +125,8 @@ def moran_scalars(tile_counts, x_col: str = "tile_x",
         "sum_x": int(agg["sum(s_part)"] or 0),
         "sum_xx": int(agg["sum(ss_part)"] or 0),
         "cross_a": int(agg["sum(a_part)"] or 0),
-        "cross_b": int(agg["sum(b_part)"] or 0)}
+        "cross_b": int(agg["sum(b_part)"] or 0),
+        "cross_sq": int(agg["sum(g_part)"] or 0)}
 
 
 def moran_finish(sc: dict) -> float | None:
@@ -132,3 +142,19 @@ def moran_finish(sc: dict) -> float | None:
         return None
     num = sc["cross_a"] - xbar * sc["cross_b"] + xbar * xbar * w
     return (n / w) * (num / den)
+
+
+def geary_finish(sc: dict) -> float | None:
+    """IEEE-double Geary's C from the same exact integer scalars:
+    C = (N-1)·Σ_ij w_ij (x_i-x_j)² / (2W·Σ(x_i-x̄)²). Mirrored
+    verbatim by the SQL oracle — do not refactor the tree."""
+    n, w = sc["n_tiles"], sc["w_pairs"]
+    if n == 0 or w == 0:
+        return None
+    xbar = sc["sum_x"] / n
+    den = sc["sum_xx"] - xbar * sc["sum_x"]
+    if den == 0.0:
+        return None
+    # float(n-1) FIRST: Python's exact-bigint product would round
+    # differently from SQL's double*double once past 2^53
+    return (float(n - 1) * sc["cross_sq"]) / (2.0 * w) / den
