@@ -9509,6 +9509,47 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Last-touch attribution (stages/sequence.py) — for each conversion,
+# the user's most recent prior touch event
+# ---------------------------------------------------------------------------
+
+def q_attribution_events(sf_dir: str):
+    """Marketing last-touch attribution: every 'purchase' event is
+    attributed to the same user's most recent prior 'view'/'click'
+    (order (ts, event_id), strictly earlier; nulls when no prior
+    touch). One hashed-user bucket exchange, vectorized cummax kernel
+    across all users in a bucket — the SQL oracle's
+    LAST_VALUE(... IGNORE NULLS) OVER (ROWS ... 1 PRECEDING) frame
+    replayed distributedly."""
+    from ..stages.sequence import last_touch_attribution
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return last_touch_attribution(ds, ["view", "click"], "purchase")
+
+
+ORACLE_SQL["attribution_events"] = """
+    WITH w AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS)
+                 OVER win AS touch_id,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+                 OVER win AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER win AS touch_ts
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING))
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           CAST(ts_us - touch_ts AS BIGINT) AS lag_us
+    FROM w WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Greedy k-center coreset selection (stages/coreset.py) — diversity-
 # maximizing data selection; the SQL oracle replays the k greedy
 # rounds as unrolled CTEs over the staged fixed-point vectors
@@ -9826,6 +9867,7 @@ QUERIES = {
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
+    "attribution_events": q_attribution_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,

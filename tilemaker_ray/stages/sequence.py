@@ -143,3 +143,92 @@ def collect_ordered(events_ds, value_col: str = "event_type",
     return (events_ds.map_batches(slim, batch_format="pyarrow")
             .groupby("ubkt").map_groups(join_bucket,
                                         batch_format="pyarrow"))
+
+
+def last_touch_attribution(events_ds, touch_types: list,
+                           conversion_type: str = "purchase",
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           type_col: str = "event_type",
+                           num_buckets: int = 64):
+    """Marketing-style last-touch attribution: for every conversion
+    event, find the user's most recent PRIOR touch event (order by
+    (ts, event_id), strictly earlier — same-instant rows attribute by
+    the id tie-break, mirroring the SQL window frame ``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING``).
+
+    Output: one row per conversion — (purchase_id, user_id, touch_id,
+    touch_type, lag_us), touch columns null when the user has no
+    prior touch.
+
+    Distributed shape: one slim exchange bucketed by hashed user id
+    (many users per bucket); inside a bucket the kernel is fully
+    vectorized across users — global lexsort by (uid, ts, eid), a
+    running cummax of touch positions, and a segment-first guard that
+    invalidates carries crossing a user boundary."""
+    touch_set = list(touch_types)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.is_in(batch[type_col], value_set=pa.array(touch_set)),
+            pc.equal(batch[type_col], conversion_type))
+        t = batch.filter(keep)
+        uid = t[user_col].to_numpy(zero_copy_only=False)
+        code = pc.index_in(
+            t[type_col], value_set=pa.array(touch_set)) \
+            .fill_null(-1).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "uid": pa.array(uid, pa.int64()),
+            "ts_us": t[ts_col].cast(pa.int64()),
+            "eid": t[id_col].cast(pa.int64()),
+            "code": pa.array(code, pa.int64()),
+            "ubkt": pa.array(mix_bucket(uid, num_buckets),
+                             pa.int64())})
+
+    def attribute_bucket(g: pa.Table) -> pa.Table:
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        code = g["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, code = (uid[order], ts[order], eid[order],
+                              code[order])
+        n = len(uid)
+        idx = np.arange(n, dtype=np.int64)
+        is_touch = code >= 0
+        carry = np.where(is_touch, idx, np.int64(-1))
+        cummax = np.maximum.accumulate(carry)
+        prior = np.concatenate([[np.int64(-1)], cummax[:-1]])
+        # segment-first guard: a carried index from a previous user
+        # is < this segment's first global index
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = uid[1:] != uid[:-1]
+        seg_first = idx[brk][np.cumsum(brk) - 1]
+        valid = prior >= seg_first
+        conv = ~is_touch
+        p_take = np.flatnonzero(conv)
+        lt = prior[p_take]
+        ok = valid[p_take]
+        safe = np.where(ok, lt, 0)
+        touch_eid = eid[safe]
+        touch_code = code[safe]
+        lag = ts[p_take] - ts[safe]
+        nulls = ~ok
+        types = pa.array([str(t) for t in touch_set], pa.string())
+        touch_type = pc.take(
+            types, pa.array(np.where(ok, touch_code, 0), pa.int64()))
+        touch_type = pc.if_else(pa.array(nulls),
+                                pa.scalar(None, pa.string()),
+                                touch_type)
+        return pa.table({
+            "purchase_id": pa.array(eid[p_take], pa.int64()),
+            "user_id": pa.array(uid[p_take], pa.int64()),
+            "touch_id": pa.array(touch_eid, pa.int64(), mask=nulls),
+            "touch_type": touch_type,
+            "lag_us": pa.array(lag, pa.int64(), mask=nulls)})
+
+    return (events_ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("ubkt").map_groups(attribute_bucket,
+                                        batch_format="pyarrow"))
