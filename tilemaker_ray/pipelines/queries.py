@@ -9415,6 +9415,24 @@ ORACLE_SQL["ann_pq_top5"] = """
 # (stages/spatialstats.py) — "is the event density clustered?"
 # ---------------------------------------------------------------------------
 
+def _z5_tile_counts(sf_dir: str):
+    """z5 tile-count lattice derived from the z10 base by the same
+    parent-halving the pyramid rollup certifies — shared input of the
+    spatial-statistics family (Moran/Geary, percolation clusters)."""
+    from ray.data.aggregate import Sum
+
+    return (q_tile_count_z10(sf_dir)
+            .map_batches(lambda b: pa.table({
+                "tile_x": pc.shift_right(b["tile_x"], 5),
+                "tile_y": pc.shift_right(b["tile_y"], 5),
+                "n": pc.cast(b["n_events"], pa.int64())}),
+                batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y"]).aggregate(Sum("n"))
+            .map_batches(lambda b: pa.table({
+                "tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                "n_events": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
+
 def q_moran_tiles(sf_dir: str):
     """Global Moran's I with rook contiguity over the z5 tile-count
     lattice — the standard spatial-clustering statistic for the tile
@@ -9429,23 +9447,10 @@ def q_moran_tiles(sf_dir: str):
 
     Scale shape: exchange volume is O(occupied tiles), never O(events)
     — the base tile groupby is the flagship's own first reduction."""
-    from ray.data.aggregate import Sum
-
     from ..stages.spatialstats import (geary_finish, moran_finish,
                                        moran_scalars)
 
-    z5 = (q_tile_count_z10(sf_dir)
-          .map_batches(lambda b: pa.table({
-              "tile_x": pc.shift_right(b["tile_x"], 5),
-              "tile_y": pc.shift_right(b["tile_y"], 5),
-              "n": pc.cast(b["n_events"], pa.int64())}),
-              batch_format="pyarrow")
-          .groupby(["tile_x", "tile_y"]).aggregate(Sum("n"))
-          .map_batches(lambda b: pa.table({
-              "tile_x": b["tile_x"], "tile_y": b["tile_y"],
-              "n_events": pc.cast(b["sum(n)"], pa.int64())}),
-              batch_format="pyarrow"))
-    sc = moran_scalars(z5)
+    sc = moran_scalars(_z5_tile_counts(sf_dir))
     mi = moran_finish(sc)
     gc = geary_finish(sc)
     return pa.table({
@@ -9505,6 +9510,101 @@ ORACLE_SQL["moran_tiles"] = f"""
                         - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x)
            END AS geary_c
     FROM s, w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tile-lattice percolation clusters — connected components over
+# occupied z5 tiles (urban-blob detection); composes the spatial
+# scatter kernel with the dedup CC engine
+# ---------------------------------------------------------------------------
+
+def q_tile_clusters(sf_dir: str):
+    """Percolation analysis of the event surface: rook-connected
+    clusters of occupied z5 tiles, reporting cluster count, largest
+    cluster (tiles + events), and occupied-tile total — the "how big
+    is the biggest contiguous urban blob" question over the tile
+    layer. Edges derive vectorized from ONE scatter aggregation
+    (stages/spatialstats.lattice_edges, endpoints reconstructed from
+    key arithmetic); components resolve in the size-adaptive CC
+    engine (stages/dedup.py); labels re-attach in one map pass
+    (broadcast dict bounded by the fixed z5 lattice, ≤2^20 cells at
+    any corpus size) and sizes reduce through a slim comp groupby."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.dedup import connected_components_min_label
+    from ..stages.spatialstats import lattice_edges
+
+    z5 = _z5_tile_counts(sf_dir).materialize()
+    cc = connected_components_min_label(lattice_edges(z5))
+    parts = [t for t in ray.get(list(cc.to_arrow_refs()))
+             if t.num_rows > 0]
+    lbl = {}
+    for t in parts:
+        lbl.update(zip(t["doc_id"].to_pylist(),
+                       t["comp"].to_pylist()))
+    lbl_ref = ray.put(lbl)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        la = ray.get(lbl_ref)
+        x = batch["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = batch["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = x * (1 << 21) + y
+        comp = np.fromiter((la.get(int(k), int(k)) for k in key),
+                           dtype=np.int64, count=len(key))
+        return pa.table({
+            "comp": pa.array(comp, pa.int64()),
+            "n_tiles": pa.array(np.ones(len(key), np.int64),
+                                pa.int64()),
+            "n_events": pc.cast(batch["n_events"], pa.int64())})
+
+    sizes = (z5.map_batches(attach, batch_format="pyarrow")
+             .groupby("comp").aggregate(Sum("n_tiles"),
+                                        Sum("n_events")))
+    agg = sizes.aggregate(Count(), Max("sum(n_tiles)"),
+                          Sum("sum(n_tiles)"), Max("sum(n_events)"))
+    return pa.table({
+        "n_clusters": pa.array([int(agg["count()"] or 0)],
+                               pa.int64()),
+        "largest_tiles": pa.array(
+            [int(agg["max(sum(n_tiles))"] or 0)], pa.int64()),
+        "largest_events": pa.array(
+            [int(agg["max(sum(n_events))"] or 0)], pa.int64()),
+        "n_occupied": pa.array(
+            [int(agg["sum(sum(n_tiles))"] or 0)], pa.int64())})
+
+
+ORACLE_SQL["tile_clusters"] = f"""
+    WITH RECURSIVE
+      t AS (SELECT {_TX10} >> 5 AS x, {_TY10} >> 5 AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events e GROUP BY 1, 2),
+      e0 AS (SELECT a.x * 2097152 + a.y AS u,
+                    b.x * 2097152 + b.y AS v
+             FROM t a JOIN t b
+             ON (b.x = a.x + 1 AND b.y = a.y)
+                OR (b.x = a.x AND b.y = a.y + 1)),
+      e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      n AS (SELECT DISTINCT u AS node FROM e),
+      reach(node, r) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.v, reach.r FROM e JOIN reach ON reach.node = e.u),
+      m AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY 1),
+      lab AS (SELECT COALESCE(m.comp, t.x * 2097152 + t.y) AS comp,
+                     t.n
+              FROM t LEFT JOIN m ON m.node = t.x * 2097152 + t.y),
+      sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz,
+                       CAST(SUM(n) AS BIGINT) AS ev
+                FROM lab GROUP BY comp)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(MAX(sz) AS BIGINT) AS largest_tiles,
+           CAST(MAX(ev) AS BIGINT) AS largest_events,
+           CAST(SUM(sz) AS BIGINT) AS n_occupied
+    FROM sizes
 """
 
 
@@ -9868,6 +9968,7 @@ QUERIES = {
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
     "attribution_events": q_attribution_events,
+    "tile_clusters": q_tile_clusters,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
