@@ -9514,6 +9514,85 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Gini coefficient of the tile-count distribution — spatial
+# concentration of event mass, exact from rank-weighted integer sums
+# ---------------------------------------------------------------------------
+
+def q_gini_tiles(sf_dir: str):
+    """Gini concentration of events across occupied z10 tiles:
+    G = (2·Σ i·x_(i) − (N+1)·Σx) / (N·Σx) over counts sorted
+    ascending (rank-weighted sum is invariant under tie permutations,
+    so the packed tile key only pins ROW_NUMBER determinism). Ranks
+    come from the distributed rank engine (ONE sample-sorted
+    exchange, driver walks per-block metadata only); the three
+    integer scalars finish through a mirrored IEEE tree.
+
+    Scale shape: O(occupied tiles) exchange, never O(events); the
+    z10 lattice bounds the sorted table at ~10^6 rows at ANY corpus
+    size."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rank import global_rank
+
+    base = _z5_tile_counts(sf_dir)
+
+    def pack(b: pa.Table) -> pa.Table:
+        x = b["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = b["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pc.cast(b["n_events"], pa.int64()),
+            "tk": pa.array(x * (1 << 21) + y, pa.int64())})
+
+    ranked = global_rank(base.map_batches(pack,
+                                          batch_format="pyarrow"),
+                         keys=["n", "tk"], rn_col="i",
+                         rank_col=None)
+
+    def partials(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "s1": pa.array([int((i * n).sum())], pa.int64()),
+            "s0": pa.array([int(n.sum())], pa.int64()),
+            "nt": pa.array([len(n)], pa.int64())})
+
+    agg = (ranked.map_batches(partials, batch_format="pyarrow")
+           .aggregate(Sum("s1"), Sum("s0"), Sum("nt")))
+    s1 = int(agg["sum(s1)"] or 0)
+    s0 = int(agg["sum(s0)"] or 0)
+    nt = int(agg["sum(nt)"] or 0)
+    gini = None if nt == 0 or s0 == 0 else \
+        (2.0 * s1 - (nt + 1.0) * s0) / (float(nt) * s0)
+    return pa.table({
+        "n_tiles": pa.array([nt], pa.int64()),
+        "sum_x": pa.array([s0], pa.int64()),
+        "rank_weighted": pa.array([s1], pa.int64()),
+        "gini": pa.array([gini], pa.float64())})
+
+
+ORACLE_SQL["gini_tiles"] = f"""
+    WITH t AS (SELECT {_TX10} >> 5 AS x, {_TY10} >> 5 AS y,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events e GROUP BY 1, 2),
+         r AS (SELECT n, CAST(ROW_NUMBER() OVER (
+                   ORDER BY n, x * 2097152 + y) AS BIGINT) AS i
+               FROM t),
+         s AS (SELECT CAST(COALESCE(SUM(i * n), 0) AS BIGINT) AS s1,
+                      CAST(COALESCE(SUM(n), 0) AS BIGINT) AS s0,
+                      CAST(COUNT(*) AS BIGINT) AS nt
+               FROM r)
+    SELECT nt AS n_tiles, s0 AS sum_x, s1 AS rank_weighted,
+           CASE WHEN nt = 0 OR s0 = 0 THEN NULL
+                ELSE (2.0 * s1 - (nt + 1.0) * s0)
+                     / (CAST(nt AS DOUBLE) * s0)
+           END AS gini
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Tile-lattice percolation clusters — connected components over
 # occupied z5 tiles (urban-blob detection); composes the spatial
 # scatter kernel with the dedup CC engine
@@ -9969,6 +10048,7 @@ QUERIES = {
     "kcenter_embeddings": q_kcenter_embeddings,
     "attribution_events": q_attribution_events,
     "tile_clusters": q_tile_clusters,
+    "gini_tiles": q_gini_tiles,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
