@@ -97,3 +97,39 @@ def test_moran_two_tiles_exact(ray_session):
     assert mi == pytest.approx(-1.0)
     # C = (N-1)*G / (2W*den) = 1*32 / (2*2*8) = 1.0
     assert gc == pytest.approx(1.0)
+
+
+def test_gi_star_matches_brute(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.spatialstats import (gi_star_cells,
+                                                   gi_star_finish_fn)
+    rng = np.random.RandomState(19)
+    cells = rng.choice(12 * 12, size=50, replace=False)
+    x, y = (cells // 12).astype(np.int64), (cells % 12).astype(np.int64)
+    n = rng.randint(1, 30, size=50).astype(np.int64)
+    t = pa.table({"tile_x": pa.array(x, pa.int64()),
+                  "tile_y": pa.array(y, pa.int64()),
+                  "n_events": pa.array(n, pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+    N, SX, SXX = len(n), int(n.sum()), int((n * n).sum())
+    got = (gi_star_cells(ds)
+           .map_batches(lambda b: gi_star_finish_fn(b, N, SX, SXX),
+                        batch_format="pyarrow")
+           .to_pandas().set_index(["tile_x", "tile_y"]).sort_index())
+    # brute per cell
+    xbar = SX / N
+    s = np.sqrt(SXX / N - xbar * xbar)
+    for i in range(N):
+        nb = [j for j in range(N)
+              if abs(int(x[i] - x[j])) + abs(int(y[i] - y[j])) == 1]
+        s_i = int(n[i]) + sum(int(n[j]) for j in nb)
+        k_i = 1 + len(nb)
+        den = s * np.sqrt((N * float(k_i) - float(k_i) * k_i)
+                          / (N - 1.0))
+        row = got.loc[(x[i], y[i])]
+        assert row["s_i"] == s_i and row["k_i"] == k_i
+        if den > 0:
+            assert row["gi_star"] == pytest.approx(
+                (s_i - xbar * k_i) / den, rel=1e-12)
+        else:
+            assert np.isnan(row["gi_star"])

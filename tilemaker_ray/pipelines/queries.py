@@ -9514,6 +9514,84 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Getis–Ord Gi* hotspot detection — per-tile local z-scores, the
+# LOCAL complement to the global Moran/Geary statistics
+# ---------------------------------------------------------------------------
+
+def q_gi_star_tiles(sf_dir: str):
+    """Per-tile Getis–Ord Gi* over the occupied z5 lattice (rook
+    neighbourhood including self, occupied-tile universe): the
+    standard hotspot z-score map a cartographer draws over the tile
+    layer. Neighbourhood sums come from ONE scatter aggregation
+    (stages/spatialstats.gi_star_cells); the z-score finishes through
+    a mirrored IEEE tree — sqrt is correctly rounded by IEEE 754, so
+    numpy and DuckDB agree bitwise.
+
+    Scale shape: O(occupied tiles) exchange + one broadcast of three
+    global scalars; per-tile output, never O(events)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.spatialstats import gi_star_cells, gi_star_finish_fn
+
+    z5 = _z5_tile_counts(sf_dir).materialize()
+
+    def scal(b: pa.Table) -> pa.Table:
+        n = b["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "nt": pa.array([len(n)], pa.int64()),
+            "sx": pa.array([int(n.sum())], pa.int64()),
+            "sxx": pa.array([int((n * n).sum())], pa.int64())})
+
+    agg = (z5.map_batches(scal, batch_format="pyarrow")
+           .aggregate(Sum("nt"), Sum("sx"), Sum("sxx")))
+    nt = int(agg["sum(nt)"] or 0)
+    sx = int(agg["sum(sx)"] or 0)
+    sxx = int(agg["sum(sxx)"] or 0)
+    cells = gi_star_cells(z5)
+    return cells.map_batches(
+        lambda b: gi_star_finish_fn(b, nt, sx, sxx),
+        batch_format="pyarrow")
+
+
+ORACLE_SQL["gi_star_tiles"] = f"""
+    WITH t AS (SELECT {_TX10} >> 5 AS x, {_TY10} >> 5 AS y,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events e GROUP BY 1, 2),
+         sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sx,
+                       CAST(COALESCE(SUM(n * n), 0) AS BIGINT) AS sxx
+                FROM t),
+         d(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+         g AS (SELECT a.x AS tile_x, a.y AS tile_y, a.n AS x_i,
+                      a.n + CAST(COALESCE(SUM(b.n), 0) AS BIGINT)
+                          AS s_i,
+                      1 + CAST(COUNT(b.x) AS BIGINT) AS k_i
+               FROM t a CROSS JOIN d
+               LEFT JOIN t b ON b.x = a.x + d.dx AND b.y = a.y + d.dy
+               GROUP BY a.x, a.y, a.n)
+    SELECT tile_x, tile_y, x_i, s_i, k_i,
+           CASE WHEN sqrt(CAST(sxx AS DOUBLE) / nt
+                          - (CAST(sx AS DOUBLE) / nt)
+                            * (CAST(sx AS DOUBLE) / nt))
+                     * sqrt((nt * CAST(k_i AS DOUBLE)
+                             - CAST(k_i AS DOUBLE) * k_i)
+                            / (nt - 1.0)) > 0.0
+                THEN (CAST(s_i AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / nt) * k_i)
+                     / (sqrt(CAST(sxx AS DOUBLE) / nt
+                             - (CAST(sx AS DOUBLE) / nt)
+                               * (CAST(sx AS DOUBLE) / nt))
+                        * sqrt((nt * CAST(k_i AS DOUBLE)
+                                - CAST(k_i AS DOUBLE) * k_i)
+                               / (nt - 1.0)))
+                ELSE NULL
+           END AS gi_star
+    FROM g, sc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gini coefficient of the tile-count distribution — spatial
 # concentration of event mass, exact from rank-weighted integer sums
 # ---------------------------------------------------------------------------
@@ -10049,6 +10127,7 @@ QUERIES = {
     "attribution_events": q_attribution_events,
     "tile_clusters": q_tile_clusters,
     "gini_tiles": q_gini_tiles,
+    "gi_star_tiles": q_gi_star_tiles,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,

@@ -214,3 +214,64 @@ def lattice_edges(tile_counts, x_col: str = "tile_x",
             .groupby("cell").aggregate(Sum("occ"), Sum("px"),
                                        Sum("py"))
             .map_batches(edges, batch_format="pyarrow"))
+
+
+def gi_star_cells(tile_counts, x_col: str = "tile_x",
+                  y_col: str = "tile_y", n_col: str = "n_events"):
+    """Per-cell Getis–Ord Gi* inputs over the occupied-tile universe:
+    (tile_x, tile_y, x_i, s_i, k_i) where s_i = Σ x_j over the rook
+    neighbourhood INCLUDING self and k_i = its cell count. One scatter
+    exchange (the Moran kernel's aggregation reused); the caller
+    finishes with the global scalars through the mirrored IEEE tree
+    (sqrt is IEEE-correctly-rounded, so numpy and SQL agree bitwise).
+    """
+    from ray.data.aggregate import Sum
+
+    scattered = tile_counts.map_batches(
+        lambda b: moran_scatter_fn(b, x_col, y_col, n_col),
+        batch_format="pyarrow")
+    cells = scattered.groupby("cell").aggregate(
+        Sum("occ"), Sum("probe"), Sum("probe2"), Sum("isp"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        occ = batch["sum(occ)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        probe = batch["sum(probe)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        isp = batch["sum(isp)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = occ > 0
+        cell, occ, probe, isp = cell[m], occ[m], probe[m], isp[m]
+        return pa.table({
+            "tile_x": pa.array(cell >> _KEY_SHIFT, pa.int64()),
+            "tile_y": pa.array(cell & ((1 << _KEY_SHIFT) - 1),
+                               pa.int64()),
+            "x_i": pa.array(occ, pa.int64()),
+            "s_i": pa.array(occ + probe, pa.int64()),
+            "k_i": pa.array(1 + isp, pa.int64())})
+
+    return cells.map_batches(unpack, batch_format="pyarrow")
+
+
+def gi_star_finish_fn(batch: pa.Table, n: int, sum_x: int,
+                      sum_xx: int) -> pa.Table:
+    """Append the Gi* z-score column. The expression tree is mirrored
+    VERBATIM by the SQL oracle — operand order matters, do not
+    refactor. Denominator degenerates (NULL) when k_i = N or the
+    variance is 0."""
+    s_i = batch["s_i"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    k_i = batch["k_i"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    xbar = sum_x / n
+    s = np.sqrt(sum_xx / n - xbar * xbar)
+    kf = k_i.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        den = s * np.sqrt((n * kf - kf * kf) / (n - 1.0))
+        gi = (s_i - xbar * kf) / den
+    gi = np.where(den > 0.0, gi, np.nan)
+    out = batch.append_column(
+        "gi_star", pa.array(gi, pa.float64(),
+                            mask=~(den > 0.0)))
+    return out
