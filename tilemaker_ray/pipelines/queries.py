@@ -9514,6 +9514,103 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Contingency-table association analysis — per-cell lift / chi²
+# contribution / PMI of the lang × source cross-tab
+# ---------------------------------------------------------------------------
+
+def q_contingency_docs(sf_dir: str):
+    """Categorical association audit of the corpus: for every
+    (lang, source) cell, the observed count, both marginals, the
+    expected count under independence, lift, and the cell's chi²
+    contribution. Per-cell float trees avoid any engine-ordered SUM
+    over doubles (each row derives from exact integers only; a
+    log-lift column was measured 1-ulp OFF between np.log and DuckDB
+    ln and deliberately excluded — lift carries the same signal
+    exactly).
+
+    Scale shape: one combiner-first groupby to the cell table
+    (bounded by |langs|·|sources|), marginals fold FROM that table
+    (never re-scan the corpus), broadcast as dicts into one map."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"],
+                      "source": batch["source"]})
+        return (t.group_by(["lang", "source"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "source", "c"]))
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "source"]).aggregate(Sum("c"))
+             .map_batches(lambda b: pa.table({
+                 "lang": b["lang"], "source": b["source"],
+                 "n_ij": pc.cast(b["sum(c)"], pa.int64())}),
+                 batch_format="pyarrow")
+             .materialize())
+
+    import ray
+    small = pa.concat_tables(
+        [t for t in ray.get(list(cells.to_arrow_refs()))
+         if t.num_rows > 0])
+    langs = {}
+    srcs = {}
+    for la, so, c in zip(small["lang"].to_pylist(),
+                         small["source"].to_pylist(),
+                         small["n_ij"].to_pylist()):
+        langs[la] = langs.get(la, 0) + c
+        srcs[so] = srcs.get(so, 0) + c
+    total = sum(langs.values())
+    marg_ref = ray.put((langs, srcs, total))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        la, so, tot = ray.get(marg_ref)
+        lang = batch["lang"].to_pylist()
+        src = batch["source"].to_pylist()
+        nij = batch["n_ij"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ni = np.array([la[x] for x in lang], np.int64)
+        nj = np.array([so[x] for x in src], np.int64)
+        # mirrored IEEE trees (SQL verbatim): keep operand order
+        e = ni.astype(np.float64) * nj / tot
+        lift = nij.astype(np.float64) * tot / (ni.astype(np.float64)
+                                               * nj)
+        chi2 = (nij - e) * (nij - e) / e
+        return pa.table({
+            "lang": batch["lang"], "source": batch["source"],
+            "n_ij": pa.array(nij, pa.int64()),
+            "n_i": pa.array(ni, pa.int64()),
+            "n_j": pa.array(nj, pa.int64()),
+            "expected": pa.array(e, pa.float64()),
+            "lift": pa.array(lift, pa.float64()),
+            "chi2_contrib": pa.array(chi2, pa.float64())})
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["contingency_docs"] = """
+    WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_ij
+               FROM documents GROUP BY 1, 2),
+         li AS (SELECT lang, CAST(SUM(n_ij) AS BIGINT) AS n_i
+                FROM c GROUP BY 1),
+         sj AS (SELECT source, CAST(SUM(n_ij) AS BIGINT) AS n_j
+                FROM c GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS tot FROM c)
+    SELECT c.lang, c.source, c.n_ij, li.n_i, sj.n_j,
+           CAST(li.n_i AS DOUBLE) * sj.n_j / t.tot AS expected,
+           CAST(c.n_ij AS DOUBLE) * t.tot
+               / (CAST(li.n_i AS DOUBLE) * sj.n_j) AS lift,
+           (c.n_ij - CAST(li.n_i AS DOUBLE) * sj.n_j / t.tot)
+           * (c.n_ij - CAST(li.n_i AS DOUBLE) * sj.n_j / t.tot)
+           / (CAST(li.n_i AS DOUBLE) * sj.n_j / t.tot)
+               AS chi2_contrib
+    FROM c JOIN li USING (lang) JOIN sj USING (source)
+    CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Getis–Ord Gi* hotspot detection — per-tile local z-scores, the
 # LOCAL complement to the global Moran/Geary statistics
 # ---------------------------------------------------------------------------
@@ -10128,6 +10225,7 @@ QUERIES = {
     "tile_clusters": q_tile_clusters,
     "gini_tiles": q_gini_tiles,
     "gi_star_tiles": q_gi_star_tiles,
+    "contingency_docs": q_contingency_docs,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
