@@ -9514,6 +9514,82 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Exponential-decay freshness score — recency-weighted activity with
+# EXACT dyadic weights (2^-w is integer-scalable, so the sum is an
+# order-free int64 and the float score one exact division)
+# ---------------------------------------------------------------------------
+
+def q_freshness_users(sf_dir: str):
+    """Per-user freshness-weighted activity: each event contributes
+    2^-(weeks before the corpus max day), so recent activity
+    dominates — the decay scoring a crawler/feed ranker runs. The
+    dyadic half-life makes the whole sum EXACT: contributions are
+    integers scaled by 2^40 (weeks > 40 floor to 0 — documented
+    truncation, 2^-40 is beyond double-sum relevance anyway), so no
+    engine-ordered float SUM exists and the final score is one exact
+    power-of-two division.
+
+    Scale shape: one slim Max pass for the anchor day, one
+    combiner-first user groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = (batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86400000000)
+        return pa.table({
+            "user_id": pa.array(
+                batch["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64()),
+            "d": pa.array(d, pa.int64())})
+
+    slim = ev.map_batches(days, batch_format="pyarrow")
+    dmax = int(slim.aggregate(Max("d"))["max(d)"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        w = (dmax - d) // 7
+        contrib = np.where(w <= 40,
+                           np.int64(1) << np.maximum(40 - w, 0), 0) \
+            .astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, contrib)
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         "fp": pa.array(s, pa.int64())})
+
+    return (slim.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("fp"))
+            .map_batches(lambda b: pa.table({
+                "user_id": b["user_id"],
+                "score_fp": pc.cast(b["sum(fp)"], pa.int64()),
+                "score": pc.divide(
+                    pc.cast(b["sum(fp)"], pa.float64()),
+                    pa.scalar(1099511627776.0, pa.float64()))}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["freshness_users"] = """
+    WITH e AS (SELECT user_id,
+                      epoch_us(ts) // 86400000000 AS d
+               FROM events),
+         m AS (SELECT MAX(d) AS dmax FROM e),
+         c AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN (m.dmax - d) // 7 <= 40
+                               THEN CAST(1 AS BIGINT)
+                                    << CAST(40 - (m.dmax - d) // 7
+                                            AS INTEGER)
+                               ELSE 0 END) AS BIGINT) AS score_fp
+               FROM e CROSS JOIN m GROUP BY user_id)
+    SELECT user_id, score_fp,
+           score_fp / 1099511627776.0 AS score
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contingency-table association analysis — per-cell lift / chi²
 # contribution / PMI of the lang × source cross-tab
 # ---------------------------------------------------------------------------
@@ -10226,6 +10302,7 @@ QUERIES = {
     "gini_tiles": q_gini_tiles,
     "gi_star_tiles": q_gi_star_tiles,
     "contingency_docs": q_contingency_docs,
+    "freshness_users": q_freshness_users,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
