@@ -25,8 +25,12 @@ def _brute(x, y, n):
                 W += 1
     S = int(n.sum())
     SS = int((n.astype(object) ** 2).sum())
+    D2 = sum(sum(1 for j in range(N)
+                 if abs(int(x[i] - x[j])) +
+                    abs(int(y[i] - y[j])) == 1) ** 2
+             for i in range(N))
     sc = {"n_tiles": N, "w_pairs": W, "sum_x": S, "sum_xx": SS,
-          "cross_a": A, "cross_b": B, "cross_sq": G}
+          "cross_a": A, "cross_b": B, "cross_sq": G, "deg_sq": D2}
     if N == 0 or W == 0:
         return sc, None, None
     xbar = S / N
@@ -133,3 +137,30 @@ def test_gi_star_matches_brute(ray_session):
                 (s_i - xbar * k_i) / den, rel=1e-12)
         else:
             assert np.isnan(row["gi_star"])
+
+
+def test_moran_significance_brute(ray_session):
+    import math
+    from tilemaker_ray.stages.spatialstats import moran_significance
+    rng = np.random.RandomState(23)
+    cells = rng.choice(10 * 10, size=40, replace=False)
+    x, y = (cells // 10).astype(int), (cells % 10).astype(int)
+    n = rng.randint(1, 20, size=40)
+    sc, mi, _ = _run(x, y, n, ray_session)
+    ei, zi = moran_significance(sc, mi)
+    # brute: E and Var under normality with binary symmetric weights
+    N = sc["n_tiles"]
+    W = sc["w_pairs"]
+    deg = {}
+    for i in range(N):
+        deg[i] = sum(1 for j in range(N)
+                     if abs(int(x[i] - x[j])) +
+                        abs(int(y[i] - y[j])) == 1)
+    S1 = 2 * W
+    S2 = 4 * sum(d * d for d in deg.values())
+    assert sc["deg_sq"] == sum(d * d for d in deg.values())
+    E = -1.0 / (N - 1)
+    V = (N * N * S1 - N * S2 + 3 * W * W) / \
+        ((N * N - 1) * W * W) - E * E
+    assert ei == pytest.approx(E)
+    assert zi == pytest.approx((mi - E) / math.sqrt(V), rel=1e-9)

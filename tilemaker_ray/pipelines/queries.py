@@ -9448,11 +9448,13 @@ def q_moran_tiles(sf_dir: str):
     Scale shape: exchange volume is O(occupied tiles), never O(events)
     — the base tile groupby is the flagship's own first reduction."""
     from ..stages.spatialstats import (geary_finish, moran_finish,
-                                       moran_scalars)
+                                       moran_scalars,
+                                       moran_significance)
 
     sc = moran_scalars(_z5_tile_counts(sf_dir))
     mi = moran_finish(sc)
     gc = geary_finish(sc)
+    ei, zi = moran_significance(sc, mi)
     return pa.table({
         "n_tiles": pa.array([sc["n_tiles"]], pa.int64()),
         "w_pairs": pa.array([sc["w_pairs"]], pa.int64()),
@@ -9462,7 +9464,9 @@ def q_moran_tiles(sf_dir: str):
         "cross_b": pa.array([sc["cross_b"]], pa.int64()),
         "cross_sq": pa.array([sc["cross_sq"]], pa.int64()),
         "moran_i": pa.array([mi], pa.float64()),
-        "geary_c": pa.array([gc], pa.float64())})
+        "geary_c": pa.array([gc], pa.float64()),
+        "expected_i": pa.array([ei], pa.float64()),
+        "z_moran": pa.array([zi], pa.float64())})
 
 
 ORACLE_SQL["moran_tiles"] = f"""
@@ -9484,8 +9488,17 @@ ORACLE_SQL["moran_tiles"] = f"""
                           AS cross_b,
                       CAST(COALESCE(SUM((xi - xj) * (xi - xj)), 0)
                            AS BIGINT) AS cross_sq
-               FROM p)
-    SELECT n_tiles, w_pairs, sum_x, sum_xx, cross_a, cross_b, cross_sq,
+               FROM p),
+         dg AS (SELECT a.x, a.y, CAST(COUNT(b.x) AS BIGINT) AS deg
+                FROM t a CROSS JOIN d
+                LEFT JOIN t b ON b.x = a.x + d.dx
+                             AND b.y = a.y + d.dy
+                GROUP BY a.x, a.y),
+         d2 AS (SELECT CAST(COALESCE(SUM(deg * deg), 0) AS BIGINT)
+                    AS deg_sq
+                FROM dg),
+         f AS (SELECT n_tiles, w_pairs, sum_x, sum_xx, cross_a,
+                      cross_b, cross_sq, deg_sq,
            CASE WHEN n_tiles = 0 OR w_pairs = 0 OR
                      (CAST(sum_xx AS DOUBLE)
                       - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x) = 0
@@ -9509,7 +9522,31 @@ ORACLE_SQL["moran_tiles"] = f"""
                      / (CAST(sum_xx AS DOUBLE)
                         - (CAST(sum_x AS DOUBLE) / n_tiles) * sum_x)
            END AS geary_c
-    FROM s, w
+    FROM s, w, d2)
+    SELECT n_tiles, w_pairs, sum_x, sum_xx, cross_a, cross_b,
+           cross_sq, moran_i, geary_c,
+           CASE WHEN moran_i IS NULL OR n_tiles < 3 OR w_pairs = 0
+                THEN NULL ELSE -1.0 / (n_tiles - 1)
+           END AS expected_i,
+           CASE WHEN moran_i IS NULL OR n_tiles < 3 OR w_pairs = 0
+                     OR NOT (((n_tiles * n_tiles) * (2.0 * w_pairs)
+                              - n_tiles * (4.0 * deg_sq)
+                              + 3.0 * w_pairs * w_pairs)
+                             / ((n_tiles * n_tiles - 1.0)
+                                * (w_pairs * w_pairs))
+                             - (-1.0 / (n_tiles - 1))
+                               * (-1.0 / (n_tiles - 1)) > 0.0)
+                THEN NULL
+                ELSE (moran_i - (-1.0 / (n_tiles - 1)))
+                     / sqrt(((n_tiles * n_tiles) * (2.0 * w_pairs)
+                             - n_tiles * (4.0 * deg_sq)
+                             + 3.0 * w_pairs * w_pairs)
+                            / ((n_tiles * n_tiles - 1.0)
+                               * (w_pairs * w_pairs))
+                            - (-1.0 / (n_tiles - 1))
+                              * (-1.0 / (n_tiles - 1)))
+           END AS z_moran
+    FROM f
 """
 
 

@@ -96,6 +96,7 @@ def moran_cell_partials_fn(batch: pa.Table) -> pa.Table:
         "g_part": pa.array(m * (isp * occ * occ + probe2)
                            - 2 * occ * probe, pa.int64()),
         "w_part": pa.array(m * isp, pa.int64()),
+        "d2_part": pa.array(m * isp * isp, pa.int64()),
         "s_part": pa.array(occ, pa.int64()),
         "ss_part": pa.array(occ * occ, pa.int64()),
         "n_part": pa.array(m, pa.int64())})
@@ -118,7 +119,7 @@ def moran_scalars(tile_counts, x_col: str = "tile_x",
                               batch_format="pyarrow")
     agg = parts.aggregate(
         Sum("a_part"), Sum("b_part"), Sum("g_part"), Sum("w_part"),
-        Sum("s_part"), Sum("ss_part"), Sum("n_part"))
+        Sum("d2_part"), Sum("s_part"), Sum("ss_part"), Sum("n_part"))
     return {
         "n_tiles": int(agg["sum(n_part)"] or 0),
         "w_pairs": int(agg["sum(w_part)"] or 0),
@@ -126,7 +127,8 @@ def moran_scalars(tile_counts, x_col: str = "tile_x",
         "sum_xx": int(agg["sum(ss_part)"] or 0),
         "cross_a": int(agg["sum(a_part)"] or 0),
         "cross_b": int(agg["sum(b_part)"] or 0),
-        "cross_sq": int(agg["sum(g_part)"] or 0)}
+        "cross_sq": int(agg["sum(g_part)"] or 0),
+        "deg_sq": int(agg["sum(d2_part)"] or 0)}
 
 
 def moran_finish(sc: dict) -> float | None:
@@ -158,6 +160,24 @@ def geary_finish(sc: dict) -> float | None:
     # float(n-1) FIRST: Python's exact-bigint product would round
     # differently from SQL's double*double once past 2^53
     return (float(n - 1) * sc["cross_sq"]) / (2.0 * w) / den
+
+
+def moran_significance(sc: dict, moran_i: float | None):
+    """Analytic Moran significance under the normality null:
+    E[I] = -1/(N-1); Var[I] = (N²·S1 - N·S2 + 3W²)/((N²-1)·W²) - E².
+    Binary symmetric rook weights give S1 = 2W and S2 = 4·Σdeg²
+    (deg_sq scalar). Returns (expected_i, z_moran); trees mirrored
+    VERBATIM by the SQL oracle — do not refactor."""
+    n, w = sc["n_tiles"], sc["w_pairs"]
+    if moran_i is None or n < 3 or w == 0:
+        return None, None
+    e_i = -1.0 / (n - 1)
+    var = ((n * n) * (2.0 * w) - n * (4.0 * sc["deg_sq"])
+           + 3.0 * w * w) / ((n * n - 1.0) * (w * w)) - e_i * e_i
+    if not var > 0.0:
+        return e_i, None
+    import math
+    return e_i, (moran_i - e_i) / math.sqrt(var)
 
 
 def lattice_edges(tile_counts, x_col: str = "tile_x",
