@@ -9551,6 +9551,50 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Kneser–Ney smoothed bigram LM (stages/textindex.py) — the modern
+# smoothing upgrade over the certified add-nothing bigram LM
+# ---------------------------------------------------------------------------
+
+def q_kneser_ney_docs(sf_dir: str):
+    """Interpolated Kneser–Ney bigram probabilities over the corpus:
+    discounted evidence + continuation-probability backoff — the
+    smoothing every classical LM pipeline ships. All counts exact
+    int64 through two slim bucketed exchanges; d = 0.75 is dyadic so
+    p_kn is one mirrored IEEE tree (emitted as a probability, not a
+    log — no libm divergence surface)."""
+    from ..stages.textindex import kneser_ney_bigram
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return kneser_ney_bigram(ds, min_count=2)
+
+
+ORACLE_SQL["kneser_ney_docs"] = """
+    WITH big AS (
+      SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i])) AS w1,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i + 1])) AS w2
+      FROM documents),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM big GROUP BY w1, w2),
+    t AS (SELECT w1, w2, c12,
+                 CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT)
+                     AS c1,
+                 CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT)
+                     AS n1f,
+                 CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT)
+                     AS n1b
+          FROM c),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c)
+    SELECT w1, w2, c12, c1, n1f, n1b,
+           (c12 - 0.75) / c1
+           + 0.75 * n1f / c1 * (n1b / CAST(bt AS DOUBLE)) AS p_kn
+    FROM t, b WHERE c12 >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exponential-decay freshness score — recency-weighted activity with
 # EXACT dyadic weights (2^-w is integer-scalable, so the sum is an
 # order-free int64 and the float score one exact division)
@@ -10340,6 +10384,7 @@ QUERIES = {
     "gi_star_tiles": q_gi_star_tiles,
     "contingency_docs": q_contingency_docs,
     "freshness_users": q_freshness_users,
+    "kneser_ney_docs": q_kneser_ney_docs,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,

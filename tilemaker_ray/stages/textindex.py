@@ -404,7 +404,8 @@ def jaccard_pairs(docs_ds, ngram: int = 3, df_max: int = 50,
     return with_nb.map_batches(finish, batch_format="pyarrow")
 
 
-def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64):
+def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64,
+              emit_n1f: bool = False):
     """Bigram language-model statistics: (w1, w2, c12, c1, logp) with
     c12 = corpus count of the bigram, c1 = total bigrams starting with
     w1, logp = ln(P(w2|w1)) = ln(c12/c1).
@@ -465,11 +466,15 @@ def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64):
         w1, w2, c = w1[order], w2[order], c[order]
         n = len(w1)
         if n == 0:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "c12": pa.array([], pa.int64()),
-                             "c1": pa.array([], pa.int64()),
-                             "logp": pa.array([], pa.float64())})
+            cols = {"w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                    "c1": pa.array([], pa.int64())}
+            if emit_n1f:
+                cols["n1f"] = pa.array([], pa.int64())
+            else:
+                cols["logp"] = pa.array([], pa.float64())
+            return pa.table(cols)
         pair_brk = np.ones(n, dtype=bool)
         pair_brk[1:] = (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])
         pid = np.cumsum(pair_brk) - 1
@@ -483,17 +488,25 @@ def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64):
         c1 = np.zeros(wid[-1] + 1, dtype=np.int64)
         np.add.at(c1, wid, c12)
         c1_row = c1[wid]
+        n1f_row = np.bincount(wid).astype(np.int64)[wid]
         keep = c12 >= min_count
-        pw1, pw2, c12, c1_row = (pw1[keep], pw2[keep], c12[keep],
-                                 c1_row[keep])
-        logp = np.asarray([math.log(float(a) / float(b))
-                           for a, b in zip(c12, c1_row)])
-        return pa.table({
+        pw1, pw2, c12, c1_row, n1f_row = (
+            pw1[keep], pw2[keep], c12[keep], c1_row[keep],
+            n1f_row[keep])
+        cols = {
             "w1": pa.array(list(pw1), pa.string()),
             "w2": pa.array(list(pw2), pa.string()),
             "c12": pa.array(c12, pa.int64()),
-            "c1": pa.array(c1_row, pa.int64()),
-            "logp": pa.array(logp, pa.float64())})
+            "c1": pa.array(c1_row, pa.int64())}
+        if emit_n1f:
+            # distinct continuations of w1 — the w1 segment is
+            # complete inside its hash bucket, so this is free here
+            cols["n1f"] = pa.array(n1f_row, pa.int64())
+        else:
+            logp = np.asarray([math.log(float(a) / float(b))
+                               for a, b in zip(c12, c1_row)])
+            cols["logp"] = pa.array(logp, pa.float64())
+        return pa.table(cols)
 
     return (docs_ds.map_batches(partial, batch_format="pyarrow")
             .groupby("kbkt").map_groups(reduce_bucket,
@@ -841,3 +854,74 @@ def winnow_fingerprints(texts, k: int = 8, w: int = 4):
     pick = pick[ok]
     key = np.unique(pick)
     return owner[key], rel[key], acc[key]
+
+
+def kneser_ney_bigram(docs_ds, discount: float = 0.75,
+                      min_count: int = 2, num_buckets: int = 64):
+    """Kneser–Ney smoothed bigram probabilities (Kneser & Ney 1995,
+    interpolated form): P(w2|w1) = max(c12-d,0)/c1 +
+    d·N1+(w1·)/c1 · N1+(·w2)/B, where N1+(w1·) counts distinct
+    continuations of w1, N1+(·w2) distinct left-contexts of w2, and
+    B the distinct-bigram total. d = 0.75 is dyadic and every other
+    operand an exact int64, so the probability is ONE mirrored IEEE
+    tree the SQL oracle replays (probabilities emit directly — no
+    log; c12 ≥ 1 keeps the max() from ever binding).
+
+    Distributed shape: the bigram_lm exchange emits (w1,w2,c12,c1,
+    n1f) with the forward continuation count free in-bucket
+    (emit_n1f); ONE further hash(w2)-bucketed exchange adds the
+    backward continuation count as a segment size (rows are unique
+    (w1,w2) pairs, so segment length IS the distinct-context
+    count); B is one driver scalar off the materialized pair table
+    (the model artifact a scorer broadcasts anyway)."""
+    lm = bigram_lm(docs_ds, min_count=1, num_buckets=num_buckets,
+                   emit_n1f=True)
+
+    def back_bucket(batch: pa.Table) -> pa.Table:
+        w2 = np.asarray(batch["w2"].to_pylist(), dtype=object)
+        return batch.append_column(
+            "bkt2", pa.array(word_buckets(w2, num_buckets),
+                             pa.int64()))
+
+    def back(g: pa.Table) -> pa.Table:
+        w2 = np.asarray(g["w2"].to_pylist(), dtype=object)
+        order = np.lexsort((np.arange(len(w2)), w2))
+        inv = np.empty(len(w2), np.int64)
+        inv[order] = np.arange(len(w2))
+        w2s = w2[order]
+        brk = np.ones(len(w2s), dtype=bool)
+        brk[1:] = w2s[1:] != w2s[:-1]
+        sid = np.cumsum(brk) - 1
+        seg_n = np.bincount(sid).astype(np.int64)
+        n1b = seg_n[sid][inv]
+        return g.append_column("n1b", pa.array(n1b, pa.int64()))
+
+    pairs = (lm.map_batches(back_bucket, batch_format="pyarrow")
+             .groupby("bkt2").map_groups(back,
+                                         batch_format="pyarrow")
+             .materialize())
+    b_total = pairs.count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n1f = batch["n1f"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n1b = batch["n1b"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = c12 >= min_count
+        # mirrored IEEE tree — keep operand order
+        p = (c12 - discount) / c1 \
+            + discount * n1f / c1 * (n1b / b_total)
+        t = pa.table({
+            "w1": batch["w1"], "w2": batch["w2"],
+            "c12": pa.array(c12, pa.int64()),
+            "c1": pa.array(c1, pa.int64()),
+            "n1f": pa.array(n1f, pa.int64()),
+            "n1b": pa.array(n1b, pa.int64()),
+            "p_kn": pa.array(p, pa.float64())})
+        return t.filter(pa.array(keep))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
