@@ -9551,6 +9551,53 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Gaps-and-islands state compression (stages/sequence.py) — SCD2
+# validity intervals from per-user event streams
+# ---------------------------------------------------------------------------
+
+def q_state_islands_events(sf_dir: str):
+    """SCD2 history build: collapse each user's consecutive equal
+    event states into (state, valid_from, valid_to) intervals —
+    the gaps-and-islands pattern every dimension-table pipeline
+    needs (valid_to NULL on the open interval). One hashed-user
+    exchange, vectorized break/segment kernel; the oracle replays it
+    as LAG-break + running SUM island ids + LEAD(valid_from)."""
+    from ..stages.sequence import state_islands
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return state_islands(ds)
+
+
+ORACLE_SQL["state_islands_events"] = """
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      LAG(event_type) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+               FROM events),
+         m AS (SELECT user_id, event_type, ts, event_id,
+                      CASE WHEN prev IS NULL OR prev <> event_type
+                           THEN 1 ELSE 0 END AS brk
+               FROM o),
+         g AS (SELECT user_id, event_type, ts,
+                      SUM(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m),
+         isl AS (SELECT user_id, grp, MIN(event_type) AS state,
+                        CAST(MIN(epoch_us(ts)) AS BIGINT)
+                            AS valid_from_us,
+                        CAST(COUNT(*) AS BIGINT) AS n_events
+                 FROM g GROUP BY user_id, grp)
+    SELECT user_id, state, valid_from_us,
+           CAST(LEAD(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY grp) AS BIGINT)
+               AS valid_to_us,
+           n_events
+    FROM isl
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kneser–Ney smoothed bigram LM (stages/textindex.py) — the modern
 # smoothing upgrade over the certified add-nothing bigram LM
 # ---------------------------------------------------------------------------
@@ -10385,6 +10432,7 @@ QUERIES = {
     "contingency_docs": q_contingency_docs,
     "freshness_users": q_freshness_users,
     "kneser_ney_docs": q_kneser_ney_docs,
+    "state_islands_events": q_state_islands_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,

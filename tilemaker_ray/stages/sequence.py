@@ -232,3 +232,73 @@ def last_touch_attribution(events_ds, touch_types: list,
     return (events_ds.map_batches(slim, batch_format="pyarrow")
             .groupby("ubkt").map_groups(attribute_bucket,
                                         batch_format="pyarrow"))
+
+
+def state_islands(events_ds, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  state_col: str = "event_type",
+                  num_buckets: int = 64):
+    """Gaps-and-islands compression: collapse each user's run of
+    consecutive equal states (ordered by (ts, event_id)) into one
+    validity interval — the SCD2 history build (valid_from /
+    valid_to, half-open; valid_to NULL for the current state).
+
+    One hashed-user bucket exchange; inside a bucket the kernel is
+    vectorized across all users (lexsort + break masks + segment
+    reductions). Mirrors the SQL LAG-break + running-SUM island id +
+    LEAD(valid_from) pattern exactly."""
+
+    def slim(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "uid": pa.array(uid, pa.int64()),
+            "ts_us": batch[ts_col].cast(pa.int64()),
+            "eid": batch[id_col].cast(pa.int64()),
+            "st": batch[state_col].cast(pa.string()),
+            "ubkt": pa.array(mix_bucket(uid, num_buckets),
+                             pa.int64())})
+
+    def islands_bucket(g: pa.Table) -> pa.Table:
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        st = np.asarray(g["st"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, st = uid[order], ts[order], eid[order], st[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "state": pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user.copy()
+        brk[1:] |= st[1:] != st[:-1]
+        gid = np.cumsum(brk) - 1
+        n_isl = gid[-1] + 1
+        first = np.flatnonzero(brk)
+        counts = np.diff(np.concatenate([first, [n]]))
+        isl_user = uid[first]
+        isl_state = st[first]
+        isl_from = ts[first]
+        # valid_to = next island's valid_from when same user
+        nxt_from = np.empty(n_isl, np.int64)
+        nxt_from[:-1] = isl_from[1:]
+        nxt_from[-1] = 0
+        same_user = np.zeros(n_isl, dtype=bool)
+        same_user[:-1] = isl_user[1:] == isl_user[:-1]
+        return pa.table({
+            "user_id": pa.array(isl_user, pa.int64()),
+            "state": pa.array(list(isl_state), pa.string()),
+            "valid_from_us": pa.array(isl_from, pa.int64()),
+            "valid_to_us": pa.array(nxt_from, pa.int64(),
+                                    mask=~same_user),
+            "n_events": pa.array(counts.astype(np.int64),
+                                 pa.int64())})
+
+    return (events_ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("ubkt").map_groups(islands_bucket,
+                                        batch_format="pyarrow"))
