@@ -9551,6 +9551,87 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Winsorized robust statistics — outlier-clipped mean via the exact
+# distributed quantile engine (the data-cleaning pass before model
+# features)
+# ---------------------------------------------------------------------------
+
+def q_winsorize_lineitem(sf_dir: str):
+    """Winsorized price statistics: clip l_extendedprice to its exact
+    [p05, p95] (quantile_disc semantics — the engine's certified
+    k-th-smallest kernel), then integer-cents sufficient stats of the
+    clipped column and the winsorized mean through a mirrored tree.
+    Reports the clip bounds and how many rows each side clipped.
+
+    Scale shape: the quantile engine's three passes + ONE clip pass
+    of per-block integer partials; nothing but scalars leaves the
+    workers."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sketch import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qt = exact_quantiles(ds, "l_extendedprice", [0.05, 0.95])
+    lo = float(qt["value"][0].as_py())
+    hi = float(qt["value"][1].as_py())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        c = np.minimum(np.maximum(v, lo), hi)
+        cents = np.floor(c * 100.0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "nlo": pa.array([int((v < lo).sum())], pa.int64()),
+            "nhi": pa.array([int((v > hi).sum())], pa.int64()),
+            "s": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n"), Sum("nlo"), Sum("nhi"), Sum("s")))
+    n = int(agg["sum(n)"] or 0)
+    s = int(agg["sum(s)"] or 0)
+    mean = None if n == 0 else s / 100.0 / n
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_clip_lo": pa.array([int(agg["sum(nlo)"] or 0)],
+                              pa.int64()),
+        "n_clip_hi": pa.array([int(agg["sum(nhi)"] or 0)],
+                              pa.int64()),
+        "lo_cents": pa.array([int(np.floor(lo * 100.0))],
+                             pa.int64()),
+        "hi_cents": pa.array([int(np.floor(hi * 100.0))],
+                             pa.int64()),
+        "sum_cents": pa.array([s], pa.int64()),
+        "winsor_mean": pa.array([mean], pa.float64())})
+
+
+ORACLE_SQL["winsorize_lineitem"] = """
+    WITH q AS (SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
+                      quantile_disc(l_extendedprice, 0.95) AS hi
+               FROM lineitem),
+         c AS (SELECT CASE WHEN l_extendedprice < q.lo THEN q.lo
+                           WHEN l_extendedprice > q.hi THEN q.hi
+                           ELSE l_extendedprice END AS v,
+                      CASE WHEN l_extendedprice < q.lo
+                           THEN 1 ELSE 0 END AS cl,
+                      CASE WHEN l_extendedprice > q.hi
+                           THEN 1 ELSE 0 END AS ch
+               FROM lineitem CROSS JOIN q)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cl) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(ch) AS BIGINT) AS n_clip_hi,
+           (SELECT CAST(FLOOR(lo * 100.0) AS BIGINT) FROM q)
+               AS lo_cents,
+           (SELECT CAST(FLOOR(hi * 100.0) AS BIGINT) FROM q)
+               AS hi_cents,
+           CAST(SUM(CAST(FLOOR(v * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(FLOOR(v * 100.0) AS BIGINT)) AS DOUBLE)
+               / 100.0 / CAST(COUNT(*) AS DOUBLE) AS winsor_mean
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands state compression (stages/sequence.py) — SCD2
 # validity intervals from per-user event streams
 # ---------------------------------------------------------------------------
@@ -10433,6 +10514,7 @@ QUERIES = {
     "freshness_users": q_freshness_users,
     "kneser_ney_docs": q_kneser_ney_docs,
     "state_islands_events": q_state_islands_events,
+    "winsorize_lineitem": q_winsorize_lineitem,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
