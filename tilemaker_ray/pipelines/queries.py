@@ -10332,73 +10332,107 @@ def q_expectations_audit(sf_dir: str):
                         int((stored != real).sum()))
 
     # Key-space checks (event-id uniqueness + FK integrity) fuse into
-    # ONE packed-key groupby: gk = key*2 + space. Space 0 rows are
-    # distinct event-id markers (each surviving group contributes -1,
-    # so Σ = n_rows - n_distinct); space 1 rows fold the FK semi-join
+    # ONE packed-key exchange: gk = key*2 + space. Space 0 rows are
+    # distinct event-id markers (each distinct key contributes -1, so
+    # Σ = n_rows - n_distinct); space 1 rows fold the FK semi-join
     # (probe rows carry lineitem row counts, build rows a presence
-    # marker; an unmarked group contributes its probe weight). No
-    # Dataset.join — its fixed hash-shuffle actor cost dwarfs this
-    # slim key exchange.
+    # marker; an unmarked key contributes its probe weight). The
+    # exchange is the bucketed map_groups pattern, NOT Dataset.join
+    # or a native hash Aggregate — both pay a fixed per-key reducer
+    # cost that measured 7+ s on this slim table; the bucket reducer
+    # also emits the two check partials DIRECTLY, so the aggregated
+    # key table never materializes.
+    from ..stages.common import mix_bucket as _mixb
+    _NB = 64
+
     def ev_distinct(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["event_id"].to_numpy(zero_copy_only=False))
         z = np.zeros(len(u), np.int64)
-        return pa.table({"gk": pa.array(u * 2, pa.int64()),
+        gk = u * 2
+        return pa.table({"gk": pa.array(gk, pa.int64()),
                          "cnt": pa.array(z, pa.int64()),
-                         "mark": pa.array(z, pa.int64())})
+                         "mark": pa.array(z, pa.int64()),
+                         "kb": pa.array(_mixb(gk, _NB), pa.int64())})
 
     def li_key_counts(batch: pa.Table) -> pa.Table:
         k, c = np.unique(
             batch["l_orderkey"].to_numpy(zero_copy_only=False),
             return_counts=True)
-        return pa.table({"gk": pa.array(k * 2 + 1, pa.int64()),
+        gk = k * 2 + 1
+        return pa.table({"gk": pa.array(gk, pa.int64()),
                          "cnt": pa.array(c, pa.int64()),
                          "mark": pa.array(
-                             np.zeros(len(k), np.int64), pa.int64())})
+                             np.zeros(len(k), np.int64), pa.int64()),
+                         "kb": pa.array(_mixb(gk, _NB), pa.int64())})
 
     def ord_marks(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["o_orderkey"].to_numpy(zero_copy_only=False))
-        return pa.table({"gk": pa.array(u * 2 + 1, pa.int64()),
+        gk = u * 2 + 1
+        return pa.table({"gk": pa.array(gk, pa.int64()),
                          "cnt": pa.array(
                              np.zeros(len(u), np.int64), pa.int64()),
                          "mark": pa.array(
-                             np.ones(len(u), np.int64), pa.int64())})
+                             np.ones(len(u), np.int64), pa.int64()),
+                         "kb": pa.array(_mixb(gk, _NB), pa.int64())})
 
-    def key_partials(batch: pa.Table) -> pa.Table:
-        gk = batch["gk"].to_numpy(zero_copy_only=False)
-        cnt = batch["sum(cnt)"].to_numpy(zero_copy_only=False)
-        mark = batch["sum(mark)"].to_numpy(zero_copy_only=False)
-        ev_space = (gk & 1) == 0
-        fk_viol = int(cnt[(~ev_space) & (mark == 0)].sum())
+    def key_bucket(g: pa.Table) -> pa.Table:
+        gk = g["gk"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        mark = g["mark"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(gk, return_inverse=True)
+        cs = np.zeros(len(uk), np.int64)
+        ms = np.zeros(len(uk), np.int64)
+        np.add.at(cs, inv, cnt)
+        np.add.at(ms, inv, mark)
+        ev_space = (uk & 1) == 0
+        fk_viol = int(cs[(~ev_space) & (ms == 0)].sum())
         return pa.concat_tables([
             _partial("events_eventid_unique", 0,
                      -int(ev_space.sum())),
             _partial("lineitem_fk_orderkey", 0, fk_viol)])
 
-    keyed = (_read(sf_dir, "events", columns=["event_id"])
-             .map_batches(ev_distinct, batch_format="pyarrow")
-             .union(_read(sf_dir, "lineitem", columns=["l_orderkey"])
-                    .map_batches(li_key_counts,
-                                 batch_format="pyarrow"))
-             .union(orders.map_batches(ord_marks,
-                                       batch_format="pyarrow"))
-             .groupby("gk").aggregate(Sum("cnt"), Sum("mark"))
-             .map_batches(key_partials, batch_format="pyarrow"))
+    uniq = (_read(sf_dir, "events", columns=["event_id"])
+            .map_batches(ev_distinct, batch_format="pyarrow")
+            .groupby("kb").map_groups(key_bucket,
+                                      batch_format="pyarrow")
+            .select_columns(["check_name", "n_part", "v_part"]))
+    fk = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
+          .map_batches(li_key_counts, batch_format="pyarrow")
+          .union(orders.map_batches(ord_marks,
+                                    batch_format="pyarrow"))
+          .groupby("kb").map_groups(key_bucket,
+                                    batch_format="pyarrow")
+          .select_columns(["check_name", "n_part", "v_part"]))
 
-    parts = (li.map_batches(li_checks, batch_format="pyarrow")
-             .union(orders.map_batches(ord_checks,
-                                       batch_format="pyarrow"))
-             .union(ev.map_batches(ev_checks, batch_format="pyarrow"))
-             .union(docs.map_batches(doc_checks,
-                                     batch_format="pyarrow"))
-             .union(keyed))
-    return (parts.groupby("check_name")
-            .aggregate(Sum("n_part"), Sum("v_part"))
-            .map_batches(lambda b: pa.table({
-                "check_name": b["check_name"],
-                "n_checked": pc.cast(b["sum(n_part)"], pa.int64()),
-                "n_violations": pc.cast(b["sum(v_part)"],
-                                        pa.int64())}),
-                batch_format="pyarrow"))
+    branches = [
+        li.map_batches(li_checks, batch_format="pyarrow"),
+        orders.map_batches(ord_checks, batch_format="pyarrow"),
+        ev.map_batches(ev_checks, batch_format="pyarrow"),
+        docs.map_batches(doc_checks, batch_format="pyarrow"),
+        uniq, fk]
+    # Each branch streams independently and is driven concurrently
+    # from threads (a single 7-branch UnionOperator DAG measured
+    # 11-16 s of pure operator-scheduling overhead at sf0.1 vs ~1.5 s
+    # for the branches themselves). The driver folds only O(n_blocks)
+    # scalar partial rows — a hash Aggregate here would pay hundreds
+    # of reduce tasks for a 7-row result (measured 21 s).
+    import concurrent.futures as cf
+
+    import ray
+
+    def fetch(ds):
+        return [t for t in ray.get(list(ds.to_arrow_refs()))
+                if t.num_rows > 0]
+
+    with cf.ThreadPoolExecutor(max_workers=len(branches)) as ex:
+        tables = [t for lst in ex.map(fetch, branches) for t in lst]
+    small = pa.concat_tables(tables)
+    agg = (small.group_by("check_name")
+           .aggregate([("n_part", "sum"), ("v_part", "sum")]))
+    return pa.table({
+        "check_name": agg["check_name"],
+        "n_checked": pc.cast(agg["n_part_sum"], pa.int64()),
+        "n_violations": pc.cast(agg["v_part_sum"], pa.int64())})
 
 
 ORACLE_SQL["expectations_audit"] = """
