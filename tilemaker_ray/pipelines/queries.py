@@ -9551,6 +9551,286 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Stay-point detection — dwell islands (k+ consecutive pings in the
+# same tile) per user
+# ---------------------------------------------------------------------------
+
+def q_stay_points_events(sf_dir: str):
+    """Stay points: maximal runs of ≥2 consecutive events (per user,
+    ordered by ts, event_id) inside ONE z2 tile — the dwell-detection
+    pass of trajectory mining, with enter/exit timestamps and dwell
+    duration. Same gaps-and-islands kernel family as
+    state_islands_events, with intra-island min/max reductions."""
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts",
+                                          "user_id"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon, lat = dv.event_lonlat(eid)
+        # z2 macro-regions: the synthetic points are near-uniform, so
+        # finer grids make consecutive same-cell runs vanishingly
+        # rare (measured 0 rows at z5) — real trajectories would use
+        # a finer zoom with the same kernel
+        x = tm.lon2tilex(lon, 10) >> 8
+        y = tm.lat2tiley(lat, 10) >> 8
+        return pa.table({
+            "uid": pa.array(uid, pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+            "cell": pa.array(x * 32 + y, pa.int64()),
+            "ubkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def stays(g: pa.Table) -> pa.Table:
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, cell = uid[order], ts[order], cell[order]
+        n = len(uid)
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "enter_us": pa.array([], pa.int64()),
+            "exit_us": pa.array([], pa.int64()),
+            "dwell_us": pa.array([], pa.int64()),
+            "n_points": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (cell[1:] != cell[:-1])
+        first = np.flatnonzero(brk)
+        counts = np.diff(np.concatenate([first, [n]]))
+        enter = ts[first]
+        # ts is nondecreasing inside an island (the lexsort key), so
+        # exit is the island's LAST row
+        last = np.concatenate([first[1:], [n]]) - 1
+        exit_ = ts[last]
+        keep = counts >= 2
+        if not keep.any():
+            return empty
+        return pa.table({
+            "user_id": pa.array(uid[first][keep], pa.int64()),
+            "tile_x": pa.array(cell[first][keep] // 32, pa.int64()),
+            "tile_y": pa.array(cell[first][keep] % 32, pa.int64()),
+            "enter_us": pa.array(enter[keep], pa.int64()),
+            "exit_us": pa.array(exit_[keep], pa.int64()),
+            "dwell_us": pa.array(exit_[keep] - enter[keep],
+                                 pa.int64()),
+            "n_points": pa.array(counts[keep].astype(np.int64),
+                                 pa.int64())})
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("ubkt").map_groups(stays,
+                                        batch_format="pyarrow"))
+
+
+ORACLE_SQL["stay_points_events"] = f"""
+    WITH pt AS (SELECT e.user_id, e.ts, e.event_id,
+                       {_TX10} >> 8 AS x, {_TY10} >> 8 AS y
+                FROM events e),
+         o AS (SELECT *, LAG(x * 32 + y) OVER w AS prev
+               FROM pt
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+         m AS (SELECT *, CASE WHEN prev IS NULL
+                              OR prev <> x * 32 + y
+                              THEN 1 ELSE 0 END AS brk
+               FROM o),
+         g AS (SELECT *, SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m),
+         isl AS (SELECT user_id, grp, MIN(x) AS tile_x,
+                        MIN(y) AS tile_y,
+                        CAST(COUNT(*) AS BIGINT) AS n_points,
+                        CAST(MIN(epoch_us(ts)) AS BIGINT)
+                            AS enter_us,
+                        CAST(MAX(epoch_us(ts)) AS BIGINT)
+                            AS exit_us
+                 FROM g GROUP BY 1, 2)
+    SELECT user_id, tile_x, tile_y, enter_us, exit_us,
+           exit_us - enter_us AS dwell_us, n_points
+    FROM isl WHERE n_points >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Radius of gyration — per-user mobility spread (González et al.
+# 2008), exact integer moments in millidegrees
+# ---------------------------------------------------------------------------
+
+def q_gyration_users(sf_dir: str):
+    """Per-user radius of gyration: RMS distance of the user's event
+    points from their centroid, in flat degree space. Coordinates
+    are EXACT millidegree integers (the lattice rule both engines
+    derive from event_id), so the five sufficient statistics are
+    order-free int64 sums and rg is one mirrored sqrt tree
+    (cancellation is clamped at 0 identically on both sides).
+
+    Scale shape: per-block in-batch user partials, one slim user
+    groupby, no driver work beyond the plan."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        uniq, inv = np.unique(uid, return_inverse=True)
+        out = {}
+        for name, arr in (("n", np.ones(len(uid), np.int64)),
+                          ("sx", x), ("sxx", x * x),
+                          ("sy", y), ("syy", y * y)):
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, arr)
+            out[name] = pa.array(acc, pa.int64())
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         **out})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sx = batch["sum(sx)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sxx = batch["sum(sxx)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sy = batch["sum(sy)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        syy = batch["sum(syy)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # mirrored IEEE tree — keep operand order
+        arg = (sxx - (sx / n) * sx + syy - (sy / n) * sy) / n
+        rg = np.sqrt(np.maximum(arg, 0.0)) / 1000.0
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n": pa.array(n, pa.int64()),
+            "rg_deg": pa.array(rg, pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("n"), Sum("sx"), Sum("sxx"),
+                       Sum("sy"), Sum("syy"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+ORACLE_SQL["gyration_users"] = """
+    WITH p AS (SELECT e.user_id,
+                      (e.event_id * 2654435761) % 360000 - 180000
+                          AS x,
+                      (e.event_id * 40503) % 170000 - 85000 AS y
+               FROM events e),
+         m AS (SELECT user_id,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY user_id)
+    SELECT user_id, n,
+           sqrt(GREATEST((sxx - (CAST(sx AS DOUBLE) / n) * sx
+                          + syy - (CAST(sy AS DOUBLE) / n) * sy)
+                         / n, 0.0)) / 1000.0 AS rg_deg
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Origin–destination matrix — consecutive-event tile transitions per
+# user (movement analytics over the tile grid)
+# ---------------------------------------------------------------------------
+
+def q_od_matrix_events(sf_dir: str):
+    """OD flow matrix at z5: for each user's consecutive event pair
+    (ordered by ts, event_id), one trip from the previous event's
+    tile to the current one; counts per (from, to) cell pair
+    (self-loops included — they ARE the dominant flow). One
+    hashed-user bucket exchange (transitions never cross users, so
+    per-bucket pair counts are complete per user) + one slim packed-
+    key groupby bounded by the z5 lattice squared, never by events."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts",
+                                          "user_id"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon, lat = dv.event_lonlat(eid)
+        x = tm.lon2tilex(lon, 10) >> 5
+        y = tm.lat2tiley(lat, 10) >> 5
+        return pa.table({
+            "uid": pa.array(uid, pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+            "cell": pa.array(x * 32 + y, pa.int64()),
+            "ubkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def trips(g: pa.Table) -> pa.Table:
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, cell = uid[order], cell[order]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        cur = cell[same]
+        prv = cell[np.flatnonzero(same) - 1]
+        key, cnt = np.unique(prv * 1024 + cur, return_counts=True)
+        return pa.table({"od": pa.array(key, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        od = batch["od"].to_numpy(zero_copy_only=False)
+        frm = od // 1024
+        to = od % 1024
+        return pa.table({
+            "from_x": pa.array(frm // 32, pa.int64()),
+            "from_y": pa.array(frm % 32, pa.int64()),
+            "to_x": pa.array(to // 32, pa.int64()),
+            "to_y": pa.array(to % 32, pa.int64()),
+            "n_trips": pc.cast(batch["sum(n)"], pa.int64())})
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("ubkt").map_groups(trips,
+                                        batch_format="pyarrow")
+            .groupby("od").aggregate(Sum("n"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+ORACLE_SQL["od_matrix_events"] = f"""
+    WITH pt AS (SELECT e.user_id, e.ts, e.event_id,
+                       {_TX10} >> 5 AS x, {_TY10} >> 5 AS y
+                FROM events e),
+         tr AS (SELECT user_id, x, y,
+                       LAG(x) OVER w AS px, LAG(y) OVER w AS py
+                FROM pt
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+    SELECT px AS from_x, py AS from_y, x AS to_x, y AS to_y,
+           CAST(COUNT(*) AS BIGINT) AS n_trips
+    FROM tr WHERE px IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winsorized robust statistics — outlier-clipped mean via the exact
 # distributed quantile engine (the data-cleaning pass before model
 # features)
@@ -10549,6 +10829,9 @@ QUERIES = {
     "kneser_ney_docs": q_kneser_ney_docs,
     "state_islands_events": q_state_islands_events,
     "winsorize_lineitem": q_winsorize_lineitem,
+    "od_matrix_events": q_od_matrix_events,
+    "gyration_users": q_gyration_users,
+    "stay_points_events": q_stay_points_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
