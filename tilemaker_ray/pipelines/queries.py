@@ -9551,6 +9551,187 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Displacement histogram — trip-length distribution of consecutive
+# per-user movements (exact integer millideg² buckets)
+# ---------------------------------------------------------------------------
+
+def q_displacement_hist_events(sf_dir: str):
+    """Distribution of consecutive-event displacements per user: the
+    squared millidegree distance between successive points (ordered
+    by ts, event_id), linear-bucketed by exact integer division —
+    the trip-length histogram of human-mobility analysis. One
+    hashed-user exchange (the OD kernel's shape), then a bounded
+    bucket groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts",
+                                          "user_id"])
+    BUCKET = 4_000_000_000  # millideg² per bin; max d2 ≈ 1.6e11
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        return pa.table({
+            "uid": pa.array(uid, pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "ubkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def hops(g: pa.Table) -> pa.Table:
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        cur = np.flatnonzero(same)
+        dx = x[cur] - x[cur - 1]
+        dy = y[cur] - y[cur - 1]
+        d2 = dx * dx + dy * dy
+        b, c = np.unique(d2 // BUCKET, return_counts=True)
+        return pa.table({"bin": pa.array(b, pa.int64()),
+                         "n": pa.array(c.astype(np.int64),
+                                       pa.int64())})
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("ubkt").map_groups(hops,
+                                        batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n"))
+            .map_batches(lambda b: pa.table({
+                "bin": b["bin"],
+                "n_trips": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+ORACLE_SQL["displacement_hist_events"] = """
+    WITH p AS (SELECT user_id, ts, event_id,
+                      (event_id * 2654435761) % 360000 - 180000
+                          AS x,
+                      (event_id * 40503) % 170000 - 85000 AS y
+               FROM events),
+         tr AS (SELECT x, y, LAG(x) OVER w AS px,
+                       LAG(y) OVER w AS py
+                FROM p
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+    SELECT ((x - px) * (x - px) + (y - py) * (y - py))
+               // 4000000000 AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_trips
+    FROM tr WHERE px IS NOT NULL
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type colocation mining — which types share tiles more than
+# chance (spatial association lift)
+# ---------------------------------------------------------------------------
+
+def q_colocation_types(sf_dir: str):
+    """Colocation lift between event types over the z5 lattice: for
+    every type pair, the number of tiles hosting BOTH vs the
+    independence expectation from the marginals — the classic
+    spatial-association screen. The distinct (tile, type) table is
+    bounded by lattice × type-cardinality (≤ ~5k rows at ANY corpus
+    size), so after one combiner-first distinct exchange the pair
+    expansion folds on the driver through mirrored float trees."""
+    from ray.data.aggregate import Count
+
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon, lat = dv.event_lonlat(eid)
+        x = tm.lon2tilex(lon, 10) >> 5
+        y = tm.lat2tiley(lat, 10) >> 5
+        t = pa.table({
+            "cell": pa.array(x * 32 + y, pa.int64()),
+            "event_type": batch["event_type"]})
+        return (t.group_by(["cell", "event_type"])
+                .aggregate([([], "count_all")])
+                .select(["cell", "event_type"]))
+
+    dist = (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(["cell", "event_type"])
+            .aggregate(Count(alias_name="m_")))
+    small = pa.concat_tables(
+        [t for t in ray.get(list(dist.to_arrow_refs()))
+         if t.num_rows > 0]).select(["cell", "event_type"])
+    cell = small["cell"].to_numpy(zero_copy_only=False)
+    types = np.asarray(small["event_type"].to_pylist(), dtype=object)
+    n_cells = len(np.unique(cell))
+    tnames, tinv = np.unique(types, return_inverse=True)
+    marg = np.bincount(tinv, minlength=len(tnames)).astype(np.int64)
+    # per-cell type sets -> pair counts
+    order = np.lexsort((tinv, cell))
+    c_s, t_s = cell[order], tinv[order]
+    both = np.zeros((len(tnames), len(tnames)), np.int64)
+    starts = np.flatnonzero(np.concatenate(
+        [[True], c_s[1:] != c_s[:-1]]))
+    ends = np.concatenate([starts[1:], [len(c_s)]])
+    for s, e in zip(starts, ends):
+        ts_ = t_s[s:e]
+        for i in range(len(ts_)):
+            for j in range(i + 1, len(ts_)):
+                both[ts_[i], ts_[j]] += 1
+    rows = []
+    for a in range(len(tnames)):
+        for b in range(a + 1, len(tnames)):
+            nb = int(both[a, b])
+            if nb == 0:
+                continue
+            na, nb2 = int(marg[a]), int(marg[b])
+            lift = float(nb) * n_cells / (float(na) * nb2)
+            rows.append((str(tnames[a]), str(tnames[b]), nb, na,
+                         nb2, lift))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_both": pa.array([r[2] for r in rows], pa.int64()),
+        "n_a": pa.array([r[3] for r in rows], pa.int64()),
+        "n_b": pa.array([r[4] for r in rows], pa.int64()),
+        "lift": pa.array([r[5] for r in rows], pa.float64())})
+
+
+ORACLE_SQL["colocation_types"] = f"""
+    WITH pt AS (SELECT DISTINCT {_TX10} >> 5 AS x,
+                       {_TY10} >> 5 AS y, e.event_type
+                FROM events e),
+         cells AS (SELECT x * 32 + y AS cell, event_type FROM pt),
+         tot AS (SELECT CAST(COUNT(DISTINCT cell) AS BIGINT)
+                     AS n_cells FROM cells),
+         marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+                  FROM cells GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a,
+                       b.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both, ma.n_t AS n_a, mb.n_t AS n_b,
+           CAST(n_both AS DOUBLE) * t.n_cells
+               / (CAST(ma.n_t AS DOUBLE) * mb.n_t) AS lift
+    FROM pr JOIN marg ma ON ma.event_type = pr.type_a
+            JOIN marg mb ON mb.event_type = pr.type_b
+    CROSS JOIN tot t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stay-point detection — dwell islands (k+ consecutive pings in the
 # same tile) per user
 # ---------------------------------------------------------------------------
@@ -10832,6 +11013,8 @@ QUERIES = {
     "od_matrix_events": q_od_matrix_events,
     "gyration_users": q_gyration_users,
     "stay_points_events": q_stay_points_events,
+    "colocation_types": q_colocation_types,
+    "displacement_hist_events": q_displacement_hist_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
