@@ -9551,6 +9551,146 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Join-count statistics — BB/BW/WW adjacency counts of the
+# hot/cold tile classification (categorical spatial association)
+# ---------------------------------------------------------------------------
+
+def q_join_counts_tiles(sf_dir: str):
+    """Join-count statistics over the z5 lattice: classify each
+    occupied tile hot (count > global mean) or cold, then count
+    hot-hot / cold-cold / mixed rook adjacencies and compare BB to
+    its free-sampling expectation W·(nB/N)² — the categorical
+    companion of Moran's I (Cliff & Ord). Two passes over the
+    lattice-bounded count table: one scalar aggregate for the mean,
+    one scatter exchange with the hot flag riding the probes."""
+    from ray.data.aggregate import Sum
+
+    z5 = _z5_tile_counts(sf_dir).materialize()
+
+    def scal(b: pa.Table) -> pa.Table:
+        n = b["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "nt": pa.array([len(n)], pa.int64()),
+            "sx": pa.array([int(n.sum())], pa.int64())})
+
+    agg = (z5.map_batches(scal, batch_format="pyarrow")
+           .aggregate(Sum("nt"), Sum("sx")))
+    nt = int(agg["sum(nt)"] or 0)
+    sx = int(agg["sum(sx)"] or 0)
+    if nt == 0:
+        return pa.table({
+            "n_tiles": pa.array([0], pa.int64()),
+            "n_hot": pa.array([0], pa.int64()),
+            "w_pairs": pa.array([0], pa.int64()),
+            "bb": pa.array([0], pa.int64()),
+            "ww": pa.array([0], pa.int64()),
+            "bw": pa.array([0], pa.int64()),
+            "exp_bb": pa.array([None], pa.float64())})
+    mean = sx / nt
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        x = batch["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = batch["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hot = (n > mean).astype(np.int64)
+        key = x * (1 << 21) + y
+        zero = np.zeros(len(x), np.int64)
+        one = np.ones(len(x), np.int64)
+        keys = [key]
+        occ = [one]
+        occ_hot = [hot]
+        p_cnt = [zero]
+        p_hot = [zero]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            keys.append((x + dx) * (1 << 21) + (y + dy))
+            occ.append(zero)
+            occ_hot.append(zero)
+            p_cnt.append(one)
+            p_hot.append(hot)
+        return pa.table({
+            "cell": pa.array(np.concatenate(keys), pa.int64()),
+            "occ": pa.array(np.concatenate(occ), pa.int64()),
+            "occ_hot": pa.array(np.concatenate(occ_hot), pa.int64()),
+            "p_cnt": pa.array(np.concatenate(p_cnt), pa.int64()),
+            "p_hot": pa.array(np.concatenate(p_hot), pa.int64())})
+
+    def partials(batch: pa.Table) -> pa.Table:
+        occ = batch["sum(occ)"].to_numpy(zero_copy_only=False)
+        oh = batch["sum(occ_hot)"].to_numpy(zero_copy_only=False)
+        pc_ = batch["sum(p_cnt)"].to_numpy(zero_copy_only=False)
+        ph = batch["sum(p_hot)"].to_numpy(zero_copy_only=False)
+        m = occ > 0
+        oh, pc_, ph = oh[m], pc_[m], ph[m]
+        bb = int((oh * ph).sum())
+        ww = int(((1 - oh) * (pc_ - ph)).sum())
+        w = int(pc_.sum())
+        nb = int(oh.sum())
+        return pa.table({
+            "bb": pa.array([bb], pa.int64()),
+            "ww": pa.array([ww], pa.int64()),
+            "w": pa.array([w], pa.int64()),
+            "nb": pa.array([nb], pa.int64())})
+
+    agg2 = (z5.map_batches(scatter, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("occ"), Sum("occ_hot"), Sum("p_cnt"),
+                       Sum("p_hot"))
+            .map_batches(partials, batch_format="pyarrow")
+            .aggregate(Sum("bb"), Sum("ww"), Sum("w"), Sum("nb")))
+    bb = int(agg2["sum(bb)"] or 0)
+    ww = int(agg2["sum(ww)"] or 0)
+    w = int(agg2["sum(w)"] or 0)
+    nb = int(agg2["sum(nb)"] or 0)
+    exp_bb = None if w == 0 else w * (nb / nt) * (nb / nt)
+    return pa.table({
+        "n_tiles": pa.array([nt], pa.int64()),
+        "n_hot": pa.array([nb], pa.int64()),
+        "w_pairs": pa.array([w], pa.int64()),
+        "bb": pa.array([bb], pa.int64()),
+        "ww": pa.array([ww], pa.int64()),
+        "bw": pa.array([w - bb - ww], pa.int64()),
+        "exp_bb": pa.array([exp_bb], pa.float64())})
+
+
+ORACLE_SQL["join_counts_tiles"] = f"""
+    WITH t AS (SELECT {_TX10} >> 5 AS x, {_TY10} >> 5 AS y,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events e GROUP BY 1, 2),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                      CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sx
+               FROM t),
+         h AS (SELECT x, y,
+                      CASE WHEN n > (SELECT CAST(sx AS DOUBLE) / nt
+                                     FROM s)
+                           THEN 1 ELSE 0 END AS hot
+               FROM t),
+         d(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+         p AS (SELECT a.hot AS ha, b.hot AS hb
+               FROM h a CROSS JOIN d
+               JOIN h b ON b.x = a.x + d.dx AND b.y = a.y + d.dy),
+         w AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+                      CAST(COALESCE(SUM(ha * hb), 0) AS BIGINT)
+                          AS bb,
+                      CAST(COALESCE(SUM((1 - ha) * (1 - hb)), 0)
+                           AS BIGINT) AS ww
+               FROM p),
+         nbc AS (SELECT CAST(COALESCE(SUM(hot), 0) AS BIGINT) AS nb
+                 FROM h)
+    SELECT s.nt AS n_tiles, nbc.nb AS n_hot, w.w_pairs,
+           w.bb, w.ww, w.w_pairs - w.bb - w.ww AS bw,
+           CASE WHEN w.w_pairs = 0 THEN NULL
+                ELSE w.w_pairs * (CAST(nbc.nb AS DOUBLE) / s.nt)
+                     * (CAST(nbc.nb AS DOUBLE) / s.nt)
+           END AS exp_bb
+    FROM s, w, nbc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Displacement histogram — trip-length distribution of consecutive
 # per-user movements (exact integer millideg² buckets)
 # ---------------------------------------------------------------------------
@@ -11015,6 +11155,7 @@ QUERIES = {
     "stay_points_events": q_stay_points_events,
     "colocation_types": q_colocation_types,
     "displacement_hist_events": q_displacement_hist_events,
+    "join_counts_tiles": q_join_counts_tiles,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
