@@ -9551,6 +9551,121 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Knox space–time interaction — do close-in-space pairs also cluster
+# in time? (epidemiology's contagion screen)
+# ---------------------------------------------------------------------------
+
+def q_knox_events(sf_dir: str, s2: int = 400_000_000,
+                  t_us: int = 3 * 86400 * 1_000_000):
+    """Knox statistic over the sampled event set (event_id % 20 = 0,
+    the knn-family's documented sample rule): among all point pairs,
+    count those close in space (d² ≤ S² millideg²), close in time
+    (|dt| ≤ 3 days), and BOTH; the interaction ratio compares the
+    joint count to the independence expectation n_s·n_t/n_pairs.
+    All counts exact int64; the two floats are mirrored trees.
+
+    Scale shape: the bounded sample broadcasts once (ray.put) and
+    every block counts its rows' pairs against it vectorized —
+    the ANN-brute pattern; nothing quadratic ever shuffles."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = eid % 20 == 0
+        eid = eid[keep]
+        batch = batch.filter(pa.array(keep))
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        return pa.table({
+            "id": pa.array(eid, pa.int64()),
+            "t": batch["ts"].cast(pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64())})
+
+    sub = ds.map_batches(slim, batch_format="pyarrow")
+    pts = pa.concat_tables(
+        [t for t in ray.get(list(sub.to_arrow_refs()))
+         if t.num_rows > 0])
+    all_ref = ray.put((pts["id"].to_numpy(zero_copy_only=False),
+                       pts["t"].to_numpy(zero_copy_only=False),
+                       pts["x"].to_numpy(zero_copy_only=False),
+                       pts["y"].to_numpy(zero_copy_only=False)))
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ida, ta, xa, ya = ray.get(all_ref)
+        idb = batch["id"].to_numpy(zero_copy_only=False)
+        tb = batch["t"].to_numpy(zero_copy_only=False)
+        xb = batch["x"].to_numpy(zero_copy_only=False)
+        yb = batch["y"].to_numpy(zero_copy_only=False)
+        lt = ida[None, :] < idb[:, None]     # each pair once
+        dx = xb[:, None] - xa[None, :]
+        dy = yb[:, None] - ya[None, :]
+        sp = (dx * dx + dy * dy) <= s2
+        tm_ = np.abs(tb[:, None] - ta[None, :]) <= t_us
+        return pa.table({
+            "np_": pa.array([int(lt.sum())], pa.int64()),
+            "ns": pa.array([int((lt & sp).sum())], pa.int64()),
+            "nt": pa.array([int((lt & tm_).sum())], pa.int64()),
+            "nb": pa.array([int((lt & sp & tm_).sum())],
+                           pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (rd.from_arrow(pts).map_batches(
+        partial, batch_format="pyarrow", batch_size=2048)
+        .aggregate(Sum("np_"), Sum("ns"), Sum("nt"), Sum("nb")))
+    n_p = int(agg["sum(np_)"] or 0)
+    n_s = int(agg["sum(ns)"] or 0)
+    n_t = int(agg["sum(nt)"] or 0)
+    n_b = int(agg["sum(nb)"] or 0)
+    exp = None if n_p == 0 else float(n_s) * n_t / n_p
+    ratio = None if not exp else n_b / exp
+    return pa.table({
+        "n_pairs": pa.array([n_p], pa.int64()),
+        "n_space": pa.array([n_s], pa.int64()),
+        "n_time": pa.array([n_t], pa.int64()),
+        "n_both": pa.array([n_b], pa.int64()),
+        "expected_both": pa.array([exp], pa.float64()),
+        "knox_ratio": pa.array([ratio], pa.float64())})
+
+
+ORACLE_SQL["knox_events"] = """
+    WITH p AS (SELECT event_id AS id, epoch_us(ts) AS t,
+                      (event_id * 2654435761) % 360000 - 180000
+                          AS x,
+                      (event_id * 40503) % 170000 - 85000 AS y
+               FROM events WHERE event_id % 20 = 0),
+         pr AS (SELECT (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2,
+                       abs(a.t - b.t) AS dt
+                FROM p a JOIN p b ON b.id < a.id),
+         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      CAST(COUNT(*) FILTER (d2 <= 400000000)
+                           AS BIGINT) AS n_space,
+                      CAST(COUNT(*) FILTER (dt <= 259200000000)
+                           AS BIGINT) AS n_time,
+                      CAST(COUNT(*) FILTER (d2 <= 400000000
+                           AND dt <= 259200000000) AS BIGINT)
+                          AS n_both
+               FROM pr)
+    SELECT n_pairs, n_space, n_time, n_both,
+           CASE WHEN n_pairs = 0 THEN NULL
+                ELSE CAST(n_space AS DOUBLE) * n_time / n_pairs
+           END AS expected_both,
+           CASE WHEN n_pairs = 0 OR
+                     CAST(n_space AS DOUBLE) * n_time / n_pairs = 0
+                THEN NULL
+                ELSE n_both / (CAST(n_space AS DOUBLE) * n_time
+                               / n_pairs)
+           END AS knox_ratio
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Join-count statistics — BB/BW/WW adjacency counts of the
 # hot/cold tile classification (categorical spatial association)
 # ---------------------------------------------------------------------------
@@ -10884,7 +10999,6 @@ def q_expectations_audit(sf_dir: str):
     counts distinct keys the same way (combiner-first distinct, then
     per-block key-count partials), so nothing materializes beyond
     key-space-bounded intermediates."""
-    from ray.data.aggregate import Sum
 
     def _partial(name, n, v):
         return pa.table({
@@ -11156,6 +11270,7 @@ QUERIES = {
     "colocation_types": q_colocation_types,
     "displacement_hist_events": q_displacement_hist_events,
     "join_counts_tiles": q_join_counts_tiles,
+    "knox_events": q_knox_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
