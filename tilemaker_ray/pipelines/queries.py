@@ -9551,6 +9551,138 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Adaptive quadtree binning — split any tile holding > K events, down
+# to z10 (the data-tile subdivision rule of adaptive tile servers)
+# ---------------------------------------------------------------------------
+
+_QT_K = 100
+
+
+def q_quadtree_bins_events(sf_dir: str, k: int = _QT_K,
+                           z_max: int = 10):
+    """Adaptive quadtree: starting at z0, any tile holding more than
+    K events splits into its four children, recursively until ≤ K or
+    z10 — variable-depth binning that puts resolution where the data
+    is (the reference's tile ladder made adaptive). A point's leaf is
+    its FIRST ancestor (root-down) with count ≤ K, so the whole tree
+    falls out of the pyramid counts without iteration: one z10
+    groupby, one geometric-series pyramid lift, a broadcast of the
+    lattice-bounded per-level count map, and one leaf groupby.
+
+    Scale note: the broadcast pyramid is bounded by occupied tiles
+    across 11 levels (< 1.4M entries at ANY corpus size for z ≤ 10),
+    the same bound the tile server itself lives with."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    base = q_tile_count_z10(sf_dir).materialize()
+
+    def lift(b: pa.Table) -> pa.Table:
+        x = b["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = b["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        zs, keys, ns = [], [], []
+        for z in range(0, z_max + 1):
+            dz = z_max - z
+            zs.append(np.full(len(x), z, np.int64))
+            keys.append(((x >> dz) << 21) + (y >> dz))
+            ns.append(n)
+        return pa.table({
+            "z": pa.array(np.concatenate(zs), pa.int64()),
+            "key": pa.array(np.concatenate(keys), pa.int64()),
+            "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    pyr = (base.map_batches(lift, batch_format="pyarrow")
+           .groupby(["z", "key"]).aggregate(Sum("n")))
+    pt = pa.concat_tables(
+        [t for t in ray.get(list(pyr.to_arrow_refs()))
+         if t.num_rows > 0])
+    pz = pt["z"].to_numpy(zero_copy_only=False)
+    pk = pt["key"].to_numpy(zero_copy_only=False)
+    pn = pt["sum(n)"].to_numpy(zero_copy_only=False)
+    levels = []
+    for z in range(0, z_max + 1):
+        m = pz == z
+        order = np.argsort(pk[m], kind="stable")
+        levels.append((pk[m][order], pn[m][order].astype(np.int64)))
+    lv_ref = ray.put(levels)
+
+    def leaves(b: pa.Table) -> pa.Table:
+        lv = ray.get(lv_ref)
+        x = b["tile_x"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = b["tile_y"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = len(x)
+        keys = np.empty((z_max + 1, m), np.int64)
+        small = np.empty((z_max + 1, m), bool)
+        for z in range(0, z_max + 1):
+            dz = z_max - z
+            kz = ((x >> dz) << 21) + (y >> dz)
+            keys[z] = kz
+            ks, cs = lv[z]
+            # every ancestor key exists in its level map
+            cnt = cs[np.searchsorted(ks, kz)]
+            small[z] = cnt <= k
+        small[z_max] = True                  # depth cap
+        lz = np.argmax(small, axis=0)
+        lkey = keys[lz, np.arange(m)]
+        return pa.table({
+            "z": pa.array(lz.astype(np.int64), pa.int64()),
+            "key": pa.array(lkey, pa.int64()),
+            "n": pa.array(n, pa.int64())})
+
+    return (base.map_batches(leaves, batch_format="pyarrow")
+            .groupby(["z", "key"]).aggregate(Sum("n"))
+            .map_batches(lambda b: pa.table({
+                "z": b["z"],
+                "tile_x": pc.shift_right(b["key"], 21),
+                "tile_y": pc.bit_wise_and(b["key"],
+                                          pa.scalar((1 << 21) - 1,
+                                                    pa.int64())),
+                "n_events": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def _qt_oracle() -> str:
+    lvl = []
+    for z in range(0, 11):
+        dz = 10 - z
+        lvl.append(f"c{z} AS (SELECT x >> {dz} AS cx, y >> {dz} "
+                   f"AS cy, CAST(SUM(n) AS BIGINT) AS cn FROM t10 "
+                   f"GROUP BY 1, 2)")
+    joins = "\n".join(
+        f"    JOIN c{z} ON c{z}.cx = t10.x >> {10 - z} "
+        f"AND c{z}.cy = t10.y >> {10 - z}" for z in range(0, 11))
+    case = "CASE " + " ".join(
+        f"WHEN c{z}.cn <= {_QT_K} THEN {z}" for z in range(0, 10)) \
+        + " ELSE 10 END"
+    lvl_sql = ",\n    ".join(lvl)
+    return f"""
+    WITH t10 AS (SELECT {_TX10} AS x, {_TY10} AS y,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events e GROUP BY 1, 2),
+    {lvl_sql},
+    leaf AS (SELECT t10.x, t10.y, t10.n, {case} AS lz
+             FROM t10
+{joins})
+    SELECT lz AS z, x >> (10 - lz) AS tile_x,
+           y >> (10 - lz) AS tile_y,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM leaf GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_SQL["quadtree_bins_events"] = _qt_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Knox space–time interaction — do close-in-space pairs also cluster
 # in time? (epidemiology's contagion screen)
 # ---------------------------------------------------------------------------
@@ -11271,6 +11403,7 @@ QUERIES = {
     "displacement_hist_events": q_displacement_hist_events,
     "join_counts_tiles": q_join_counts_tiles,
     "knox_events": q_knox_events,
+    "quadtree_bins_events": q_quadtree_bins_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
