@@ -10822,6 +10822,100 @@ ORACLE_SQL["gi_star_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Local Moran (LISA, Anselin 1995) — per-tile local spatial
+# autocorrelation from the same scatter cells as Gi*
+# ---------------------------------------------------------------------------
+
+def q_lisa_tiles(sf_dir: str):
+    """Anselin's Local Moran I_i per occupied z5 tile: I_i =
+    (x_i - x̄)·Σ_j w_ij (x_j - x̄) / m2 with rook weights over the
+    occupied-tile universe and m2 = Σ(x - x̄)²/N — positive where a
+    tile matches its neighbourhood (hot-in-hot / cold-in-cold),
+    negative at spatial outliers. Same ONE scatter exchange as Gi*
+    (stages/spatialstats.gi_star_cells: Σ_j x_j and the neighbour
+    count fall out per cell); the per-tile float is a mirrored
+    IEEE tree over exact integers."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.spatialstats import gi_star_cells
+
+    z5 = _z5_tile_counts(sf_dir).materialize()
+
+    def scal(b: pa.Table) -> pa.Table:
+        n = b["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "nt": pa.array([len(n)], pa.int64()),
+            "sx": pa.array([int(n.sum())], pa.int64()),
+            "sxx": pa.array([int((n * n).sum())], pa.int64())})
+
+    agg = (z5.map_batches(scal, batch_format="pyarrow")
+           .aggregate(Sum("nt"), Sum("sx"), Sum("sxx")))
+    nt = int(agg["sum(nt)"] or 0)
+    sx = int(agg["sum(sx)"] or 0)
+    sxx = int(agg["sum(sxx)"] or 0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        x_i = batch["x_i"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s_i = batch["s_i"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k_i = batch["k_i"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        xbar = sx / nt
+        m2 = sxx / nt - xbar * xbar
+        # mirrored IEEE tree — keep operand order
+        num = (x_i - xbar) * (s_i - x_i - (k_i - 1) * xbar)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lisa = num / m2
+        ok = m2 > 0.0
+        return pa.table({
+            "tile_x": batch["tile_x"], "tile_y": batch["tile_y"],
+            "x_i": pa.array(x_i, pa.int64()),
+            "nbr_sum": pa.array(s_i - x_i, pa.int64()),
+            "n_nbrs": pa.array(k_i - 1, pa.int64()),
+            "lisa_i": pa.array(np.where(ok, lisa, np.nan),
+                               pa.float64(),
+                               mask=np.full(len(x_i), not ok))})
+
+    return gi_star_cells(z5).map_batches(finish,
+                                         batch_format="pyarrow")
+
+
+ORACLE_SQL["lisa_tiles"] = f"""
+    WITH t AS (SELECT {_TX10} >> 5 AS x, {_TY10} >> 5 AS y,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events e GROUP BY 1, 2),
+         sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS sx,
+                       CAST(COALESCE(SUM(n * n), 0) AS BIGINT)
+                           AS sxx
+                FROM t),
+         d(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+         g AS (SELECT a.x AS tile_x, a.y AS tile_y, a.n AS x_i,
+                      CAST(COALESCE(SUM(b.n), 0) AS BIGINT)
+                          AS nbr_sum,
+                      CAST(COUNT(b.x) AS BIGINT) AS n_nbrs
+               FROM t a CROSS JOIN d
+               LEFT JOIN t b ON b.x = a.x + d.dx AND b.y = a.y + d.dy
+               GROUP BY a.x, a.y, a.n)
+    SELECT tile_x, tile_y, x_i, nbr_sum, n_nbrs,
+           CASE WHEN (CAST(sxx AS DOUBLE) / nt
+                      - (CAST(sx AS DOUBLE) / nt)
+                        * (CAST(sx AS DOUBLE) / nt)) > 0.0
+                THEN ((x_i - CAST(sx AS DOUBLE) / nt)
+                      * (nbr_sum - n_nbrs
+                         * (CAST(sx AS DOUBLE) / nt)))
+                     / (CAST(sxx AS DOUBLE) / nt
+                        - (CAST(sx AS DOUBLE) / nt)
+                          * (CAST(sx AS DOUBLE) / nt))
+                ELSE NULL
+           END AS lisa_i
+    FROM g, sc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gini coefficient of the tile-count distribution — spatial
 # concentration of event mass, exact from rank-weighted integer sums
 # ---------------------------------------------------------------------------
@@ -11404,6 +11498,7 @@ QUERIES = {
     "join_counts_tiles": q_join_counts_tiles,
     "knox_events": q_knox_events,
     "quadtree_bins_events": q_quadtree_bins_events,
+    "lisa_tiles": q_lisa_tiles,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
