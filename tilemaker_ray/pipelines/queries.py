@@ -9551,6 +9551,140 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Degree assortativity — do popular nodes point at popular nodes?
+# (Newman 2002, over the closed sampled 3-NN graph)
+# ---------------------------------------------------------------------------
+
+def q_assortativity_knn(sf_dir: str):
+    """In-degree assortativity of the closed 3-NN event graph (the
+    knn_indegree_dist graph): Pearson correlation of (indeg(src),
+    indeg(dst)) over directed edges — positive when hubs feed hubs.
+    Out-degree is the constant k, so in-degree is the informative
+    attribute. Exact integer edge moments; r is the stats_lineitem
+    corr tree. The in-degree map is bounded by the documented %20
+    sample and broadcasts once."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    from ..stages.knn_graph import knn_graph
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        dst = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+        src = np.unique(
+            batch["event_id"].to_numpy(zero_copy_only=False))
+        uniq, cnt = np.unique(dst, return_counts=True)
+        node = np.concatenate([uniq, src])
+        deg = np.concatenate([cnt.astype(np.int64),
+                              np.zeros(len(src), np.int64)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "pdeg": pa.array(deg, pa.int64())})
+
+    indeg = (knn.map_batches(deg_partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("pdeg",
+                                            alias_name="indeg")))
+    dt = pa.concat_tables(
+        [t for t in ray.get(list(indeg.to_arrow_refs()))
+         if t.num_rows > 0])
+    ks = dt["node"].to_numpy(zero_copy_only=False)
+    vs = dt["indeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ks, kind="stable")
+    deg_ref = ray.put((ks[order], vs[order]))
+
+    def edge_moments(batch: pa.Table) -> pa.Table:
+        ks_, vs_ = ray.get(deg_ref)
+        s = batch["event_id"].to_numpy(zero_copy_only=False)
+        d = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+        du = vs_[np.searchsorted(ks_, s)]
+        dv = vs_[np.searchsorted(ks_, d)]
+        return pa.table({
+            "m": pa.array([len(s)], pa.int64()),
+            "sx": pa.array([int(du.sum())], pa.int64()),
+            "sy": pa.array([int(dv.sum())], pa.int64()),
+            "sxy": pa.array([int((du * dv).sum())], pa.int64()),
+            "sx2": pa.array([int((du * du).sum())], pa.int64()),
+            "sy2": pa.array([int((dv * dv).sum())], pa.int64())})
+
+    agg = (knn.map_batches(edge_moments, batch_format="pyarrow")
+           .aggregate(Sum("m"), Sum("sx"), Sum("sy"), Sum("sxy"),
+                      Sum("sx2"), Sum("sy2")))
+    m = int(agg["sum(m)"] or 0)
+    sx = int(agg["sum(sx)"] or 0)
+    sy = int(agg["sum(sy)"] or 0)
+    sxy = int(agg["sum(sxy)"] or 0)
+    sx2 = int(agg["sum(sx2)"] or 0)
+    sy2 = int(agg["sum(sy2)"] or 0)
+    import math
+    vx = float(m) * sx2 - float(sx) * sx
+    vy = float(m) * sy2 - float(sy) * sy
+    r = None if m == 0 or vx <= 0.0 or vy <= 0.0 else \
+        (float(m) * sxy - float(sx) * sy) \
+        / (math.sqrt(vx) * math.sqrt(vy))
+    return pa.table({
+        "n_edges": pa.array([m], pa.int64()),
+        "sum_du": pa.array([sx], pa.int64()),
+        "sum_dv": pa.array([sy], pa.int64()),
+        "sum_dudv": pa.array([sxy], pa.int64()),
+        "assortativity": pa.array([r], pa.float64())})
+
+
+ORACLE_SQL["assortativity_knn"] = f"""
+    WITH p AS (
+      SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
+             {dv.EV_LAT_SQL} AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    indeg AS (
+      SELECT p.id AS node, CAST(COUNT(e.dst) AS BIGINT) AS indeg
+      FROM p LEFT JOIN e ON e.dst = p.id GROUP BY p.id),
+    em AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(u.indeg) AS BIGINT) AS sx,
+             CAST(SUM(v.indeg) AS BIGINT) AS sy,
+             CAST(SUM(u.indeg * v.indeg) AS BIGINT) AS sxy,
+             CAST(SUM(u.indeg * u.indeg) AS BIGINT) AS sx2,
+             CAST(SUM(v.indeg * v.indeg) AS BIGINT) AS sy2
+      FROM e JOIN indeg u ON u.node = e.src
+             JOIN indeg v ON v.node = e.dst)
+    SELECT m AS n_edges, sx AS sum_du, sy AS sum_dv,
+           sxy AS sum_dudv,
+           CASE WHEN m = 0
+                     OR CAST(m AS DOUBLE) * sx2
+                        - CAST(sx AS DOUBLE) * sx <= 0.0
+                     OR CAST(m AS DOUBLE) * sy2
+                        - CAST(sy AS DOUBLE) * sy <= 0.0
+                THEN NULL
+                ELSE (CAST(m AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(m AS DOUBLE) * sx2
+                             - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(m AS DOUBLE) * sy2
+                               - CAST(sy AS DOUBLE) * sy))
+           END AS assortativity
+    FROM em
+"""
+
+
+# ---------------------------------------------------------------------------
 # Adaptive quadtree binning — split any tile holding > K events, down
 # to z10 (the data-tile subdivision rule of adaptive tile servers)
 # ---------------------------------------------------------------------------
@@ -11499,6 +11633,7 @@ QUERIES = {
     "knox_events": q_knox_events,
     "quadtree_bins_events": q_quadtree_bins_events,
     "lisa_tiles": q_lisa_tiles,
+    "assortativity_knn": q_assortativity_knn,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
