@@ -9592,9 +9592,16 @@ def q_assortativity_knn(sf_dir: str):
     indeg = (knn.map_batches(deg_partial, batch_format="pyarrow")
              .groupby("node").aggregate(Sum("pdeg",
                                             alias_name="indeg")))
-    dt = pa.concat_tables(
-        [t for t in ray.get(list(indeg.to_arrow_refs()))
-         if t.num_rows > 0])
+    indeg_parts = [t for t in ray.get(list(indeg.to_arrow_refs()))
+                   if t.num_rows > 0]
+    if not indeg_parts:
+        return pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "sum_du": pa.array([0], pa.int64()),
+            "sum_dv": pa.array([0], pa.int64()),
+            "sum_dudv": pa.array([0], pa.int64()),
+            "assortativity": pa.array([None], pa.float64())})
+    dt = pa.concat_tables(indeg_parts)
     ks = dt["node"].to_numpy(zero_copy_only=False)
     vs = dt["indeg"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ks, kind="stable")
@@ -9732,9 +9739,15 @@ def q_quadtree_bins_events(sf_dir: str, k: int = _QT_K,
 
     pyr = (base.map_batches(lift, batch_format="pyarrow")
            .groupby(["z", "key"]).aggregate(Sum("n")))
-    pt = pa.concat_tables(
-        [t for t in ray.get(list(pyr.to_arrow_refs()))
-         if t.num_rows > 0])
+    pyr_parts = [t for t in ray.get(list(pyr.to_arrow_refs()))
+                 if t.num_rows > 0]
+    if not pyr_parts:
+        return pa.table({
+            "z": pa.array([], pa.int64()),
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64())})
+    pt = pa.concat_tables(pyr_parts)
     pz = pt["z"].to_numpy(zero_copy_only=False)
     pk = pt["key"].to_numpy(zero_copy_only=False)
     pn = pt["sum(n)"].to_numpy(zero_copy_only=False)
@@ -9852,9 +9865,17 @@ def q_knox_events(sf_dir: str, s2: int = 400_000_000,
             "y": pa.array(y, pa.int64())})
 
     sub = ds.map_batches(slim, batch_format="pyarrow")
-    pts = pa.concat_tables(
-        [t for t in ray.get(list(sub.to_arrow_refs()))
-         if t.num_rows > 0])
+    parts_ = [t for t in ray.get(list(sub.to_arrow_refs()))
+              if t.num_rows > 0]
+    if not parts_:
+        return pa.table({
+            "n_pairs": pa.array([0], pa.int64()),
+            "n_space": pa.array([0], pa.int64()),
+            "n_time": pa.array([0], pa.int64()),
+            "n_both": pa.array([0], pa.int64()),
+            "expected_both": pa.array([None], pa.float64()),
+            "knox_ratio": pa.array([None], pa.float64())})
+    pts = pa.concat_tables(parts_)
     all_ref = ray.put((pts["id"].to_numpy(zero_copy_only=False),
                        pts["t"].to_numpy(zero_copy_only=False),
                        pts["x"].to_numpy(zero_copy_only=False),
@@ -10189,9 +10210,18 @@ def q_colocation_types(sf_dir: str):
     dist = (ds.map_batches(slim, batch_format="pyarrow")
             .groupby(["cell", "event_type"])
             .aggregate(Count(alias_name="m_")))
-    small = pa.concat_tables(
-        [t for t in ray.get(list(dist.to_arrow_refs()))
-         if t.num_rows > 0]).select(["cell", "event_type"])
+    dist_parts = [t for t in ray.get(list(dist.to_arrow_refs()))
+                  if t.num_rows > 0]
+    if not dist_parts:
+        return pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_both": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "lift": pa.array([], pa.float64())})
+    small = pa.concat_tables(dist_parts).select(
+        ["cell", "event_type"])
     cell = small["cell"].to_numpy(zero_copy_only=False)
     types = np.asarray(small["event_type"].to_pylist(), dtype=object)
     n_cells = len(np.unique(cell))
@@ -10996,6 +11026,15 @@ def q_lisa_tiles(sf_dir: str):
             .astype(np.int64)
         k_i = batch["k_i"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if nt == 0:
+            return pa.table({
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "x_i": pa.array(x_i, pa.int64()),
+                "nbr_sum": pa.array(s_i - x_i, pa.int64()),
+                "n_nbrs": pa.array(k_i - 1, pa.int64()),
+                "lisa_i": pa.array([None] * len(x_i),
+                                   pa.float64())})
         xbar = sx / nt
         m2 = sxx / nt - xbar * xbar
         # mirrored IEEE tree — keep operand order

@@ -284,6 +284,9 @@ def gi_star_finish_fn(batch: pa.Table, n: int, sum_x: int,
         .astype(np.float64)
     k_i = batch["k_i"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+    if n == 0:
+        return batch.append_column(
+            "gi_star", pa.array([None] * len(batch), pa.float64()))
     xbar = sum_x / n
     s = np.sqrt(sum_xx / n - xbar * xbar)
     kf = k_i.astype(np.float64)
