@@ -9551,6 +9551,86 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Weighted median — quantity-weighted median price via the
+# distributed running-sum engine
+# ---------------------------------------------------------------------------
+
+def q_weighted_median_lineitem(sf_dir: str):
+    """Exact quantity-weighted median of l_extendedprice: the
+    smallest price whose cumulative weight reaches half the total —
+    the weighted-percentile primitive (shipping-volume-weighted
+    price point). ONE sort exchange through the cumulative engine
+    (O(n_blocks) driver walk), then per-block candidate minima fold
+    to one row. Integer cents/weights keep every comparison exact;
+    row-level cumsum with a unique tiebreak selects the same value
+    the grouped-by-price definition does (a tie run's last row
+    carries the group's full cumulative weight)."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.cumulative import cumulative
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_extendedprice", "l_quantity"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["l_extendedprice"]
+                     .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        w = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "rid": pa.array(ok * 8 + ln, pa.int64())})
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow") \
+        .materialize()
+    tot = int(slimmed.aggregate(Sum("w"))["sum(w)"] or 0)
+    cum = cumulative(slimmed, [], ["v", "rid"], "w", ops=("sum",))
+
+    def cand(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        c = batch["cum_sum"].to_numpy(zero_copy_only=False)
+        hit = 2 * c >= tot
+        if not hit.any():
+            return pa.table({"vc": pa.array([], pa.int64())})
+        return pa.table({"vc": pa.array([int(v[hit].min())],
+                                        pa.int64())})
+
+    agg = (cum.map_batches(cand, batch_format="pyarrow")
+           .aggregate(Min("vc")))
+    med = agg["min(vc)"]
+    return pa.table({
+        "total_weight": pa.array([tot], pa.int64()),
+        "wmedian_cents": pa.array(
+            [None if med is None else int(med)], pa.int64())})
+
+
+ORACLE_SQL["weighted_median_lineitem"] = """
+    WITH w AS (SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)
+                          AS v,
+                      CAST(l_quantity AS BIGINT) AS wt
+               FROM lineitem),
+         g AS (SELECT v, CAST(SUM(wt) AS BIGINT) AS wv
+               FROM w GROUP BY v),
+         c AS (SELECT v, CAST(SUM(wv) OVER (ORDER BY v) AS BIGINT)
+                          AS cum
+               FROM g),
+         t AS (SELECT CAST(COALESCE(SUM(wt), 0) AS BIGINT) AS tot
+               FROM w)
+    SELECT t.tot AS total_weight,
+           CAST(MIN(c.v) AS BIGINT) AS wmedian_cents
+    FROM t LEFT JOIN c ON 2 * c.cum >= t.tot
+    GROUP BY t.tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # Degree assortativity — do popular nodes point at popular nodes?
 # (Newman 2002, over the closed sampled 3-NN graph)
 # ---------------------------------------------------------------------------
@@ -11673,6 +11753,7 @@ QUERIES = {
     "quadtree_bins_events": q_quadtree_bins_events,
     "lisa_tiles": q_lisa_tiles,
     "assortativity_knn": q_assortativity_knn,
+    "weighted_median_lineitem": q_weighted_median_lineitem,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
