@@ -9551,6 +9551,127 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Ripley's K profile — multi-radius pair-count clustering curve over
+# the sampled point set (the Knox machinery, space-only, 3 radii)
+# ---------------------------------------------------------------------------
+
+_RIPLEY_R2 = (100_000_000, 400_000_000, 1_600_000_000)
+
+
+def q_ripley_k_events(sf_dir: str):
+    """Ripley-K-style clustering profile: unordered pair counts of
+    the sampled event set (event_id % 20 = 0) within three squared
+    millidegree radii, each normalized against the CSR expectation
+    for a uniform lon/lat window (pairs·πr²/A as a share of all
+    pairs) — the multi-scale clustering curve to Moran's single
+    number. Same broadcast-and-count shape as Knox: the bounded
+    sample ships once, blocks count vectorized, six integers and
+    three mirrored trees come back."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        eid = eid[eid % 20 == 0]
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        return pa.table({"id": pa.array(eid, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    sub = ds.map_batches(slim, batch_format="pyarrow")
+    parts_ = [t for t in ray.get(list(sub.to_arrow_refs()))
+              if t.num_rows > 0]
+    if not parts_:
+        return pa.table({
+            "r2": pa.array([], pa.int64()),
+            "n_pairs_within": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "k_ratio": pa.array([], pa.float64())})
+    pts = pa.concat_tables(parts_)
+    all_ref = ray.put((pts["id"].to_numpy(zero_copy_only=False),
+                       pts["x"].to_numpy(zero_copy_only=False),
+                       pts["y"].to_numpy(zero_copy_only=False)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ida, xa, ya = ray.get(all_ref)
+        idb = batch["id"].to_numpy(zero_copy_only=False)
+        xb = batch["x"].to_numpy(zero_copy_only=False)
+        yb = batch["y"].to_numpy(zero_copy_only=False)
+        lt = ida[None, :] < idb[:, None]
+        dx = xb[:, None] - xa[None, :]
+        dy = yb[:, None] - ya[None, :]
+        d2 = dx * dx + dy * dy
+        cols = {"np_": pa.array([int(lt.sum())], pa.int64())}
+        for i, r2 in enumerate(_RIPLEY_R2):
+            cols[f"c{i}"] = pa.array(
+                [int((lt & (d2 <= r2)).sum())], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("np_")] + [Sum(f"c{i}")
+                           for i in range(len(_RIPLEY_R2))]
+    agg = (rd.from_arrow(pts)
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=2048)
+           .aggregate(*aggs))
+    n_p = int(agg["sum(np_)"] or 0)
+    area = 360000.0 * 170000.0
+    rows_r2, rows_c, rows_k = [], [], []
+    for i, r2 in enumerate(_RIPLEY_R2):
+        c = int(agg[f"sum(c{i})"] or 0)
+        # CSR share: expected fraction of pairs within r for a
+        # uniform window, edge effects ignored (documented)
+        exp_frac = math.pi * r2 / area
+        k = None if n_p == 0 or exp_frac == 0.0 else \
+            (c / n_p) / exp_frac
+        rows_r2.append(r2)
+        rows_c.append(c)
+        rows_k.append(k)
+    return pa.table({
+        "r2": pa.array(rows_r2, pa.int64()),
+        "n_pairs_within": pa.array(rows_c, pa.int64()),
+        "n_pairs": pa.array([n_p] * len(rows_r2), pa.int64()),
+        "k_ratio": pa.array(rows_k, pa.float64())})
+
+
+ORACLE_SQL["ripley_k_events"] = """
+    WITH p AS (SELECT event_id AS id,
+                      (event_id * 2654435761) % 360000 - 180000
+                          AS x,
+                      (event_id * 40503) % 170000 - 85000 AS y
+               FROM events WHERE event_id % 20 = 0),
+         pr AS (SELECT (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS d2
+                FROM p a JOIN p b ON b.id < a.id),
+         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      CAST(COUNT(*) FILTER (d2 <= 100000000)
+                           AS BIGINT) AS c0,
+                      CAST(COUNT(*) FILTER (d2 <= 400000000)
+                           AS BIGINT) AS c1,
+                      CAST(COUNT(*) FILTER (d2 <= 1600000000)
+                           AS BIGINT) AS c2
+               FROM pr),
+         r(r2, cc) AS (SELECT 100000000, c0 FROM c
+                       UNION ALL SELECT 400000000, c1 FROM c
+                       UNION ALL SELECT 1600000000, c2 FROM c)
+    SELECT CAST(r.r2 AS BIGINT) AS r2,
+           CAST(r.cc AS BIGINT) AS n_pairs_within,
+           c.n_pairs,
+           CASE WHEN c.n_pairs = 0 THEN NULL
+                ELSE (CAST(r.cc AS DOUBLE) / c.n_pairs)
+                     / (pi() * r.r2 / 61200000000.0)
+           END AS k_ratio
+    FROM r, c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Weighted median — quantity-weighted median price via the
 # distributed running-sum engine
 # ---------------------------------------------------------------------------
@@ -11754,6 +11875,7 @@ QUERIES = {
     "lisa_tiles": q_lisa_tiles,
     "assortativity_knn": q_assortativity_knn,
     "weighted_median_lineitem": q_weighted_median_lineitem,
+    "ripley_k_events": q_ripley_k_events,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
