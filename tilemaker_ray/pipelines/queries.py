@@ -9433,6 +9433,30 @@ def _z5_tile_counts(sf_dir: str):
                 "n_events": pc.cast(b["sum(n)"], pa.int64())}),
                 batch_format="pyarrow"))
 
+def _z5_scalars(z5, with_sxx: bool = True):
+    """(n_tiles, sum_x[, sum_xx]) of a z5 tile-count Dataset via one
+    pass of per-block integer partials — the shared scalar kernel of
+    the spatial-statistics family."""
+    from ray.data.aggregate import Sum
+
+    def scal(b: pa.Table) -> pa.Table:
+        n = b["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {"nt": pa.array([len(n)], pa.int64()),
+                "sx": pa.array([int(n.sum())], pa.int64())}
+        if with_sxx:
+            cols["sxx"] = pa.array([int((n * n).sum())], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("nt"), Sum("sx")] + ([Sum("sxx")] if with_sxx else [])
+    agg = (z5.map_batches(scal, batch_format="pyarrow")
+           .aggregate(*aggs))
+    out = (int(agg["sum(nt)"] or 0), int(agg["sum(sx)"] or 0))
+    if with_sxx:
+        out = out + (int(agg["sum(sxx)"] or 0),)
+    return out
+
+
 def q_moran_tiles(sf_dir: str):
     """Global Moran's I with rook contiguity over the z5 tile-count
     lattice — the standard spatial-clustering statistic for the tile
@@ -9589,11 +9613,14 @@ def q_ripley_k_events(sf_dir: str):
     parts_ = [t for t in ray.get(list(sub.to_arrow_refs()))
               if t.num_rows > 0]
     if not parts_:
+        # oracle emits one row per radius even over an empty sample
         return pa.table({
-            "r2": pa.array([], pa.int64()),
-            "n_pairs_within": pa.array([], pa.int64()),
-            "n_pairs": pa.array([], pa.int64()),
-            "k_ratio": pa.array([], pa.float64())})
+            "r2": pa.array(list(_RIPLEY_R2), pa.int64()),
+            "n_pairs_within": pa.array([0] * len(_RIPLEY_R2),
+                                       pa.int64()),
+            "n_pairs": pa.array([0] * len(_RIPLEY_R2), pa.int64()),
+            "k_ratio": pa.array([None] * len(_RIPLEY_R2),
+                                pa.float64())})
     pts = pa.concat_tables(parts_)
     all_ref = ray.put((pts["id"].to_numpy(zero_copy_only=False),
                        pts["x"].to_numpy(zero_copy_only=False),
@@ -9616,9 +9643,10 @@ def q_ripley_k_events(sf_dir: str):
 
     aggs = [Sum("np_")] + [Sum(f"c{i}")
                            for i in range(len(_RIPLEY_R2))]
-    agg = (rd.from_arrow(pts)
-           .map_batches(partial, batch_format="pyarrow",
-                        batch_size=2048)
+    # probe side = the still-distributed sample (rd.from_arrow would
+    # be ONE block and serialize the quadratic count on one worker)
+    agg = (sub.map_batches(partial, batch_format="pyarrow",
+                           batch_size=2048)
            .aggregate(*aggs))
     n_p = int(agg["sum(np_)"] or 0)
     area = 360000.0 * 170000.0
@@ -10102,7 +10130,7 @@ def q_knox_events(sf_dir: str, s2: int = 400_000_000,
                            pa.int64())})
 
     from ray.data.aggregate import Sum
-    agg = (rd.from_arrow(pts).map_batches(
+    agg = (sub.map_batches(
         partial, batch_format="pyarrow", batch_size=2048)
         .aggregate(Sum("np_"), Sum("ns"), Sum("nt"), Sum("nb")))
     n_p = int(agg["sum(np_)"] or 0)
@@ -10169,18 +10197,7 @@ def q_join_counts_tiles(sf_dir: str):
     from ray.data.aggregate import Sum
 
     z5 = _z5_tile_counts(sf_dir).materialize()
-
-    def scal(b: pa.Table) -> pa.Table:
-        n = b["n_events"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({
-            "nt": pa.array([len(n)], pa.int64()),
-            "sx": pa.array([int(n.sum())], pa.int64())})
-
-    agg = (z5.map_batches(scal, batch_format="pyarrow")
-           .aggregate(Sum("nt"), Sum("sx")))
-    nt = int(agg["sum(nt)"] or 0)
-    sx = int(agg["sum(sx)"] or 0)
+    nt, sx = _z5_scalars(z5, with_sxx=False)
     if nt == 0:
         return pa.table({
             "n_tiles": pa.array([0], pa.int64()),
@@ -10967,7 +10984,13 @@ def q_freshness_users(sf_dir: str):
             "d": pa.array(d, pa.int64())})
 
     slim = ev.map_batches(days, batch_format="pyarrow")
-    dmax = int(slim.aggregate(Max("d"))["max(d)"])
+    dmax_raw = slim.aggregate(Max("d"))["max(d)"]
+    if dmax_raw is None:      # empty events: oracle returns 0 rows
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())})
+    dmax = int(dmax_raw)
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -11129,20 +11152,7 @@ def q_gi_star_tiles(sf_dir: str):
     from ..stages.spatialstats import gi_star_cells, gi_star_finish_fn
 
     z5 = _z5_tile_counts(sf_dir).materialize()
-
-    def scal(b: pa.Table) -> pa.Table:
-        n = b["n_events"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({
-            "nt": pa.array([len(n)], pa.int64()),
-            "sx": pa.array([int(n.sum())], pa.int64()),
-            "sxx": pa.array([int((n * n).sum())], pa.int64())})
-
-    agg = (z5.map_batches(scal, batch_format="pyarrow")
-           .aggregate(Sum("nt"), Sum("sx"), Sum("sxx")))
-    nt = int(agg["sum(nt)"] or 0)
-    sx = int(agg["sum(sx)"] or 0)
-    sxx = int(agg["sum(sxx)"] or 0)
+    nt, sx, sxx = _z5_scalars(z5)
     cells = gi_star_cells(z5)
     return cells.map_batches(
         lambda b: gi_star_finish_fn(b, nt, sx, sxx),
@@ -11205,20 +11215,7 @@ def q_lisa_tiles(sf_dir: str):
     from ..stages.spatialstats import gi_star_cells
 
     z5 = _z5_tile_counts(sf_dir).materialize()
-
-    def scal(b: pa.Table) -> pa.Table:
-        n = b["n_events"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        return pa.table({
-            "nt": pa.array([len(n)], pa.int64()),
-            "sx": pa.array([int(n.sum())], pa.int64()),
-            "sxx": pa.array([int((n * n).sum())], pa.int64())})
-
-    agg = (z5.map_batches(scal, batch_format="pyarrow")
-           .aggregate(Sum("nt"), Sum("sx"), Sum("sxx")))
-    nt = int(agg["sum(nt)"] or 0)
-    sx = int(agg["sum(sx)"] or 0)
-    sxx = int(agg["sum(sxx)"] or 0)
+    nt, sx, sxx = _z5_scalars(z5)
 
     def finish(batch: pa.Table) -> pa.Table:
         x_i = batch["x_i"].to_numpy(zero_copy_only=False) \
@@ -11295,7 +11292,8 @@ ORACLE_SQL["lisa_tiles"] = f"""
 # ---------------------------------------------------------------------------
 
 def q_gini_tiles(sf_dir: str):
-    """Gini concentration of events across occupied z10 tiles:
+    """Gini concentration of events across occupied z5 tiles
+    (counts derived from the z10 base by parent-halving):
     G = (2·Σ i·x_(i) − (N+1)·Σx) / (N·Σx) over counts sorted
     ascending (rank-weighted sum is invariant under tie permutations,
     so the packed tile key only pins ROW_NUMBER determinism). Ranks
@@ -11304,7 +11302,7 @@ def q_gini_tiles(sf_dir: str):
     integer scalars finish through a mirrored IEEE tree.
 
     Scale shape: O(occupied tiles) exchange, never O(events); the
-    z10 lattice bounds the sorted table at ~10^6 rows at ANY corpus
+    z5 lattice bounds the sorted table at ~10^3 rows at ANY corpus
     size."""
     from ray.data.aggregate import Sum
 

@@ -36,7 +36,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_KEY_SHIFT = 21  # cell key = x << 21 | y; valid for any zoom <= 20
+_KEY_SHIFT = 21  # cell key = x << 21 | y
+# coordinates are constrained to < 2^20 (zoom <= 20): the +-1 probe
+# keys then can never wrap across the packed x|y boundary
+_COORD_MAX = 1 << 20
 
 
 def moran_scatter_fn(batch: pa.Table, x_col: str = "tile_x",
@@ -47,9 +50,9 @@ def moran_scatter_fn(batch: pa.Table, x_col: str = "tile_x",
     y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n = batch[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(x) and (x.min() < 0 or y.min() < 0 or
-                   x.max() >= (1 << _KEY_SHIFT) or
-                   y.max() >= (1 << _KEY_SHIFT)):
-        raise ValueError("tile coordinates out of key range")
+                   x.max() >= _COORD_MAX or y.max() >= _COORD_MAX):
+        raise ValueError("tile coordinates out of key range "
+                         "(zoom <= 20 supported)")
     keys = [x * (1 << _KEY_SHIFT) + y]
     occ = [n]
     probe = [np.zeros(len(x), np.int64)]
@@ -201,9 +204,10 @@ def lattice_edges(tile_counts, x_col: str = "tile_x",
         y = batch[y_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         if len(x) and (x.min() < 0 or y.min() < 0 or
-                       x.max() >= (1 << _KEY_SHIFT) or
-                       y.max() >= (1 << _KEY_SHIFT)):
-            raise ValueError("tile coordinates out of key range")
+                       x.max() >= _COORD_MAX or
+                       y.max() >= _COORD_MAX):
+            raise ValueError("tile coordinates out of key range "
+                             "(zoom <= 20 supported)")
         key = x * (1 << _KEY_SHIFT) + y
         zero = np.zeros(len(x), np.int64)
         one = np.ones(len(x), np.int64)

@@ -488,11 +488,13 @@ def bigram_lm(docs_ds, min_count: int = 2, num_buckets: int = 64,
         c1 = np.zeros(wid[-1] + 1, dtype=np.int64)
         np.add.at(c1, wid, c12)
         c1_row = c1[wid]
-        n1f_row = np.bincount(wid).astype(np.int64)[wid]
+        n1f_row = (np.bincount(wid).astype(np.int64)[wid]
+                   if emit_n1f else None)
         keep = c12 >= min_count
-        pw1, pw2, c12, c1_row, n1f_row = (
-            pw1[keep], pw2[keep], c12[keep], c1_row[keep],
-            n1f_row[keep])
+        pw1, pw2, c12, c1_row = (pw1[keep], pw2[keep], c12[keep],
+                                 c1_row[keep])
+        if emit_n1f:
+            n1f_row = n1f_row[keep]
         cols = {
             "w1": pa.array(list(pw1), pa.string()),
             "w2": pa.array(list(pw2), pa.string()),
