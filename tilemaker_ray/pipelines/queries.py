@@ -9575,6 +9575,64 @@ ORACLE_SQL["moran_tiles"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
+# the strongest co-occurrence edges; composes two certified engines
+# ---------------------------------------------------------------------------
+
+def q_textrank_keywords(sf_dir: str, n_pairs: int = 2000,
+                        top: int = 20):
+    """TextRank keywords: the corpus co-occurrence graph sparsified
+    to its ``n_pairs`` strongest window-2 edges (the SQL-certified
+    cooc machinery), ranked by the fixed-point integer PageRank
+    engine (bit-exact, shard-count-invariant), top-``top`` words by
+    (rank_fp desc, word). Rows-only: iterative PageRank has no SQL
+    oracle; tests/test_textrank.py pins the whole composition
+    against a single-process recomputation.
+
+    Scale shape: the pair sparsification IS the distributed top-k
+    merge; the keyword graph is bounded by 2·n_pairs nodes, so the
+    PageRank runs on a fixed-size graph regardless of corpus size."""
+    from ..stages.pagerank import pagerank
+    from ..stages.textindex import windowed_cooc_pmi
+
+    import ray.data as rd
+
+    pairs = windowed_cooc_pmi(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=2, min_count=3, k=n_pairs)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        w1 = batch["w1"].to_pylist()
+        w2 = batch["w2"].to_pylist()
+        c = batch["c_xy"].to_pylist()
+        return pa.table({
+            "src": pa.array(w1 + w2, pa.string()),
+            "dst": pa.array(w2 + w1, pa.string()),
+            "w": pa.array([int(x) for x in c] * 2, pa.int64())})
+
+    edges = pairs.map_batches(to_edges,
+                              batch_format="pyarrow").materialize()
+    import ray
+    et = pa.concat_tables(
+        [t for t in ray.get(list(edges.to_arrow_refs()))
+         if t.num_rows > 0]) if edges.count() else None
+    if et is None or et.num_rows == 0:
+        return pa.table({
+            "rank": pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+            "rank_fp": pa.array([], pa.int64())})
+    nodes = sorted(set(et["src"].to_pylist()))
+    ranks = pagerank(rd.from_arrow(et), nodes, iters=10)
+    rf = ranks["rank_fp"].to_numpy(zero_copy_only=False)
+    words = np.asarray(ranks["node"].to_pylist(), dtype=object)
+    order = np.lexsort((words, -rf))[:top]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "word": pa.array(list(words[order]), pa.string()),
+        "rank_fp": pa.array(rf[order], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # Ripley's K profile — multi-radius pair-count clustering curve over
 # the sampled point set (the Knox machinery, space-only, 3 radii)
 # ---------------------------------------------------------------------------
@@ -11874,6 +11932,7 @@ QUERIES = {
     "assortativity_knn": q_assortativity_knn,
     "weighted_median_lineitem": q_weighted_median_lineitem,
     "ripley_k_events": q_ripley_k_events,
+    "textrank_keywords": q_textrank_keywords,
     "charset_docs": q_charset_docs,
     "novelty_ngram_docs": q_novelty_ngram_docs,
     "areal_interp_tiles": q_areal_interp_tiles,
