@@ -2670,6 +2670,91 @@ def q_osmpbf_relation_members(sf_dir: str):
         .sort("relation_id")
 
 
+def q_osmpbf_way_tiles(sf_dir: str):
+    """The reference's NATIVE end-to-end dataflow from raw bytes:
+    .osm.pbf blob framing + zlib + delta/zigzag decode (S1/S2,
+    /root/reference/src/pbf_reader.cpp) → way-refs explode → way ⋈
+    node distributed hash join (J1, /root/reference/src/
+    osm_mem_tiles.cpp node lookups) → z12 tile assignment (M10) →
+    per-tile gather with distinct-way rollup (A3/T1's
+    TileDataSource bucketing). The oracle recomputes everything from
+    ``lineitem`` alone (node coords derive from the ref id with
+    BIGINT-exact arithmetic, the tile math is the proven op-for-op
+    double mirror), so a hash match certifies binary decode, join,
+    projection and BOTH exchanges end to end.
+
+    Scale shape: refs explode in map_batches (no driver work), one
+    hash-join exchange on node_id, then ONE per-tile exchange: the
+    tile map pre-folds each block to distinct (tile, way, c) partial
+    rows (combiner), and the tile group finishes n_pts / distinct-way
+    counts vectorized — no second aggregate barrier, no final sort
+    (the driver's compare is order-insensitive)."""
+    from ..sources.osmpbf import read_osm_pbf
+    path = _ensure_osm_pbf(sf_dir)
+
+    nodes = read_osm_pbf(path, "nodes")
+
+    def node_coords(batch: pa.Table) -> pa.Table:
+        # integer nano-degrees → degrees with ONE division, the same
+        # double op the oracle's /10000000.0 performs
+        lat = batch["lat_i7"].to_numpy().astype(np.float64) / 1e7
+        lon = batch["lon_i7"].to_numpy().astype(np.float64) / 1e7
+        return pa.table({"node_id": batch["node_id"],
+                         "lon": pa.array(lon, pa.float64()),
+                         "lat": pa.array(lat, pa.float64())})
+
+    ways = read_osm_pbf(path, "ways")
+
+    def explode_refs(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        refs = batch["refs"].chunk(0) if batch["refs"].num_chunks \
+            else pa.array([], pa.list_(pa.int64()))
+        n = pc.list_value_length(refs).cast(pa.int64()).to_numpy() \
+            .astype(np.int64)
+        way_rep = np.repeat(batch["way_id"].to_numpy(), n)
+        return pa.table({"way_id": pa.array(way_rep, pa.int64()),
+                         "node_id": pc.list_flatten(refs)})
+
+    joined = ways.map_batches(explode_refs, batch_format="pyarrow") \
+        .join(nodes.map_batches(node_coords, batch_format="pyarrow"),
+              join_type="inner", num_partitions=16, on=("node_id",))
+
+    def tiles_partial(batch: pa.Table) -> pa.Table:
+        tx = tm.lon2tilex(batch["lon"].to_numpy(), 12)
+        ty = tm.lat2tiley(batch["lat"].to_numpy(), 12)
+        wid = batch["way_id"].to_numpy()
+        key = np.stack([tx, ty, wid], axis=1)
+        uniq, c = np.unique(key, axis=0, return_counts=True)
+        bkt = (uniq[:, 0] * 4096 + uniq[:, 1]) % 64
+        return pa.table({"tile_x": pa.array(uniq[:, 0], pa.int64()),
+                         "tile_y": pa.array(uniq[:, 1], pa.int64()),
+                         "way_id": pa.array(uniq[:, 2], pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64()),
+                         "bkt": pa.array(bkt, pa.int64())})
+
+    def finish_tile(g: pa.Table) -> pa.Table:
+        tx = g["tile_x"].to_numpy(zero_copy_only=False)
+        ty = g["tile_y"].to_numpy(zero_copy_only=False)
+        wid = g["way_id"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        # one tile group may arrive as several (tile, way) partials
+        key = np.stack([tx, ty], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n_pts = np.bincount(inv, weights=c).astype(np.int64)
+        pair, pinv = np.unique(np.stack([tx, ty, wid], axis=1), axis=0,
+                               return_inverse=True)
+        tinv = np.unique(pair[:, :2], axis=0, return_inverse=True)[1]
+        n_ways = np.bincount(tinv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"tile_x": pa.array(uniq[:, 0], pa.int64()),
+                         "tile_y": pa.array(uniq[:, 1], pa.int64()),
+                         "n_pts": pa.array(n_pts, pa.int64()),
+                         "n_ways": pa.array(n_ways, pa.int64())})
+
+    return (joined.map_batches(tiles_partial, batch_format="pyarrow")
+            .groupby("bkt")
+            .map_groups(finish_tile, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # Q51u: canonical-URL dedup — duplicate-URL collapse over a crawl
 # frontier (stages/urlstats.py::canonicalize_urls)
@@ -4895,6 +4980,24 @@ ORACLE_SQL["osmpbf_relation_members"] = """
            'outer,label' AS roles_cat,
            'b' || CAST(o_orderkey % 3 AS VARCHAR) AS rv
     FROM orders WHERE o_orderkey % 10 = 1 ORDER BY relation_id"""
+
+ORACLE_SQL["osmpbf_way_tiles"] = f"""
+    WITH pts AS (
+      SELECT l_orderkey AS way_id,
+             (((l_partkey * 104729) % 3600000001) - 1800000000)
+                 / 10000000.0 AS lon,
+             (((l_partkey * 7919) % 1700000001) - 850000000)
+                 / 10000000.0 AS lat
+      FROM lineitem),
+    t AS (
+      SELECT way_id,
+             ({dv.tilex_sql('lon', 12)}) AS tile_x,
+             ({dv.tiley_sql('lat', 12)}) AS tile_y
+      FROM pts)
+    SELECT tile_x, tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pts,
+           CAST(COUNT(DISTINCT way_id) AS BIGINT) AS n_ways
+    FROM t GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y"""
 
 ORACLE_SQL["warc_host_stats"] = """
     WITH rec AS (
@@ -12147,6 +12250,7 @@ QUERIES = {
     "osmpbf_node_stats": q_osmpbf_node_stats,
     "osmpbf_way_stats": q_osmpbf_way_stats,
     "osmpbf_relation_members": q_osmpbf_relation_members,
+    "osmpbf_way_tiles": q_osmpbf_way_tiles,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
