@@ -172,3 +172,59 @@ def test_rank_weighted_sample_matches_reference(ray_session):
             want.append(u)
     assert got == sorted(want)
     assert 0 < len(got) < n          # a real, partial sample
+
+
+def test_sssp_vs_dijkstra_and_shard_invariance(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.pagerank import sssp_dists
+
+    rng = np.random.RandomState(7)
+    n = 40
+    rows = []
+    seen = set()
+    for _ in range(260):
+        s, t = rng.randint(0, n, 2)
+        if s != t and (s, t) not in seen:
+            seen.add((s, t))
+            rows.append((int(s), int(t), int(rng.randint(0, 50))))
+    tbl = pa.table({"src": pa.array([r[0] for r in rows], pa.int64()),
+                    "dst": pa.array([r[1] for r in rows], pa.int64()),
+                    "w": pa.array([r[2] for r in rows], pa.int64())})
+
+    def dijkstra_capped(srcs, max_edges):
+        # exact min over paths of <= max_edges edges: DP over rounds
+        INF = float("inf")
+        dist = {s: 0 for s in srcs}
+        for _ in range(max_edges):
+            nd = dict(dist)
+            for s, t, w in rows:
+                if s in dist and dist[s] + w < nd.get(t, INF):
+                    nd[t] = dist[s] + w
+            if nd == dist:
+                break
+            dist = nd
+        return dist
+
+    # full convergence (rounds >= any shortest path's edge count)
+    want = dijkstra_capped([0], n)
+    for P in (2, 3, 8):
+        out = sssp_dists(rd.from_arrow(tbl).repartition(3), [0],
+                         max_rounds=n, n_shards=P)
+        got = dict(zip(out["node"].to_pylist(),
+                       out["dist"].to_pylist()))
+        assert got == want, P
+
+    # round cap semantics: min over paths of <= K edges exactly
+    for K in (1, 2, 4):
+        want_k = dijkstra_capped([0], K)
+        out = sssp_dists(rd.from_arrow(tbl), [0], max_rounds=K)
+        got = dict(zip(out["node"].to_pylist(),
+                       out["dist"].to_pylist()))
+        assert got == want_k, K
+
+    # multi-source + isolated source contract (hop-0 by contract)
+    out = sssp_dists(rd.from_arrow(tbl), [0, 5, 9999], max_rounds=n)
+    want_ms = dijkstra_capped([0, 5], n)
+    want_ms[9999] = 0
+    got = dict(zip(out["node"].to_pylist(), out["dist"].to_pylist()))
+    assert got == want_ms

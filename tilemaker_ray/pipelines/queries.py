@@ -3191,6 +3191,45 @@ def q_bfs_knn_events(sf_dir: str):
     return rd.from_arrow(out)
 
 
+def q_sssp_knn_events(sf_dir: str):
+    """Weighted single-source shortest paths (≤ 8 edges) from the
+    lowest sampled event through the same closed 3-NN graph as
+    bfs_knn_events, edge weight = planar length in integer
+    micro-degrees (floor(sqrt(d2)·10⁶) — sqrt is correctly rounded,
+    so the min-plus algebra is BIGINT-exact across engines). The
+    Bellman-Ford frontier lives in the vertex-shard actors
+    (graph_shards.run_sssp_sharded): each superstep relaxes only last
+    round's improved nodes and pre-combines one MIN per destination
+    before it moves. Oracle: WITH RECURSIVE ≤8-edge walk expansion +
+    MIN(weight sum) — equal for nonneg weights."""
+    import ray.data as rd
+    from ..stages.knn_graph import knn_graph
+    from ..stages.pagerank import sssp_dists
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        d2 = batch["neighbor_dist2"].to_numpy()
+        w = np.floor(np.sqrt(d2) * 1_000_000).astype(np.int64)
+        return pa.table({"src": batch["event_id"].cast(pa.int64()),
+                         "dst": batch["neighbor_id"].cast(pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    edges = knn.map_batches(as_edges,
+                            batch_format="pyarrow").materialize()
+    mn = edges.min("src")
+    src = int(mn["min(src)"]) if isinstance(mn, dict) else int(mn)
+    out = sssp_dists(edges, [src], max_rounds=8)
+    return rd.from_arrow(out)
+
+
 # ---------------------------------------------------------------------------
 # Q42o2: graph degree distribution — in-degree histogram of the
 # sampled-event kNN graph (graph-statistics pass over derived edges)
@@ -4567,6 +4606,34 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       SELECT e.dst, r.hop + 1
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM r GROUP BY node"""
+
+ORACLE_SQL["sssp_knn_events"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
+             {dv.EV_LAT_SQL} AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e AS (
+      SELECT src, dst,
+             CAST(floor(sqrt(d2) * 1000000.0) AS BIGINT) AS w
+      FROM (
+        SELECT src, dst, d2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    s AS (SELECT MIN(src) AS v FROM e),
+    r AS (
+      SELECT (SELECT v FROM s) AS node, 0 AS hop,
+             CAST(0 AS BIGINT) AS dist
+      UNION ALL
+      SELECT e.dst, r.hop + 1, r.dist + e.w
+      FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
     FROM r GROUP BY node"""
 
 ORACLE_SQL["hybrid_search"] = """
@@ -12251,6 +12318,7 @@ QUERIES = {
     "osmpbf_way_stats": q_osmpbf_way_stats,
     "osmpbf_relation_members": q_osmpbf_relation_members,
     "osmpbf_way_tiles": q_osmpbf_way_tiles,
+    "sssp_knn_events": q_sssp_knn_events,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,

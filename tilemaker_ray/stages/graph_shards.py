@@ -112,10 +112,11 @@ class _EdgeShardImpl:
         # --- out-degree (weighted) of owned nodes, local-indexed ---
         self.outdeg = np.zeros(self.n_loc, dtype=np.int64)
         np.add.at(self.outdeg, self.s_loc, self.w)
-        # --- secondary ordering by src for BFS range expansion ---
+        # --- secondary ordering by src for BFS/SSSP range expansion ---
         order2 = np.argsort(s, kind="stable")
         self._src_sorted = s[order2]
         self._dst_by_src = t[order2]
+        self._w_by_src = w[order2]
         self._su, self._sstart = np.unique(self._src_sorted,
                                            return_index=True)
         self._sstart = np.append(self._sstart, len(self._src_sorted))
@@ -231,6 +232,99 @@ class _EdgeShardImpl:
                          "hop": pa.array(hops, pa.int64())})
 
 
+    # ----------------------------------------------------------- SSSP
+    # Label-correcting Bellman-Ford: after round k every shard's dist
+    # equals MIN total weight over walks of <= k edges from any source
+    # (nonneg weights => equals min over simple paths, the recursive-
+    # CTE oracle's quantity). Frontier = nodes whose label improved
+    # last round, so settled subgraphs cost nothing per round.
+
+    _INF = np.int64(np.iinfo(np.int64).max)
+
+    def sssp_init(self, sources) -> int:
+        self.dist = np.full(len(self.own_nodes), self._INF,
+                            dtype=np.int64)
+        mine = np.unique(np.asarray(
+            [s for s in sources if s % self.P == self.p],
+            dtype=np.int64))
+        pos, inb = _member(self.own_nodes, mine)
+        self.dist[pos[inb]] = 0
+        self._extra_sources = mine[~inb]
+        self.frontier = mine[inb]
+        return len(mine)
+
+    def sssp_expand(self):
+        """Relax the out-edges of the improved nodes: per-destination
+        MIN of (dist[u] + w), split by destination owner → P pieces
+        of (nodes, candidate dists)."""
+        f = self.frontier
+        P = self.P
+        empty = (np.zeros(0, dtype=np.int64),
+                 np.zeros(0, dtype=np.int64))
+        if len(f) == 0:
+            return tuple(empty for _ in range(P))
+        floc, _ = _member(self.own_nodes, f)
+        fdist = self.dist[floc]
+        pos, ok = _member(self._su, f)
+        starts = self._sstart[pos[ok]]
+        ends = self._sstart[pos[ok] + 1]
+        base = fdist[ok]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return tuple(empty for _ in range(P))
+        idx = np.repeat(starts, lens) + \
+            (np.arange(total) -
+             np.repeat(np.cumsum(lens) - lens, lens))
+        dsts = self._dst_by_src[idx]
+        cand = np.repeat(base, lens) + self._w_by_src[idx]
+        # pre-combine: one MIN per destination before it moves
+        uk, inv = np.unique(dsts, return_inverse=True)
+        best = np.full(len(uk), self._INF, dtype=np.int64)
+        np.minimum.at(best, inv, cand)
+        pieces = []
+        for q in range(P):
+            m = (uk % P) == q
+            pieces.append((uk[m], best[m]))
+        return tuple(pieces)
+
+    def sssp_update(self, piece_refs) -> int:
+        import ray
+
+        nodes, dists = [], []
+        for r in piece_refs:
+            uk, d = ray.get(r)
+            nodes.append(uk)
+            dists.append(d)
+        cand = np.concatenate(nodes) if nodes \
+            else np.zeros(0, dtype=np.int64)
+        cd = np.concatenate(dists) if dists \
+            else np.zeros(0, dtype=np.int64)
+        if len(cand) == 0:
+            self.frontier = cand
+            return 0
+        uk, inv = np.unique(cand, return_inverse=True)
+        best = np.full(len(uk), self._INF, dtype=np.int64)
+        np.minimum.at(best, inv, cd)
+        loc = np.searchsorted(self.own_nodes, uk)
+        improved = best < self.dist[loc]
+        self.dist[loc[improved]] = best[improved]
+        self.frontier = uk[improved]
+        return int(improved.sum())
+
+    def sssp_result(self) -> pa.Table:
+        hit = self.dist < self._INF
+        nodes = self.own_nodes[hit]
+        dists = self.dist[hit]
+        if len(self._extra_sources):
+            nodes = np.concatenate([nodes, self._extra_sources])
+            dists = np.concatenate(
+                [dists, np.zeros(len(self._extra_sources),
+                                 dtype=np.int64)])
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "dist": pa.array(dists, pa.int64())})
+
+
 def make_shards(edge_block_refs, P: int, n_hint: int = 0,
                 num_cpus: float = 0):
     """Spawn the P shard actors over integer (s, t[, w]) edge blocks.
@@ -273,6 +367,27 @@ def run_pagerank_sharded(shards, n_total: int, iters: int,
                 [piece_refs[p][q] for p in range(P)])
             for q in range(P)])
     return ray.get([sh.pr_result.remote() for sh in shards])
+
+
+def run_sssp_sharded(shards, sources, max_rounds: int):
+    """Drive Bellman-Ford rounds; driver holds only the per-round
+    improved-node count. Returns per-shard (node, dist) tables."""
+    import ray
+
+    P = len(shards)
+    alive = sum(ray.get([sh.sssp_init.remote(list(sources))
+                         for sh in shards]))
+    for _ in range(max_rounds):
+        if alive == 0:
+            break
+        piece_refs = [
+            sh.sssp_expand.options(num_returns=P).remote()
+            for sh in shards]
+        alive = sum(ray.get([
+            shards[q].sssp_update.remote(
+                [piece_refs[p][q] for p in range(P)])
+            for q in range(P)]))
+    return ray.get([sh.sssp_result.remote() for sh in shards])
 
 
 def run_bfs_sharded(shards, sources, max_hops: int):

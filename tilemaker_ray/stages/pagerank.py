@@ -286,6 +286,46 @@ def bfs_hops(edges_ds, sources: list, max_hops: int = 8,
     return out.take(idx)
 
 
+def sssp_dists(edges_ds, sources: list, max_rounds: int = 8,
+               n_shards: int | None = None):
+    """Weighted single-source shortest paths over an integer
+    (src, dst, w) edge Dataset: MIN total weight over paths of
+    ≤ ``max_rounds`` edges from any source (label-correcting
+    Bellman-Ford — with rounds ≥ graph diameter this is exact SSSP).
+
+    Same sharded-actor engine as bfs_hops: dist labels + out-edges
+    live in P vertex shards, one superstep relaxes the out-edges of
+    last round's improved nodes, and each shard pre-combines a MIN
+    per destination before anything moves — piece size is bounded by
+    nodes-per-shard. Integer weights keep the min-plus algebra exact
+    across engines and shard layouts."""
+    import ray
+
+    from .graph_shards import make_shards, run_sssp_sharded
+
+    def as_stw(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["src"].cast(pa.int64()),
+                         "t": batch["dst"].cast(pa.int64()),
+                         "w": batch["w"].cast(pa.int64())})
+
+    iedges = edges_ds.map_batches(as_stw, batch_format="pyarrow") \
+        .repartition(4).materialize()
+    P = max(2, n_shards or 8)
+    shards = make_shards(iedges.to_arrow_refs(), P)
+    try:
+        tables = run_sssp_sharded(shards, [int(s) for s in sources],
+                                  max_rounds)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pa.concat_tables([t for t in tables if t.num_rows]) \
+        if any(t.num_rows for t in tables) \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "dist": pa.array([], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx)
+
+
 def rank_weighted_sample(pages_ds, rank_tbl: pa.Table,
                          boost_num: int = 1, boost_den: int = 2,
                          scale: int = 10**9):
