@@ -3191,6 +3191,30 @@ def q_bfs_knn_events(sf_dir: str):
     return rd.from_arrow(out)
 
 
+def q_geohash_events(sf_dir: str):
+    """Geohash-6 cell counts over the event points — the third cell
+    family next to z/x/y tiles and hex bins (geo/geohash.py; the
+    base-32 prefix-tree key web corpora use). Per-batch partial
+    counts (combiner) → one slim groupby-sum; the oracle rebuilds the
+    hash with a 30-term bit-interleave SQL mirror, so a hash match
+    certifies quantization, interleave and alphabet bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..geo.geohash import geohash6
+
+    ds = _event_points(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh = geohash6(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        uniq, c = np.unique(gh, return_counts=True)
+        return pa.table({"gh": pa.array(uniq.astype("U6"), pa.string()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("gh")
+            .aggregate(Sum("c", alias_name="n_events")))
+
+
 def q_sssp_knn_events(sf_dir: str):
     """Weighted single-source shortest paths (≤ 8 edges) from the
     lowest sampled event through the same closed 3-NN graph as
@@ -4607,6 +4631,13 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+from ..geo.geohash import geohash6_sql as _gh6_sql
+
+ORACLE_SQL["geohash_events"] = f"""
+    SELECT {_gh6_sql(dv.EV_LON_SQL, dv.EV_LAT_SQL)} AS gh,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e GROUP BY gh"""
 
 ORACLE_SQL["sssp_knn_events"] = f"""
     WITH RECURSIVE p AS (
@@ -12319,6 +12350,7 @@ QUERIES = {
     "osmpbf_relation_members": q_osmpbf_relation_members,
     "osmpbf_way_tiles": q_osmpbf_way_tiles,
     "sssp_knn_events": q_sssp_knn_events,
+    "geohash_events": q_geohash_events,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
