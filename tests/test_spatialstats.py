@@ -164,3 +164,42 @@ def test_moran_significance_brute(ray_session):
         ((N * N - 1) * W * W) - E * E
     assert ei == pytest.approx(E)
     assert zi == pytest.approx((mi - E) / math.sqrt(V), rel=1e-9)
+
+
+def test_hausdorff_tracks_brute(ray_session, tmp_path):
+    # symmetric Hausdorff over the sampled panel == O(U^2 P^2) brute
+    import duckdb
+    import pandas as pd
+    from tilemaker_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["hausdorff_tracks"](sf).to_pandas() \
+        .sort_values(["user_a", "user_b"]).reset_index(drop=True)
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id FROM "
+        f"read_parquet('{sf}/events.parquet')").fetchdf()
+    ev = ev[ev.user_id % 7 == 0]
+    tracks = {}
+    for eid, uidv in zip(ev.event_id.astype("int64"),
+                         ev.user_id.astype("int64")):
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        tracks.setdefault(int(uidv), []).append((int(x), int(y)))
+
+    def directed(A, B):
+        return max(min((ax - bx) ** 2 + (ay - by) ** 2
+                       for bx, by in B) for ax, ay in A)
+
+    users = sorted(tracks)
+    rows = []
+    for i, a in enumerate(users):
+        for b in users[i + 1:]:
+            h = max(directed(tracks[a], tracks[b]),
+                    directed(tracks[b], tracks[a]))
+            rows.append((a, b, h))
+    want = pd.DataFrame(rows, columns=["user_a", "user_b",
+                                       "hausdorff_d2"])
+    assert got.astype("int64").equals(want.astype("int64"))
+    # identity: a track vs itself is 0
+    A = tracks[users[0]]
+    assert directed(A, A) == 0

@@ -3191,6 +3191,84 @@ def q_bfs_knn_events(sf_dir: str):
     return rd.from_arrow(out)
 
 
+def q_hausdorff_tracks(sf_dir: str):
+    """Trajectory similarity: symmetric Hausdorff distance² between
+    every pair of sampled users' event tracks (user_id % 7 panel —
+    the documented bounded-panel rule; production feeds candidate
+    pairs from the LSH/kNN stages instead of all-pairs). Point sets
+    in exact integer millidegrees, so MIN/MAX trees are BIGINT-exact.
+
+    Scale shape: the panel broadcasts once (ray.put, Knox/Ripley
+    pattern); the O(panel²) pair list streams through map_batches and
+    each pair's nA×nB distance matrix reduces locally — nothing
+    quadratic shuffles. Oracle: per-point MIN join + per-direction
+    MAX + GREATEST of both directions."""
+    import ray
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = uid % 7 == 0
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        return pa.table({"uid": pa.array(uid[keep], pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    sub = ds.map_batches(slim, batch_format="pyarrow")
+    parts_ = [t for t in ray.get(list(sub.to_arrow_refs()))
+              if t.num_rows > 0]
+    empty = pa.table({"user_a": pa.array([], pa.int64()),
+                      "user_b": pa.array([], pa.int64()),
+                      "hausdorff_d2": pa.array([], pa.int64())})
+    if not parts_:
+        return rd.from_arrow(empty)
+    pts = pa.concat_tables(parts_)
+    uid = pts["uid"].to_numpy(zero_copy_only=False)
+    order = np.argsort(uid, kind="stable")
+    uid = uid[order]
+    x = pts["x"].to_numpy(zero_copy_only=False)[order]
+    y = pts["y"].to_numpy(zero_copy_only=False)[order]
+    users, starts = np.unique(uid, return_index=True)
+    bounds = np.append(starts, len(uid))
+    if len(users) < 2:
+        return rd.from_arrow(empty)
+    panel_ref = ray.put((users, bounds, x, y))
+
+    ia, ib = np.triu_indices(len(users), k=1)
+    pairs = rd.from_arrow(pa.table({
+        "ia": pa.array(ia.astype(np.int64), pa.int64()),
+        "ib": pa.array(ib.astype(np.int64), pa.int64())}))
+
+    def pair_hausdorff(batch: pa.Table) -> pa.Table:
+        users, bounds, x, y = ray.get(panel_ref)
+        ia = batch["ia"].to_numpy(zero_copy_only=False)
+        ib = batch["ib"].to_numpy(zero_copy_only=False)
+        ua, ub, hd = [], [], []
+        for a, b in zip(ia.tolist(), ib.tolist()):
+            sa, ea = int(bounds[a]), int(bounds[a + 1])
+            sb, eb = int(bounds[b]), int(bounds[b + 1])
+            dx = x[sa:ea, None] - x[None, sb:eb]
+            dy = y[sa:ea, None] - y[None, sb:eb]
+            d2 = dx * dx + dy * dy
+            h = max(int(d2.min(axis=1).max()),
+                    int(d2.min(axis=0).max()))
+            ua.append(int(users[a]))
+            ub.append(int(users[b]))
+            hd.append(h)
+        return pa.table({"user_a": pa.array(ua, pa.int64()),
+                         "user_b": pa.array(ub, pa.int64()),
+                         "hausdorff_d2": pa.array(hd, pa.int64())})
+
+    return pairs.map_batches(pair_hausdorff, batch_format="pyarrow",
+                             batch_size=256)
+
+
 def q_geohash_events(sf_dir: str):
     """Geohash-6 cell counts over the event points — the third cell
     family next to z/x/y tiles and hex bins (geo/geohash.py; the
@@ -4631,6 +4709,26 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+ORACLE_SQL["hausdorff_tracks"] = """
+    WITH su AS (
+      SELECT e.user_id AS uid,
+             CAST((e.event_id * 2654435761) % 360000 - 180000
+                  AS BIGINT) AS x,
+             CAST((e.event_id * 40503) % 170000 - 85000
+                  AS BIGINT) AS y
+      FROM events e WHERE e.user_id % 7 = 0),
+    pm AS (
+      SELECT a.uid AS ua, b.uid AS ub, a.x AS px, a.y AS py,
+             MIN((a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y)) AS mind2
+      FROM su a JOIN su b ON a.uid <> b.uid
+      GROUP BY a.uid, b.uid, a.x, a.y),
+    dh AS (SELECT ua, ub, MAX(mind2) AS h FROM pm GROUP BY ua, ub)
+    SELECT d1.ua AS user_a, d1.ub AS user_b,
+           GREATEST(d1.h, d2.h) AS hausdorff_d2
+    FROM dh d1 JOIN dh d2 ON d1.ua = d2.ub AND d1.ub = d2.ua
+    WHERE d1.ua < d1.ub"""
 
 from ..geo.geohash import geohash6_sql as _gh6_sql
 
@@ -12351,6 +12449,7 @@ QUERIES = {
     "osmpbf_way_tiles": q_osmpbf_way_tiles,
     "sssp_knn_events": q_sssp_knn_events,
     "geohash_events": q_geohash_events,
+    "hausdorff_tracks": q_hausdorff_tracks,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
