@@ -3191,6 +3191,106 @@ def q_bfs_knn_events(sf_dir: str):
     return rd.from_arrow(out)
 
 
+def q_naive_bayes_docs(sf_dir: str):
+    """Multinomial Naive Bayes TRAINED from the corpus (class = lang,
+    Laplace smoothing) then applied back to classify every document —
+    the count-based cousin of the hashed-linear classify_docs, with
+    the training pass distributed.
+
+    Exactness across engines: per-(class,word) weights are
+    floor(ln((c+1)/(tot_c+V))·10⁹) int64 — the ln/divide tree is
+    mirrored op-for-op in the oracle, and doc scores are INTEGER sums
+    of tf·weight (associative, no float-summation-order hazard);
+    argmax ties break to the lexicographically smaller class.
+
+    Scale shape: training counts fold per-batch (lang,word) partials
+    into ONE word-bucketed groupby; the finished model is
+    O(vocab×classes) — the broadcast-model pattern (a scorer cannot
+    run without the model local; production df-caps the vocabulary
+    exactly as bm25/copy_pairs do). Scoring is one map_batches pass,
+    no shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.textindex import doc_term_freqs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial_cw(batch: pa.Table) -> pa.Table:
+        d, w, tf = doc_term_freqs(batch)
+        if len(d) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch["lang"].to_pylist())
+        order = np.argsort(ids, kind="stable")
+        lg = langs[order][np.searchsorted(ids[order], d)]
+        o2 = np.lexsort((w, lg))
+        lg, w, tf = lg[o2], w[o2], tf[o2]
+        brk = np.ones(len(w), dtype=bool)
+        brk[1:] = (lg[1:] != lg[:-1]) | (w[1:] != w[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(w)]])
+        csum = np.concatenate(([0], np.cumsum(tf)))
+        return pa.table({
+            "lang": pa.array(lg[starts], pa.string()),
+            "word": pa.array(w[starts], pa.string()),
+            "c": pa.array(csum[ends] - csum[starts], pa.int64())})
+
+    cw = (ds.map_batches(partial_cw, batch_format="pyarrow")
+          .groupby(["lang", "word"]).aggregate(Sum("c", alias_name="c")))
+    model = pa.concat_tables(
+        [t for t in ray.get(list(cw.to_arrow_refs())) if t.num_rows])
+
+    langs_m = np.asarray(model["lang"].to_pylist())
+    words_m = np.asarray(model["word"].to_pylist())
+    c_m = model["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.unique(words_m)
+    V = len(vocab)
+    classes = np.unique(langs_m)
+    C = len(classes)
+    tot = np.zeros(C, dtype=np.int64)
+    cls_idx = np.searchsorted(classes, langs_m)
+    np.add.at(tot, cls_idx, c_m)
+    # doc counts per class → priors
+    nd_tbl = ds.groupby("lang").count().to_pandas()
+    nd_map = dict(zip(nd_tbl["lang"], nd_tbl["count()"]))
+    n_docs = int(sum(nd_map.values()))
+    priors = np.array(
+        [np.floor(np.log(float(nd_map[c]) / n_docs) * 1e9)
+         for c in classes.tolist()], dtype=np.int64)
+    W = np.empty((V, C), dtype=np.int64)
+    for j in range(C):
+        W[:, j] = np.int64(np.floor(
+            np.log(1.0 / float(tot[j] + V)) * 1e9))
+    wrd_idx = np.searchsorted(vocab, words_m)
+    W[wrd_idx, cls_idx] = np.floor(
+        np.log((c_m + 1.0) / (tot[cls_idx] + V).astype(np.float64))
+        * 1e9).astype(np.int64)
+    model_ref = ray.put((vocab, classes, W, priors))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, classes, W, priors = ray.get(model_ref)
+        d, w, tf = doc_term_freqs(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        scores = np.tile(priors, (len(ids), 1)).astype(np.int64)
+        if len(d):
+            order = np.argsort(ids, kind="stable")
+            drow = order[np.searchsorted(ids[order], d)]
+            widx = np.searchsorted(vocab, w)
+            contrib = W[widx] * tf[:, None]
+            np.add.at(scores, drow, contrib)
+        best = np.argmax(scores, axis=1)     # first max = min class
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pred_lang": pa.array(classes[best], pa.string()),
+            "score": pa.array(scores[np.arange(len(ids)), best],
+                              pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def q_hausdorff_tracks(sf_dir: str):
     """Trajectory similarity: symmetric Hausdorff distance² between
     every pair of sampled users' event tracks (user_id % 7 panel —
@@ -4709,6 +4809,44 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+ORACLE_SQL["naive_bayes_docs"] = """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, w),
+    cw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY lang, w),
+    ct AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot
+           FROM tok GROUP BY lang),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv FROM tok),
+    ndc AS (SELECT lang, COUNT(*) AS nc FROM documents GROUP BY lang),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    pri AS (SELECT lang,
+                   CAST(floor(ln(CAST(nc AS DOUBLE) / n)
+                              * 1000000000.0) AS BIGINT) AS pri
+            FROM ndc CROSS JOIN nd),
+    w8 AS (SELECT cw.lang, cw.w,
+                  CAST(floor(ln((cw.c + 1)
+                                / CAST(ct.tot + v.nv AS DOUBLE))
+                             * 1000000000.0) AS BIGINT) AS wt
+           FROM cw JOIN ct USING (lang) CROSS JOIN v),
+    dflt AS (SELECT ct.lang,
+                    CAST(floor(ln(1.0 / CAST(ct.tot + v.nv AS DOUBLE))
+                               * 1000000000.0) AS BIGINT) AS dw
+             FROM ct CROSS JOIN v),
+    sc AS (
+      SELECT tf.doc_id, d.lang, p.pri + SUM(tf.tf
+                 * COALESCE(w8.wt, d.dw)) AS score
+      FROM tf CROSS JOIN dflt d
+      JOIN pri p ON p.lang = d.lang
+      LEFT JOIN w8 ON w8.lang = d.lang AND w8.w = tf.w
+      GROUP BY tf.doc_id, d.lang, p.pri)
+    SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
+    FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang) = 1"""
 
 ORACLE_SQL["hausdorff_tracks"] = """
     WITH su AS (
@@ -12450,6 +12588,7 @@ QUERIES = {
     "sssp_knn_events": q_sssp_knn_events,
     "geohash_events": q_geohash_events,
     "hausdorff_tracks": q_hausdorff_tracks,
+    "naive_bayes_docs": q_naive_bayes_docs,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
