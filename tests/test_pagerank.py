@@ -228,3 +228,47 @@ def test_sssp_vs_dijkstra_and_shard_invariance(ray_session):
     want_ms[9999] = 0
     got = dict(zip(out["node"].to_pylist(), out["dist"].to_pylist()))
     assert got == want_ms
+
+
+def test_lpa_vs_brute_and_shard_invariance(ray_session):
+    import ray.data as rd
+    from tilemaker_ray.stages.pagerank import lpa_labels
+
+    rng = np.random.RandomState(13)
+    n = 30
+    seen = set()
+    for _ in range(120):
+        s, t = rng.randint(0, n, 2)
+        if s != t:
+            seen.add((int(s), int(t)))
+            seen.add((int(t), int(s)))   # symmetric, distinct
+    rows = sorted(seen)
+    tbl = pa.table({"src": pa.array([r[0] for r in rows], pa.int64()),
+                    "dst": pa.array([r[1] for r in rows], pa.int64())})
+
+    def brute(rounds):
+        nodes = sorted({v for r in rows for v in r})
+        lbl = {v: v for v in nodes}
+        for _ in range(rounds):
+            new = dict(lbl)
+            inn = {}
+            for s, t in rows:
+                inn.setdefault(t, []).append(lbl[s])
+            for v, labels in inn.items():
+                cnt = {}
+                for l in labels:
+                    cnt[l] = cnt.get(l, 0) + 1
+                best = sorted(cnt.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[v] = best
+            lbl = new
+        return lbl
+
+    for rounds in (1, 4):
+        want = brute(rounds)
+        for P in (2, 5):
+            out = lpa_labels(rd.from_arrow(tbl).repartition(3),
+                             rounds=rounds, n_shards=P)
+            got = dict(zip(out["node"].to_pylist(),
+                           out["label"].to_pylist()))
+            assert got == want, (rounds, P)

@@ -3369,6 +3369,44 @@ def q_hausdorff_tracks(sf_dir: str):
                              batch_size=256)
 
 
+def q_lpa_knn_events(sf_dir: str):
+    """Community detection: 4 rounds of synchronous label propagation
+    (Raghavan et al. 2007) over the symmetrized sampled 3-NN graph.
+    The deterministic variant (most-frequent in-neighbor label, ties
+    → smallest) is a pure function of the edge set, so 4 unrolled SQL
+    rounds mirror it exactly. Labels live in the vertex-shard actors
+    (graph_shards.run_lpa_sharded): one superstep moves only
+    pre-folded (dst, label, count) pieces — never the label vector."""
+    import ray.data as rd
+
+    from ..stages.knn_graph import knn_graph
+    from ..stages.pagerank import lpa_labels
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        s = batch["event_id"].to_numpy().astype(np.int64)
+        t = batch["neighbor_id"].to_numpy().astype(np.int64)
+        key = np.unique(np.stack(
+            [np.concatenate([s, t]), np.concatenate([t, s])], axis=1),
+            axis=0)
+        return pa.table({"src": pa.array(key[:, 0], pa.int64()),
+                         "dst": pa.array(key[:, 1], pa.int64())})
+
+    edges = (knn.map_batches(symmetrize, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .select_columns(["src", "dst"]))
+    out = lpa_labels(edges, rounds=4)
+    return rd.from_arrow(out)
+
+
 def q_geohash_events(sf_dir: str):
     """Geohash-6 cell counts over the event points — the third cell
     family next to z/x/y tiles and hex bins (geo/geohash.py; the
@@ -4809,6 +4847,46 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+def _lpa_sql(rounds: int) -> str:
+    head = f"""
+    WITH p AS (
+      SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
+             {dv.EV_LAT_SQL} AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e0 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    l0 AS (SELECT node, node AS lbl FROM n)"""
+    rounds_sql = []
+    for k in range(1, rounds + 1):
+        rounds_sql.append(f""",
+    m{k} AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+             FROM e JOIN l{k - 1} l ON l.node = e.src
+             GROUP BY e.dst, l.lbl),
+    b{k} AS (SELECT node, lbl FROM (
+               SELECT node, lbl,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY cnt DESC, lbl) AS rn
+               FROM m{k}) WHERE rn = 1),
+    l{k} AS (SELECT p.node, COALESCE(b.lbl, p.lbl) AS lbl
+             FROM l{k - 1} p LEFT JOIN b{k} b ON b.node = p.node)""")
+    tail = f"""
+    SELECT node, CAST(lbl AS BIGINT) AS label FROM l{rounds}"""
+    return head + "".join(rounds_sql) + tail
+
+
+ORACLE_SQL["lpa_knn_events"] = _lpa_sql(4)
 
 ORACLE_SQL["naive_bayes_docs"] = """
     WITH tok AS (
@@ -12589,6 +12667,7 @@ QUERIES = {
     "geohash_events": q_geohash_events,
     "hausdorff_tracks": q_hausdorff_tracks,
     "naive_bayes_docs": q_naive_bayes_docs,
+    "lpa_knn_events": q_lpa_knn_events,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,

@@ -312,6 +312,73 @@ class _EdgeShardImpl:
         self.frontier = uk[improved]
         return int(improved.sum())
 
+    # ------------------------------------------------------------ LPA
+    # Synchronous label propagation (Raghavan et al. 2007), exact
+    # deterministic variant: one round relabels EVERY node to the most
+    # frequent label among in-neighbors (ties → smallest label; nodes
+    # with no in-edges keep theirs). All counts int64; the result
+    # after K rounds is a pure function of the edge set — shard- and
+    # block-layout-invariant, mirrored by K unrolled SQL rounds.
+
+    def lpa_init(self) -> None:
+        self.lbl = self.own_nodes.copy()
+
+    def lpa_contribs(self):
+        """Send each owned edge's CURRENT src label to the dst owner,
+        pre-folded to (dst, label, count) per owner."""
+        P = self.P
+        src_glob = self.s_loc * P + self.p
+        pos = np.searchsorted(self.own_nodes, src_glob)
+        lbls = self.lbl[pos]
+        pieces = []
+        for q in range(P):
+            a, b = int(self.bounds[q]), int(self.bounds[q + 1])
+            if a == b:
+                z = np.zeros(0, dtype=np.int64)
+                pieces.append((z, z, z))
+                continue
+            key = np.stack([self.t_glob[a:b], lbls[a:b]], axis=1)
+            uniq, cnt = np.unique(key, axis=0, return_counts=True)
+            pieces.append((uniq[:, 0], uniq[:, 1],
+                           cnt.astype(np.int64)))
+        return tuple(pieces)
+
+    def lpa_apply(self, piece_refs) -> None:
+        import ray
+
+        ns, ls, cs = [], [], []
+        for r in piece_refs:
+            n, l, c = ray.get(r)
+            ns.append(n)
+            ls.append(l)
+            cs.append(c)
+        if not ns or not sum(len(n) for n in ns):
+            return
+        node = np.concatenate(ns)
+        lbl = np.concatenate(ls)
+        cnt = np.concatenate(cs)
+        key = np.stack([node, lbl], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, cnt)
+        # per node: max count, tie -> smallest label. uniq is sorted
+        # by (node, lbl), so a stable sort by -count keeps the
+        # smallest label first among equal counts.
+        order = np.lexsort((uniq[:, 1], -tot, uniq[:, 0]))
+        n_s = uniq[order, 0]
+        l_s = uniq[order, 1]
+        first = np.ones(len(n_s), dtype=bool)
+        first[1:] = n_s[1:] != n_s[:-1]
+        win_n = n_s[first]
+        win_l = l_s[first]
+        loc = np.searchsorted(self.own_nodes, win_n)
+        self.lbl[loc] = win_l
+
+    def lpa_result(self) -> pa.Table:
+        return pa.table({
+            "node": pa.array(self.own_nodes, pa.int64()),
+            "label": pa.array(self.lbl, pa.int64())})
+
     def sssp_result(self) -> pa.Table:
         hit = self.dist < self._INF
         nodes = self.own_nodes[hit]
@@ -388,6 +455,24 @@ def run_sssp_sharded(shards, sources, max_rounds: int):
                 [piece_refs[p][q] for p in range(P)])
             for q in range(P)]))
     return ray.get([sh.sssp_result.remote() for sh in shards])
+
+
+def run_lpa_sharded(shards, rounds: int):
+    """Drive synchronous LPA rounds (labels init to node ids).
+    Returns per-shard (node, label) tables."""
+    import ray
+
+    P = len(shards)
+    ray.get([sh.lpa_init.remote() for sh in shards])
+    for _ in range(rounds):
+        piece_refs = [
+            sh.lpa_contribs.options(num_returns=P).remote()
+            for sh in shards]
+        ray.get([
+            shards[q].lpa_apply.remote(
+                [piece_refs[p][q] for p in range(P)])
+            for q in range(P)])
+    return ray.get([sh.lpa_result.remote() for sh in shards])
 
 
 def run_bfs_sharded(shards, sources, max_hops: int):

@@ -326,6 +326,39 @@ def sssp_dists(edges_ds, sources: list, max_rounds: int = 8,
     return out.take(idx)
 
 
+def lpa_labels(edges_ds, rounds: int = 4,
+               n_shards: int | None = None):
+    """Synchronous label-propagation communities over an integer
+    (src, dst) edge Dataset: ``rounds`` supersteps of relabel-to-
+    most-frequent-in-neighbor-label (ties → smallest label), labels
+    initialized to node ids. Deterministic and shard-layout-invariant
+    (exact int64 counts), mirrored by the K-unrolled SQL oracle.
+    Feed a symmetrized distinct edge set for classic undirected LPA."""
+    import ray
+
+    from .graph_shards import make_shards, run_lpa_sharded
+
+    def as_st(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["src"].cast(pa.int64()),
+                         "t": batch["dst"].cast(pa.int64())})
+
+    iedges = edges_ds.map_batches(as_st, batch_format="pyarrow") \
+        .repartition(4).materialize()
+    P = max(2, n_shards or 8)
+    shards = make_shards(iedges.to_arrow_refs(), P)
+    try:
+        tables = run_lpa_sharded(shards, rounds)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pa.concat_tables([t for t in tables if t.num_rows]) \
+        if any(t.num_rows for t in tables) \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "label": pa.array([], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx)
+
+
 def rank_weighted_sample(pages_ds, rank_tbl: pa.Table,
                          boost_num: int = 1, boost_den: int = 2,
                          scale: int = 10**9):
