@@ -3369,6 +3369,66 @@ def q_hausdorff_tracks(sf_dir: str):
                              batch_size=256)
 
 
+def q_mann_kendall_users(sf_dir: str):
+    """Per-user Mann-Kendall trend test over the event-value series
+    (time order = (ts, event_id)): S = Σ_{i<j} sign(v_j − v_i), plus
+    the tie-corrected variance numerator var18 = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5) — ALL integer, so the result is exact with no
+    float tree at all (the z-score is a trivial client-side divide).
+
+    Scale shape: hashed-user bucket exchange (a user never spans
+    buckets — the mobility-analytics pattern), then one vectorized
+    O(n_u²) sign fold per user (bounded by per-user activity; heavy
+    users would switch to the O(n log n) inversion-count merge).
+    Oracle: time-ordered pair self-join + tie-group rollup."""
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, val = uid[order], val[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        out_u, out_n, out_s, out_v18 = [], [], [], []
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            v = val[a:b]
+            n = b - a
+            sgn = np.sign(v[None, :] - v[:, None])
+            s = int(np.triu(sgn, k=1).sum())
+            _, t = np.unique(v, return_counts=True)
+            t = t.astype(np.int64)
+            tie = int((t * (t - 1) * (2 * t + 5)).sum())
+            out_u.append(int(uid[a]))
+            out_n.append(n)
+            out_s.append(s)
+            out_v18.append(n * (n - 1) * (2 * n + 5) - tie)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "s": pa.array(out_s, pa.int64()),
+            "var18": pa.array(out_v18, pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(reduce_bucket,
+                                        batch_format="pyarrow"))
+
+
 def q_lpa_knn_events(sf_dir: str):
     """Community detection: 4 rounds of synchronous label propagation
     (Raghavan et al. 2007) over the symmetrized sampled 3-NN graph.
@@ -4847,6 +4907,30 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+ORACLE_SQL["mann_kendall_users"] = """
+    WITH s AS (
+      SELECT a.user_id,
+             SUM(CASE WHEN b.value > a.value THEN 1
+                      WHEN b.value < a.value THEN -1
+                      ELSE 0 END) AS s
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      GROUP BY a.user_id),
+    n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id),
+    t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tc
+          FROM events GROUP BY user_id, value),
+    tt AS (SELECT user_id,
+                  SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie
+           FROM t GROUP BY user_id)
+    SELECT n.user_id, n.n, CAST(COALESCE(s.s, 0) AS BIGINT) AS s,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                - COALESCE(tt.tie, 0) AS BIGINT) AS var18
+    FROM n LEFT JOIN s USING (user_id)
+           LEFT JOIN tt USING (user_id)"""
+
 
 def _lpa_sql(rounds: int) -> str:
     head = f"""
@@ -12668,6 +12752,7 @@ QUERIES = {
     "hausdorff_tracks": q_hausdorff_tracks,
     "naive_bayes_docs": q_naive_bayes_docs,
     "lpa_knn_events": q_lpa_knn_events,
+    "mann_kendall_users": q_mann_kendall_users,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
