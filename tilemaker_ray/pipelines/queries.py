@@ -3369,6 +3369,45 @@ def q_hausdorff_tracks(sf_dir: str):
                              batch_size=256)
 
 
+def q_convex_hull_events(sf_dir: str):
+    """Distributed convex hull of all event points (exact integer
+    millidegrees): each block folds to its LOCAL hull vertices
+    (hull(S₁∪S₂) = hull(hull S₁ ∪ hull S₂), exact in int64 cross
+    products), candidates gather on one constant key, and the final
+    chain runs over the O(blocks·h) survivors — the lossless
+    local-reduction pattern the skyline operator uses. Output: CCW
+    ring from the lexicographically smallest vertex, with seq ids.
+    No SQL oracle (hull membership is not ANSI-SQL-expressible);
+    pinned by a gift-wrapping brute + partition-invariance pytest."""
+    from ..geo.hull import convex_hull
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def local_hull(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (eid * 2654435761) % 360000 - 180000
+        y = (eid * 40503) % 170000 - 85000
+        hx, hy = convex_hull(x, y)
+        return pa.table({"x_mil": pa.array(hx, pa.int64()),
+                         "y_mil": pa.array(hy, pa.int64()),
+                         "k": pa.array(np.zeros(len(hx), np.int64),
+                                       pa.int64())})
+
+    def final_hull(g: pa.Table) -> pa.Table:
+        hx, hy = convex_hull(g["x_mil"].to_numpy(zero_copy_only=False),
+                             g["y_mil"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "seq": pa.array(np.arange(len(hx), dtype=np.int64),
+                            pa.int64()),
+            "x_mil": pa.array(hx, pa.int64()),
+            "y_mil": pa.array(hy, pa.int64())})
+
+    return (ds.map_batches(local_hull, batch_format="pyarrow")
+            .groupby("k").map_groups(final_hull,
+                                     batch_format="pyarrow"))
+
+
 def q_mann_kendall_users(sf_dir: str):
     """Per-user Mann-Kendall trend test over the event-value series
     (time order = (ts, event_id)): S = Σ_{i<j} sign(v_j − v_i), plus
@@ -12753,6 +12792,7 @@ QUERIES = {
     "naive_bayes_docs": q_naive_bayes_docs,
     "lpa_knn_events": q_lpa_knn_events,
     "mann_kendall_users": q_mann_kendall_users,
+    "convex_hull_events": q_convex_hull_events,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
