@@ -7375,7 +7375,6 @@ def q_mst_customers(sf_dir: str, eps: float = 8.0,
     import ray
 
     from ..stages.common import mix_bucket
-    from ..stages.dedup import connected_components_min_label
 
     eps2 = eps * eps
     OFF = np.array([(dx, dy) for dx in (-1, 0, 1)
@@ -7449,27 +7448,38 @@ def q_mst_customers(sf_dir: str, eps: float = 8.0,
                                       batch_format="pyarrow")
              .materialize())
 
-    import ray.data as rd
     forest = []                       # [(u, v, w)] selected so far
 
-    def labels_for(forest_edges):
-        if not forest_edges:
-            return {}
-        t = pa.table({
-            "doc_a": pa.array([e[0] for e in forest_edges],
-                              pa.int64()),
-            "doc_b": pa.array([e[1] for e in forest_edges],
-                              pa.int64())})
-        cc = connected_components_min_label(rd.from_arrow(t))
-        lbl = {}
-        for tt in ray.get(list(cc.to_arrow_refs())):
-            if tt.num_rows:
-                lbl.update(zip(tt["doc_id"].to_pylist(),
-                               tt["comp"].to_pylist()))
-        return lbl
+    # Component labels over the forest via an INCREMENTAL min-label
+    # union-find on the driver: the forest is node-bounded (≤ n−1
+    # edges) — the same documented driver gate the dedup end-game
+    # uses (stages/dedup.py union-find ≤ 2M edges). Earlier rounds
+    # re-ran the full distributed CC engine here every round (≈1–2 s
+    # of fixed pipeline scheduling × O(log n) rounds); the CC engine
+    # remains the scale path for UNBOUNDED edge sets, but Borůvka's
+    # forest is not one. Min-root unions keep labels identical to
+    # connected_components_min_label, so the selected forest is
+    # unchanged edge-for-edge (pinned by the Kruskal pytest oracle).
+    parent: dict = {}
+
+    def _find(a: int) -> int:
+        r = a
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(a, a) != a:
+            parent[a], a = r, parent[a]
+        return r
+
+    def _union(a: int, b: int) -> None:
+        ra, rb = _find(a), _find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent.setdefault(lo, lo)
+        parent[hi] = lo
 
     for _round in range(64):
-        lbl_ref = ray.put(labels_for(forest))
+        lbl_ref = ray.put({a: _find(a) for a in list(parent)})
 
         def min_edge_partial(t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "u" not in t.column_names:
@@ -7504,7 +7514,16 @@ def q_mst_customers(sf_dir: str, eps: float = 8.0,
                 "v": pa.array(vv[first], pa.int64()),
                 "w": pa.array(ww[first], pa.int64())})
 
-        def min_edge_fold(g: pa.Table) -> pa.Table:
+        # fold the per-block partials (each ≤ #components rows, so
+        # the gather is node-bounded like the union-find above) on
+        # the driver — replaces a full groupby exchange per round
+        sel = edges.map_batches(min_edge_partial,
+                                batch_format="pyarrow")
+        parts = [t for t in ray.get(list(sel.to_arrow_refs()))
+                 if t.num_rows and "u" in t.column_names]
+        new = set()
+        if parts:
+            g = pa.concat_tables(parts)
             comp = g["comp"].to_numpy(zero_copy_only=False)
             u = g["u"].to_numpy(zero_copy_only=False)
             v = g["v"].to_numpy(zero_copy_only=False)
@@ -7513,25 +7532,14 @@ def q_mst_customers(sf_dir: str, eps: float = 8.0,
             comp, u, v, w = comp[order], u[order], v[order], w[order]
             first = np.ones(len(comp), dtype=bool)
             first[1:] = comp[1:] != comp[:-1]
-            return pa.table({
-                "u": pa.array(u[first], pa.int64()),
-                "v": pa.array(v[first], pa.int64()),
-                "w": pa.array(w[first], pa.int64())})
-
-        sel = (edges.map_batches(min_edge_partial,
-                                 batch_format="pyarrow")
-               .groupby("comp").map_groups(min_edge_fold,
-                                           batch_format="pyarrow"))
-        new = set()
-        for t in ray.get(list(sel.to_arrow_refs())):
-            if t.num_rows and "u" in t.column_names:
-                new.update(zip(t["u"].to_pylist(),
-                               t["v"].to_pylist(),
-                               t["w"].to_pylist()))
+            new.update(zip(u[first].tolist(), v[first].tolist(),
+                           w[first].tolist()))
         new -= set(forest)
         if not new:
             break
         forest.extend(sorted(new))
+        for eu_, ev_, _ in new:
+            _union(int(eu_), int(ev_))
 
     forest.sort()
     return pa.table({
@@ -10884,21 +10892,26 @@ def q_quadtree_bins_events(sf_dir: str, k: int = _QT_K,
             .astype(np.int64)
         n = b["n_events"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        zs, keys, ns = [], [], []
+        zkeys, ns = [], []
         for z in range(0, z_max + 1):
             dz = z_max - z
-            zs.append(np.full(len(x), z, np.int64))
-            keys.append(((x >> dz) << 21) + (y >> dz))
+            zkeys.append((np.int64(z) << 42)
+                         + ((x >> dz) << 21) + (y >> dz))
             ns.append(n)
-        return pa.table({
-            "z": pa.array(np.concatenate(zs), pa.int64()),
-            "key": pa.array(np.concatenate(keys), pa.int64()),
-            "n": pa.array(np.concatenate(ns), pa.int64())})
+        # per-block partial fold: the exchange row count is bounded
+        # by occupied tiles × levels, so the pyramid folds on the
+        # driver (the same lattice bound the lv broadcast relies on)
+        zk = np.concatenate(zkeys)
+        nn = np.concatenate(ns)
+        uk, inv = np.unique(zk, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, nn)
+        return pa.table({"zkey": pa.array(uk, pa.int64()),
+                         "n": pa.array(acc, pa.int64())})
 
-    pyr = (base.map_batches(lift, batch_format="pyarrow")
-           .groupby(["z", "key"]).aggregate(Sum("n")))
-    pyr_parts = [t for t in ray.get(list(pyr.to_arrow_refs()))
-                 if t.num_rows > 0]
+    pyr_parts = [t for t in ray.get(list(
+        base.map_batches(lift, batch_format="pyarrow")
+        .to_arrow_refs())) if t.num_rows > 0]
     if not pyr_parts:
         return pa.table({
             "z": pa.array([], pa.int64()),
@@ -10906,9 +10919,13 @@ def q_quadtree_bins_events(sf_dir: str, k: int = _QT_K,
             "tile_y": pa.array([], pa.int64()),
             "n_events": pa.array([], pa.int64())})
     pt = pa.concat_tables(pyr_parts)
-    pz = pt["z"].to_numpy(zero_copy_only=False)
-    pk = pt["key"].to_numpy(zero_copy_only=False)
-    pn = pt["sum(n)"].to_numpy(zero_copy_only=False)
+    zk_all = pt["zkey"].to_numpy(zero_copy_only=False)
+    n_all = pt["n"].to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(zk_all, return_inverse=True)
+    pn = np.zeros(len(uk), np.int64)
+    np.add.at(pn, inv, n_all)
+    pz = uk >> 42
+    pk = uk & ((np.int64(1) << 42) - 1)
     levels = []
     for z in range(0, z_max + 1):
         m = pz == z
