@@ -3369,6 +3369,70 @@ def q_hausdorff_tracks(sf_dir: str):
                              batch_size=256)
 
 
+def q_theil_sen_users(sf_dir: str):
+    """Per-user Theil-Sen slope — the robust (median-of-pairwise-
+    slopes) trend estimator beside the Mann-Kendall test: slope =
+    lower median over all time-ordered pairs with distinct ts of
+    (Δvalue / Δt_µs). Every slope is the IDENTICAL double expression
+    in both engines (double subtraction, BIGINT µs delta, one
+    division), and the median picks the k = ceil(n/2)-th smallest —
+    DuckDB's quantile_disc rule (the repo's pinned selection
+    semantics) — so the result is a picked element, bit-exact, never
+    an averaged float.
+
+    Scale shape: same hashed-user bucket exchange as mann_kendall;
+    O(n_u²) pairwise slopes vectorized per user, n_u bounded by
+    per-user activity. Users with no valid pair (n<2 or all-equal ts)
+    are absent from both sides."""
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, val = uid[order], us[order], val[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))
+        ends = np.concatenate([starts[1:], [len(uid)]])
+        out_u, out_n, out_s = [], [], []
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            t = us[a:b]
+            v = val[a:b]
+            dt = t[None, :] - t[:, None]
+            m = dt > 0
+            if not m.any():
+                continue
+            slopes = (v[None, :] - v[:, None])[m] \
+                / dt[m].astype(np.float64)
+            slopes.sort(kind="stable")
+            k = max(1, -(-len(slopes) // 2))      # ceil(n/2)
+            out_u.append(int(uid[a]))
+            out_n.append(len(slopes))
+            out_s.append(float(slopes[k - 1]))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_slopes": pa.array(out_n, pa.int64()),
+            "theil_sen_slope": pa.array(out_s, pa.float64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(reduce_bucket,
+                                        batch_format="pyarrow"))
+
+
 def q_convex_hull_events(sf_dir: str):
     """Distributed convex hull of all event points (exact integer
     millidegrees): each block folds to its LOCAL hull vertices
@@ -4946,6 +5010,18 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+ORACLE_SQL["theil_sen_users"] = """
+    WITH p AS (
+      SELECT a.user_id,
+             (b.value - a.value)
+               / CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE)
+               AS slope
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.ts < b.ts)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_slopes,
+           quantile_disc(slope, 0.5) AS theil_sen_slope
+    FROM p GROUP BY user_id"""
 
 ORACLE_SQL["mann_kendall_users"] = """
     WITH s AS (
@@ -12810,6 +12886,7 @@ QUERIES = {
     "lpa_knn_events": q_lpa_knn_events,
     "mann_kendall_users": q_mann_kendall_users,
     "convex_hull_events": q_convex_hull_events,
+    "theil_sen_users": q_theil_sen_users,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
