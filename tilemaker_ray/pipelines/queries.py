@@ -3369,6 +3369,63 @@ def q_hausdorff_tracks(sf_dir: str):
                              batch_size=256)
 
 
+# Benford leading-digit probabilities log10(1 + 1/d), d = 1..9, as
+# FIXED decimal literals: the universal constants ride into both the
+# numpy kernel and the SQL oracle as the same parsed double, because
+# numpy's vectorized log and DuckDB's ln round differently by 1 ulp
+# on some inputs (observed: ln(1.25), ln(10.0)) — constants, unlike
+# the repo's floor-quantized log trees, would expose that ulp raw.
+BENFORD_P = (0.3010299956639812, 0.17609125905568124,
+             0.12493873660829992, 0.09691001300805642,
+             0.07918124604762482, 0.06694678963061322,
+             0.05799194697768673, 0.05115252244738129,
+             0.04575749056067514)
+
+
+def q_benford_lineitem(sf_dir: str):
+    """Benford's-law leading-digit audit of l_extendedprice — the
+    classic fraud/data-quality screen: observed count per leading
+    digit vs the Benford expectation n·log10(1+1/d), plus the χ²
+    contribution per digit. The digit extraction
+    floor(v / 10^floor(log10 v)) and the expectation/χ² trees are
+    the IDENTICAL double expressions in both engines (same libm), so
+    the floats hash-match bit-exactly — the repo's mirrored-tree
+    pattern (Gi*, freshness).
+
+    Scale shape: per-batch digit bincount (a 9-long partial) →
+    driver fold of O(blocks) tiny rows; no shuffle at all."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = v[v > 0]
+        d = np.floor(v / np.power(10.0, np.floor(np.log10(v)))) \
+            .astype(np.int64)
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "c": pa.array(counts.astype(np.int64),
+                                       pa.int64())})
+
+    import ray
+    parts = [t for t in ray.get(list(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs())) if t.num_rows]
+    counts = np.zeros(9, dtype=np.int64)
+    for t in parts:
+        counts[t["digit"].to_numpy(zero_copy_only=False) - 1] += \
+            t["c"].to_numpy(zero_copy_only=False)
+    n_tot = int(counts.sum())
+    d = np.arange(1, 10, dtype=np.int64)
+    expected = n_tot * np.asarray(BENFORD_P, dtype=np.float64)
+    chi2 = (counts - expected) ** 2 / expected
+    return pa.table({
+        "digit": pa.array(d, pa.int64()),
+        "n": pa.array(counts, pa.int64()),
+        "expected": pa.array(expected, pa.float64()),
+        "chi2_term": pa.array(chi2, pa.float64())})
+
+
 def q_theil_sen_users(sf_dir: str):
     """Per-user Theil-Sen slope — the robust (median-of-pairwise-
     slopes) trend estimator beside the Mann-Kendall test: slope =
@@ -5010,6 +5067,26 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+ORACLE_SQL["benford_lineitem"] = f"""
+    WITH d AS (
+      SELECT CAST(floor(l_extendedprice
+                        / pow(10, floor(log10(l_extendedprice))))
+                  AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY digit),
+    nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM c),
+    dd AS (SELECT unnest(generate_series(1, 9)) AS digit,
+                  unnest(CAST([{', '.join(repr(p) for p in BENFORD_P)}]
+                              AS DOUBLE[])) AS p),
+    e AS (
+      SELECT dd.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+             nt.n_tot * dd.p AS expected
+      FROM dd LEFT JOIN c ON c.digit = dd.digit CROSS JOIN nt)
+    SELECT digit, n, expected,
+           ((n - expected) * (n - expected)) / expected AS chi2_term
+    FROM e"""
 
 ORACLE_SQL["theil_sen_users"] = """
     WITH p AS (
@@ -12887,6 +12964,7 @@ QUERIES = {
     "mann_kendall_users": q_mann_kendall_users,
     "convex_hull_events": q_convex_hull_events,
     "theil_sen_users": q_theil_sen_users,
+    "benford_lineitem": q_benford_lineitem,
     "moran_tiles": q_moran_tiles,
     "expectations_audit": q_expectations_audit,
     "kcenter_embeddings": q_kcenter_embeddings,
