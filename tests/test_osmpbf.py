@@ -214,6 +214,94 @@ def test_probe_and_sorted_range(tmp_path):
         assert sel == blocks[lo:hi], kind
 
 
+def _write_mixed_boundary_file(path):
+    """Hand-compose a Sort.Type_then_ID file whose node→way boundary
+    block is MIXED (one PrimitiveGroup holding both the last DenseNodes
+    run and the first Way) — the layout real planet extracts can have
+    and the repo's own writer never emits. Layout:
+    block0 nodes[1,2] · block1 node[3]+way[10] · block2 ways[11,12] ·
+    block3 relation[20]."""
+    def dense_group(ids):
+        n = len(ids)
+        z = np.zeros(n, dtype=np.int64)
+        dense = (O._field_len(1, O.encode_packed_s64_delta(
+                     np.array(ids, np.int64))) +
+                 O._field_len(8, O.encode_packed_s64_delta(z)) +
+                 O._field_len(9, O.encode_packed_s64_delta(z)) +
+                 O._field_len(10, O.encode_packed_u64([0] * n)))
+        return O._field_len(2, dense)
+
+    def way_group(wid, refs):
+        msg = (O._field_varint(1, wid) +
+               O._field_len(8, O.encode_packed_s64_delta(
+                   np.array(refs, np.int64))))
+        return O._field_len(3, msg)
+
+    def rel_group(rid, mids):
+        msg = (O._field_varint(1, rid) +
+               O._field_len(8, O.encode_packed_u64([0] * len(mids))) +
+               O._field_len(9, O.encode_packed_s64_delta(
+                   np.array(mids, np.int64))) +
+               O._field_len(10, O.encode_packed_u64([1] * len(mids))))
+        return O._field_len(4, msg)
+
+    def frame_block(group_bytes):
+        block = O._encode_primitive_block(group_bytes, O._StringTable())
+        return O._frame("OSMData", O._encode_blob(block, True))
+
+    header = (O._field_len(4, b"OsmSchema-V0.6") +
+              O._field_len(4, b"DenseNodes") +
+              O._field_len(5, b"Sort.Type_then_ID"))
+    with open(path, "wb") as f:
+        f.write(O._frame("OSMHeader", O._encode_blob(header, True)))
+        f.write(frame_block(dense_group([1, 2])))
+        f.write(frame_block(dense_group([3]) + way_group(10, [1, 2])))
+        f.write(frame_block(way_group(11, [2, 3]) + way_group(12, [3])))
+        f.write(frame_block(rel_group(20, [10])))
+
+
+def test_sorted_range_mixed_boundary_block(tmp_path):
+    # ADVICE r4 (high): a boundary blob holding both nodes and ways
+    # must land in BOTH adjacent kind ranges — min-kind half-open
+    # ranges silently dropped its ways (reference keeps the transition
+    # block in each range, pbf_processor.cpp:545-591)
+    path = str(tmp_path / "mix.osm.pbf")
+    _write_mixed_boundary_file(path)
+    blocks = [b for b in O.scan_blobs(path) if b["kind"] == "OSMData"]
+    assert O.probe_block_kinds(path, blocks[1]) == {"nodes", "ways"}
+    sel_n = O._sorted_kind_range(path, blocks, "nodes")
+    sel_w = O._sorted_kind_range(path, blocks, "ways")
+    sel_r = O._sorted_kind_range(path, blocks, "relations")
+    assert sel_n == blocks[0:2]
+    assert sel_w == blocks[1:3]   # includes the mixed boundary block
+    assert sel_r == blocks[3:4]
+
+
+def test_read_mixed_boundary_file_loses_nothing(ray_session, tmp_path):
+    path = str(tmp_path / "mix2.osm.pbf")
+    _write_mixed_boundary_file(path)
+    nodes = O.read_osm_pbf(path, "nodes").to_pandas()
+    ways = O.read_osm_pbf(path, "ways").to_pandas()
+    rels = O.read_osm_pbf(path, "relations").to_pandas()
+    assert sorted(nodes["node_id"]) == [1, 2, 3]
+    assert sorted(ways["way_id"]) == [10, 11, 12]
+    assert rels["relation_id"].tolist() == [20]
+
+
+def test_negative_way_relation_ids_roundtrip(tmp_path):
+    # ADVICE r4 (low): plain int64 varint ids — a negative id arrives
+    # as a 10-byte varint >= 2^63 and must get the two's-complement
+    # sign fix (same as lat_offset/lon_offset fields 19/20)
+    ways = _ways([-7, 5], [[1], [2]])
+    rels = _rels([-99], [[-7]], [["way"]], [["outer"]])
+    path = str(tmp_path / "neg.osm.pbf")
+    O.write_osm_pbf(path, None, ways, rels)
+    got = _decode_all(path)
+    assert got["ways"]["way_id"].to_pylist() == [-7, 5]
+    assert got["relations"]["relation_id"].to_pylist() == [-99]
+    assert got["relations"]["member_ids"].to_pylist() == [[-7]]
+
+
 def test_unsorted_ids_drop_feature(tmp_path):
     path = str(tmp_path / "us.osm.pbf")
     O.write_osm_pbf(path, _nodes([5, 1], [0, 0], [0, 0]))

@@ -140,6 +140,13 @@ def decode_packed_s64_delta(payload) -> np.ndarray:
     return np.cumsum(zigzag_decode(decode_packed_u64(payload)))
 
 
+def _varint_i64(val: int) -> int:
+    """Plain (non-zigzag) int64 varint: a negative value arrives as a
+    10-byte varint decoding to >= 2^63 — apply the two's-complement
+    sign fix (same correction as lat_offset/lon_offset fields 19/20)."""
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 # ---------------------------------------------------------------------------
 # protobuf wire primitives (encode — fixtures / round-trip oracle)
 # ---------------------------------------------------------------------------
@@ -370,7 +377,7 @@ def _decode_way(buf, ctx: _BlockCtx, rows: list):
     lats = lons = None
     for fno, wt, val in iter_fields(bytes(buf)):
         if fno == 1 and wt == _WT_VARINT:
-            wid = val
+            wid = _varint_i64(val)
         elif fno == 2:
             keys = decode_packed_u64(val).astype(np.int64)
         elif fno == 3:
@@ -401,7 +408,7 @@ def _decode_relation(buf, ctx: _BlockCtx, rows: list):
     types = np.empty(0, dtype=np.int64)
     for fno, wt, val in iter_fields(bytes(buf)):
         if fno == 1 and wt == _WT_VARINT:
-            rid = val
+            rid = _varint_i64(val)
         elif fno == 2:
             keys = decode_packed_u64(val).astype(np.int64)
         elif fno == 3:
@@ -531,31 +538,46 @@ def _sorted_kind_range(path: str, blocks: list[dict],
     """For Sort.Type_then_ID inputs, binary-search the contiguous
     block range holding ``kind`` — O(log n) blob probes instead of
     decoding every blob (the reference's type-bounded scan,
-    pbf_processor.cpp:545-591). Blobs with no entities rank as their
-    successor's kind would (probe walks forward past them)."""
+    pbf_processor.cpp:545-591). A mixed boundary blob (e.g. the last
+    nodes block also holding the first ways) is included in BOTH
+    adjacent ranges, exactly as the reference's hasNodes/hasWays
+    bounds overlap at waysStart/relationsStart — the range for
+    ``kind`` starts at the first block whose MAX kind reaches it and
+    ends at the first block whose MIN kind is past it.
+    decode_primitive_block prunes by kind, so overlap is harmless.
+    Blobs with no entities rank as their successor's kind would
+    (probe walks forward past them)."""
     want = _KIND_RANK[kind]
+    probe_cache: dict[int, tuple[int, int]] = {}
 
-    def rank_at(i: int) -> int:
-        # empty blobs (no groups) are rare; treat as rank of the next
-        # non-empty blob so the bisection stays monotone
+    def ranks_at(i: int) -> tuple[int, int]:
+        # (min_rank, max_rank) of the first non-empty blob at or
+        # after i; both sequences are monotone under Type_then_ID
+        got = probe_cache.get(i)
+        if got is not None:
+            return got
         for j in range(i, len(blocks)):
             ks = probe_block_kinds(path, blocks[j])
             if ks:
-                return min(_KIND_RANK[k] for k in ks)
-        return 3
+                rr = [_KIND_RANK[k] for k in ks]
+                probe_cache[i] = (min(rr), max(rr))
+                return probe_cache[i]
+        probe_cache[i] = (3, 3)
+        return probe_cache[i]
 
-    def bisect(target: int) -> int:
-        # first index with rank_at(index) >= target
+    def bisect(target: int, use_max: bool) -> int:
+        # first index whose (max if use_max else min) rank >= target
         lo, hi = 0, len(blocks)
         while lo < hi:
             mid = (lo + hi) // 2
-            if rank_at(mid) >= target:
+            r = ranks_at(mid)[1 if use_max else 0]
+            if r >= target:
                 hi = mid
             else:
                 lo = mid + 1
         return lo
 
-    return blocks[bisect(want):bisect(want + 1)]
+    return blocks[bisect(want, True):bisect(want + 1, False)]
 
 
 def read_osm_pbf(path: str, kind: str = "nodes"):
