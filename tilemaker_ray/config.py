@@ -24,6 +24,18 @@ class LayerDef:
     simplify_below: int = 0
     simplify_level: float = 1.0
     simplify_algorithm: str = "douglas_peucker"  # or "visvalingam" / "buildings"
+    # meters-based tolerance: when > 0 it overrides simplify_level and is
+    # converted per tile row via meter2degp at the row-center latitude
+    # (reference src/tile_worker.cpp:481-483)
+    simplify_length: float = 0.0
+    # per-zoom tolerance growth below simplify_below: tolerance at zoom z
+    # is scaled by ratio^((simplify_below-1)-z) in the reference's degree
+    # frame (src/tile_worker.cpp:486). This engine's tolerances live in
+    # tile units, where the reference default ratio=2 is exactly
+    # "constant tile-unit tolerance across zooms" — so the tile-unit
+    # scale factor is (simplify_ratio/2)^((simplify_below-1)-z) and the
+    # default changes nothing.
+    simplify_ratio: float = 2.0
     # drop polygon parts below filter_area (tile-unit²) below filter_below zoom
     filter_below: int = 0
     filter_area: float = 0.0
@@ -33,7 +45,20 @@ class LayerDef:
     combine_points: bool = False
     combine_lines: bool = False
     combine_polygons: bool = False
+    # zoom-gated combining (reference combine_lines_below /
+    # combine_polygons_below, shared_data.cpp:324-325): when set,
+    # features combine at zooms strictly below the threshold even if the
+    # plain boolean is off. combine_lines_below=None inherits the global
+    # EngineConfig.combine_below (the reference's settings.combine_below
+    # default chain); combine_polygons_below=None means 0 (off).
+    combine_lines_below: int | None = None
+    combine_polygons_below: int | None = None
     z_order_ascending: bool = False
+    # write this layer's features into another layer's output vector-tile
+    # layer (reference write_to, shared_data.cpp:315,160-175): processing
+    # knobs stay per source layer, only the MVT layer name/position are
+    # the target's.
+    write_to: str = ""
 
 
 @dataclass(frozen=True)
@@ -49,6 +74,9 @@ class EngineConfig:
     compress_tiles: bool = True
     # skew handling: groups larger than this are salted into sub-groups
     hot_tile_rows: int = 50_000
+    # global default for LayerDef.combine_lines_below (reference
+    # settings.combine_below, shared_data.cpp:267)
+    combine_below: int = 0
     # optional clipping box (lon_w, lat_s, lon_e, lat_n): only tiles
     # intersecting it are produced (reference --bbox,
     # src/tilemaker.cpp:130-165)
@@ -81,3 +109,74 @@ DEFAULT_LAYERS = (
 )
 
 DEFAULT_CONFIG = EngineConfig(layers=DEFAULT_LAYERS)
+
+
+def resolve_write_to(ldefs: dict) -> dict:
+    """Map each layer name to the MVT layer it writes into.
+
+    Mirrors the reference's addLayer grouping
+    (/root/reference/src/shared_data.cpp:160-175): a ``write_to`` target
+    must be a previously-declared layer that is not itself redirected
+    (the reference silently drops a chained write_to from layerOrder;
+    here it is an explicit error)."""
+    out = {}
+    for name, ld in ldefs.items():
+        tgt = ld.write_to
+        if not tgt:
+            out[name] = name
+            continue
+        target = ldefs.get(tgt)
+        if target is None:
+            raise ValueError(
+                f"write_to: the layer to write, named {tgt!r}, doesn't exist")
+        if target.write_to:
+            raise ValueError(
+                f"write_to: target layer {tgt!r} is itself redirected "
+                f"(chained write_to is not supported)")
+        out[name] = tgt
+    return out
+
+
+def combine_lines_at(ldef: LayerDef, z: int, cfg: EngineConfig) -> bool:
+    """Reference: combine lines when zoom < combineLinesBelow
+    (tile_worker.cpp:505), default = global settings.combine_below."""
+    below = (ldef.combine_lines_below if ldef.combine_lines_below is not None
+             else cfg.combine_below)
+    return ldef.combine_lines or z < below
+
+
+def combine_polygons_at(ldef: LayerDef, z: int, cfg: EngineConfig) -> bool:
+    below = (ldef.combine_polygons_below
+             if ldef.combine_polygons_below is not None else 0)
+    return ldef.combine_polygons or z < below
+
+
+def simplify_tolerance(ldef: LayerDef, z: int, y: int, extent: int) -> float:
+    """Effective DP/Visvalingam tolerance in TILE UNITS at (z, tile row y).
+
+    0.0 means "do not simplify at this zoom". Reproduces the reference's
+    tolerance ladder (src/tile_worker.cpp:477-486) transposed into the
+    tile-unit frame this engine simplifies in:
+
+      reference (degrees):  tol = base_degp * ratio^((below-1)-z)
+      tile units:           tol_tile = tol_degp * 2^z * extent / 360
+                                     = base_tile * (ratio/2)^((below-1)-z)
+
+    where base_tile = simplify_level (already tile units) or, when
+    simplify_length > 0, meter2degp(length, latp of the tile-row
+    center) * 2^(below-1) * extent / 360. With the default ratio=2 the
+    scale factor is 1, i.e. constant tile-unit tolerance per zoom —
+    exactly this engine's historical behavior."""
+    if not ldef.simplify_below or z >= ldef.simplify_below:
+        return 0.0
+    if ldef.simplify_length > 0:
+        from .geo import tilemath as _tm
+        # row-center latp: (tiley2latp(y,z) + tiley2latp(y+1,z)) / 2
+        latp = 180.0 - (y + 0.5) * 360.0 / (1 << z)
+        base = (float(_tm.meter2degp(ldef.simplify_length, latp))
+                * (1 << (ldef.simplify_below - 1)) * extent / 360.0)
+    else:
+        base = ldef.simplify_level
+    if ldef.simplify_ratio != 2.0:
+        base *= (ldef.simplify_ratio / 2.0) ** ((ldef.simplify_below - 1) - z)
+    return float(base)

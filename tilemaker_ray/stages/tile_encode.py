@@ -39,7 +39,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..config import DEFAULT_CONFIG, EngineConfig
+from ..config import (DEFAULT_CONFIG, EngineConfig, combine_lines_at,
+                      combine_polygons_at, resolve_write_to,
+                      simplify_tolerance)
 from ..geo import antimeridian as _antimeridian
 from ..geo import clip as _clip
 from ..geo import dissolve as _dissolve
@@ -127,6 +129,9 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
             from ..config import LayerDef
             ldefs[ln] = LayerDef(name=ln)
             layer_order[ln] = len(layer_order)
+    # write_to aliasing: features of a redirected layer are encoded into
+    # the target's MVT layer (policy knobs stay per source layer)
+    out_layer = resolve_write_to(ldefs)
     layer_rank = np.asarray([layer_order[l] for l in layer_names], dtype=np.int64)
     zdir = np.asarray([1 if ldefs[l].z_order_ascending else -1
                        for l in layer_names], dtype=np.int64)
@@ -219,7 +224,7 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
             row = _assemble_tile(
                 z, int(tx[s]), int(ty[s]), slice(s, e), fidx, is_pt, in_tile,
                 ui, vi, kinds, layer_names, names, zorders, attrs_json,
-                parsed, ldefs, layer_order, cfg, ring_class_memo)
+                parsed, ldefs, layer_order, cfg, ring_class_memo, out_layer)
             if row is not None:
                 out["zoom"].append(z)
                 out["x"].append(int(tx[s]))
@@ -238,7 +243,8 @@ def encode_subtree(group, cfg: EngineConfig = DEFAULT_CONFIG,
 
 def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
                    layer_names, names, zorders, attrs_json, parsed,
-                   ldefs, layer_order, cfg, ring_class_memo=None):
+                   ldefs, layer_order, cfg, ring_class_memo=None,
+                   out_layer=None):
     """Build one tile's MVT from precomputed pair arrays (already in
     canonical order, already feature-limited)."""
     extent = cfg.tile_extent
@@ -246,6 +252,18 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
     idxs = np.arange(sl.start, sl.stop)
     layers: dict[str, mvt.LayerBuilder] = {}
     n_encoded = 0
+    if out_layer is None:
+        out_layer = {l: l for l in ldefs}
+    # per-(layer, z, y) effective simplify tolerance in tile units
+    # (meters-based simplify_length varies per tile row)
+    tol_memo: dict[str, float] = {}
+
+    def tol_of(lname: str) -> float:
+        tl = tol_memo.get(lname)
+        if tl is None:
+            tl = tol_memo[lname] = simplify_tolerance(
+                ldefs[lname], z, y, extent)
+        return tl
 
     f_sl = fidx[idxs]
     pt_sl = is_pt[idxs]
@@ -256,10 +274,12 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
     zo_sl = zorders[f_sl]
     aj_sl = attrs_json[f_sl]
     # a run = adjacent compatible features of a combining layer; the
-    # combine knob that applies depends on the geometry kind
+    # combine knob that applies depends on the geometry kind (and, for
+    # lines/polygons, the zoom-gated combine_*_below thresholds)
     combine_ok = np.asarray(
         [(ldefs[l].combine_points if pt_sl[i] else
-          (ldefs[l].combine_lines or ldefs[l].combine_polygons))
+          (combine_lines_at(ldefs[l], z, cfg)
+           or combine_polygons_at(ldefs[l], z, cfg)))
          for i, l in enumerate(ln_sl)])
     brk = np.ones(len(idxs), dtype=bool)
     if len(idxs) > 1:
@@ -274,14 +294,15 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
         fi = f_sl[s]
         lname = ln_sl[s]
         ldef = ldefs[lname]
+        oname = out_layer.get(lname, lname)
         if pt_sl[s]:
             run_a = idxs[s:e]
             ok = in_tile[run_a]
             if ok.any():
                 pts = np.stack([ui[run_a[ok]], vi[run_a[ok]]], axis=1)
-                lb = layers.get(lname)
+                lb = layers.get(oname)
                 if lb is None:
-                    lb = layers[lname] = mvt.LayerBuilder(lname, extent)
+                    lb = layers[oname] = mvt.LayerBuilder(oname, extent)
                 if lb.add_feature(mvt.GEOM_POINT, [pts],
                                   _attrs_of(nm_sl[s], aj_sl[s])):
                     n_encoded += 1
@@ -296,16 +317,18 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
         for j in range(s, e):
             gt, payload = parsed(int(f_sl[j]))
             parts, gtype = _geom_parts(gt, payload, z, x, y, extent,
-                                       margin, ldef,
+                                       margin, ldef, tol_of(lname),
                                        ring_class_memo=ring_class_memo)
             all_parts.extend(parts)
             if parts:
                 feature_parts.append(parts)
         if all_parts:
-            if gtype == mvt.GEOM_LINESTRING and ldef.combine_lines \
+            if gtype == mvt.GEOM_LINESTRING \
+                    and combine_lines_at(ldef, z, cfg) \
                     and len(all_parts) > 1:
                 all_parts = reorder_multilinestring(all_parts)
-            elif gtype == mvt.GEOM_POLYGON and ldef.combine_polygons \
+            elif gtype == mvt.GEOM_POLYGON \
+                    and combine_polygons_at(ldef, z, cfg) \
                     and len(feature_parts) > 1:
                 # geometric union of the run (reference
                 # tile_worker.cpp:393-405 union_many): adjacent
@@ -314,9 +337,9 @@ def _assemble_tile(z, x, y, sl, fidx, is_pt, in_tile, ui, vi, kinds,
                 u = _polyunion.union_polygon_runs(feature_parts)
                 if u is not None:
                     all_parts = u
-            lb = layers.get(lname)
+            lb = layers.get(oname)
             if lb is None:
-                lb = layers[lname] = mvt.LayerBuilder(lname, extent)
+                lb = layers[oname] = mvt.LayerBuilder(oname, extent)
             if lb.add_feature(gtype, all_parts,
                               _attrs_of(nm_sl[s], aj_sl[s])):
                 n_encoded += 1
@@ -498,8 +521,13 @@ def _ring_class(ring: np.ndarray, memo: dict | None) -> int:
 
 
 def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
-                margin: float, ldef, ring_class_memo: dict | None = None
-                ) -> tuple:
+                margin: float, ldef, tol: float = -1.0,
+                ring_class_memo: dict | None = None) -> tuple:
+    # tol = effective simplify tolerance in tile units at this (z, y)
+    # (config.simplify_tolerance: simplify_length / simplify_ratio
+    # aware); -1 = compute from ldef (direct-call convenience)
+    if tol < 0:
+        tol = simplify_tolerance(ldef, z, y, extent)
     def to_grid(coords: np.ndarray) -> np.ndarray:
         u = (tm.lon2tilex_f(coords[:, 0], z) - x) * extent
         v = (tm.lat2tiley_f(coords[:, 1], z) - y) * extent
@@ -517,8 +545,8 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
             runs = [g] if inside(g) else _clip.clip_linestring(
                 g, -margin, -margin, extent + margin, extent + margin)
             for run in runs:
-                if ldef.simplify_below and z < ldef.simplify_below:
-                    run = _simplify_part(run, ldef)
+                if tol > 0:
+                    run = _simplify_part(run, ldef, tol)
                 q = _quantize(run)
                 if len(q) >= 2:
                     parts.append(q)
@@ -549,22 +577,24 @@ def _geom_parts(gt, payload, z: int, x: int, y: int, extent: int,
             else:
                 ring_parts = (c0,)
             for c in ring_parts:
-                q = _finish_ring(c, i, z, ldef, ring_cls=cls)
+                q = _finish_ring(c, i, z, ldef, tol, ring_cls=cls)
                 if q is not None:
                     parts.append(q)
     return parts, mvt.GEOM_POLYGON
 
 
-def _finish_ring(c: np.ndarray, i: int, z: int, ldef,
+def _finish_ring(c: np.ndarray, i: int, z: int, ldef, tol: float = -1.0,
                  ring_cls: int = RING_SELFX) -> np.ndarray | None:
     """Simplify / size-filter / quantize / orient one (simple) ring;
     ``i`` is the source ring's exterior(0)/hole(>0) role."""
-    if ldef.simplify_below and z < ldef.simplify_below:
+    if tol < 0:
+        tol = simplify_tolerance(ldef, z, 0, 4096)
+    if tol > 0:
         if ldef.simplify_algorithm == "buildings":
-            c2 = _simplify.simplify_buildings(c, ldef.simplify_level)
+            c2 = _simplify.simplify_buildings(c, tol)
         else:
             c2 = _simplify.simplify_ring(
-                c, ldef.simplify_level, algorithm=ldef.simplify_algorithm)
+                c, tol, algorithm=ldef.simplify_algorithm)
         if c2 is None:
             return None
         # self-intersection guard (the reference's DP refuses removals
@@ -591,10 +621,10 @@ def _finish_ring(c: np.ndarray, i: int, z: int, ldef,
     return q
 
 
-def _simplify_part(run: np.ndarray, ldef) -> np.ndarray:
+def _simplify_part(run: np.ndarray, ldef, tol: float) -> np.ndarray:
     if ldef.simplify_algorithm == "visvalingam":
-        return _simplify.visvalingam(run, ldef.simplify_level ** 2)
-    return _simplify.douglas_peucker(run, ldef.simplify_level)
+        return _simplify.visvalingam(run, tol ** 2)
+    return _simplify.douglas_peucker(run, tol)
 
 
 def _quantize(coords: np.ndarray, close: bool = False) -> np.ndarray:
