@@ -169,12 +169,19 @@ def test_jpeg_rejects_bad_and_unsupported():
     from tilemaker_ray.stages.media_codecs import decode_jpeg_gray
     with pytest.raises(ValueError):
         decode_jpeg_gray(b"not a jpeg at all")
-    # progressive marker (SOF2) refused honestly
+    # arithmetic-coded frame (SOF9) refused honestly (progressive SOF2
+    # is DECODED since round 5 — see test_jpeg_progressive.py)
     import struct
-    fake = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+    fake = (b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11)
             + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(fake)
+    # SOF2 with no scan at all is malformed, not unsupported
+    fake2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+             + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+             + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(fake2)
 
 
 def test_decode_external_dispatches_jpeg():
@@ -286,9 +293,10 @@ def test_audio_fp_pipeline(ray_session):
 
 
 def test_unsupported_jpeg_yields_typed_skip_row():
-    """Payloads outside the codec envelope (e.g. progressive JPEG)
-    must produce a typed skip row — quantifiable at 100-TB scale —
-    never kill the stage."""
+    """Payloads outside the codec envelope (e.g. arithmetic-coded
+    JPEG — progressive is inside the envelope since round 5) must
+    produce a typed skip row — quantifiable at 100-TB scale — never
+    kill the stage."""
     import numpy as np
     import pyarrow as pa
     from tilemaker_ray.stages.multimodal import (MediaFeatures,
@@ -296,13 +304,13 @@ def test_unsupported_jpeg_yields_typed_skip_row():
     src = synth_real_media_batch({"id": np.arange(8)})
     payloads = src["payload"].to_pylist()
     kinds = src["kind"].to_pylist()
-    # forge a progressive JPEG: rewrite the SOF0 marker to SOF2
+    # forge an arithmetic-coded JPEG: rewrite SOF0 to SOF9
     ji = next(i for i, p in enumerate(payloads)
               if p[:2] == b"\xff\xd8")
     buf = bytearray(payloads[ji])
     sof = buf.find(b"\xff\xc0")
     assert sof > 0
-    buf[sof + 1] = 0xC2
+    buf[sof + 1] = 0xC9
     payloads[ji] = bytes(buf)
     t = pa.table({"media_id": src["media_id"], 
                   "kind": pa.array(kinds, pa.string()),
@@ -372,16 +380,18 @@ def test_real_media_mix_includes_color_jpeg():
     assert (out["n_elems"] > 0).all()
 
 
-def test_non_interleaved_multiscan_jpeg_is_typed():
-    """Review-found: a 3-component SOF whose first SOS declares only
-    one component (legal baseline multi-scan) must raise a TYPED
-    NotImplementedError, not KeyError."""
+def test_non_interleaved_first_scan_decodes():
+    """A 3-component SOF whose first (and only) SOS declares one
+    component — the legal baseline multi-scan layout the round-4
+    decoder typed-skipped — now decodes: the single scan fills the
+    luma grid and the luma plane comes out intact."""
     import struct
     import numpy as np
-    import pytest
     from tilemaker_ray.stages.media_codecs import (decode_jpeg_gray,
                                                    encode_jpeg_gray)
-    base = bytearray(encode_jpeg_gray(np.full((8, 8), 50, np.uint8)))
+    img = np.full((8, 8), 50, np.uint8)
+    expect = decode_jpeg_gray(encode_jpeg_gray(img))
+    base = bytearray(encode_jpeg_gray(img))
     sof = base.find(b"\xff\xc0")
     # rewrite SOF to declare 3 components (extend the segment)
     comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
@@ -389,8 +399,9 @@ def test_non_interleaved_multiscan_jpeg_is_typed():
     newsof = b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
     end = sof + 4 + struct.unpack_from(">H", base, sof + 2)[0] - 2
     patched = bytes(base[:sof]) + newsof + bytes(base[end:])
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_gray(patched)
+    out = decode_jpeg_gray(patched)
+    assert out.shape == (8, 8)
+    np.testing.assert_array_equal(out, expect)
 
 
 def test_truncated_payload_yields_skip_row_not_crash():

@@ -175,14 +175,17 @@ def decode_wav_pcm16(data: bytes):
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG: pure-stdlib encoder + decoder.
+# JPEG: pure-stdlib encoder + decoder.
 #
-# Closes the round-2 verdict's last codec hole. Scope: 8-bit baseline
-# sequential DCT — single-component grayscale AND interleaved
-# multi-component color (YCbCr, any baseline sampling incl. 4:2:0;
-# color decodes to its luma plane, the pipeline's grayscale image
-# representation). Honest NotImplementedError beyond (progressive,
-# 16-bit quant tables).
+# Scope (round 5): 8-bit DCT — baseline sequential (single-component
+# grayscale, interleaved multi-component color with any baseline
+# sampling incl. 4:2:0, AND non-interleaved multi-scan) plus
+# PROGRESSIVE (SOF2: spectral selection + successive approximation
+# per ITU-T T.81 Annex G — the majority format in a real Common-Crawl
+# image mix). Color decodes to its luma plane, the pipeline's
+# grayscale image representation. Honest NotImplementedError only for
+# arithmetic-coded / lossless / hierarchical frames and 16-bit quant
+# tables.
 # The bitstream is SELF-DESCRIBING: the decoder reads DQT/DHT from
 # the stream (as the spec requires), so roundtrip correctness never
 # depends on baked-in table constants. Entropy coding is bit-level
@@ -426,30 +429,61 @@ def encode_jpeg_gray(img: np.ndarray, qtbl: np.ndarray | None = None) -> bytes:
     return bytes(out)
 
 
+_SOF_UNSUPPORTED = frozenset(
+    # lossless / arithmetic / differential-hierarchical frames — no Ray
+    # analog without native libs; typed-skip at the pipeline layer
+    [0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF])
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Index of the first real marker after an entropy-coded segment
+    (skips FF00 stuffing, RSTn, and FF fill bytes)."""
+    while True:
+        f = data.find(b"\xff", pos)
+        if f < 0 or f + 1 >= len(data):
+            return len(data)
+        m = data[f + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = f + 2
+        elif m == 0xFF:
+            pos = f + 1                    # fill byte
+        else:
+            return f
+
+
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → 8-bit grayscale ndarray (h, w). Reads
-    DQT/DHT from the stream; handles byte stuffing, DRI/RSTn, APPn/COM
-    skip, single-component streams AND interleaved multi-component
-    (color YCbCr, any baseline sampling incl. 4:2:0) streams — color
-    images decode to their LUMA plane (the pipeline's image
-    representation is grayscale). Raises NotImplementedError for
-    progressive (SOF2) only."""
+    """JPEG bytes → 8-bit grayscale ndarray (h, w). Unified multi-scan
+    decoder: baseline sequential (single-component, interleaved
+    multi-component, AND non-interleaved multi-scan) and progressive
+    SOF2 (spectral selection + successive approximation per ITU-T T.81
+    Annex G — DC first/refine, AC first with EOB runs and ZRL, AC
+    refinement with correction bits, interleaved DC scans, restart
+    intervals). Reads DQT/DHT from the stream, handles byte stuffing,
+    DRI/RSTn, APPn/COM skip. Color images decode to their LUMA plane
+    (the pipeline's image representation is grayscale).
+    NotImplementedError only for arithmetic-coded / lossless /
+    hierarchical frames, non-8-bit precision, and 16-bit quant
+    tables."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict = {}
     huff: dict = {}
     h = w = None
-    comps: list = []               # (cid, H, V, Tq) in SOF order
-    scomps: list = []              # (cid, Td, Ta) in SOS order
+    comps: list = []               # per-comp state dicts, SOF order
+    progressive = False
     dri = 0
-    scan_start = None
-    while pos + 4 <= len(data):
+    hmax = vmax = mcux = mcuy = 1
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker at {pos}")
         m = data[pos + 1]
         if m == 0xD9:
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:     # TEM / stray RSTn
+            pos += 2
+            continue
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + ln]
         if m == 0xDB:
@@ -464,16 +498,34 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 out64[_ZIGZAG] = tbl
                 qtables[tq] = out64.reshape(8, 8)
                 i += 65
-        elif m in (0xC0, 0xC1):
+        elif m in (0xC0, 0xC1, 0xC2):
+            progressive = m == 0xC2
             prec, hh, ww, ncomp = struct.unpack_from(">BHHB", body)
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG precision")
             h, w = hh, ww
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG")
+            raw = [(body[6 + 3 * ci], body[7 + 3 * ci] >> 4,
+                    body[7 + 3 * ci] & 0xF, body[8 + 3 * ci])
+                   for ci in range(ncomp)]
+            hmax = max(r[1] for r in raw)
+            vmax = max(r[2] for r in raw)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            comps = []
+            for cid, ch_, cv, tq in raw:
+                cw = -(-(w * ch_) // hmax)      # comp dims (A.1.1)
+                chh = -(-(h * cv) // vmax)
+                comps.append({
+                    "cid": cid, "H": ch_, "V": cv, "tq": tq,
+                    "nbw": mcux * ch_,          # MCU-padded block grid
+                    "nbw_s": -(-cw // 8),       # non-interleaved grid
+                    "nbh_s": -(-chh // 8),
+                    "coef": np.zeros((mcuy * cv * mcux * ch_, 64),
+                                     dtype=np.int64)})
+        elif m in _SOF_UNSUPPORTED or m == 0xC8:
+            raise NotImplementedError(
+                f"JPEG frame type 0x{m:02X} "
+                "(arithmetic/lossless/hierarchical)")
         elif m == 0xC4:
             i = 0
             while i < len(body):
@@ -486,50 +538,206 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         elif m == 0xDD:
             (dri,) = struct.unpack_from(">H", body)
         elif m == 0xDA:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            for si in range(ns):
-                cs, tdta = body[1 + 2 * si:3 + 2 * si]
-                scomps.append((cs, tdta >> 4, tdta & 0xF))
+            sel = [(body[1 + 2 * si], body[2 + 2 * si] >> 4,
+                    body[2 + 2 * si] & 0xF) for si in range(ns)]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             scan_start = pos + 2 + ln
-            break
+            end = _entropy_end(data, scan_start)
+            _decode_scan(data[scan_start:end], comps, sel, ss, se, ah,
+                         al, progressive, huff, dri, mcux, mcuy)
+            saw_scan = True
+            pos = end
+            continue
         pos += 2 + ln
-    if scan_start is None or h is None:
+    if h is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    if len(comps) > 1:
-        if len(scomps) != len(comps):
-            # legal baseline layout this decoder does not cover: each
-            # component in its own scan (non-interleaved multi-scan)
-            raise NotImplementedError(
-                "non-interleaved multi-scan baseline JPEG")
-        return _decode_scan_interleaved(data, scan_start, h, w, comps,
-                                        scomps, huff, qtables, dri)
-    dcsel, acsel = scomps[0][1], scomps[0][2]
-    dctab = huff[(0, dcsel)]
-    actab = huff[(1, acsel)]
-    q = qtables[comps[0][3]]
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    rdr = _BitReader(data[scan_start:])
-    coef = np.zeros((bh * bw, 64), dtype=np.int64)
+    # luma = SOF component 0 by convention (YCbCr / YCCK put Y first):
+    # dezigzag + dequantize + IDCT (vectorized over all blocks)
+    p = comps[0]
+    q = qtables[p["tq"]]
+    nbw = p["nbw"]
+    nbh = p["coef"].shape[0] // nbw
+    dezz = np.zeros_like(p["coef"])
+    dezz[:, _ZIGZAG] = p["coef"]
+    F = dezz.reshape(nbh * nbw, 8, 8).astype(np.float64) * q
+    blocks = np.einsum("ji,bjk,kl->bil", _DCT, F, _DCT)
+    img = blocks.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(nbh * 8, nbw * 8) + 128.0
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    # a non-max-sampled luma (unusual) upsamples to the image grid
+    sy, sx = vmax // p["V"], hmax // p["H"]
+    if sy > 1 or sx > 1:
+        img = np.repeat(np.repeat(img, sy, axis=0), sx, axis=1)
+    return img[:h, :w]
+
+
+def _decode_scan(ent: bytes, comps: list, sel: list, ss: int, se: int,
+                 ah: int, al: int, progressive: bool, huff: dict,
+                 dri: int, mcux: int, mcuy: int):
+    """Decode one entropy-coded scan into the components' coefficient
+    stores (zigzag order, point-transform applied per Annex G)."""
+    rdr = _BitReader(ent)
+    eobrun = 0
+    if len(sel) > 1:
+        # interleaved MCU scan: sequential full blocks, or progressive
+        # DC (AC scans are single-component by spec, B.2.3)
+        if progressive and ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        plan = []
+        for cs, td, ta in sel:
+            c = next(cc for cc in comps if cc["cid"] == cs)
+            plan.append((c, huff.get((0, td)), huff.get((1, ta))))
+        preds = [0] * len(plan)
+        nmcu = mcux * mcuy
+        mi = 0
+        while mi < nmcu:
+            my, mx = divmod(mi, mcux)
+            try:
+                for ci, (c, dctab, actab) in enumerate(plan):
+                    for v in range(c["V"]):
+                        for u in range(c["H"]):
+                            bi = (my * c["V"] + v) * c["nbw"] \
+                                + mx * c["H"] + u
+                            row = c["coef"][bi]
+                            if not progressive:
+                                preds[ci] = _huff_block(
+                                    rdr, dctab, actab, preds[ci], row)
+                            elif ah == 0:
+                                cat = _read_symbol(rdr, dctab)
+                                diff = _extend(rdr.read(cat), cat) \
+                                    if cat else 0
+                                preds[ci] += diff
+                                row[0] = preds[ci] << al
+                            else:
+                                if rdr.read(1):
+                                    row[0] |= 1 << al
+                mi += 1
+                if dri and mi % dri == 0 and mi < nmcu:
+                    _skip_restart(rdr)
+                    preds = [0] * len(plan)
+            except _RestartMarker:
+                rdr.align()
+                preds = [0] * len(plan)
+        return
+    # non-interleaved scan over the component's OWN block grid (its
+    # dims derive from the component's sampling, not the MCU padding)
+    cs, td, ta = sel[0]
+    c = next(cc for cc in comps if cc["cid"] == cs)
+    dctab = huff.get((0, td))
+    actab = huff.get((1, ta))
+    nb = c["nbh_s"] * c["nbw_s"]
     pred = 0
     bi = 0
-    while bi < bh * bw:
+    while bi < nb:
+        by, bx = divmod(bi, c["nbw_s"])
+        row = c["coef"][by * c["nbw"] + bx]
         try:
-            pred = _huff_block(rdr, dctab, actab, pred, coef[bi])
+            if not progressive:
+                pred = _huff_block(rdr, dctab, actab, pred, row)
+            elif ss == 0:
+                if ah == 0:
+                    cat = _read_symbol(rdr, dctab)
+                    diff = _extend(rdr.read(cat), cat) if cat else 0
+                    pred += diff
+                    row[0] = pred << al
+                else:
+                    if rdr.read(1):
+                        row[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(rdr, actab, row, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(rdr, actab, row, ss, se, al, eobrun)
             bi += 1
-            if dri and bi % dri == 0 and bi < bh * bw:
+            if dri and bi % dri == 0 and bi < nb:
                 _skip_restart(rdr)
                 pred = 0
+                eobrun = 0
         except _RestartMarker:
             rdr.align()
             pred = 0
-    # dezigzag + dequantize + IDCT (vectorized over all blocks)
-    dezz = np.zeros_like(coef)
-    dezz[:, _ZIGZAG] = coef
-    F = dezz.reshape(bh * bw, 8, 8).astype(np.float64) * q
-    blocks = np.einsum("ji,bjk,kl->bil", _DCT, F, _DCT)
-    img = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
-        .reshape(bh * 8, bw * 8) + 128.0
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+            eobrun = 0
+
+
+def _ac_first(rdr: "_BitReader", actab: dict, row: np.ndarray, ss: int,
+              se: int, al: int, eobrun: int) -> int:
+    """First AC scan of a band (T.81 G.1.2.2, fig. G.3/G.5): run-length
+    coefficients scaled by 2^Al, EOBn codes start a run of all-zero
+    bands. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(rdr, actab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1          # this band is run member
+                if r:
+                    eobrun += rdr.read(r)
+                return eobrun
+            k += 16                            # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflow in progressive scan")
+            row[k] = _extend(rdr.read(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(rdr: "_BitReader", actab: dict, row: np.ndarray, ss: int,
+               se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement (T.81 G.1.2.3, fig. G.7):
+    newly-nonzero coefficients arrive as ±2^Al; every already-nonzero
+    coefficient in the band consumes a correction bit (1 = grow its
+    magnitude by 2^Al) — including inside EOB runs."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(rdr, actab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                s = p1 if rdr.read(1) else m1  # sign of new coefficient
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read(r)
+                    break                      # EOB logic handles rest
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            # advance over nonzero coefficients (correction bits) and r
+            # zero-history ones to the insertion point
+            while k <= se:
+                cur = int(row[k])
+                if cur != 0:
+                    if rdr.read(1) and (cur & p1) == 0:
+                        row[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                row[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(row[k])
+            if cur != 0:
+                if rdr.read(1) and (cur & p1) == 0:
+                    row[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _huff_block(rdr: "_BitReader", dctab: dict, actab: dict,
@@ -555,69 +763,6 @@ def _huff_block(rdr: "_BitReader", dctab: dict, actab: dict,
         out_row[k] = _extend(rdr.read(s), s)
         k += 1
     return pred
-
-
-def _decode_scan_interleaved(data: bytes, scan_start: int, h: int,
-                             w: int, comps: list, scomps: list,
-                             huff: dict, qtables: dict,
-                             dri: int) -> np.ndarray:
-    """Interleaved baseline scan (ncomp > 1, e.g. YCbCr 4:2:0): decode
-    every component's MCU blocks (the bitstream interleaves them, so
-    chroma must be entropy-decoded to advance), then IDCT ONLY the
-    luma component and return it as the grayscale image — chroma
-    coefficients are discarded, matching the pipeline's grayscale
-    image representation."""
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    sel = {cs: (td, ta) for cs, td, ta in scomps}
-    plan = []                      # per comp: (nbw, coef, dctab, actab)
-    for cid, ch, cv, tq in comps:
-        td, ta = sel[cid]
-        plan.append({
-            "H": ch, "V": cv, "q": qtables[tq],
-            "nbw": mcux * ch,
-            "coef": np.zeros((mcuy * cv * mcux * ch, 64),
-                             dtype=np.int64),
-            "dc": huff[(0, td)], "ac": huff[(1, ta)]})
-    rdr = _BitReader(data[scan_start:])
-    preds = [0] * len(comps)
-    mi = 0
-    nmcu = mcuy * mcux
-    while mi < nmcu:
-        my, mx = divmod(mi, mcux)
-        try:
-            for ci, p in enumerate(plan):
-                for v in range(p["V"]):
-                    for u in range(p["H"]):
-                        bi = (my * p["V"] + v) * p["nbw"] \
-                            + mx * p["H"] + u
-                        preds[ci] = _huff_block(
-                            rdr, p["dc"], p["ac"], preds[ci],
-                            p["coef"][bi])
-            mi += 1
-            if dri and mi % dri == 0 and mi < nmcu:
-                _skip_restart(rdr)
-                preds = [0] * len(comps)
-        except _RestartMarker:
-            rdr.align()
-            preds = [0] * len(comps)
-    # luma = SOF component 0 by convention (YCbCr / YCCK put Y first)
-    p = plan[0]
-    nbh, nbw = mcuy * p["V"], p["nbw"]
-    dezz = np.zeros_like(p["coef"])
-    dezz[:, _ZIGZAG] = p["coef"]
-    F = dezz.reshape(nbh * nbw, 8, 8).astype(np.float64) * p["q"]
-    blocks = np.einsum("ji,bjk,kl->bil", _DCT, F, _DCT)
-    img = blocks.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3) \
-        .reshape(nbh * 8, nbw * 8) + 128.0
-    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
-    # a non-max-sampled luma (unusual) upsamples to the image grid
-    sy, sx = vmax // p["V"], hmax // p["H"]
-    if sy > 1 or sx > 1:
-        img = np.repeat(np.repeat(img, sy, axis=0), sx, axis=1)
-    return img[:h, :w]
 
 
 def encode_jpeg_color(rgb: np.ndarray, qtbl: np.ndarray | None = None,
@@ -732,6 +877,346 @@ def encode_jpeg_color(rgb: np.ndarray, qtbl: np.ndarray | None = None,
                    + bytes(vals))
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) + non-interleaved multi-scan baseline ENCODERS.
+#
+# Fixture generators for the unified decoder above (no PIL in the
+# container, so the test corpus must be self-made): the progressive
+# encoder follows the IJG default scan script shape — interleaved DC
+# first at Al=1, luma AC split 1-5/6-63 at Al=2, chroma AC at Al=1,
+# then successive-approximation refinements down to Al=0 (jcphuff-style
+# correction-bit buffering, T.81 G.1.2.3). Because every scan refines
+# to Al=0, the final coefficients equal the baseline quantization —
+# decoding a progressive stream must be pixel-identical to decoding
+# the baseline stream of the same image/qtable, which is exactly what
+# the tests assert.
+# ---------------------------------------------------------------------------
+
+
+def _plane_zz(plane: np.ndarray, q: np.ndarray, pad_h: int,
+              pad_w: int) -> tuple:
+    """float plane → (zigzag coeff rows, blocks-per-row) on a grid
+    padded to (pad_h, pad_w) pixels (edge padding, like the baseline
+    encoders)."""
+    plane = np.pad(plane, ((0, pad_h - plane.shape[0]),
+                           (0, pad_w - plane.shape[1])), mode="edge")
+    bh, bw = pad_h // 8, pad_w // 8
+    blocks = (plane - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    F = np.einsum("ij,bcjk,lk->bcil", _DCT, blocks, _DCT)
+    Q = np.round(F / q).astype(np.int64)
+    return Q.reshape(bh * bw, 64).take(_ZIGZAG, axis=1), bw
+
+
+def _jpeg_comps(img: np.ndarray, qtbl, qtbl_c) -> tuple:
+    """Grayscale (h,w) or RGB (h,w,3) → (h, w, [component dicts],
+    [(tq, qtable)]) shared by the progressive and multi-scan
+    encoders. Color uses YCbCr 4:2:0 like encode_jpeg_color."""
+    img = np.asarray(img)
+    qy = _QTBL_DEFAULT if qtbl is None else np.asarray(qtbl, np.int64)
+    if img.ndim == 2:
+        h, w = img.shape
+        zz, nbw = _plane_zz(img.astype(np.float64),
+                            qy, ((h + 7) // 8) * 8, ((w + 7) // 8) * 8)
+        comp = {"id": 1, "H": 1, "V": 1, "tq": 0, "zz": zz, "nbw": nbw,
+                "nbw_s": (w + 7) // 8, "nbh_s": (h + 7) // 8}
+        return h, w, [comp], [(0, qy)]
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB")
+    qc = qy if qtbl_c is None else np.asarray(qtbl_c, np.int64)
+    rgb = img.astype(np.float64)
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mh, mw = (h + 15) // 16, (w + 15) // 16
+    yzz, ynbw = _plane_zz(y, qy, mh * 16, mw * 16)
+
+    def sub(p):
+        p = np.pad(p, ((0, mh * 16 - p.shape[0]),
+                       (0, mw * 16 - p.shape[1])), mode="edge")
+        return p.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+
+    cbzz, cnbw = _plane_zz(sub(cb), qc, mh * 8, mw * 8)
+    crzz, _ = _plane_zz(sub(cr), qc, mh * 8, mw * 8)
+    comps = [
+        {"id": 1, "H": 2, "V": 2, "tq": 0, "zz": yzz, "nbw": ynbw,
+         "nbw_s": (w + 7) // 8, "nbh_s": (h + 7) // 8},
+        {"id": 2, "H": 1, "V": 1, "tq": 1, "zz": cbzz, "nbw": cnbw,
+         "nbw_s": -(-(-(-w // 2)) // 8), "nbh_s": -(-(-(-h // 2)) // 8)},
+        {"id": 3, "H": 1, "V": 1, "tq": 1, "zz": crzz, "nbw": cnbw,
+         "nbw_s": -(-(-(-w // 2)) // 8), "nbh_s": -(-(-(-h // 2)) // 8)},
+    ]
+    return h, w, comps, [(0, qy), (1, qc)]
+
+
+def _dc_scan_events(scan_comps: list, mcux: int, mcuy: int, ah: int,
+                    al: int) -> list:
+    """DC scan (interleaved MCU order when >1 component). First pass
+    (ah=0): category + diff bits of the point-transformed DC;
+    refinement: one raw bit per block."""
+    ev = []
+    preds = [0] * len(scan_comps)
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci, c in enumerate(scan_comps):
+            for v in range(c["V"]):
+                for u in range(c["H"]):
+                    bi = (my * c["V"] + v) * c["nbw"] + mx * c["H"] + u
+                    t = int(c["zz"][bi, 0]) >> al
+                    if ah == 0:
+                        d = t - preds[ci]
+                        preds[ci] = t
+                        cat = _category(d)
+                        ev.append(("s", 0, cat))
+                        if cat:
+                            ev.append(("b", _mag_bits(d, cat), cat))
+                    else:
+                        ev.append(("b", t & 1, 1))
+    return ev
+
+
+class _EobState:
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.pending = []      # correction bits buffered across blocks
+
+
+def _flush_eob(st: _EobState, ev: list):
+    if st.eobrun > 0:
+        nb = st.eobrun.bit_length() - 1
+        ev.append(("s", 1, nb << 4))
+        if nb:
+            ev.append(("b", st.eobrun & ((1 << nb) - 1), nb))
+        st.eobrun = 0
+    for b in st.pending:
+        ev.append(("b", b, 1))
+    st.pending = []
+
+
+def _ac_first_block_events(zz_row, ss, se, al, st: _EobState, ev: list):
+    """First AC scan of one block (jcphuff encode_mcu_AC_first)."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz_row[k])
+        if t == 0:
+            r += 1
+            continue
+        if t < 0:
+            ta = (-t) >> al
+            if ta == 0:
+                r += 1
+                continue
+            nb = ta.bit_length()
+            bits = (~ta) & ((1 << nb) - 1)
+        else:
+            ta = t >> al
+            if ta == 0:
+                r += 1
+                continue
+            nb = ta.bit_length()
+            bits = ta
+        _flush_eob(st, ev)
+        while r > 15:
+            ev.append(("s", 1, 0xF0))
+            r -= 16
+        ev.append(("s", 1, (r << 4) | nb))
+        ev.append(("b", bits, nb))
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eob(st, ev)
+
+
+def _ac_refine_block_events(zz_row, ss, se, al, st: _EobState, ev: list):
+    """AC refinement of one block (jcphuff encode_mcu_AC_refine):
+    newly-nonzero coefficients emit (run, 1)+sign; already-nonzero ones
+    buffer a correction bit attached to the next emitted symbol."""
+    absv = [abs(int(zz_row[k])) >> al for k in range(ss, se + 1)]
+    eob = 0
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k                 # last NEWLY-nonzero position
+    r = 0
+    br: list = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eob(st, ev)
+            ev.append(("s", 1, 0xF0))
+            for b in br:
+                ev.append(("b", b, 1))
+            br = []
+            r -= 16
+        if t > 1:
+            br.append(t & 1)        # correction bit
+            continue
+        _flush_eob(st, ev)
+        ev.append(("s", 1, (r << 4) | 1))
+        ev.append(("b", 1 if int(zz_row[k]) >= 0 else 0, 1))
+        for b in br:
+            ev.append(("b", b, 1))
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF or len(st.pending) > 937:
+            _flush_eob(st, ev)
+
+
+def _seq_block_events(zz_row, dcdiff) -> list:
+    """One full sequential block (DC category+bits, AC run-lengths) as
+    events — the non-interleaved baseline scan body."""
+    ev = []
+    cat = _category(dcdiff)
+    ev.append(("s", 0, cat))
+    if cat:
+        ev.append(("b", _mag_bits(dcdiff, cat), cat))
+    nz = np.flatnonzero(zz_row[1:]) + 1
+    prev = 0
+    for j in nz:
+        run = int(j) - prev - 1
+        while run >= 16:
+            ev.append(("s", 1, 0xF0))
+            run -= 16
+        v = int(zz_row[j])
+        cat = _category(v)
+        ev.append(("s", 1, (run << 4) | cat))
+        if cat:
+            ev.append(("b", _mag_bits(v, cat), cat))
+        prev = int(j)
+    if prev != 63:
+        ev.append(("s", 1, 0x00))
+    return ev
+
+
+def _emit_scan(out: bytearray, ev: list, scan_comps: list, ss: int,
+               se: int, ah: int, al: int):
+    """Count the scan's symbols, build per-class canonical Huffman
+    tables (ids 0/0, re-emitted as DHT before the SOS — later tables
+    overwrite earlier ones by id, as the spec allows), then write
+    DHT + SOS + entropy bytes."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    freqs: dict = {0: {}, 1: {}}
+    for e in ev:
+        if e[0] == "s":
+            freqs[e[1]][e[2]] = freqs[e[1]].get(e[2], 0) + 1
+    codes: dict = {}
+    for cls in (0, 1):
+        if freqs[cls]:
+            bits, vals = _huff_canonical(freqs[cls])
+            codes[cls] = _assign_codes(bits, vals)
+            out += seg(0xC4, bytes([(cls << 4)]) + bytes(bits)
+                       + bytes(vals))
+    bwr = _BitWriter()
+    for e in ev:
+        if e[0] == "s":
+            c, ln = codes[e[1]][e[2]]
+            bwr.write(c, ln)
+        else:
+            bwr.write(e[1], e[2])
+    bwr.flush()
+    body = bytes([len(scan_comps)])
+    for c in scan_comps:
+        body += bytes([c["id"], 0x00])
+    body += bytes([ss, se, (ah << 4) | al])
+    out += seg(0xDA, body)
+    out += bwr.out
+
+
+def _jpeg_headers(h: int, w: int, comps: list, qts: list,
+                  sof: int) -> bytearray:
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in qts:
+        out += seg(0xDB, bytes([tq]) + q.reshape(64).take(_ZIGZAG)
+                   .astype(np.uint8).tobytes())
+    sofc = b"".join(bytes([c["id"], (c["H"] << 4) | c["V"], c["tq"]])
+                    for c in comps)
+    out += seg(sof, struct.pack(">BHHB", 8, h, w, len(comps)) + sofc)
+    return out
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            qtbl: np.ndarray | None = None,
+                            qtbl_c: np.ndarray | None = None) -> bytes:
+    """Grayscale (h,w) or RGB (h,w,3) → progressive (SOF2) JPEG with
+    the IJG-shaped scan script (spectral selection + successive
+    approximation, refined fully to Al=0 so the stream is
+    coefficient-equivalent to the baseline encoding)."""
+    h, w, comps, qts = _jpeg_comps(img, qtbl, qtbl_c)
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    out = _jpeg_headers(h, w, comps, qts, 0xC2)
+
+    def ac_scan(c, ss, se, ah, al):
+        ev: list = []
+        st = _EobState()
+        for by in range(c["nbh_s"]):
+            for bx in range(c["nbw_s"]):
+                row = c["zz"][by * c["nbw"] + bx]
+                if ah == 0:
+                    _ac_first_block_events(row, ss, se, al, st, ev)
+                else:
+                    _ac_refine_block_events(row, ss, se, al, st, ev)
+        _flush_eob(st, ev)
+        _emit_scan(out, ev, [c], ss, se, ah, al)
+
+    # scan script (jcparam.c fill_scans shape)
+    _emit_scan(out, _dc_scan_events(comps, mcux, mcuy, 0, 1),
+               comps, 0, 0, 0, 1)
+    y = comps[0]
+    ac_scan(y, 1, 5, 0, 2)
+    for c in comps[1:]:
+        ac_scan(c, 1, 63, 0, 1)
+    ac_scan(y, 6, 63, 0, 2)
+    ac_scan(y, 1, 63, 2, 1)
+    _emit_scan(out, _dc_scan_events(comps, mcux, mcuy, 1, 0),
+               comps, 0, 0, 1, 0)
+    ac_scan(y, 1, 63, 1, 0)
+    for c in comps[1:]:
+        ac_scan(c, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(img: np.ndarray,
+                          qtbl: np.ndarray | None = None,
+                          qtbl_c: np.ndarray | None = None) -> bytes:
+    """Grayscale or RGB → BASELINE (SOF0) JPEG with each component in
+    its own non-interleaved scan — the legal baseline layout the
+    round-4 decoder typed-skipped."""
+    h, w, comps, qts = _jpeg_comps(img, qtbl, qtbl_c)
+    out = _jpeg_headers(h, w, comps, qts, 0xC0)
+    for c in comps:
+        ev: list = []
+        pred = 0
+        for by in range(c["nbh_s"]):
+            for bx in range(c["nbw_s"]):
+                row = c["zz"][by * c["nbw"] + bx]
+                dc = int(row[0])
+                ev.extend(_seq_block_events(row, dc - pred))
+                pred = dc
+        _emit_scan(out, ev, [c], 0, 63, 0, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

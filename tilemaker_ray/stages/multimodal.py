@@ -19,10 +19,12 @@ Two payload families:
     FAKA | u32 n | n int16 samples                 (audio)
     FAKV | u16 w | u16 h | u16 nframes | frames    (video)
 
-``decode_external()`` decodes PNG, baseline grayscale JPEG and WAV
-natively and still raises NotImplementedError for formats that
-genuinely need native libs (video containers, progressive/color
-JPEG) — the branch a deployment fills with PIL/libav.
+``decode_external()`` decodes PNG, JPEG (baseline sequential,
+non-interleaved multi-scan, AND progressive SOF2; color to its luma
+plane) and WAV natively and still raises NotImplementedError for
+formats that genuinely need native libs (video containers,
+arithmetic-coded JPEG) — the branch a deployment fills with
+PIL/libav.
 """
 
 from __future__ import annotations
@@ -84,11 +86,12 @@ def media_dataset(n: int):
 
 
 def decode_external(payload: bytes):
-    """Real-format decode: PNG (8-bit grayscale), baseline grayscale
-    JPEG, and WAV (mono PCM16) are decoded by the engine's own
-    pure-stdlib codecs (stages/media_codecs.py — zlib/struct + its
-    own Huffman/DCT). Formats genuinely needing native libs
-    (progressive/color JPEG, video containers) still raise — the
+    """Real-format decode: PNG (8-bit grayscale), JPEG (baseline
+    sequential, multi-scan AND progressive; color decodes to its
+    luma plane), and WAV (mono PCM16) are decoded by the engine's
+    own pure-stdlib codecs (stages/media_codecs.py — zlib/struct +
+    its own Huffman/DCT). Formats genuinely needing native libs
+    (video containers, arithmetic-coded JPEG) still raise — the
     branch a deployment fills with PIL/libav."""
     from .media_codecs import (decode_jpeg_gray, decode_png_gray,
                                decode_wav_pcm16)
@@ -157,7 +160,7 @@ class MediaFeatures:
                                       batch["kind"].to_pylist(),
                                       batch["payload"].to_pylist()):
             # a 100-TB crawl WILL contain payloads outside the codec
-            # envelope (progressive/color JPEG, exotic WAV): emit a
+            # envelope (arithmetic-coded JPEG, exotic WAV): emit a
             # TYPED skip row (reason quantifiable downstream) instead
             # of killing the run
             try:
