@@ -2958,6 +2958,58 @@ def q_media_codec_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m5 (round 5): progressive + multi-scan JPEG decode parity — the
+# round-4 verdict's last media gate, now a first-class pipeline
+# ---------------------------------------------------------------------------
+
+def q_jpeg_progressive_decode(sf_dir: str):
+    """One deterministic image → THREE JPEG bitstream layouts
+    (baseline interleaved, progressive SOF2, non-interleaved
+    multi-scan) → the engine's unified decoder in an actor-pool stage.
+    Per-variant exact integer stats + pHash are staged for the oracle;
+    the distributed finish groups by image and certifies all three
+    layouts decode IDENTICALLY (``n_distinct_sig`` = 1 per image).
+    Reference parity: tilemaker consumes pre-decoded geometry so it
+    has no JPEG path — this is the Common-Crawl-ingest extension the
+    100-TB target needs (majority of real crawl images are
+    progressive). Decode correctness itself is pinned by
+    tests/test_jpeg_progressive.py; the hash here certifies the
+    decode-variant equivalence sweep + the groupby finish."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.multimodal import jpeg_variant_stats_batch
+    ndocs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n = max(24, min(96, ndocs // 8))
+    rows = rd.range(n).map_batches(jpeg_variant_stats_batch,
+                                   batch_format="numpy", batch_size=16,
+                                   concurrency=2)
+    staged = _stage_for_oracle(rows, "jpeg_progressive_decode")
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        sig = pc.binary_join_element_wise(
+            pc.cast(batch["sum_v"], pa.string()),
+            pc.cast(batch["sumsq_v"], pa.string()),
+            batch["phash"], ":")
+        return batch.append_column("sig", sig)
+
+    def fold(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "img_id": [int(df["img_id"].iloc[0])],
+            "n_variants": [np.int64(len(df))],
+            "n_distinct_sig": [np.int64(df["sig"].nunique())],
+            "n_elems": [np.int64(df["n_elems"].min())],
+            "mean_val": [float(df["sum_v"].min())
+                         / int(df["n_elems"].min())]})
+
+    return (rd.read_parquet(staged)
+            .map_batches(add_sig, batch_format="pyarrow")
+            .groupby("img_id").map_groups(fold)
+            .sort("img_id"))
+
+
+# ---------------------------------------------------------------------------
 # Q42m0: grouped HLL — approximate COUNT(DISTINCT user) per event type
 # (approx by design → rows-only; pytest pins the 1.04/√m error bound
 # and partition invariance)
@@ -5730,6 +5782,20 @@ ORACLE_SQL["media_codec_features"] = """
            skip_reason
     FROM read_parquet(
         '/tmp/tilemaker_ray_oracle/media_codec_features/*.parquet')"""
+
+ORACLE_SQL["jpeg_progressive_decode"] = """
+    WITH v AS (
+      SELECT img_id, n_elems, sum_v,
+             CAST(sum_v AS VARCHAR) || ':' || CAST(sumsq_v AS VARCHAR)
+               || ':' || phash AS sig
+      FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/jpeg_progressive_decode/*.parquet'))
+    SELECT img_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct_sig,
+           CAST(MIN(n_elems) AS BIGINT) AS n_elems,
+           CAST(MIN(sum_v) AS DOUBLE) / MIN(n_elems) AS mean_val
+    FROM v GROUP BY img_id ORDER BY img_id"""
 
 ORACLE_SQL["compress_ratio_docs"] = """
     SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -13119,4 +13185,7 @@ QUERIES = {
     "lang_stats_docs": q_lang_stats_docs,
     "langid_docs": q_langid_docs,
     "quality_docs": q_quality_docs,
+    # --- round-5 additions (sim-certified; outside the 50-slot gate,
+    # which round 5 dedicates to the never-driver-checked r4 wave) ---
+    "jpeg_progressive_decode": q_jpeg_progressive_decode,
 }

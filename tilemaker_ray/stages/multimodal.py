@@ -311,6 +311,53 @@ def real_media_dataset(n: int):
                                    batch_format="numpy", batch_size=256)
 
 
+JPEG_VARIANTS = ("baseline", "progressive", "multiscan")
+
+
+def jpeg_variant_stats_batch(batch) -> pa.Table:
+    """map_batches body: ids → one row per (img_id, variant). The SAME
+    deterministic image is encoded three ways — baseline interleaved,
+    progressive SOF2 (spectral selection + successive approximation),
+    and non-interleaved multi-scan baseline — then decoded back by the
+    unified decoder (stages/media_codecs.py). Emits exact integer
+    sufficient statistics + the 64-bit pHash per variant, so a paired
+    SQL oracle over the staged rows can certify that all three
+    bitstream layouts decode IDENTICALLY (the progressive scan script
+    refines to Al=0, i.e. coefficient equivalence by construction)."""
+    from .media_codecs import (decode_jpeg_gray, encode_jpeg_color,
+                               encode_jpeg_gray, encode_jpeg_multiscan,
+                               encode_jpeg_progressive, phash64)
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    out = {k: [] for k in ("img_id", "variant", "n_elems", "sum_v",
+                           "sumsq_v", "phash")}
+    for i in ids.tolist():
+        rng = np.random.RandomState((i * 9176 + 11) % (2 ** 31))
+        h, w = 16 + (i % 17), 12 + (i % 13)
+        if i % 2 == 0:
+            img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        else:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        enc_gray = encode_jpeg_gray if img.ndim == 2 else encode_jpeg_color
+        encs = {"baseline": enc_gray(img),
+                "progressive": encode_jpeg_progressive(img),
+                "multiscan": encode_jpeg_multiscan(img)}
+        for variant in JPEG_VARIANTS:
+            g = decode_jpeg_gray(encs[variant]).astype(np.int64)
+            out["img_id"].append(i)
+            out["variant"].append(variant)
+            out["n_elems"].append(int(g.size))
+            out["sum_v"].append(int(g.sum()))
+            out["sumsq_v"].append(int((g * g).sum()))
+            out["phash"].append(f"{phash64(g.astype(np.uint8)):016x}")
+    return pa.table({
+        "img_id": pa.array(out["img_id"], pa.int64()),
+        "variant": pa.array(out["variant"], pa.string()),
+        "n_elems": pa.array(out["n_elems"], pa.int64()),
+        "sum_v": pa.array(out["sum_v"], pa.int64()),
+        "sumsq_v": pa.array(out["sumsq_v"], pa.int64()),
+        "phash": pa.array(out["phash"], pa.string())})
+
+
 def image_phash_fn(batch: pa.Table) -> pa.Table:
     """map_batches body: media rows → (media_id, phash) for IMAGE
     payloads (PNG/JPEG/FAKI all land here through _decode); non-image
