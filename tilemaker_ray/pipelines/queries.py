@@ -41,6 +41,29 @@ def _read(sf_dir: str, table: str, columns=None, row_filter=None):
                            **kw)
 
 
+# Small-input block-count hint gate: multi-exchange pipelines pay
+# per-block scheduling overhead, so tiny bench tables read faster as
+# 8 blocks than 64 — but the hint must never reach a big input (8
+# read tasks would serialize a 100-TB scan). 256 MB on disk ≈ a
+# single target_max_block_size-bound task's worth of work.
+_COMPACT_READ_BYTES = 256 << 20
+
+
+def _read_compact(sf_dir: str, table: str, columns=None,
+                  num_blocks: int = 8):
+    """Column-pruned read that applies ``override_num_blocks`` ONLY
+    below the size gate; above it Ray's size-bound default wins."""
+    import ray.data as rd
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    kw = {"columns": columns}
+    try:
+        if os.path.getsize(path) < _COMPACT_READ_BYTES:
+            kw["override_num_blocks"] = num_blocks
+    except OSError:
+        pass                      # directory input: no hint
+    return rd.read_parquet(path, **kw)
+
+
 ORACLE_STAGE_DIR = "/tmp/tilemaker_ray_oracle"
 _STAGE_SEQ = [0]
 
@@ -411,8 +434,8 @@ def q_minhash_near_dups(sf_dir: str):
     # each pays per-block scheduling overhead — 64 tiny blocks of a
     # small table cost 4x the wall time of 8 (at full scale blocks are
     # target_max_block_size-bound and this override is a no-op-ish hint)
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"], override_num_blocks=8)
+    ds = _read_compact(sf_dir, "documents",
+                       columns=["doc_id", "text"])
     return minhash_near_dups(ds, threshold=0.7)
 
 
@@ -439,8 +462,8 @@ def q_simhash_dedup_keep(sf_dir: str):
     import ray.data as rd
 
     from ..stages.dedup import simhash_dedup_keep
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"], override_num_blocks=8)
+    ds = _read_compact(sf_dir, "documents",
+                       columns=["doc_id", "text"])
     return simhash_dedup_keep(ds, max_hamming=3)
 
 
@@ -452,8 +475,8 @@ def q_minhash_dedup_keep(sf_dir: str):
     import ray.data as rd
 
     from ..stages.dedup import minhash_dedup_keep
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"], override_num_blocks=8)
+    ds = _read_compact(sf_dir, "documents",
+                       columns=["doc_id", "text"])
     return minhash_dedup_keep(ds, threshold=0.7)
 
 
@@ -605,9 +628,9 @@ def q_asof_join_events(sf_dir: str):
     from ..stages.asof import asof_join
     import ray.data as rd
     # one cached read feeds both sides (left probes + right quotes)
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "user_id", "ts", "value"],
-                         override_num_blocks=8).materialize()
+    ds = _read_compact(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "value"]).materialize()
 
     def split(side):
         def f(b: pa.Table) -> pa.Table:
@@ -1092,8 +1115,7 @@ def q_used_nodes(sf_dir: str):
     # right-size read blocks: the distinct shuffle pays per-block
     # overhead; 64 slim blocks of a small table cost ~1.5x the wall
     # time of 8 (full-scale blocks are size-bound, not count-bound)
-    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                         columns=["l_partkey"], override_num_blocks=8)
+    ds = _read_compact(sf_dir, "lineitem", columns=["l_partkey"])
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node_id": batch["l_partkey"]})
@@ -3920,9 +3942,8 @@ def q_kmeans_clusters(sf_dir: str):
     # right-size read blocks: every Lloyd iteration is a full pass, so
     # per-block task overhead multiplies by iters; full-scale inputs
     # are size-bound, this table is count-bound
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"],
-                         override_num_blocks=8)
+    ds = _read_compact(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
     assign, _cent = kmeans_fixed(ds, k=8, iters=8)
     return assign
 
@@ -4063,9 +4084,8 @@ def q_semdedup_embeddings(sf_dir: str):
 
     from ..stages.semdedup import semdedup_keep
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"],
-                         override_num_blocks=8)
+    ds = _read_compact(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
