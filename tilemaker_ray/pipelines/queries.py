@@ -3089,6 +3089,105 @@ def q_hll_users_by_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Q42m6 (round 5): GIF decode-parity sweep — plain vs interlaced
+# scanline layouts of the SAME frames must decode identically
+# ---------------------------------------------------------------------------
+
+def q_gif_decode_features(sf_dir: str):
+    """Deterministic GIFs (static + animated 3-frame, each encoded
+    plain AND 4-pass-interlaced) decoded by the engine's from-scratch
+    LZW codec (stages/gif.py) in an actor-pool stage. Per-frame exact
+    integer stats + pHash are staged for the oracle; the distributed
+    finish groups by image and certifies both scanline layouts decode
+    IDENTICALLY per frame (``n_distinct_sig`` = number of frames).
+    Reference parity: none (tilemaker is geometry-only) — this is the
+    crawl-ingest GIF branch of the media family. Decode correctness
+    is pinned by tests/test_gif.py; the hash certifies the
+    variant-equivalence sweep + groupby finish."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.multimodal import gif_variant_stats_batch
+    ndocs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n = max(24, min(96, ndocs // 8))
+    rows = rd.range(n).map_batches(gif_variant_stats_batch,
+                                   batch_format="numpy", batch_size=16,
+                                   concurrency=2)
+    staged = _stage_for_oracle(rows, "gif_decode_features")
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        sig = pc.binary_join_element_wise(
+            pc.cast(batch["frame_idx"], pa.string()),
+            pc.cast(batch["sum_v"], pa.string()),
+            pc.cast(batch["sumsq_v"], pa.string()),
+            batch["phash"], ":")
+        return batch.append_column("sig", sig)
+
+    def fold(df):
+        import pandas as pd
+        plain = df[df["variant"] == "plain"]
+        return pd.DataFrame({
+            "img_id": [int(df["img_id"].iloc[0])],
+            "n_rows": [np.int64(len(df))],
+            "n_distinct_sig": [np.int64(df["sig"].nunique())],
+            "n_frames": [np.int64(df["frame_idx"].max() + 1)],
+            "mean_val": [float(plain["sum_v"].sum())
+                         / int(plain["n_elems"].sum())]})
+
+    return (rd.read_parquet(staged)
+            .map_batches(add_sig, batch_format="pyarrow")
+            .groupby("img_id").map_groups(fold)
+            .sort("img_id"))
+
+
+# ---------------------------------------------------------------------------
+# Q42m7 (round 5): AVI/MJPEG container parse + frame-sample +
+# shot-boundary detection — the video branch, decoded natively
+# ---------------------------------------------------------------------------
+
+def q_video_frame_stats(sf_dir: str):
+    """Deterministic AVI/MJPEG videos → container parse (avih header
+    metadata) → every-2nd-frame decode (stages/video.py; cost ∝
+    sampled frames) in an actor-pool stage. Per-sampled-frame exact
+    integer stats ride the staged parquet; the distributed finish is a
+    per-video fold: sampled count, exact-integer mean, and
+    shot-boundary count (adjacent sampled frames whose summed
+    luminance differs by > 24·n_px — a pure int64 compare, so the
+    float-free cut detector hashes exactly against the LAG-window SQL
+    mirror). Container + decode correctness pinned by
+    tests/test_video_avi.py."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.multimodal import video_frame_stats_batch
+    ndocs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n = max(24, min(96, ndocs // 8))
+    rows = rd.range(n).map_batches(video_frame_stats_batch,
+                                   batch_format="numpy", batch_size=16,
+                                   concurrency=2)
+    staged = _stage_for_oracle(rows, "video_frame_stats")
+
+    def fold(df):
+        import pandas as pd
+        df = df.sort_values("frame_idx")
+        s = df["sum_v"].to_numpy(dtype=np.int64)
+        npx = df["n_px"].to_numpy(dtype=np.int64)
+        cuts = int(np.count_nonzero(
+            np.abs(s[1:] - s[:-1]) > 24 * npx[1:]))
+        return pd.DataFrame({
+            "vid_id": [int(df["vid_id"].iloc[0])],
+            "n_frames": [np.int64(df["n_frames"].min())],
+            "fps": [np.int64(df["fps"].min())],
+            "n_sampled": [np.int64(len(df))],
+            "mean_val": [float(s.sum()) / int(npx.sum())],
+            "scene_cuts": [np.int64(cuts)]})
+
+    return (rd.read_parquet(staged)
+            .groupby("vid_id").map_groups(fold)
+            .sort("vid_id"))
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -5857,6 +5956,39 @@ ORACLE_SQL["jpeg_progressive_decode"] = """
            CAST(MIN(n_elems) AS BIGINT) AS n_elems,
            CAST(MIN(sum_v) AS DOUBLE) / MIN(n_elems) AS mean_val
     FROM v GROUP BY img_id ORDER BY img_id"""
+
+ORACLE_SQL["gif_decode_features"] = """
+    WITH v AS (
+      SELECT img_id, variant, frame_idx, n_elems, sum_v,
+             CAST(frame_idx AS VARCHAR) || ':'
+               || CAST(sum_v AS VARCHAR) || ':'
+               || CAST(sumsq_v AS VARCHAR) || ':' || phash AS sig
+      FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/gif_decode_features/*.parquet'))
+    SELECT img_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct_sig,
+           CAST(MAX(frame_idx) + 1 AS BIGINT) AS n_frames,
+           CAST(SUM(sum_v) FILTER (variant = 'plain') AS DOUBLE)
+             / SUM(n_elems) FILTER (variant = 'plain') AS mean_val
+    FROM v GROUP BY img_id ORDER BY img_id"""
+
+ORACLE_SQL["video_frame_stats"] = """
+    WITH f AS (
+      SELECT vid_id, n_frames, fps, frame_idx, n_px, sum_v,
+             LAG(sum_v) OVER (PARTITION BY vid_id
+                              ORDER BY frame_idx) AS prev_sum
+      FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/video_frame_stats/*.parquet'))
+    SELECT vid_id,
+           CAST(MIN(n_frames) AS BIGINT) AS n_frames,
+           CAST(MIN(fps) AS BIGINT) AS fps,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(sum_v) AS DOUBLE) / SUM(n_px) AS mean_val,
+           CAST(COUNT(*) FILTER (prev_sum IS NOT NULL
+                AND ABS(sum_v - prev_sum) > 24 * n_px) AS BIGINT)
+             AS scene_cuts
+    FROM f GROUP BY vid_id ORDER BY vid_id"""
 
 ORACLE_SQL["compress_ratio_docs"] = """
     SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -13239,4 +13371,6 @@ QUERIES = {
     # --- round-5 additions (sim-certified; outside the 50-slot gate,
     # which round 5 dedicates to the never-driver-checked r4 wave) ---
     "jpeg_progressive_decode": q_jpeg_progressive_decode,
+    "gif_decode_features": q_gif_decode_features,
+    "video_frame_stats": q_video_frame_stats,
 }

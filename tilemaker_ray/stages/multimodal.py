@@ -88,24 +88,36 @@ def media_dataset(n: int):
 def decode_external(payload: bytes):
     """Real-format decode: PNG (8-bit grayscale), JPEG (baseline
     sequential, multi-scan AND progressive; color decodes to its
-    luma plane), and WAV (mono PCM16) are decoded by the engine's
-    own pure-stdlib codecs (stages/media_codecs.py — zlib/struct +
-    its own Huffman/DCT). Formats genuinely needing native libs
-    (video containers, arithmetic-coded JPEG) still raise — the
-    branch a deployment fills with PIL/libav."""
+    luma plane), GIF87a/89a (LZW, interlace, animation — multi-frame
+    decodes as video), WAV (mono PCM16), and AVI/MJPEG video are all
+    decoded by the engine's own pure-stdlib codecs
+    (stages/media_codecs.py, stages/gif.py, stages/video.py).
+    Formats genuinely needing native libs (H.264/VP9 video,
+    arithmetic-coded JPEG) still raise — the branch a deployment
+    fills with PIL/libav."""
     from .media_codecs import (decode_jpeg_gray, decode_png_gray,
                                decode_wav_pcm16)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image", decode_png_gray(payload)
     if payload[:2] == b"\xff\xd8":
         return "image", decode_jpeg_gray(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        frames = decode_gif(payload)
+        if frames.shape[0] == 1:
+            return "image", frames[0]
+        return "video", frames
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate = decode_wav_pcm16(payload)
         return "audio", samples
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .video import decode_avi_frames
+        return "video", decode_avi_frames(payload)
     raise NotImplementedError(
-        "video decode requires libav — not available in this "
-        "container (PNG + baseline grayscale JPEG + WAV are decoded "
-        "natively; FAK* is the plumbing-test format)")
+        "compressed-codec video (H.264/VP9/…) requires libav — not "
+        "available in this container (PNG + JPEG incl. progressive + "
+        "GIF + WAV + AVI/MJPEG are decoded natively; FAK* is the "
+        "plumbing-test format)")
 
 
 def _decode(payload: bytes):
@@ -356,6 +368,92 @@ def jpeg_variant_stats_batch(batch) -> pa.Table:
         "sum_v": pa.array(out["sum_v"], pa.int64()),
         "sumsq_v": pa.array(out["sumsq_v"], pa.int64()),
         "phash": pa.array(out["phash"], pa.string())})
+
+
+GIF_VARIANTS = ("plain", "interlaced")
+
+
+def gif_variant_stats_batch(batch) -> pa.Table:
+    """map_batches body: ids → one row per (img_id, variant, frame).
+    The SAME deterministic frame stack (1 frame for ids ≢ 0 mod 3,
+    animated 3-frame for ids ≡ 0) is encoded as a plain-scanline GIF
+    AND a 4-pass-interlaced GIF (stages/gif.py), decoded back through
+    the unified ``_decode`` dispatch, and reduced to exact integer
+    sufficient statistics + pHash per frame — so the paired SQL oracle
+    over the staged rows certifies that both scanline layouts decode
+    IDENTICALLY (LZW + interlace row permutation are lossless by
+    construction)."""
+    from .gif import encode_gif_gray
+    from .media_codecs import phash64
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    out = {k: [] for k in ("img_id", "variant", "frame_idx", "n_elems",
+                           "sum_v", "sumsq_v", "phash")}
+    for i in ids.tolist():
+        rng = np.random.RandomState((i * 7349 + 5) % (2 ** 31))
+        h, w = 10 + (i % 11), 9 + (i % 7)
+        nf = 3 if i % 3 == 0 else 1
+        frames = rng.randint(0, 256, (nf, h, w)).astype(np.uint8)
+        for variant, inter in zip(GIF_VARIANTS, (False, True)):
+            kind, arr = _decode(encode_gif_gray(frames, interlace=inter))
+            if kind == "image":
+                arr = arr[None]
+            for fi in range(arr.shape[0]):
+                g = arr[fi].astype(np.int64)
+                out["img_id"].append(i)
+                out["variant"].append(variant)
+                out["frame_idx"].append(fi)
+                out["n_elems"].append(int(g.size))
+                out["sum_v"].append(int(g.sum()))
+                out["sumsq_v"].append(int((g * g).sum()))
+                out["phash"].append(f"{phash64(arr[fi]):016x}")
+    return pa.table({
+        "img_id": pa.array(out["img_id"], pa.int64()),
+        "variant": pa.array(out["variant"], pa.string()),
+        "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+        "n_elems": pa.array(out["n_elems"], pa.int64()),
+        "sum_v": pa.array(out["sum_v"], pa.int64()),
+        "sumsq_v": pa.array(out["sumsq_v"], pa.int64()),
+        "phash": pa.array(out["phash"], pa.string())})
+
+
+def video_frame_stats_batch(batch) -> pa.Table:
+    """map_batches body: ids → deterministic AVI/MJPEG videos parsed
+    + frame-sampled (every 2nd frame decoded; cost ∝ sampled frames,
+    not duration). One output row per sampled frame carrying container
+    metadata (n_frames from the avih header) and exact integer frame
+    statistics; ids ≡ 1 (mod 4) get a +96-brightness scene cut halfway
+    so the downstream shot-boundary fold has real positives."""
+    from .media_codecs import encode_jpeg_gray
+    from .video import decode_avi_frames, encode_avi_mjpeg, parse_avi
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    out = {k: [] for k in ("vid_id", "n_frames", "fps", "frame_idx",
+                           "n_px", "sum_v", "sumsq_v")}
+    for i in ids.tolist():
+        rng = np.random.RandomState((i * 3917 + 29) % (2 ** 31))
+        nf = 4 + (i % 5)
+        h, w = 12 + (i % 5), 16 + (i % 9)
+        base = rng.randint(0, 128, (h, w)).astype(np.uint8)
+        frames = []
+        for fi in range(nf):
+            f = np.clip(base.astype(np.int64)
+                        + rng.randint(-8, 9, (h, w)), 0, 255)
+            if i % 4 == 1 and fi >= nf // 2:
+                f = np.clip(f + 96, 0, 255)        # scene cut
+            frames.append(f.astype(np.uint8))
+        avi = encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames],
+                               w, h, fps=10 + (i % 3) * 5)
+        meta = parse_avi(avi)
+        sampled = decode_avi_frames(avi, every=2)
+        for si in range(sampled.shape[0]):
+            g = sampled[si].astype(np.int64)
+            out["vid_id"].append(i)
+            out["n_frames"].append(int(meta["n_frames"]))
+            out["fps"].append(int(meta["fps"]))
+            out["frame_idx"].append(si * 2)
+            out["n_px"].append(int(g.size))
+            out["sum_v"].append(int(g.sum()))
+            out["sumsq_v"].append(int((g * g).sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
 def image_phash_fn(batch: pa.Table) -> pa.Table:
