@@ -3188,6 +3188,71 @@ def q_video_frame_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G-map (round 5): HMM map matching — snap noisy GPS tracks onto the
+# road network (Newson–Krumm Viterbi; geospatial-tier flagship op)
+# ---------------------------------------------------------------------------
+
+def q_mapmatch_tracks(sf_dir: str):
+    """Per-user HMM map matching (stages/mapmatch.py): deterministic
+    noisy walks along a road lattice, snapped back by an exact-integer
+    Viterbi (emission d², transition BETA·|route−obs| manhattan). One
+    summary row per user: points, matched, correct-vs-truth, total
+    snap error, and the integer path cost — bit-deterministic, so the
+    driver's double-run rows-only check pins the whole DP. The cost
+    model itself is certified by the exhaustive path-enumeration brute
+    oracle in tests/test_mapmatch.py (Viterbi DP is not
+    SQL-expressible — documented rows-only).
+
+    Scale shape: the road index builds ONCE PER ACTOR (__init__); user
+    tracks are independent rows through an actor-pool map_batches — no
+    shuffle at all. A planet-scale network would broadcast via
+    ray.put + cell-bucket lookup exactly like the PIP join."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from ..stages.mapmatch import (RoadIndex, synth_track,
+                                   viterbi_match, BETA)
+
+    def panel(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.filter(pa.array(uid % 5 == 0))
+
+    users = (_read(sf_dir, "events", columns=["user_id"])
+             .groupby("user_id").aggregate(Count(alias_name="n_ev"))
+             .map_batches(panel, batch_format="pyarrow"))
+
+    class Matcher:
+        def __init__(self):
+            self.idx = RoadIndex()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {k: [] for k in ("user_id", "n_pts", "n_matched",
+                                   "n_correct", "sum_d2", "path_cost")}
+            for uid in batch["user_id"].to_pylist():
+                steps = 10 + uid % 8
+                ox, oy, true_sid = synth_track(int(uid), steps)
+                sid, sx, sy, d2 = viterbi_match(self.idx, ox, oy)
+                cost = int(d2[0])
+                for t in range(1, steps):
+                    obs_d1 = abs(int(ox[t]) - int(ox[t - 1])) \
+                        + abs(int(oy[t]) - int(oy[t - 1]))
+                    route = abs(int(sx[t]) - int(sx[t - 1])) \
+                        + abs(int(sy[t]) - int(sy[t - 1]))
+                    cost += BETA * abs(route - obs_d1) + int(d2[t])
+                out["user_id"].append(int(uid))
+                out["n_pts"].append(steps)
+                out["n_matched"].append(int((sid >= 0).sum()))
+                out["n_correct"].append(int((sid == true_sid).sum()))
+                out["sum_d2"].append(int(d2.sum()))
+                out["path_cost"].append(cost)
+            return pa.table({k: pa.array(v, pa.int64())
+                             for k, v in out.items()})
+
+    return users.map_batches(Matcher, concurrency=2, batch_size=256,
+                             batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -13373,4 +13438,5 @@ QUERIES = {
     "jpeg_progressive_decode": q_jpeg_progressive_decode,
     "gif_decode_features": q_gif_decode_features,
     "video_frame_stats": q_video_frame_stats,
+    "mapmatch_tracks": q_mapmatch_tracks,
 }
