@@ -3253,6 +3253,77 @@ def q_mapmatch_tracks(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G-rsmp (round 5): trajectory resampling — linear interpolation of
+# per-user tracks onto a fixed daily time grid (SQL-exact)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_DT = 86_400_000_000          # 1 day in microseconds
+
+
+def q_track_resample(sf_dir: str):
+    """Per-user trajectory resampling: event tracks (positions derived
+    from event_id in exact integer millidegrees, the hausdorff_tracks
+    rule) are linearly interpolated onto the fixed daily grid
+    ceil(tmin/Δ)·Δ … tmax. Duplicate (user, ts) points keep the lowest
+    event_id on both engines; the interpolation tree is the literal
+    IEEE mirror ``x1 + (x2−x1)·((g−t1)/(t2−t1))`` with the t2 = t1
+    (grid hits a sample) branch returning x1 — so the hash certifies
+    every float. Scale shape: ONE slim groupby(user) exchange; each
+    user's fold is two vectorized searchsorteds over its own track."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t": pa.array(t, pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+            "x": pa.array((eid * 2654435761) % 360000 - 180000,
+                          pa.int64()),
+            "y": pa.array((eid * 40503) % 170000 - 85000, pa.int64())})
+
+    def fold(df):
+        import pandas as pd
+        df = df.sort_values(["t", "eid"], kind="mergesort") \
+            .drop_duplicates("t", keep="first")
+        t = df["t"].to_numpy(dtype=np.int64)
+        x = df["x"].to_numpy(dtype=np.int64)
+        y = df["y"].to_numpy(dtype=np.int64)
+        dt = _RESAMPLE_DT
+        start = ((t[0] + dt - 1) // dt) * dt
+        g = np.arange(start, t[-1] + 1, dt, dtype=np.int64)
+        if not len(g):
+            return pd.DataFrame({"user_id": [], "tg": [],
+                                 "x_interp": [], "y_interp": []})
+        inext = np.searchsorted(t, g, side="left")
+        iprev = np.searchsorted(t, g, side="right") - 1
+        t1, t2 = t[iprev], t[inext]
+        same = t2 == t1
+        frac = np.where(
+            same, 0.0,
+            (g - t1).astype(np.float64)
+            / np.where(same, 1, t2 - t1).astype(np.float64))
+        xg = x[iprev].astype(np.float64) \
+            + (x[inext] - x[iprev]).astype(np.float64) * frac
+        yg = y[iprev].astype(np.float64) \
+            + (y[inext] - y[iprev]).astype(np.float64) * frac
+        return pd.DataFrame({
+            "user_id": np.full(len(g), int(df["user_id"].iloc[0]),
+                               dtype=np.int64),
+            "tg": g, "x_interp": xg, "y_interp": yg})
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("user_id").map_groups(fold))
+
+
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6021,6 +6092,48 @@ ORACLE_SQL["jpeg_progressive_decode"] = """
            CAST(MIN(n_elems) AS BIGINT) AS n_elems,
            CAST(MIN(sum_v) AS DOUBLE) / MIN(n_elems) AS mean_val
     FROM v GROUP BY img_id ORDER BY img_id"""
+
+ORACLE_SQL["track_resample"] = f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             (event_id * 2654435761) % 360000 - 180000 AS x,
+             (event_id * 40503) % 170000 - 85000 AS y
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                 ORDER BY event_id) = 1),
+    b AS (SELECT user_id, MIN(t) AS tmin, MAX(t) AS tmax
+          FROM p GROUP BY user_id),
+    g AS (SELECT user_id, unnest(generate_series(
+            ((tmin + {_RESAMPLE_DT} - 1) // {_RESAMPLE_DT})
+              * {_RESAMPLE_DT}, tmax, {_RESAMPLE_DT})) AS tg
+          FROM b),
+    u AS (
+      SELECT user_id, t, 0 AS is_grid, t AS tp, x, y FROM p
+      UNION ALL
+      SELECT user_id, tg AS t, 1, NULL, NULL, NULL FROM g),
+    w AS (
+      SELECT user_id, t, is_grid,
+        last_value(tp IGNORE NULLS) OVER wp AS t1,
+        last_value(x  IGNORE NULLS) OVER wp AS x1,
+        last_value(y  IGNORE NULLS) OVER wp AS y1,
+        first_value(tp IGNORE NULLS) OVER wn AS t2,
+        first_value(x  IGNORE NULLS) OVER wn AS x2,
+        first_value(y  IGNORE NULLS) OVER wn AS y2
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, t AS tg,
+      CASE WHEN t2 IS NULL OR t2 = t1 THEN CAST(x1 AS DOUBLE)
+           ELSE CAST(x1 AS DOUBLE) + CAST(x2 - x1 AS DOUBLE)
+                * (CAST(t - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+      END AS x_interp,
+      CASE WHEN t2 IS NULL OR t2 = t1 THEN CAST(y1 AS DOUBLE)
+           ELSE CAST(y1 AS DOUBLE) + CAST(y2 - y1 AS DOUBLE)
+                * (CAST(t - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+      END AS y_interp
+    FROM w WHERE is_grid = 1"""
 
 ORACLE_SQL["gif_decode_features"] = """
     WITH v AS (
@@ -13439,4 +13552,5 @@ QUERIES = {
     "gif_decode_features": q_gif_decode_features,
     "video_frame_stats": q_video_frame_stats,
     "mapmatch_tracks": q_mapmatch_tracks,
+    "track_resample": q_track_resample,
 }
