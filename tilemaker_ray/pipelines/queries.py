@@ -3324,6 +3324,137 @@ def q_track_resample(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# L-snm (round 5): sorted-neighborhood record linkage — window pairs
+# over a global blocking-key order, exact Levenshtein (SQL-exact)
+# ---------------------------------------------------------------------------
+
+def _lev_batch(a_strs: list, b_strs: list) -> np.ndarray:
+    """Exact Levenshtein over pair lists, vectorized across pair lanes
+    per (len_a, len_b) shape (the edit_distance_words wavefront)."""
+    from collections import defaultdict
+    res = np.zeros(len(a_strs), np.int64)
+    groups = defaultdict(list)
+    for idx, (a, b) in enumerate(zip(a_strs, b_strs)):
+        groups[(len(a), len(b))].append(idx)
+    for (la, lb), idxs in groups.items():
+        if la == 0 or lb == 0:
+            res[idxs] = max(la, lb)
+            continue
+        P = len(idxs)
+        am = np.zeros((P, la), np.uint32)
+        bm = np.zeros((P, lb), np.uint32)
+        for p, idx in enumerate(idxs):
+            am[p] = np.frombuffer(a_strs[idx].encode("utf-32-le"),
+                                  np.uint32)
+            bm[p] = np.frombuffer(b_strs[idx].encode("utf-32-le"),
+                                  np.uint32)
+        dp = np.tile(np.arange(lb + 1, dtype=np.int64), (P, 1))
+        for ii in range(1, la + 1):
+            prev = dp
+            dp = np.empty_like(prev)
+            dp[:, 0] = ii
+            sub = (am[:, ii - 1:ii] != bm).astype(np.int64)
+            for jj in range(1, lb + 1):
+                dp[:, jj] = np.minimum(
+                    np.minimum(prev[:, jj] + 1, dp[:, jj - 1] + 1),
+                    prev[:, jj - 1] + sub[:, jj - 1])
+        res[np.asarray(idxs, np.int64)] = dp[:, lb]
+    return res
+
+
+_SNM_W = 3          # window width: pair ranks (r, r+k), k = 1..W
+_SNM_MAXD = 8       # emit pairs with prefix-key Levenshtein <= this
+_SNM_KLEN = 32      # blocking key = first 32 chars of the document
+
+
+def q_sorted_neighborhood_docs(sf_dir: str):
+    """Sorted-neighborhood near-duplicate candidate generation
+    (Hernández–Stolfo record linkage): documents ordered globally by
+    their 32-char prefix blocking key; each rank pairs with the next
+    W ranks; pairs with exact prefix Levenshtein ≤ 8 survive. The
+    classic complement to LSH dedup — O(n·W) candidates instead of
+    banding, catching prefix-similar docs regardless of shingle
+    overlap.
+
+    Scale shape: the global order comes from the distributed rank
+    engine (stages/rank.py — ONE sample-sorted exchange + O(n_blocks)
+    driver metadata); window pairing is a packed-int exchange (row r
+    broadcasts to the W pair slots it belongs to, groups bucketed by
+    pair-id hash so group count stays bounded); the Levenshtein DP is
+    lane-vectorized per shape. Oracle: DuckDB ROW_NUMBER + rank-band
+    self-join + levenshtein()."""
+    from ..stages.common import mix_bucket
+    from ..stages.rank import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keys = [t[:_SNM_KLEN] for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "k": pa.array(keys, pa.string())})
+
+    ranked = global_rank(ds.map_batches(slim, batch_format="pyarrow"),
+                         ["k", "doc_id"], rn_col="rnk", rank_col=None)
+
+    n_buckets = 64
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        rnk = batch["rnk"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys = batch["k"].to_pylist()
+        w = _SNM_W
+        pid, role, docs, ks = [], [], [], []
+        for kk in range(1, w + 1):
+            # as left partner of pair ending at rnk + kk
+            pid.append((rnk + kk) * (w + 1) + kk)
+            role.append(np.zeros(len(rnk), np.int64))
+            docs.append(doc)
+            ks.extend(keys)
+            # as right partner of pair ending at rnk
+            pid.append(rnk * (w + 1) + kk)
+            role.append(np.ones(len(rnk), np.int64))
+            docs.append(doc)
+            ks.extend(keys)
+        pid = np.concatenate(pid)
+        return pa.table({
+            "pid": pa.array(pid, pa.int64()),
+            "bucket": pa.array(mix_bucket(pid, n_buckets), pa.int64()),
+            "role": pa.array(np.concatenate(role), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+            "k": pa.array(ks, pa.string())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        role = g["role"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        keys = g["k"].to_pylist()
+        order = np.lexsort((role, pid))
+        pid, role, doc = pid[order], role[order], doc[order]
+        keys = [keys[i] for i in order]
+        # complete pairs are adjacent (role 0 then 1) under the sort
+        left = (np.flatnonzero((pid[:-1] == pid[1:])
+                               & (role[:-1] == 0) & (role[1:] == 1)))
+        if not len(left):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        a_doc, b_doc = doc[left], doc[left + 1]
+        d = _lev_batch([keys[i] for i in left],
+                       [keys[i + 1] for i in left])
+        keep = d <= _SNM_MAXD
+        return pa.table({
+            "doc_a": pa.array(a_doc[keep], pa.int64()),
+            "doc_b": pa.array(b_doc[keep], pa.int64()),
+            "dist": pa.array(d[keep], pa.int64())})
+
+    return (ranked.map_batches(fanout, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6134,6 +6265,16 @@ ORACLE_SQL["track_resample"] = f"""
                 * (CAST(t - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
       END AS y_interp
     FROM w WHERE is_grid = 1"""
+
+ORACLE_SQL["sorted_neighborhood_docs"] = f"""
+    WITH s AS (SELECT doc_id, substr(text, 1, {_SNM_KLEN}) AS k
+               FROM documents),
+    r AS (SELECT doc_id, k,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk FROM s)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {_SNM_W}
+    WHERE levenshtein(a.k, b.k) <= {_SNM_MAXD}"""
 
 ORACLE_SQL["gif_decode_features"] = """
     WITH v AS (
@@ -13553,4 +13694,5 @@ QUERIES = {
     "video_frame_stats": q_video_frame_stats,
     "mapmatch_tracks": q_mapmatch_tracks,
     "track_resample": q_track_resample,
+    "sorted_neighborhood_docs": q_sorted_neighborhood_docs,
 }
