@@ -3455,6 +3455,71 @@ def q_sorted_neighborhood_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# S-wm (round 5): streaming watermark semantics — late-event
+# accounting under a running event-time watermark (SQL-exact)
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_US = 172_800_000_000          # allowed lateness: 2 days
+
+
+def q_watermark_late_events(sf_dir: str):
+    """Streaming-ingest lateness audit: processing events in ingest
+    order (event_id), the watermark is the running MAX event time
+    minus the allowed delay; an event is late iff its own time sits
+    below the watermark. Because the event itself can never make
+    itself late, the INCLUSIVE running max (cumulative engine,
+    stages/cumulative.py — one sort exchange + O(n_blocks) driver
+    scalars) gives the exact same verdicts as the 1-PRECEDING frame.
+    Per event type: totals, late counts, and max lateness beyond the
+    allowance — all integer microseconds, mirrored by the SQL
+    UNBOUNDED-PRECEDING window."""
+    from ray.data.aggregate import Max, Sum
+    from ..stages.cumulative import cumulative
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "one": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "t": t})
+
+    cum = cumulative(ds.map_batches(slim, batch_format="pyarrow"),
+                     ["one"], ["event_id"], "t", ops=("max",),
+                     out_cols=["wm"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        wm = batch["wm"].to_numpy(zero_copy_only=False)
+        late = (wm - t) > _WM_DELAY_US
+        over = np.where(late, wm - t - _WM_DELAY_US, 0)
+        d = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(d.dictionary)
+        return pa.table({
+            "event_type": d.dictionary,
+            "part_n": pa.array(np.bincount(codes, minlength=k)
+                               .astype(np.int64), pa.int64()),
+            "part_late": pa.array(
+                np.bincount(codes, weights=late, minlength=k)
+                .astype(np.int64), pa.int64()),
+            "part_over": pa.array(
+                np.asarray([over[codes == j].max() if (codes == j).any()
+                            else 0 for j in range(k)], np.int64),
+                pa.int64())})
+
+    return (cum.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("part_n", alias_name="n_events"),
+                       Sum("part_late", alias_name="n_late"),
+                       Max("part_over", alias_name="max_lateness")))
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6265,6 +6330,21 @@ ORACLE_SQL["track_resample"] = f"""
                 * (CAST(t - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
       END AS y_interp
     FROM w WHERE is_grid = 1"""
+
+ORACLE_SQL["watermark_late_events"] = f"""
+    WITH w AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS wm
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (wm - t > {_WM_DELAY_US}) AS BIGINT)
+             AS n_late,
+           CAST(MAX(CASE WHEN wm - t > {_WM_DELAY_US}
+                         THEN wm - t - {_WM_DELAY_US} ELSE 0 END)
+                AS BIGINT) AS max_lateness
+    FROM w GROUP BY event_type"""
 
 ORACLE_SQL["sorted_neighborhood_docs"] = f"""
     WITH s AS (SELECT doc_id, substr(text, 1, {_SNM_KLEN}) AS k
@@ -13695,4 +13775,5 @@ QUERIES = {
     "mapmatch_tracks": q_mapmatch_tracks,
     "track_resample": q_track_resample,
     "sorted_neighborhood_docs": q_sorted_neighborhood_docs,
+    "watermark_late_events": q_watermark_late_events,
 }
