@@ -3520,6 +3520,45 @@ def q_watermark_late_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G-sig (round 5): shortest-path counts (sigma) — the integer half of
+# Brandes betweenness, on the vertex-shard BFS engine (SQL-exact)
+# ---------------------------------------------------------------------------
+
+def q_path_counts_knn_events(sf_dir: str):
+    """Hop distance AND number of distinct shortest paths (sigma)
+    from the lowest sampled event through the directed 3-NN graph —
+    the sigma pass of Brandes' betweenness algorithm, kept all-integer
+    so it hashes exactly. sigma(v) folds layer by layer in the
+    vertex-shard engine (stages/graph_shards.py: per-round
+    (neighbor, sigma) scatters pre-summed per shard). Oracle: the
+    bfs_knn_events recursive walk enumeration — every length-d(v)
+    walk is a shortest path, so COUNT(*) at MIN(hop) is sigma."""
+    import ray.data as rd
+    from ..stages.knn_graph import knn_graph
+    from ..stages.pagerank import bfs_path_counts
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["event_id"].cast(pa.int64()),
+                         "dst": batch["neighbor_id"].cast(pa.int64())})
+
+    edges = knn.map_batches(as_edges,
+                            batch_format="pyarrow").materialize()
+    mn = edges.min("src")
+    src = int(mn["min(src)"]) if isinstance(mn, dict) else int(mn)
+    out = bfs_path_counts(edges, [src], max_hops=8)
+    return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -5622,6 +5661,34 @@ ORACLE_SQL["bfs_knn_events"] = f"""
       FROM r JOIN e ON e.src = r.node WHERE r.hop < 8)
     SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
     FROM r GROUP BY node"""
+
+ORACLE_SQL["path_counts_knn_events"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT e.event_id AS id, {dv.EV_LON_SQL} AS lon,
+             {dv.EV_LAT_SQL} AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    e AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    s AS (SELECT MIN(src) AS v FROM e),
+    r AS (
+      SELECT (SELECT v FROM s) AS node, 0 AS hop
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM r JOIN e ON e.src = r.node WHERE r.hop < 8),
+    m AS (SELECT node, MIN(hop) AS hop FROM r GROUP BY node)
+    SELECT m.node, CAST(m.hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS sigma
+    FROM m JOIN r ON r.node = m.node AND r.hop = m.hop
+    GROUP BY m.node, m.hop"""
 
 ORACLE_SQL["benford_lineitem"] = f"""
     WITH d AS (
@@ -13776,4 +13843,5 @@ QUERIES = {
     "track_resample": q_track_resample,
     "sorted_neighborhood_docs": q_sorted_neighborhood_docs,
     "watermark_late_events": q_watermark_late_events,
+    "path_counts_knn_events": q_path_counts_knn_events,
 }

@@ -232,6 +232,106 @@ class _EdgeShardImpl:
                          "hop": pa.array(hops, pa.int64())})
 
 
+    # ------------------------------------------- BFS with path counts
+    # Layered BFS carrying sigma = number of shortest paths from the
+    # source (the integer half of Brandes betweenness). A node first
+    # reached at hop h receives ALL its contributions in round h
+    # (every shortest-DAG predecessor is settled at h-1 and expands in
+    # that round), so one grouped sum per round is exact.
+
+    def bfsc_init(self, sources) -> int:
+        self.dist = np.full(len(self.own_nodes), -1, dtype=np.int64)
+        self.sigma = np.zeros(len(self.own_nodes), dtype=np.int64)
+        mine = np.unique(np.asarray(
+            [s for s in sources if s % self.P == self.p],
+            dtype=np.int64))
+        pos, inb = _member(self.own_nodes, mine)
+        self.dist[pos[inb]] = 0
+        self.sigma[pos[inb]] = 1
+        self._extra_sources = mine[~inb]
+        self.frontier = mine
+        self.fsigma = np.ones(len(mine), dtype=np.int64)
+        return len(mine)
+
+    def bfsc_expand(self):
+        """Weighted neighbor scatter: each frontier node sends its
+        sigma to every out-neighbor; contributions are summed per
+        destination locally before leaving the shard."""
+        f = self.frontier
+        P = self.P
+        empty = (np.zeros(0, dtype=np.int64),
+                 np.zeros(0, dtype=np.int64))
+        if len(f) == 0:
+            return tuple(empty for _ in range(P))
+        pos, ok = _member(self._su, f)
+        starts = self._sstart[pos[ok]]
+        ends = self._sstart[pos[ok] + 1]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return tuple(empty for _ in range(P))
+        idx = np.repeat(starts, lens) + \
+            (np.arange(total) -
+             np.repeat(np.cumsum(lens) - lens, lens))
+        dsts = self._dst_by_src[idx]
+        w = np.repeat(self.fsigma[ok], lens)
+        order = np.argsort(dsts, kind="stable")
+        dsts, w = dsts[order], w[order]
+        uniq, ustart = np.unique(dsts, return_index=True)
+        csum = np.concatenate(([0], np.cumsum(w)))
+        uend = np.concatenate([ustart[1:], [len(dsts)]])
+        usum = csum[uend] - csum[ustart]
+        pieces = []
+        for q in range(P):
+            m = uniq % P == q
+            pieces.append((uniq[m], usum[m]))
+        return tuple(pieces)
+
+    def bfsc_update(self, piece_refs, hop: int) -> int:
+        import ray
+
+        got = [ray.get(r) for r in piece_refs]
+        if got:
+            cand = np.concatenate([g[0] for g in got])
+            w = np.concatenate([g[1] for g in got])
+        else:
+            cand = np.zeros(0, dtype=np.int64)
+            w = cand
+        if len(cand) == 0:
+            self.frontier = cand
+            self.fsigma = cand
+            return 0
+        order = np.argsort(cand, kind="stable")
+        cand, w = cand[order], w[order]
+        uniq, ustart = np.unique(cand, return_index=True)
+        csum = np.concatenate(([0], np.cumsum(w)))
+        uend = np.concatenate([ustart[1:], [len(cand)]])
+        usum = csum[uend] - csum[ustart]
+        loc = np.searchsorted(self.own_nodes, uniq)
+        fresh = self.dist[loc] < 0
+        self.dist[loc[fresh]] = hop
+        self.sigma[loc[fresh]] = usum[fresh]
+        self.frontier = uniq[fresh]
+        self.fsigma = usum[fresh]
+        return int(fresh.sum())
+
+    def bfsc_result(self) -> pa.Table:
+        hit = self.dist >= 0
+        nodes = self.own_nodes[hit]
+        hops = self.dist[hit]
+        sig = self.sigma[hit]
+        if len(self._extra_sources):
+            nodes = np.concatenate([nodes, self._extra_sources])
+            hops = np.concatenate(
+                [hops, np.zeros(len(self._extra_sources),
+                                dtype=np.int64)])
+            sig = np.concatenate(
+                [sig, np.ones(len(self._extra_sources),
+                              dtype=np.int64)])
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "hop": pa.array(hops, pa.int64()),
+                         "sigma": pa.array(sig, pa.int64())})
+
     # ----------------------------------------------------------- SSSP
     # Label-correcting Bellman-Ford: after round k every shard's dist
     # equals MIN total weight over walks of <= k edges from any source
@@ -473,6 +573,27 @@ def run_lpa_sharded(shards, rounds: int):
                 [piece_refs[p][q] for p in range(P)])
             for q in range(P)])
     return ray.get([sh.lpa_result.remote() for sh in shards])
+
+
+def run_bfs_counts_sharded(shards, sources, max_hops: int):
+    """Drive sigma-carrying BFS rounds (shortest-path counts).
+    Returns the per-shard (node, hop, sigma) tables."""
+    import ray
+
+    P = len(shards)
+    alive = sum(ray.get([sh.bfsc_init.remote(list(sources))
+                         for sh in shards]))
+    for h in range(1, max_hops + 1):
+        if alive == 0:
+            break
+        piece_refs = [
+            sh.bfsc_expand.options(num_returns=P).remote()
+            for sh in shards]
+        alive = sum(ray.get([
+            shards[q].bfsc_update.remote(
+                [piece_refs[p][q] for p in range(P)], h)
+            for q in range(P)]))
+    return ray.get([sh.bfsc_result.remote() for sh in shards])
 
 
 def run_bfs_sharded(shards, sources, max_hops: int):

@@ -555,6 +555,43 @@ def bfs_hops(edges_ds, sources: list, max_hops: int = 8,
     return out.take(idx)
 
 
+def bfs_path_counts(edges_ds, sources: list, max_hops: int = 8,
+                    n_shards: int | None = None):
+    """BFS hop labels PLUS sigma = the number of shortest paths from
+    the source set (the integer half of Brandes betweenness): sigma(v)
+    = Σ sigma(u) over shortest-DAG predecessors u, accumulated layer
+    by layer in the same vertex-shard engine as bfs_hops — each round
+    scatters (neighbor, sigma) contributions pre-summed per shard, so
+    the piece volume stays bounded by nodes-per-shard. All-integer
+    (int64 path counts; callers cap max_hops so counts stay in
+    range), matching the walk-enumeration oracle exactly."""
+    import ray
+
+    from .graph_shards import make_shards, run_bfs_counts_sharded
+
+    def as_st(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["src"].cast(pa.int64()),
+                         "t": batch["dst"].cast(pa.int64())})
+
+    iedges = edges_ds.map_batches(as_st, batch_format="pyarrow") \
+        .repartition(4).materialize()
+    P = max(2, n_shards or 8)
+    shards = make_shards(iedges.to_arrow_refs(), P)
+    try:
+        tables = run_bfs_counts_sharded(
+            shards, [int(s) for s in sources], max_hops)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pa.concat_tables([t for t in tables if t.num_rows]) \
+        if any(t.num_rows for t in tables) \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "hop": pa.array([], pa.int64()),
+                       "sigma": pa.array([], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx)
+
+
 def sssp_dists(edges_ds, sources: list, max_rounds: int = 8,
                n_shards: int | None = None):
     """Weighted single-source shortest paths over an integer
