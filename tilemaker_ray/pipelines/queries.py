@@ -3559,6 +3559,71 @@ def q_path_counts_knn_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# K-diff (round 5): tileset diff — the tile-update workflow (ship only
+# tiles that changed between two builds)
+# ---------------------------------------------------------------------------
+
+def q_tileset_diff(sf_dir: str):
+    """Incremental-update delta between two flagship builds: the
+    current tileset vs a build over the first 90% of pages (the
+    minutely-diff workflow — reference analog: tilemaker's --merge
+    update mode, /root/reference/src/tilemaker.cpp merge path, which
+    overwrites changed tiles in an existing archive). Both builds'
+    slim (tile_id, zoom, x, y, tile_hash) tables are staged; the
+    distributed finish groups by tile and classifies added / removed /
+    changed (same-hash tiles drop out — the whole point of a diff).
+    Hash certifies the classification exactly; the tile hashes
+    themselves are pinned by the flagship determinism tests."""
+    import ray.data as rd
+    from ..sources import pages as _pages
+    from . import flagship as _flagship
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    cols = ["tile_id", "zoom", "x", "y", "tile_hash"]
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array([side] * batch.num_rows, pa.string()))
+        return f
+
+    new_t = _flagship.tiles_pipeline(_pages.pages_dataset(n)) \
+        .select_columns(cols).map_batches(tag("new"),
+                                          batch_format="pyarrow")
+    old_t = _flagship.tiles_pipeline(
+        _pages.pages_dataset(max(1, (n * 9) // 10))) \
+        .select_columns(cols).map_batches(tag("old"),
+                                          batch_format="pyarrow")
+    staged = _stage_for_oracle(new_t.union(old_t), "tileset_diff")
+
+    def fold(df):
+        import pandas as pd
+        old = df[df["side"] == "old"]
+        new = df[df["side"] == "new"]
+        if len(old) == 0:
+            status = "added"
+        elif len(new) == 0:
+            status = "removed"
+        elif old["tile_hash"].iloc[0] != new["tile_hash"].iloc[0]:
+            status = "changed"
+        else:
+            status = "same"
+        return pd.DataFrame({
+            "tile_id": [int(df["tile_id"].iloc[0])],
+            "zoom": [np.int64(df["zoom"].iloc[0])],
+            "x": [np.int64(df["x"].iloc[0])],
+            "y": [np.int64(df["y"].iloc[0])],
+            "status": [status]})
+
+    out = rd.read_parquet(staged).groupby("tile_id").map_groups(fold)
+
+    def not_same(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["status"], "same"))
+
+    return out.map_batches(not_same, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6412,6 +6477,24 @@ ORACLE_SQL["watermark_late_events"] = f"""
                          THEN wm - t - {_WM_DELAY_US} ELSE 0 END)
                 AS BIGINT) AS max_lateness
     FROM w GROUP BY event_type"""
+
+ORACLE_SQL["tileset_diff"] = """
+    WITH t AS (SELECT * FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/tileset_diff/*.parquet')),
+    a AS (SELECT tile_id, MIN(zoom) AS zoom, MIN(x) AS x,
+                 MIN(y) AS y,
+                 MAX(CASE WHEN side = 'old' THEN tile_hash END)
+                   AS h_old,
+                 MAX(CASE WHEN side = 'new' THEN tile_hash END)
+                   AS h_new
+          FROM t GROUP BY tile_id)
+    SELECT tile_id, CAST(zoom AS BIGINT) AS zoom,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM a
+    WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new"""
 
 ORACLE_SQL["sorted_neighborhood_docs"] = f"""
     WITH s AS (SELECT doc_id, substr(text, 1, {_SNM_KLEN}) AS k
@@ -13844,4 +13927,5 @@ QUERIES = {
     "sorted_neighborhood_docs": q_sorted_neighborhood_docs,
     "watermark_late_events": q_watermark_late_events,
     "path_counts_knn_events": q_path_counts_knn_events,
+    "tileset_diff": q_tileset_diff,
 }
