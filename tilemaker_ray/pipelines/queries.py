@@ -3624,6 +3624,47 @@ def q_tileset_diff(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G-btw (round 5): full Brandes dependency (betweenness backward pass)
+# on the vertex-shard engine — fixed-point deterministic
+# ---------------------------------------------------------------------------
+
+def q_betweenness_knn_events(sf_dir: str):
+    """Single-source Brandes dependency scores over the directed 3-NN
+    event graph: forward sigma BFS then the backward layer-by-layer
+    accumulation delta_fp(u) = Σ floor(sigma_u·(10⁶+delta_fp(w))/
+    sigma_w) on a reversed-edge shard set. The per-edge floor makes
+    delta a deterministic INTEGER — shard-layout- and order-invariant
+    (the PageRank fixed-point precedent) — so the driver's double-run
+    rows-only check pins the whole two-pass algorithm; the recursion
+    itself is certified bit-exactly by the single-process brute in
+    tests/test_betweenness.py (rows-only: the layered backward DP is
+    not SQL-expressible)."""
+    import ray.data as rd
+    from ..stages.knn_graph import knn_graph
+    from ..stages.pagerank import betweenness_delta_fp
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["event_id"].cast(pa.int64()),
+                         "dst": batch["neighbor_id"].cast(pa.int64())})
+
+    edges = knn.map_batches(as_edges,
+                            batch_format="pyarrow").materialize()
+    mn = edges.min("src")
+    src = int(mn["min(src)"]) if isinstance(mn, dict) else int(mn)
+    out = betweenness_delta_fp(edges, [src], max_hops=8)
+    return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -13928,4 +13969,5 @@ QUERIES = {
     "watermark_late_events": q_watermark_late_events,
     "path_counts_knn_events": q_path_counts_knn_events,
     "tileset_diff": q_tileset_diff,
+    "betweenness_knn_events": q_betweenness_knn_events,
 }

@@ -332,6 +332,88 @@ class _EdgeShardImpl:
                          "hop": pa.array(hops, pa.int64()),
                          "sigma": pa.array(sig, pa.int64())})
 
+    # -------------------------------------- Brandes dependency (delta)
+    # Backward pass of Brandes' betweenness: THESE methods run on a
+    # shard set built from the REVERSED edges (so "out-neighbors" here
+    # are the original in-neighbors), loaded with the forward sigma
+    # pass's (node, hop, sigma) state — ownership (v % P) is identical
+    # across both shard sets, so forward shard p's result table feeds
+    # reversed shard p directly. Dependencies accumulate in fixed
+    # point: delta_fp(u) = sum over shortest-DAG successors w of
+    # floor(sigma_u * (SCALE + delta_fp(w)) / sigma_w) — an integer
+    # sum, hence order- and shard-layout-invariant, finalized layer by
+    # layer from the deepest hop upward.
+
+    def brandes_load(self, tbl: pa.Table) -> int:
+        self.bdist = np.full(len(self.own_nodes), -1, dtype=np.int64)
+        self.bsigma = np.zeros(len(self.own_nodes), dtype=np.int64)
+        self.bdelta = np.zeros(len(self.own_nodes), dtype=np.int64)
+        nodes = _np(tbl["node"]).astype(np.int64)
+        pos, inb = _member(self.own_nodes, nodes)
+        # forward-only nodes (isolated sources) are absent from the
+        # reversed universe: they have no in/out edges, delta 0
+        self.bdist[pos[inb]] = _np(tbl["hop"]).astype(np.int64)[inb]
+        self.bsigma[pos[inb]] = _np(tbl["sigma"]).astype(np.int64)[inb]
+        return int(self.bdist.max()) if len(self.bdist) else -1
+
+    def brandes_expand(self, h: int, scale: int):
+        """Scatter (S + delta_w, sigma_w) from own layer-h nodes along
+        the reversed out-edges (original in-edges) as per-edge
+        triples; the receiver owns sigma_u and the dist filter."""
+        P = self.P
+        empty = tuple(np.zeros(0, dtype=np.int64) for _ in range(3))
+        sel = np.flatnonzero(self.bdist == h)
+        if not len(sel):
+            return tuple(empty for _ in range(P))
+        f = self.own_nodes[sel]
+        pos, ok = _member(self._su, f)
+        if not ok.any():
+            return tuple(empty for _ in range(P))
+        starts = self._sstart[pos[ok]]
+        ends = self._sstart[pos[ok] + 1]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return tuple(empty for _ in range(P))
+        idx = np.repeat(starts, lens) + \
+            (np.arange(total) -
+             np.repeat(np.cumsum(lens) - lens, lens))
+        dsts = self._dst_by_src[idx]
+        num = np.repeat(scale + self.bdelta[sel[ok]], lens)
+        den = np.repeat(self.bsigma[sel[ok]], lens)
+        pieces = []
+        for q in range(P):
+            m = dsts % P == q
+            pieces.append((dsts[m], num[m], den[m]))
+        return tuple(pieces)
+
+    def brandes_update(self, piece_refs, h: int) -> int:
+        import ray
+
+        got = [ray.get(r) for r in piece_refs]
+        if not got:
+            return 0
+        u = np.concatenate([g[0] for g in got])
+        num = np.concatenate([g[1] for g in got])
+        den = np.concatenate([g[2] for g in got])
+        if len(u) == 0:
+            return 0
+        loc = np.searchsorted(self.own_nodes, u)
+        # only true shortest-DAG predecessors accumulate
+        valid = self.bdist[loc] == h - 1
+        if not valid.any():
+            return 0
+        loc, num, den = loc[valid], num[valid], den[valid]
+        contrib = self.bsigma[loc] * num // den
+        np.add.at(self.bdelta, loc, contrib)
+        return int(valid.sum())
+
+    def brandes_result(self) -> pa.Table:
+        hit = self.bdist >= 0
+        return pa.table({
+            "node": pa.array(self.own_nodes[hit], pa.int64()),
+            "delta_fp": pa.array(self.bdelta[hit], pa.int64())})
+
     # ----------------------------------------------------------- SSSP
     # Label-correcting Bellman-Ford: after round k every shard's dist
     # equals MIN total weight over walks of <= k edges from any source
@@ -594,6 +676,26 @@ def run_bfs_counts_sharded(shards, sources, max_hops: int):
                 [piece_refs[p][q] for p in range(P)], h)
             for q in range(P)]))
     return ray.get([sh.bfsc_result.remote() for sh in shards])
+
+
+def run_brandes_sharded(rev_shards, fwd_tables, scale: int):
+    """Drive the backward dependency pass on the reversed-edge shard
+    set: load forward (node, hop, sigma) state (same v %% P ownership,
+    so table p feeds shard p), then one superstep per layer from the
+    deepest hop down. Returns the per-shard (node, delta_fp) tables."""
+    import ray
+
+    P = len(rev_shards)
+    maxh = max(ray.get([rev_shards[p].brandes_load.remote(fwd_tables[p])
+                        for p in range(P)]))
+    for h in range(maxh, 0, -1):
+        piece_refs = [
+            sh.brandes_expand.options(num_returns=P).remote(h, scale)
+            for sh in rev_shards]
+        ray.get([rev_shards[q].brandes_update.remote(
+            [piece_refs[p][q] for p in range(P)], h)
+            for q in range(P)])
+    return ray.get([sh.brandes_result.remote() for sh in rev_shards])
 
 
 def run_bfs_sharded(shards, sources, max_hops: int):

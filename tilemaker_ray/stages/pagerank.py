@@ -592,6 +592,69 @@ def bfs_path_counts(edges_ds, sources: list, max_hops: int = 8,
     return out.take(idx)
 
 
+def betweenness_delta_fp(edges_ds, sources: list, max_hops: int = 8,
+                         scale: int = 10**6,
+                         n_shards: int | None = None):
+    """Full Brandes single-source dependency: the forward sigma pass
+    (bfs_path_counts engine) followed by the backward accumulation
+    delta_fp(u) = Σ_w floor(sigma_u·(scale + delta_fp(w)) / sigma_w)
+    over shortest-DAG successors w, run layer by layer on a shard set
+    built from the REVERSED edges (ownership v %% P matches the
+    forward set, so forward shard p's state loads straight into
+    reversed shard p). The per-edge floor makes the quantity a
+    deterministic integer — order- and shard-layout-invariant — at
+    the price of ≤1/scale relative truncation per edge vs real-valued
+    Brandes (the pagerank fixed-point precedent). Returns
+    (node, hop, sigma, delta_fp) sorted by node."""
+    import ray
+
+    from .graph_shards import (make_shards, run_bfs_counts_sharded,
+                               run_brandes_sharded)
+
+    def as_st(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["src"].cast(pa.int64()),
+                         "t": batch["dst"].cast(pa.int64())})
+
+    def as_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["dst"].cast(pa.int64()),
+                         "t": batch["src"].cast(pa.int64())})
+
+    iedges = edges_ds.map_batches(as_st, batch_format="pyarrow") \
+        .repartition(4).materialize()
+    redges = edges_ds.map_batches(as_ts, batch_format="pyarrow") \
+        .repartition(4).materialize()
+    P = max(2, n_shards or 8)
+    srcs = [int(s) for s in sources]
+    shards = make_shards(iedges.to_arrow_refs(), P)
+    try:
+        fwd = run_bfs_counts_sharded(shards, srcs, max_hops)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    rev = make_shards(redges.to_arrow_refs(), P)
+    try:
+        back = run_brandes_sharded(rev, fwd, scale)
+    finally:
+        for sh in rev:
+            ray.kill(sh)
+    fwd_t = pa.concat_tables([t for t in fwd if t.num_rows]) \
+        if any(t.num_rows for t in fwd) \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "hop": pa.array([], pa.int64()),
+                       "sigma": pa.array([], pa.int64())})
+    back_t = pa.concat_tables([t for t in back if t.num_rows]) \
+        if any(t.num_rows for t in back) \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "delta_fp": pa.array([], pa.int64())})
+    dmap = dict(zip(back_t["node"].to_pylist(),
+                    back_t["delta_fp"].to_pylist()))
+    delta = pa.array([int(dmap.get(n, 0))
+                      for n in fwd_t["node"].to_pylist()], pa.int64())
+    out = fwd_t.append_column("delta_fp", delta)
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx)
+
+
 def sssp_dists(edges_ds, sources: list, max_rounds: int = 8,
                n_shards: int | None = None):
     """Weighted single-source shortest paths over an integer
