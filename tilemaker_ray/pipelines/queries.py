@@ -3665,6 +3665,81 @@ def q_betweenness_knn_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E-cov (round 5): exact covariance matrix of quantized embeddings —
+# distributed matrix sufficient statistics (SQL-exact)
+# ---------------------------------------------------------------------------
+
+def q_embedding_covariance(sf_dir: str):
+    """Full 64×64 covariance of the embedding table under fixed
+    ×1024 integer quantization (the PCA/whitening front door): each
+    batch contributes one QᵀQ int64 matmul + column sums (4160
+    partial scalars per batch regardless of rows — the matrix
+    analog of the combiner-first rule), ONE (i, j) groupby sums
+    them, and the float finish
+    cov = (sp − si·sj/n)/n runs the same IEEE tree both engines
+    mirror. Quantization happens before staging so both engines read
+    identical integers (the ann_int8 pattern); upper triangle only.
+
+    Scale shape: shuffle volume is O(d² · n_blocks) scalars,
+    independent of row count — 100 TB of embeddings moves the same
+    2080-key exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.dedup import _emb_matrix
+
+    D = 64
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], D).astype(np.float64)
+        Q = np.rint(V * 1024.0).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qvec": pa.array(Q.tolist(), pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        "embedding_covariance")
+
+    iu, ju = np.triu_indices(D)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        G = Q.T @ Q                      # exact int64 Gram
+        s = Q.sum(axis=0)
+        return pa.table({
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "part_n": pa.array(np.full(len(iu), len(Q), np.int64),
+                               pa.int64()),
+            "part_si": pa.array(s[iu], pa.int64()),
+            "part_sj": pa.array(s[ju], pa.int64()),
+            "part_sp": pa.array(G[iu, ju], pa.int64())})
+
+    agg = (rd.read_parquet(staged)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["i", "j"])
+           .aggregate(Sum("part_n", alias_name="n"),
+                      Sum("part_si", alias_name="si"),
+                      Sum("part_sj", alias_name="sj"),
+                      Sum("part_sp", alias_name="sp")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        si = batch["si"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sj = batch["sj"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sp = batch["sp"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cov = (sp - si * sj / n) / n
+        return batch.append_column("cov", pa.array(cov, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6518,6 +6593,24 @@ ORACLE_SQL["watermark_late_events"] = f"""
                          THEN wm - t - {_WM_DELAY_US} ELSE 0 END)
                 AS BIGINT) AS max_lateness
     FROM w GROUP BY event_type"""
+
+ORACLE_SQL["embedding_covariance"] = """
+    WITH q AS (SELECT * FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/embedding_covariance/*.parquet')),
+    e AS (SELECT vec_id, unnest(qvec) AS v,
+                 unnest(range(64)) AS i FROM q),
+    g AS (SELECT a.i AS i, b.i AS j,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a.v) AS BIGINT) AS si,
+                 CAST(SUM(b.v) AS BIGINT) AS sj,
+                 CAST(SUM(a.v * b.v) AS BIGINT) AS sp
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i)
+    SELECT i, j, n, si, sj, sp,
+           (CAST(sp AS DOUBLE)
+            - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov
+    FROM g"""
 
 ORACLE_SQL["tileset_diff"] = """
     WITH t AS (SELECT * FROM read_parquet(
@@ -13970,4 +14063,5 @@ QUERIES = {
     "path_counts_knn_events": q_path_counts_knn_events,
     "tileset_diff": q_tileset_diff,
     "betweenness_knn_events": q_betweenness_knn_events,
+    "embedding_covariance": q_embedding_covariance,
 }
