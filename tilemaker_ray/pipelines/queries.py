@@ -3740,6 +3740,120 @@ def q_embedding_covariance(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E-pow (round 5): fixed-point power iteration — dominant principal
+# direction of the embedding second-moment matrix (SQL-exact)
+# ---------------------------------------------------------------------------
+
+_POW_S = 10**6          # fixed-point scale of the iterated vector
+_POW_ITERS = 8
+
+
+def _tdiv(a: np.ndarray, b) -> np.ndarray:
+    """Truncating integer division (toward zero) — DuckDB's ``//``
+    semantics, NOT Python's floor division."""
+    a = np.asarray(a, np.int64)
+    return np.sign(a) * (np.abs(a) // b)
+
+
+def q_power_iteration_embeddings(sf_dir: str):
+    """Dominant principal direction of the quantized-embedding
+    second-moment (Gram) matrix via 8 fixed-point power-iteration
+    steps: v ← trunc(M·v·S / max|M·v|) with M = trunc(QᵀQ / n) — every
+    operation an int64 matvec / scale, so the trajectory is bit-exact
+    on both engines (the PageRank fixed-point discipline applied to
+    linear algebra). Distributed part: per-batch QᵀQ partials (the
+    embedding_covariance exchange — O(d²·n_blocks) scalars); the
+    iteration itself runs on the 2080-row aggregated triangle in one
+    final task. Oracle: 8 unrolled matvec CTEs over the staged
+    integers (DuckDB ``//`` truncates toward zero; the numpy kernel
+    mirrors that, not Python floor)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.dedup import _emb_matrix
+
+    D = 64
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], D).astype(np.float64)
+        Q = np.rint(V * 1024.0).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qvec": pa.array(Q.tolist(), pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        "power_iteration_embeddings")
+
+    iu, ju = np.triu_indices(D)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        G = Q.T @ Q
+        return pa.table({
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "part_n": pa.array(np.full(len(iu), len(Q), np.int64),
+                               pa.int64()),
+            "part_sp": pa.array(G[iu, ju], pa.int64())})
+
+    agg = (rd.read_parquet(staged)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["i", "j"])
+           .aggregate(Sum("part_n", alias_name="n"),
+                      Sum("part_sp", alias_name="sp")))
+
+    def iterate(batch: pa.Table) -> pa.Table:
+        ii = batch["i"].to_numpy(zero_copy_only=False)
+        jj = batch["j"].to_numpy(zero_copy_only=False)
+        n = int(batch["n"][0].as_py())
+        sp = batch["sp"].to_numpy(zero_copy_only=False)
+        M = np.zeros((D, D), dtype=np.int64)
+        M[ii, jj] = _tdiv(sp, n)
+        M[jj, ii] = M[ii, jj]
+        v = np.full(D, _POW_S, dtype=np.int64)
+        for _ in range(_POW_ITERS):
+            x = M @ v
+            mx = int(np.abs(x).max())
+            if mx == 0:
+                break
+            v = _tdiv(x * _POW_S, mx)
+        return pa.table({"i": pa.array(np.arange(D, dtype=np.int64),
+                                       pa.int64()),
+                         "v_fp": pa.array(v, pa.int64())})
+
+    return agg.repartition(1).map_batches(iterate,
+                                          batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def _pow_oracle_sql() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, _POW_ITERS + 1):
+        steps.append(f"""
+    x{k} AS MATERIALIZED (SELECT m.i AS i, SUM(m.val * {prev}.v) AS x
+             FROM m JOIN {prev} ON m.j = {prev}.i GROUP BY m.i),
+    mx{k} AS MATERIALIZED (SELECT MAX(ABS(x)) AS mx FROM x{k}),
+    v{k} AS MATERIALIZED (SELECT i, (x * {_POW_S}) // mx AS v
+             FROM x{k} CROSS JOIN mx{k})""")
+        prev = f"v{k}"
+    return f"""
+    WITH q AS MATERIALIZED (SELECT * FROM read_parquet(
+      '/tmp/tilemaker_ray_oracle/power_iteration_embeddings/*.parquet')),
+    e AS MATERIALIZED (SELECT vec_id, unnest(qvec) AS v,
+                 unnest(range(64)) AS i FROM q),
+    g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a.v * b.v) AS BIGINT) AS sp
+          FROM e a JOIN e b ON a.vec_id = b.vec_id
+          GROUP BY a.i, b.i),
+    m AS MATERIALIZED (SELECT i, j, sp // n AS val FROM g),
+    v0 AS MATERIALIZED (SELECT unnest(range(64)) AS i, {_POW_S} AS v),{','.join(steps)}
+    SELECT i, CAST(v AS BIGINT) AS v_fp FROM {prev}"""
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6593,6 +6707,8 @@ ORACLE_SQL["watermark_late_events"] = f"""
                          THEN wm - t - {_WM_DELAY_US} ELSE 0 END)
                 AS BIGINT) AS max_lateness
     FROM w GROUP BY event_type"""
+
+ORACLE_SQL["power_iteration_embeddings"] = _pow_oracle_sql()
 
 ORACLE_SQL["embedding_covariance"] = """
     WITH q AS (SELECT * FROM read_parquet(
@@ -14064,4 +14180,5 @@ QUERIES = {
     "tileset_diff": q_tileset_diff,
     "betweenness_knn_events": q_betweenness_knn_events,
     "embedding_covariance": q_embedding_covariance,
+    "power_iteration_embeddings": q_power_iteration_embeddings,
 }
