@@ -3854,6 +3854,28 @@ def _pow_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# T-uni (round 5): unigram-LM tokenizer — the SentencePiece EM
+# counterpart of the BPE trainer (rows-only, bit-exact reference)
+# ---------------------------------------------------------------------------
+
+def q_unigram_token_count_docs(sf_dir: str):
+    """Train a 512-piece unigram-LM subword vocabulary on the corpus
+    (stages/unigram.py: substring seed → 2 EM rounds of integer
+    fixed-point Viterbi segmentation, vocabulary-level work only)
+    then tokenize every document — per-doc token counts under the
+    learned vocab. Rows-only: iterative EM is not SQL-expressible;
+    the trainer is pinned bit-exactly against its single-process
+    reference under varying block layouts (tests/test_unigram.py),
+    the BPE-trainer precedent."""
+    from ..stages.unigram import train_unigram, unigram_tokenize_fn
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = train_unigram(ds, k=512, rounds=2)
+    return ds.map_batches(unigram_tokenize_fn(vocab),
+                          batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -14181,4 +14203,5 @@ QUERIES = {
     "betweenness_knn_events": q_betweenness_knn_events,
     "embedding_covariance": q_embedding_covariance,
     "power_iteration_embeddings": q_power_iteration_embeddings,
+    "unigram_token_count_docs": q_unigram_token_count_docs,
 }
