@@ -3876,6 +3876,117 @@ def q_unigram_token_count_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E-out (round 5): PCA outliers — extreme projections onto the
+# fixed-point dominant direction (SQL-exact)
+# ---------------------------------------------------------------------------
+
+def q_pca_outliers(sf_dir: str):
+    """The apply side of the power iteration: every quantized
+    embedding projects onto the fixed-point dominant direction
+    (Q·v — one int64 dot per vector, exact), and the 10 most extreme
+    |projection| vectors surface (ties toward the lower vec_id) —
+    the classic embedding-space outlier sweep a curation pipeline
+    runs after fitting the direction. The direction itself is the
+    bit-exact 8-step iteration of q_power_iteration_embeddings,
+    re-derived from the same staged integers; the oracle appends a
+    projection CTE to the same unrolled chain.
+
+    Scale shape: the Gram exchange is O(d²·n_blocks); the direction
+    solve touches 2080 aggregated rows; the projection pass is one
+    broadcast + map_batches with a per-batch partial top-k and a
+    final 10-row merge — no full sort."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.dedup import _emb_matrix
+
+    D = 64
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], D).astype(np.float64)
+        Q = np.rint(V * 1024.0).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qvec": pa.array(Q.tolist(), pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        "pca_outliers")
+
+    iu, ju = np.triu_indices(D)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        G = Q.T @ Q
+        return pa.table({
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "part_n": pa.array(np.full(len(iu), len(Q), np.int64),
+                               pa.int64()),
+            "part_sp": pa.array(G[iu, ju], pa.int64())})
+
+    agg_t = (rd.read_parquet(staged)
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(["i", "j"])
+             .aggregate(Sum("part_n", alias_name="n"),
+                        Sum("part_sp", alias_name="sp"))
+             ).take_all()          # 2080 rows — bounded by d², not n
+    ii = np.asarray([r["i"] for r in agg_t], np.int64)
+    jj = np.asarray([r["j"] for r in agg_t], np.int64)
+    sp = np.asarray([r["sp"] for r in agg_t], np.int64)
+    n = int(agg_t[0]["n"])
+    M = np.zeros((D, D), dtype=np.int64)
+    M[ii, jj] = _tdiv(sp, n)
+    M[jj, ii] = M[ii, jj]
+    v = np.full(D, _POW_S, dtype=np.int64)
+    for _ in range(_POW_ITERS):
+        x = M @ v
+        mx = int(np.abs(x).max())
+        if mx == 0:
+            break
+        v = _tdiv(x * _POW_S, mx)
+    v_ref = ray.put(v)
+
+    def project(batch: pa.Table) -> pa.Table:
+        vv = ray.get(v_ref)
+        Q = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        proj = Q @ vv
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        # per-batch partial top-k by (|proj| desc, vec_id asc)
+        order = np.lexsort((ids, -np.abs(proj)))[:10]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "proj": pa.array(proj[order], pa.int64())})
+
+    top = (rd.read_parquet(staged)
+           .map_batches(project, batch_format="pyarrow"))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        proj = batch["proj"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -np.abs(proj)))[:10]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "proj": pa.array(proj[order], pa.int64())})
+
+    return top.repartition(1).map_batches(merge,
+                                          batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def _pca_outliers_oracle_sql() -> str:
+    base = _pow_oracle_sql().replace(
+        "power_iteration_embeddings", "pca_outliers")
+    head, tail = base.rsplit("SELECT i, CAST(v AS BIGINT) AS v_fp", 1)
+    last = tail.split("FROM ")[1].strip()
+    return head + f"""SELECT e.vec_id,
+           CAST(SUM(e.v * d.v) AS BIGINT) AS proj
+    FROM e JOIN {last} d ON e.i = d.i
+    GROUP BY e.vec_id
+    ORDER BY ABS(CAST(SUM(e.v * d.v) AS BIGINT)) DESC, e.vec_id
+    LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6731,6 +6842,7 @@ ORACLE_SQL["watermark_late_events"] = f"""
     FROM w GROUP BY event_type"""
 
 ORACLE_SQL["power_iteration_embeddings"] = _pow_oracle_sql()
+ORACLE_SQL["pca_outliers"] = _pca_outliers_oracle_sql()
 
 ORACLE_SQL["embedding_covariance"] = """
     WITH q AS (SELECT * FROM read_parquet(
@@ -14204,4 +14316,5 @@ QUERIES = {
     "embedding_covariance": q_embedding_covariance,
     "power_iteration_embeddings": q_power_iteration_embeddings,
     "unigram_token_count_docs": q_unigram_token_count_docs,
+    "pca_outliers": q_pca_outliers,
 }
