@@ -3987,6 +3987,87 @@ def _pca_outliers_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# R-ndcg (round 5): ranking-quality evaluation — NDCG@10 over the
+# certified BM25 ranking with fixed-point discounts (SQL-exact)
+# ---------------------------------------------------------------------------
+
+# floor(10⁹ / log2(rank+1)) for ranks 1..10 as FIXED integer literals
+# (the Benford literal-constant rule: both engines consume identical
+# integers, so the DCG sums are exact and order-free)
+_NDCG_DISC_FP = [1000000000, 630929753, 500000000, 430676558,
+                 386852807, 356207187, 333333333, 315464876,
+                 301029995, 289064826]
+
+
+def q_ndcg_bm25(sf_dir: str):
+    """Search-evaluation harness: NDCG@10 of the BM25 top-10 (the
+    ranking itself is certified by bm25_topk) under deterministic
+    graded relevance rel(doc) = (doc_id·2654435761 + 40503) % 4.
+    Gains 2^rel−1 × the fixed-point discount literals make DCG and
+    ideal-DCG exact int64 sums (aggregation-order-free); the single
+    NDCG float is one mirrored division. Staged: the ranked list both
+    engines evaluate."""
+    import ray.data as rd
+    from ..stages.bm25 import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = bm25_topk(ds, _BM25_TERMS, k=10).take_all()
+    rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    ranked = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64),
+                         pa.int64())})
+    staged = _stage_for_oracle(rd.from_arrow(ranked), "ndcg_bm25")
+
+    def evaluate(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rank = batch["rank"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rel = (doc * 2654435761 + 40503) % 4
+        gain = (1 << rel) - 1
+        disc = np.asarray(_NDCG_DISC_FP, np.int64)
+        dcg = int((gain * disc[rank - 1]).sum())
+        ideal = np.sort(gain)[::-1]
+        idcg = int((ideal * disc[:len(ideal)]).sum())
+        ndcg = 0.0 if idcg == 0 else float(dcg) / float(idcg)
+        return pa.table({
+            "n_results": pa.array([len(doc)], pa.int64()),
+            "dcg_fp": pa.array([dcg], pa.int64()),
+            "idcg_fp": pa.array([idcg], pa.int64()),
+            "ndcg": pa.array([ndcg], pa.float64())})
+
+    return (rd.read_parquet(staged)
+            .repartition(1)
+            .map_batches(evaluate, batch_format="pyarrow",
+                         batch_size=None))
+
+
+ORACLE_SQL_NDCG = """
+    WITH t AS (SELECT * FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/ndcg_bm25/*.parquet')),
+    d AS (SELECT unnest(range(1, 11)) AS rank,
+                 unnest(CAST([{discs}] AS BIGINT[])) AS disc),
+    r AS (SELECT doc_id, rank,
+                 (doc_id * 2654435761 + 40503) % 4 AS rel FROM t),
+    g AS (SELECT r.rank, (CASE r.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+                          WHEN 2 THEN 3 ELSE 7 END) AS gain
+          FROM r),
+    c AS (SELECT CAST(SUM(g.gain * d.disc) AS BIGINT) AS dcg
+          FROM g JOIN d ON d.rank = g.rank),
+    i AS (SELECT ROW_NUMBER() OVER (ORDER BY gain DESC) AS irank,
+                 gain FROM g),
+    ic AS (SELECT CAST(SUM(i.gain * d.disc) AS BIGINT) AS idcg
+           FROM i JOIN d ON d.rank = i.irank)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_results,
+           c.dcg AS dcg_fp, ic.idcg AS idcg_fp,
+           CASE WHEN ic.idcg = 0 THEN 0.0
+                ELSE CAST(c.dcg AS DOUBLE) / CAST(ic.idcg AS DOUBLE)
+           END AS ndcg
+    FROM c CROSS JOIN ic"""
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -6843,6 +6924,8 @@ ORACLE_SQL["watermark_late_events"] = f"""
 
 ORACLE_SQL["power_iteration_embeddings"] = _pow_oracle_sql()
 ORACLE_SQL["pca_outliers"] = _pca_outliers_oracle_sql()
+ORACLE_SQL["ndcg_bm25"] = ORACLE_SQL_NDCG.format(
+    discs=", ".join(str(v) for v in _NDCG_DISC_FP))
 
 ORACLE_SQL["embedding_covariance"] = """
     WITH q AS (SELECT * FROM read_parquet(
@@ -14317,4 +14400,5 @@ QUERIES = {
     "power_iteration_embeddings": q_power_iteration_embeddings,
     "unigram_token_count_docs": q_unigram_token_count_docs,
     "pca_outliers": q_pca_outliers,
+    "ndcg_bm25": q_ndcg_bm25,
 }
