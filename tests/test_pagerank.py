@@ -272,3 +272,47 @@ def test_lpa_vs_brute_and_shard_invariance(ray_session):
             got = dict(zip(out["node"].to_pylist(),
                            out["label"].to_pylist()))
             assert got == want, (rounds, P)
+
+
+def test_trustrank_seeded_vs_reference(ray_session):
+    """Personalized-teleport (TrustRank) engine == seeded reference,
+    bit-exact and shard-count-invariant; seeds accumulate the restart
+    mass, far nodes decay toward zero."""
+    import ray.data as rd
+    from tilemaker_ray.stages.pagerank import pagerank_indexed
+
+    rng = np.random.RandomState(9)
+    n = 25
+    rows = []
+    seen = set()
+    for _ in range(150):
+        s, t = rng.randint(0, n, 2)
+        if s != t and (s, t) not in seen:
+            seen.add((s, t))
+            rows.append((int(s), int(t), int(rng.randint(1, 5))))
+    nodes = [f"v{i}" for i in range(n)]
+    srows = [(nodes[s], nodes[t], w) for s, t, w in rows]
+    seeds_i = [0, 3, 7]
+    want = pagerank_reference(srows, nodes, iters=8,
+                              seeds=[nodes[i] for i in seeds_i])
+    t = pa.table({"s": pa.array([r[0] for r in rows], pa.int64()),
+                  "t": pa.array([r[1] for r in rows], pa.int64()),
+                  "w": pa.array([r[2] for r in rows], pa.int64())})
+    for P in (2, 6):
+        out = pagerank_indexed(rd.from_arrow(t).repartition(3), n,
+                               iters=8, n_shards=P, seeds=seeds_i)
+        tb = out.to_arrow_refs()
+        import ray
+        parts = pa.concat_tables([x for x in ray.get(tb)
+                                  if x.num_rows])
+        got = dict(zip(parts["node_i"].to_pylist(),
+                       parts["rank_fp"].to_pylist()))
+        assert {nodes[i]: v for i, v in got.items()} == want, P
+
+
+def test_trustrank_unseeded_matches_vanilla(ray_session):
+    """seeds=None keeps the uniform-teleport behavior unchanged."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    nodes = ["a", "b", "c"]
+    assert pagerank_reference(rows, nodes, iters=5) == \
+        pagerank_reference(rows, nodes, iters=5, seeds=None)

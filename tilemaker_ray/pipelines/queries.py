@@ -2122,9 +2122,10 @@ def q_pagerank_sites(sf_dir: str):
                                batch_format="pyarrow").sort("node")
 
 
-def _pagerank_sites_indexed(sf_dir: str):
+def _pagerank_sites_indexed(sf_dir: str, seeds=None):
     """Shared integer-id PageRank front half: (ranks Dataset
-    (node_i, rank_fp), site_ids Dataset, m)."""
+    (node_i, rank_fp), site_ids Dataset, m). ``seeds``: integer site
+    ids whose teleport share is nonzero (TrustRank)."""
     import ray.data as rd
     from ..sources import pages as _pages
     from ..stages.pagerank import (page_links, pagerank_indexed,
@@ -2139,7 +2140,35 @@ def _pagerank_sites_indexed(sf_dir: str):
                            batch_format="pyarrow").materialize()
     site_ids, m = site_universe(links)
     iedges = resolve_links_indexed(links, site_ids, m)
-    return pagerank_indexed(iedges, m, iters=10), site_ids, m
+    return (pagerank_indexed(iedges, m, iters=10, seeds=seeds),
+            site_ids, m)
+
+
+def q_trustrank_sites(sf_dir: str):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): biased
+    PageRank whose teleport mass lands only on a trusted seed set —
+    the spam-demotion ranking a crawl pipeline runs beside vanilla
+    PageRank. Seeds: the 5 lexicographically-first sites (ids 0–4
+    under the distributed dictionary-encode — deterministic). Same
+    fixed-point integer engine, same shard invariance; rows-only
+    (iterative), pinned against the seeded single-process reference
+    in tests/test_pagerank.py."""
+    from ..stages.pagerank import label_site_ids
+    ranks, site_ids, m = _pagerank_sites_indexed(
+        sf_dir, seeds=[0, 1, 2, 3, 4])
+    labeled = label_site_ids(ranks, site_ids, id_col="node_i",
+                             out_col="node",
+                             extra_cols=[("rank_fp", pa.int64())])
+    total = float(m * 10**9)
+
+    def finish(b: pa.Table) -> pa.Table:
+        fp = pc.cast(b["rank_fp"], pa.int64())
+        return pa.table({
+            "node": b["node"], "rank_fp": fp,
+            "trust": pc.divide(pc.cast(fp, pa.float64()), total)})
+
+    return labeled.map_batches(finish,
+                               batch_format="pyarrow").sort("node")
 
 
 def q_rank_weighted_sample(sf_dir: str):
@@ -14401,4 +14430,5 @@ QUERIES = {
     "unigram_token_count_docs": q_unigram_token_count_docs,
     "pca_outliers": q_pca_outliers,
     "ndcg_bm25": q_ndcg_bm25,
+    "trustrank_sites": q_trustrank_sites,
 }

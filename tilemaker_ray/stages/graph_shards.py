@@ -123,11 +123,23 @@ class _EdgeShardImpl:
 
     # ------------------------------------------------------- PageRank
     def pr_init(self, n_total: int, scale: int, d_num: int,
-                d_den: int) -> None:
+                d_den: int, seeds=None) -> None:
         self.ranks = np.full(self.n_loc, scale, dtype=np.int64)
         total = n_total * scale
-        self.teleport = ((d_den - d_num) * total
-                         // (d_den * max(n_total, 1)))
+        if seeds is None:
+            self.teleport = ((d_den - d_num) * total
+                             // (d_den * max(n_total, 1)))
+        else:
+            # personalized (TrustRank) teleport: the restart mass
+            # lands ONLY on the seed set, split evenly
+            tele = np.zeros(self.n_loc, dtype=np.int64)
+            per_seed = ((d_den - d_num) * total
+                        // (d_den * max(len(seeds), 1)))
+            for s in seeds:
+                s = int(s)
+                if s % self.P == self.p and s // self.P < self.n_loc:
+                    tele[s // self.P] = per_seed
+            self.teleport = tele
         self.d_num, self.d_den = d_num, d_den
 
     def pr_contribs(self):
@@ -599,13 +611,15 @@ def make_shards(edge_block_refs, P: int, n_hint: int = 0,
 
 
 def run_pagerank_sharded(shards, n_total: int, iters: int,
-                         scale: int, d_num: int, d_den: int):
+                         scale: int, d_num: int, d_den: int,
+                         seeds=None):
     """Drive ``iters`` supersteps; returns the (node_i, rank_fp)
-    tables from all shards. Driver state: O(P²) refs."""
+    tables from all shards. Driver state: O(P²) refs. ``seeds``
+    restricts the teleport to a trusted set (TrustRank)."""
     import ray
 
     P = len(shards)
-    ray.get([sh.pr_init.remote(n_total, scale, d_num, d_den)
+    ray.get([sh.pr_init.remote(n_total, scale, d_num, d_den, seeds)
              for sh in shards])
     for _ in range(iters):
         piece_refs = [

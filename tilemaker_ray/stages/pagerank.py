@@ -416,12 +416,15 @@ def build_site_edges(pages_ds, k: int = 3):
 
 def pagerank_indexed(iedges_ds, n: int, iters: int = 10,
                      d_num: int = 17, d_den: int = 20,
-                     scale: int = 10**9, n_shards: int | None = None):
+                     scale: int = 10**9, n_shards: int | None = None,
+                     seeds=None):
     """Fixed-point integer PageRank over INTEGER (s, t, w) edges —
     the scale path (no string encode, no node list): returns a
     Dataset of (node_i, rank_fp) straight from the shard tables.
     Same sharded engine and integer arithmetic as :func:`pagerank`,
-    so results are bit-identical to it for the same graph."""
+    so results are bit-identical to it for the same graph. ``seeds``
+    restricts the teleport to a trusted id set (TrustRank,
+    Gyöngyi et al. 2004)."""
     import ray
     import ray.data as rd
 
@@ -432,7 +435,7 @@ def pagerank_indexed(iedges_ds, n: int, iters: int = 10,
     shards = make_shards(iedges.to_arrow_refs(), P, n_hint=n)
     try:
         tables = run_pagerank_sharded(shards, n, iters, scale,
-                                      d_num, d_den)
+                                      d_num, d_den, seeds)
     finally:
         for sh in shards:
             ray.kill(sh)
@@ -495,9 +498,10 @@ def pagerank(edges_ds, nodes: list, iters: int = 10,
 
 def pagerank_reference(edge_rows, nodes: list, iters: int = 10,
                        d_num: int = 17, d_den: int = 20,
-                       scale: int = 10**9) -> dict:
+                       scale: int = 10**9, seeds=None) -> dict:
     """Single-process reference with the IDENTICAL integer arithmetic
-    (the pytest oracle)."""
+    (the pytest oracle). ``seeds``: node NAMES whose teleport share
+    is nonzero (TrustRank); None = uniform teleport."""
     n = len(nodes)
     ni = {s: i for i, s in enumerate(nodes)}
     outdeg = np.zeros(n, dtype=np.int64)
@@ -505,7 +509,14 @@ def pagerank_reference(edge_rows, nodes: list, iters: int = 10,
         outdeg[ni[s]] += w
     ranks = np.full(n, scale, dtype=np.int64)
     total = n * scale
-    teleport = (d_den - d_num) * total // (d_den * n)
+    if seeds is None:
+        teleport = (d_den - d_num) * total // (d_den * n)
+    else:
+        teleport = np.zeros(n, dtype=np.int64)
+        per_seed = (d_den - d_num) * total \
+            // (d_den * max(len(seeds), 1))
+        for s in seeds:
+            teleport[ni[s]] = per_seed
     for _ in range(iters):
         acc = np.zeros(n, dtype=np.int64)
         for s, t, w in edge_rows:
