@@ -4097,6 +4097,41 @@ ORACLE_SQL_NDCG = """
 
 
 # ---------------------------------------------------------------------------
+# G-core (round 5): k-core decomposition — h-index fixpoint on the
+# vertex-shard engine (rows-only; brute-peeling pytest oracle)
+# ---------------------------------------------------------------------------
+
+def q_kcore_knn_events(sf_dir: str):
+    """Exact core numbers of the symmetrized 3-NN event graph (the
+    density skeleton a dedup/community pipeline peels before
+    clustering): est(v) starts at degree and converges to coreness
+    through synchronous h-index rounds on the vertex-shard engine —
+    monotone integer updates, so the result is bit-deterministic and
+    shard-invariant. Rows-only (iterative peeling is not
+    SQL-expressible); tests/test_kcore.py pins the engine against the
+    classic min-degree peeling oracle on random graphs at P=2/6."""
+    import ray.data as rd
+    from ..stages.knn_graph import knn_graph
+    from ..stages.pagerank import kcore_numbers
+
+    pts = _event_points(sf_dir)
+
+    def sampled(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    sub = pts.map_batches(sampled, batch_format="pyarrow")
+    knn = knn_graph(sub, k=3, n_cells=32, probe_mod=1)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["event_id"].cast(pa.int64()),
+                         "dst": batch["neighbor_id"].cast(pa.int64())})
+
+    edges = knn.map_batches(as_edges, batch_format="pyarrow")
+    return rd.from_arrow(kcore_numbers(edges))
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -14431,4 +14466,5 @@ QUERIES = {
     "pca_outliers": q_pca_outliers,
     "ndcg_bm25": q_ndcg_bm25,
     "trustrank_sites": q_trustrank_sites,
+    "kcore_knn_events": q_kcore_knn_events,
 }

@@ -344,6 +344,74 @@ class _EdgeShardImpl:
                          "hop": pa.array(hops, pa.int64()),
                          "sigma": pa.array(sig, pa.int64())})
 
+    # ---------------------------------------------------------- k-core
+    # Coreness via the synchronous h-index fixpoint (Lü et al. 2016):
+    # est(v) starts at degree and each round becomes the h-index of
+    # its neighbors' estimates — monotone non-increasing, converges to
+    # the exact core number. Feed SYMMETRIZED edges (wrapper dedups
+    # both directions) so out-edges = all incident edges.
+
+    def kcore_init(self) -> int:
+        deg = np.zeros(len(self.own_nodes), dtype=np.int64)
+        pos, ok = _member(self.own_nodes, self._su)
+        deg[pos[ok]] = (self._sstart[1:] - self._sstart[:-1])[ok]
+        self.kest = deg
+        return int(len(self.own_nodes))
+
+    def kcore_expand(self):
+        """Scatter every own node's current estimate along its
+        out-edges (symmetrized graph → to every neighbor)."""
+        P = self.P
+        empty = (np.zeros(0, dtype=np.int64),
+                 np.zeros(0, dtype=np.int64))
+        if not len(self._src_sorted):
+            return tuple(empty for _ in range(P))
+        # every src IS an own node; estimates aligned to _su order
+        own_pos = np.searchsorted(self.own_nodes, self._su)
+        est_su = self.kest[own_pos]
+        lens = self._sstart[1:] - self._sstart[:-1]
+        vals = np.repeat(est_su, lens)
+        dsts = self._dst_by_src
+        pieces = []
+        for q in range(P):
+            m = dsts % P == q
+            pieces.append((dsts[m], vals[m]))
+        return tuple(pieces)
+
+    def kcore_update(self, piece_refs) -> int:
+        """h-index of incoming neighbor estimates per own node;
+        returns how many estimates changed."""
+        import ray
+
+        got = [ray.get(r) for r in piece_refs]
+        if not got:
+            return 0
+        dst = np.concatenate([g[0] for g in got])
+        est = np.concatenate([g[1] for g in got])
+        if not len(dst):
+            return 0
+        order = np.lexsort((-est, dst))
+        dst, est = dst[order], est[order]
+        uniq, start = np.unique(dst, return_index=True)
+        end = np.append(start[1:], len(dst))
+        loc = np.searchsorted(self.own_nodes, uniq)
+        changed = 0
+        for gi in range(len(uniq)):
+            vals = est[start[gi]:end[gi]]       # descending
+            # h-index: max h with vals[h-1] >= h
+            h = int(np.count_nonzero(
+                vals >= np.arange(1, len(vals) + 1)))
+            h = min(h, int(self.kest[loc[gi]]))
+            if h != self.kest[loc[gi]]:
+                self.kest[loc[gi]] = h
+                changed += 1
+        return changed
+
+    def kcore_result(self) -> pa.Table:
+        return pa.table({
+            "node": pa.array(self.own_nodes, pa.int64()),
+            "core": pa.array(self.kest, pa.int64())})
+
     # -------------------------------------- Brandes dependency (delta)
     # Backward pass of Brandes' betweenness: THESE methods run on a
     # shard set built from the REVERSED edges (so "out-neighbors" here
@@ -690,6 +758,26 @@ def run_bfs_counts_sharded(shards, sources, max_hops: int):
                 [piece_refs[p][q] for p in range(P)], h)
             for q in range(P)]))
     return ray.get([sh.bfsc_result.remote() for sh in shards])
+
+
+def run_kcore_sharded(shards, max_rounds: int = 100):
+    """Drive synchronous h-index rounds until no estimate changes.
+    Returns the per-shard (node, core) tables."""
+    import ray
+
+    P = len(shards)
+    ray.get([sh.kcore_init.remote() for sh in shards])
+    for _ in range(max_rounds):
+        piece_refs = [
+            sh.kcore_expand.options(num_returns=P).remote()
+            for sh in shards]
+        changed = sum(ray.get([
+            shards[q].kcore_update.remote(
+                [piece_refs[p][q] for p in range(P)])
+            for q in range(P)]))
+        if changed == 0:
+            break
+    return ray.get([sh.kcore_result.remote() for sh in shards])
 
 
 def run_brandes_sharded(rev_shards, fwd_tables, scale: int):

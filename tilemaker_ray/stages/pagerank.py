@@ -666,6 +666,50 @@ def betweenness_delta_fp(edges_ds, sources: list, max_hops: int = 8,
     return out.take(idx)
 
 
+def kcore_numbers(edges_ds, n_shards: int | None = None):
+    """Exact core numbers of the UNDIRECTED graph induced by a
+    (src, dst) edge Dataset, via the synchronous h-index fixpoint on
+    the vertex-shard engine (est starts at degree, each round becomes
+    the h-index of neighbor estimates; monotone → converges to
+    coreness, Lü et al. 2016). Symmetrizes + dedups the edges first
+    so every incident edge is an out-edge. Returns (node, core)
+    sorted by node."""
+    import ray
+
+    from .graph_shards import make_shards, run_kcore_sharded
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch["src"].cast(pa.int64())
+        t = batch["dst"].cast(pa.int64())
+        return pa.table({
+            "s": pa.concat_arrays([s.combine_chunks(),
+                                   t.combine_chunks()]),
+            "t": pa.concat_arrays([t.combine_chunks(),
+                                   s.combine_chunks()])})
+
+    import ray.data as rd
+    both = edges_ds.map_batches(sym, batch_format="pyarrow") \
+        .groupby(["s", "t"]).count().drop_columns(["count()"])
+    # self-loops would inflate degrees; drop them
+    def noself(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["s"], batch["t"]))
+    iedges = both.map_batches(noself, batch_format="pyarrow") \
+        .repartition(4).materialize()
+    P = max(2, n_shards or 8)
+    shards = make_shards(iedges.to_arrow_refs(), P)
+    try:
+        tables = run_kcore_sharded(shards)
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    out = pa.concat_tables([t for t in tables if t.num_rows]) \
+        if any(t.num_rows for t in tables) \
+        else pa.table({"node": pa.array([], pa.int64()),
+                       "core": pa.array([], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx)
+
+
 def sssp_dists(edges_ds, sources: list, max_rounds: int = 8,
                n_shards: int | None = None):
     """Weighted single-source shortest paths over an integer
