@@ -14236,7 +14236,12 @@ QUERIES = {
     # single-exchange aggregations of already-gated families, each
     # locally sim-certified and pytest-covered. Displaced fillers are
     # all hash-certified in a prior round's CORRECTNESS file
-    # (verified by the rotation audit).
+    # (verified by the rotation audit). The round-5 additions (GIF /
+    # video / mapmatch / resample / sorted-neighborhood / watermark /
+    # sigma+Brandes / tileset diff / covariance / power iteration /
+    # PCA outliers / NDCG / TrustRank / k-core / unigram, at the END
+    # of this dict) were each sim-certified at sf0.001 AND sf0.01 on
+    # creation; the full-protocol sweep is recorded in BASELINE.md.
     "osmpbf_node_stats": q_osmpbf_node_stats,
     "osmpbf_way_stats": q_osmpbf_way_stats,
     "osmpbf_relation_members": q_osmpbf_relation_members,
