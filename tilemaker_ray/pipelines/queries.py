@@ -4132,6 +4132,62 @@ def q_kcore_knn_events(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# T-sw (round 5): Smith–Waterman alignment scoring of copy-pair
+# candidates (rows-only; cell-loop reference pytest oracle)
+# ---------------------------------------------------------------------------
+
+def q_sw_align_pairs(sf_dir: str):
+    """Plagiarism VERIFICATION stage: the winnowing/copy-pair block
+    surfaces candidates cheaply (certified machinery); this ranks
+    each candidate pair by its strongest locally aligned passage —
+    word-level Smith–Waterman (match +2 / mismatch −1 / gap −1,
+    stages/align.py, anti-diagonal vectorized, all int64 so scores
+    are exact). The pair list bounds the quadratic work by
+    construction; involved docs broadcast once (ray.put — the
+    accepted candidate-bounded small side), and scoring streams
+    through map_batches. Rows-only (DP); the kernel is pinned against
+    the cell-loop reference in tests/test_align.py."""
+    import ray
+    import ray.data as rd
+    from ..stages.align import sw_score
+    from ..stages.textindex import copy_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = copy_pairs(ds, ngram=5, df_max=50, min_shared=5) \
+        .materialize()
+    ids = set()
+    for t in ray.get(list(pairs.to_arrow_refs())):
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            continue
+        ids.update(t["doc_a"].to_pylist())
+        ids.update(t["doc_b"].to_pylist())
+
+    def involved(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(d, list(ids))))
+
+    texts = {}
+    for t in ray.get(list(
+            ds.map_batches(involved, batch_format="pyarrow")
+            .to_arrow_refs())):
+        for did, tx in zip(t["doc_id"].to_pylist(),
+                           t["text"].to_pylist()):
+            texts[did] = tx.split()
+    texts_ref = ray.put(texts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        s = [sw_score(tx.get(x, []), tx.get(y, []))
+             for x, y in zip(a, b)]
+        return batch.append_column("sw", pa.array(s, pa.int64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow",
+                             batch_size=64)
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -14472,4 +14528,5 @@ QUERIES = {
     "ndcg_bm25": q_ndcg_bm25,
     "trustrank_sites": q_trustrank_sites,
     "kcore_knn_events": q_kcore_knn_events,
+    "sw_align_pairs": q_sw_align_pairs,
 }
