@@ -823,9 +823,12 @@ def q_host_stats_pages(sf_dir: str):
     """URL/domain analytics over the synthetic crawl pages
     (stages/urlstats.py): per-host page count + extracted-text chars,
     combiner-first (per-batch partial bincounts, one slim groupby-sum
-    exchange). Rows-only for the driver — the pages table is generated,
-    not one of the sf parquet views — with a urllib.parse + pandas
-    brute-force oracle in tests/test_urlstats.py."""
+    exchange). The pages table isn't one of the driver's sf views, so
+    the (url, text) rows are staged (_stage_for_oracle, the
+    warc_host_stats protocol) and the SQL oracle re-derives the host
+    with the same RE2 chain + Unicode length — the hash certifies the
+    parse rules and the exchange, while urllib.parse parity stays
+    pinned in tests/test_urlstats.py."""
     import ray.data as rd
     from ..sources import pages as _pages
     from ..stages.urlstats import host_stats
@@ -835,7 +838,8 @@ def q_host_stats_pages(sf_dir: str):
     # the operator's runtime
     ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
                          columns=["url", "text"])
-    return host_stats(ds).sort("host")
+    staged = _stage_for_oracle(ds, "host_stats_pages")
+    return host_stats(rd.read_parquet(staged)).sort("host")
 
 
 def q_value_quantiles_cont(sf_dir: str):
@@ -1402,19 +1406,39 @@ def q_media_features(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5):
-    """IVF approximate ANN (rows-only: approximate by design; exactness
-    at full probe + recall bounds are pytest-verified)."""
+    """IVF approximate ANN. SQL-certified WITHOUT changing the
+    approximate semantics: the trained partition itself — the
+    (vec_id, cluster) assignment table and the per-query probe lists —
+    is staged, and the oracle recomputes the top-k restricted to the
+    probed clusters (joins + list_cosine_similarity + rank window).
+    A hash match certifies that the distributed partial-top-k merge
+    returns EXACTLY the best k among the probed inverted lists — the
+    IVF contract; kmeans determinism, exactness at full probe, and
+    recall ≥ 0.9 at nprobe=4/16 stay pytest-pinned."""
     import pyarrow.parquet as pq
+    import ray.data as rd
 
-    from ..stages.similarity import ivf_topk
+    from ..stages.similarity import ivf_assignments, ivf_topk, ivf_train
     qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                        columns=["vec_id", "embedding"])
     qt = qt.filter(pc.less(qt["vec_id"], n_queries)).sort_by("vec_id")
     Q = np.stack([np.asarray(v, dtype=np.float64)
                   for v in qt["embedding"].to_pylist()])
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, qt["vec_id"].to_numpy(), Q, k=k,
-                   n_clusters=16, nprobe=4)
+
+    n_clusters, nprobe = 16, 4
+    C = ivf_train(ds, n_clusters=n_clusters)
+    _stage_for_oracle(ivf_assignments(ds, C), "ann_ivf_assign")
+    qids = qt["vec_id"].to_numpy()
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    _stage_for_oracle(rd.from_arrow(pa.table({
+        "query_id": pa.array(np.repeat(qids, nprobe), pa.int64()),
+        "cluster": pa.array(probe.ravel().astype(np.int64),
+                            pa.int64())})), "ann_ivf_probe")
+
+    out = ivf_topk(ds, qids, Q, k=k, n_clusters=n_clusters,
+                   nprobe=nprobe, centroids=C)
     return out.select_columns(["query_id", "rank", "neighbor_id"])
 
 
@@ -6958,6 +6982,83 @@ ORACLE_SQL["warc_host_stats"] = """
            CAST(SUM(nch) AS BIGINT) AS sum_chars
     FROM h GROUP BY host ORDER BY host"""
 
+# CUSUM via the reset-to-floor prefix identity (see q_cusum_events):
+# S_t = P_t - min(0, min_{j<=t} P_j), all-integer windowed prefixes
+# over the densified per-type daily grid — slack=1, h=5 inlined
+ORACLE_SQL["cusum_events"] = """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+    g AS (SELECT t.event_type, d.day
+          FROM (SELECT DISTINCT event_type FROM c) t
+          CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT lo FROM b), (SELECT hi FROM b))) AS day) d),
+    s AS (SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
+          FROM g LEFT JOIN c ON c.event_type = g.event_type
+                            AND c.day = g.day),
+    m AS (SELECT event_type, CAST(floor(median(n)) AS BIGINT) AS med
+          FROM s GROUP BY 1),
+    p AS (SELECT s.event_type, s.day,
+                 SUM(s.n - m.med - 1) OVER (PARTITION BY s.event_type
+                                            ORDER BY s.day) AS cp
+          FROM s JOIN m ON m.event_type = s.event_type),
+    r AS (SELECT event_type, day,
+                 CAST(cp - LEAST(MIN(cp) OVER (PARTITION BY event_type
+                                               ORDER BY day), 0)
+                      AS BIGINT) AS s_t
+          FROM p)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN s_t >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days,
+           CAST(COALESCE(MIN(CASE WHEN s_t >= 5 THEN day END), -1)
+                AS BIGINT) AS first_alarm_day,
+           CAST(MAX(s_t) AS BIGINT) AS max_s
+    FROM r GROUP BY event_type"""
+
+# IVF ANN over the staged trained partition (see q_ann_ivf): top-k
+# restricted to each query's probed inverted lists, rank = (sim desc,
+# neighbor_id) — the same deterministic order merge_topk_partials uses
+ORACLE_SQL["ann_ivf"] = """
+    WITH a AS (
+      SELECT vec_id, cluster
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/ann_ivf_assign/*.parquet')),
+    p AS (
+      SELECT query_id, cluster
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/ann_ivf_probe/*.parquet')),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 10),
+    s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS sim
+          FROM q JOIN p ON p.query_id = q.query_id
+                 JOIN a ON a.cluster = p.cluster
+                 JOIN embeddings e ON e.vec_id = a.vec_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id
+    FROM s QUALIFY rank <= 5"""
+
+# identical parse-rule mirror over the staged pages slice (the query
+# stages its exact (url, text) input rows; see q_host_stats_pages)
+ORACLE_SQL["host_stats_pages"] = """
+    WITH rec AS (
+      SELECT url, text
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/host_stats_pages/*.parquet')),
+    n AS (
+      SELECT lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS netloc,
+             length(text) AS nch
+      FROM rec),
+    h AS (
+      SELECT regexp_extract(netloc,
+                 '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1) AS host, nch
+      FROM n)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(nch) AS BIGINT) AS sum_chars
+    FROM h GROUP BY host ORDER BY host"""
+
 ORACLE_SQL["media_codec_features"] = """
     SELECT media_id, kind, n_elems,
            CASE WHEN n_elems = 0 THEN NULL
@@ -9111,10 +9212,14 @@ def q_cusum_events(sf_dir: str, slack: int = 1, h: int = 5):
     result bit-stable.
 
     Output per type: n_alarm_days, first alarm day (−1 if none), max
-    S. Rows-only (the max(0, ·) recursion is not SQL-expressible);
-    pytest pins an independent scalar recursion. Scale shape: the
-    forecast-backtest skeleton — slim count partials, per-type grid
-    walk bounded by the time span."""
+    S. The max(0, ·) recursion closed-forms to prefix sums: with
+    dᵢ = xᵢ − med − slack, Pₜ = Σ_{i≤t} dᵢ and Mₜ = min(0, min_{j≤t}
+    Pⱼ), Sₜ = Pₜ − Mₜ — all integer, so BOTH engines evaluate the
+    same windowed-prefix identity and the oracle is hash-exact
+    (SUM + MIN OVER in SQL, cumsum + minimum.accumulate here); an
+    independent scalar recursion stays pinned in pytest. Scale shape:
+    the forecast-backtest skeleton — slim count partials, per-type
+    vectorized grid fold bounded by the time span."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
@@ -9149,17 +9254,16 @@ def q_cusum_events(sf_dir: str, slack: int = 1, h: int = 5):
         # np.median of ints can be .5 — floor keeps the recursion
         # integer
         med = int(np.floor(np.median(grid)))
-        s = 0
-        n_alarm = 0
-        first = -1
-        smax = 0
-        for i, x in enumerate(grid.tolist()):
-            s = max(0, s + x - med - slack)
-            smax = max(smax, s)
-            if s >= h:
-                n_alarm += 1
-                if first < 0:
-                    first = lo + i
+        # S_t = max(0, S_{t-1} + d_t) ≡ P_t - min(0, min_{j<=t} P_j)
+        # with P the prefix sum of d = x - med - slack: the classic
+        # reset-to-floor identity, vectorized (and the exact windowed
+        # form the SQL oracle evaluates)
+        p = np.cumsum(grid - med - slack)
+        s_t = p - np.minimum(np.minimum.accumulate(p), 0)
+        alarm = s_t >= h
+        n_alarm = int(alarm.sum())
+        first = int(lo + np.argmax(alarm)) if alarm.any() else -1
+        smax = int(s_t.max())
         return pa.table({
             "event_type": g["event_type"].take(pa.array([0])),
             "n_alarm_days": pa.array([n_alarm], pa.int64()),

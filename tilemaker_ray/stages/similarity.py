@@ -82,9 +82,41 @@ def merge_topk_partials(partial_ds, k: int, n_buckets: int = 64,
             .groupby("bkt").map_groups(topk_group, batch_format="pyarrow"))
 
 
+def ivf_train(emb_ds, n_clusters: int = 16, train_sample: int = 2048,
+              seed: int = 42) -> np.ndarray:
+    """Train (unit-normalized) IVF centroids on a driver-side sample —
+    split out of :func:`ivf_topk` so a caller can also derive the
+    cluster-assignment table from the SAME centroids (the ann_ivf SQL
+    oracle stages assignments + probe lists and recomputes the
+    restricted top-k)."""
+    sample = emb_ds.take_batch(train_sample, batch_format="pyarrow")
+    Xs = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in sample["embedding"].to_pylist()]))
+    return _normalize(kmeans(Xs, n_clusters, seed=seed))
+
+
+def ivf_assignments(emb_ds, C: np.ndarray):
+    """(vec_id, cluster) for every vector: nearest (max-dot) centroid,
+    ties to the lowest cluster id (argmax semantics — identical to the
+    in-flight assignment inside :func:`ivf_topk`)."""
+    import ray
+    c_ref = ray.put(np.asarray(C, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from .dedup import _emb_matrix
+        C_ = ray.get(c_ref)
+        V = _normalize(_emb_matrix(batch["embedding"], C_.shape[1]))
+        vc = (V @ C_.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(vc, pa.int64())})
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_topk(emb_ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
              n_clusters: int = 16, nprobe: int = 4, train_sample: int = 2048,
-             seed: int = 42):
+             seed: int = 42, centroids: np.ndarray | None = None):
     """IVF approximate top-k cosine neighbors.
 
     Returns a Ray Dataset (query_id, rank, neighbor_id, sim); ranks are
@@ -92,11 +124,10 @@ def ivf_topk(emb_ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
     """
     import ray
 
-    # 1. train centroids on a driver-side sample (normalized space)
-    sample = emb_ds.take_batch(train_sample, batch_format="pyarrow")
-    Xs = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                              for v in sample["embedding"].to_pylist()]))
-    C = _normalize(kmeans(Xs, n_clusters, seed=seed))
+    # 1. train centroids on a driver-side sample (normalized space),
+    # unless the caller already holds them (oracle staging path)
+    C = centroids if centroids is not None else \
+        ivf_train(emb_ds, n_clusters, train_sample, seed)
 
     # 2. probe set per query
     Qn = _normalize(np.asarray(Q, dtype=np.float64))
