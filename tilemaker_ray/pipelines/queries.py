@@ -4747,8 +4747,20 @@ def q_convex_hull_events(sf_dir: str):
     chain runs over the O(blocks·h) survivors — the lossless
     local-reduction pattern the skyline operator uses. Output: CCW
     ring from the lexicographically smallest vertex, with seq ids.
-    No SQL oracle (hull membership is not ANSI-SQL-expressible);
-    pinned by a gift-wrapping brute + partition-invariance pytest."""
+
+    SQL-certified via staged candidates: the per-block survivors are
+    staged and the oracle re-derives the hull with the edge test
+    (v is a vertex iff some u puts every w strictly left of v→u or on
+    the closed segment — exact int64 cross/dot trees, the same strict-
+    turn semantics as geo/hull.py incl. the all-collinear degenerate)
+    plus the slope ring-order around the lex-min vertex (double
+    division of ≤7.2e5 integer deltas: distinct slope rationals sit
+    ≥10³ ulps apart, so the ORDER BY is exact). A hash match certifies
+    the final chain + ring numbering; the lossless block-reduction
+    property stays pinned by the gift-wrap brute +
+    partition-invariance pytest."""
+    import ray.data as rd
+
     from ..geo.hull import convex_hull
 
     ds = _read(sf_dir, "events", columns=["event_id"])
@@ -4773,7 +4785,10 @@ def q_convex_hull_events(sf_dir: str):
             "x_mil": pa.array(hx, pa.int64()),
             "y_mil": pa.array(hy, pa.int64())})
 
-    return (ds.map_batches(local_hull, batch_format="pyarrow")
+    staged = _stage_for_oracle(
+        ds.map_batches(local_hull, batch_format="pyarrow"),
+        "convex_hull_events")
+    return (rd.read_parquet(staged)
             .groupby("k").map_groups(final_hull,
                                      batch_format="pyarrow"))
 
@@ -7016,6 +7031,41 @@ ORACLE_SQL["cusum_events"] = """
                 AS BIGINT) AS first_alarm_day,
            CAST(MAX(s_t) AS BIGINT) AS max_s
     FROM r GROUP BY event_type"""
+
+# Convex hull over the staged per-block survivors (see
+# q_convex_hull_events): vertex = hull-edge test, ring order = slope
+# around the lex-min vertex, all-integer cross/dot trees
+ORACLE_SQL["convex_hull_events"] = """
+    WITH s AS (
+      SELECT DISTINCT x_mil AS x, y_mil AS y
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/convex_hull_events/*.parquet')),
+    e AS (
+      SELECT v.x AS vx, v.y AS vy
+      FROM s v JOIN s u ON (u.x <> v.x OR u.y <> v.y)
+               CROSS JOIN s w
+      GROUP BY v.x, v.y, u.x, u.y
+      HAVING MIN(CASE
+          WHEN (u.x - v.x) * (w.y - v.y)
+             - (u.y - v.y) * (w.x - v.x) > 0 THEN 1
+          WHEN (u.x - v.x) * (w.y - v.y)
+             - (u.y - v.y) * (w.x - v.x) = 0
+           AND (w.x - v.x) * (u.x - v.x)
+             + (w.y - v.y) * (u.y - v.y) >= 0
+           AND (w.x - v.x) * (u.x - v.x)
+             + (w.y - v.y) * (u.y - v.y)
+              <= (u.x - v.x) * (u.x - v.x)
+               + (u.y - v.y) * (u.y - v.y) THEN 1
+          ELSE 0 END) = 1),
+    verts AS (SELECT DISTINCT vx AS x, vy AS y FROM e),
+    r AS (SELECT x, y FROM verts ORDER BY x, y LIMIT 1)
+    SELECT CAST(row_number() OVER (ORDER BY
+             CASE WHEN v.x = r.x AND v.y = r.y THEN 0 ELSE 1 END,
+             CASE WHEN v.x = r.x THEN 1 ELSE 0 END,
+             CASE WHEN v.x = r.x THEN 0.0
+                  ELSE CAST(v.y - r.y AS DOUBLE) / (v.x - r.x) END)
+           - 1 AS BIGINT) AS seq,
+           v.x AS x_mil, v.y AS y_mil
+    FROM verts v CROSS JOIN r"""
 
 # IVF ANN over the staged trained partition (see q_ann_ivf): top-k
 # restricted to each query's probed inverted lists, rank = (sim desc,
