@@ -4212,6 +4212,109 @@ def q_sw_align_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# G-iso (round 5): marching-squares isolines — contour extraction from
+# a density raster, the raster→vector sibling of raster_polygonize
+# (the reference renders vectors→raster tiles; GIS pipelines also run
+# the inverse). Binary field (count ≥ T) sampled on a fixed 72×34
+# 5°-cell lattice; segments connect edge midpoints, so with doubled
+# coordinates every vertex is an exact integer and the full 16-case
+# table (saddles 5/10 split per corner — the no-interpolation default)
+# is mirrored as a VALUES lookup in SQL.
+# ---------------------------------------------------------------------------
+
+_ISO_NX, _ISO_NY, _ISO_CELL = 72, 34, 5000
+
+
+def q_isolines_events(sf_dir: str):
+    """Marching-squares isolines of the event-density raster: events
+    land on a fixed 72×34 lattice of 5° cells (integer millidegree
+    hash coords), the binary field is count ≥ T with the
+    scale-adaptive integer threshold T = total // (72·34) + 1, and
+    each 2×2 square emits its case's boundary segments with exact
+    doubled-integer endpoints. Both engines walk the IDENTICAL case
+    table (numpy vectorized here, a VALUES lookup join in SQL), so
+    the hash certifies the whole raster→vector chain.
+
+    Scale shape: per-batch (cell, n) bincount partials → ONE slim
+    groupby-sum exchange → a single constant-key group fold bounded
+    by the fixed lattice size (2,448 rows), never by event count —
+    the quadtree/percolation gather pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cx = ((eid * 2654435761) % 360000) // _ISO_CELL
+        cy = ((eid * 40503) % 170000) // _ISO_CELL
+        cell = cx * _ISO_NY + cy
+        cnt = np.bincount(cell, minlength=_ISO_NX * _ISO_NY)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "cx": pa.array(nz // _ISO_NY, pa.int64()),
+            "cy": pa.array(nz % _ISO_NY, pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            "k": pa.array(np.zeros(len(nz), np.int64), pa.int64())})
+
+    def march(g: pa.Table) -> pa.Table:
+        from ..geo.isolines import marching_squares
+        grid = np.zeros((_ISO_NX, _ISO_NY), np.int64)
+        cx = g["cx"].to_numpy(zero_copy_only=False)
+        cy = g["cy"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        grid[cx, cy] = n
+        thr = int(grid.sum()) // (_ISO_NX * _ISO_NY) + 1
+        seg = marching_squares(grid >= thr)
+        return pa.table({
+            "x0_2": pa.array(seg[:, 0], pa.int64()),
+            "y0_2": pa.array(seg[:, 1], pa.int64()),
+            "x1_2": pa.array(seg[:, 2], pa.int64()),
+            "y1_2": pa.array(seg[:, 3], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["cx", "cy"]).aggregate(Sum("n", alias_name="n"))
+              .map_batches(lambda b: b.append_column(
+                  "k", pa.array(np.zeros(b.num_rows, np.int64),
+                                pa.int64())), batch_format="pyarrow"))
+    return counts.groupby("k").map_groups(march, batch_format="pyarrow")
+
+
+ORACLE_SQL_ISOLINES = """
+    WITH pts AS (
+      SELECT ((event_id * 2654435761) % 360000) // 5000 AS cx,
+             ((event_id * 40503) % 170000) // 5000 AS cy
+      FROM events),
+    c AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1, 2),
+    t AS (SELECT SUM(n) // 2448 + 1 AS thr FROM c),
+    g AS (SELECT gx.i AS cx, gy.j AS cy
+          FROM (SELECT unnest(generate_series(0, 71)) AS i) gx
+          CROSS JOIN (SELECT unnest(generate_series(0, 33)) AS j) gy),
+    f AS (SELECT g.cx, g.cy,
+                 CASE WHEN COALESCE(c.n, 0) >= (SELECT thr FROM t)
+                      THEN 1 ELSE 0 END AS b
+          FROM g LEFT JOIN c ON c.cx = g.cx AND c.cy = g.cy),
+    sq AS (SELECT a.cx AS i, a.cy AS j,
+                  a.b + 2 * se.b + 4 * ne.b + 8 * nw.b AS cs
+           FROM f a JOIN f se ON se.cx = a.cx + 1 AND se.cy = a.cy
+                    JOIN f ne ON ne.cx = a.cx + 1 AND ne.cy = a.cy + 1
+                    JOIN f nw ON nw.cx = a.cx AND nw.cy = a.cy + 1
+           WHERE a.cx < 71 AND a.cy < 33),
+    seg AS (SELECT * FROM (VALUES
+      (1,0,1,1,0),(2,1,0,2,1),(3,0,1,2,1),(4,1,2,2,1),
+      (5,0,1,1,0),(5,1,2,2,1),(6,1,0,1,2),(7,0,1,1,2),
+      (8,0,1,1,2),(9,1,0,1,2),(10,1,0,2,1),(10,0,1,1,2),
+      (11,1,2,2,1),(12,0,1,2,1),(13,1,0,2,1),(14,0,1,1,0))
+      v(cs, dx0, dy0, dx1, dy1))
+    SELECT CAST(2 * sq.i + s.dx0 AS BIGINT) AS x0_2,
+           CAST(2 * sq.j + s.dy0 AS BIGINT) AS y0_2,
+           CAST(2 * sq.i + s.dx1 AS BIGINT) AS x1_2,
+           CAST(2 * sq.j + s.dy1 AS BIGINT) AS y1_2
+    FROM sq JOIN seg s ON s.cs = sq.cs"""
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -7031,6 +7134,10 @@ ORACLE_SQL["cusum_events"] = """
                 AS BIGINT) AS first_alarm_day,
            CAST(MAX(s_t) AS BIGINT) AS max_s
     FROM r GROUP BY event_type"""
+
+# marching-squares isolines: the VALUES case table + integer lattice
+# mirror (constant defined next to q_isolines_events)
+ORACLE_SQL["isolines_events"] = ORACLE_SQL_ISOLINES
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -14683,4 +14790,5 @@ QUERIES = {
     "trustrank_sites": q_trustrank_sites,
     "kcore_knn_events": q_kcore_knn_events,
     "sw_align_pairs": q_sw_align_pairs,
+    "isolines_events": q_isolines_events,
 }
