@@ -4315,6 +4315,277 @@ ORACLE_SQL_ISOLINES = """
 
 
 # ---------------------------------------------------------------------------
+# S-corr (round 5): pairwise correlation of event-type daily series —
+# the co-movement screen over monitoring streams. ALL sufficient
+# statistics are exact BIGINTs (counts over the densified day grid),
+# and the one float (Pearson r) is the identical two-node expression
+# tree in both engines, so the whole row hash-matches.
+# ---------------------------------------------------------------------------
+
+def q_type_correlation_events(sf_dir: str):
+    """Pearson correlation between every pair of event types' daily
+    count series (zeros on absent days — the densified grid of length
+    hi−lo+1 is the sample). Output per unordered pair: n_days and the
+    exact integer sufficient statistics (Σa, Σb, Σab, Σa², Σb²) plus
+    r = (n·Σab − Σa·Σb) / √((n·Σaa − Σa²)·(n·Σbb − Σb²)) as the
+    mirrored double tree (NULL when a series is constant).
+
+    Scale shape: per-batch (type, day) count partials → ONE slim
+    exchange → a constant-key fold bounded by n_types × n_days rows
+    (the cusum/forecast gather bound), with the pairwise products a
+    vectorized day-join inside the fold — never an event-count-sized
+    driver structure."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "k": pa.array(
+                             np.zeros(len(g), np.int64), pa.int64())})
+
+    def pairstats(g: pa.Table) -> pa.Table:
+        types = g["event_type"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        lo, hi = int(day.min()), int(day.max())
+        n_days = hi - lo + 1
+        uniq = np.unique(types)
+        series = {}
+        for t in uniq:
+            grid = np.zeros(n_days, np.int64)
+            m = types == t
+            grid[day[m] - lo] = n[m]
+            series[t] = grid
+        rows = {c: [] for c in ("type_a", "type_b", "n_days", "sum_a",
+                                "sum_b", "sum_ab", "sum_aa", "sum_bb",
+                                "corr")}
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                a, b = series[uniq[i]], series[uniq[j]]
+                sa, sb = int(a.sum()), int(b.sum())
+                sab = int((a * b).sum())
+                saa, sbb = int((a * a).sum()), int((b * b).sum())
+                num = n_days * sab - sa * sb
+                da = n_days * saa - sa * sa
+                db = n_days * sbb - sb * sb
+                corr = (float(num) / np.sqrt(float(da) * float(db))
+                        if da > 0 and db > 0 else None)
+                rows["type_a"].append(uniq[i])
+                rows["type_b"].append(uniq[j])
+                rows["n_days"].append(n_days)
+                rows["sum_a"].append(sa)
+                rows["sum_b"].append(sb)
+                rows["sum_ab"].append(sab)
+                rows["sum_aa"].append(saa)
+                rows["sum_bb"].append(sbb)
+                rows["corr"].append(corr)
+        return pa.table({
+            "type_a": pa.array(rows["type_a"], pa.string()),
+            "type_b": pa.array(rows["type_b"], pa.string()),
+            "n_days": pa.array(rows["n_days"], pa.int64()),
+            "sum_a": pa.array(rows["sum_a"], pa.int64()),
+            "sum_b": pa.array(rows["sum_b"], pa.int64()),
+            "sum_ab": pa.array(rows["sum_ab"], pa.int64()),
+            "sum_aa": pa.array(rows["sum_aa"], pa.int64()),
+            "sum_bb": pa.array(rows["sum_bb"], pa.int64()),
+            "corr": pa.array(rows["corr"], pa.float64())})
+
+    counts = (ds.map_batches(days, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Sum("n", alias_name="n"))
+              .map_batches(lambda b: b.append_column(
+                  "k", pa.array(np.zeros(b.num_rows, np.int64),
+                                pa.int64())), batch_format="pyarrow"))
+    return counts.groupby("k").map_groups(pairstats,
+                                          batch_format="pyarrow")
+
+
+ORACLE_SQL_TYPE_CORRELATION = """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MAX(day) - MIN(day) + 1 AS n_days FROM c),
+    t AS (SELECT event_type, SUM(n) AS s, SUM(n * n) AS ss
+          FROM c GROUP BY 1),
+    x AS (SELECT a.event_type AS ta, bb.event_type AS tb,
+                 SUM(a.n * bb.n) AS sab
+          FROM c a JOIN c bb ON a.day = bb.day
+                           AND a.event_type < bb.event_type
+          GROUP BY 1, 2),
+    p AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+                 (SELECT n_days FROM b) AS nd,
+                 ta.s AS sum_a, tb.s AS sum_b,
+                 ta.ss AS sum_aa, tb.ss AS sum_bb,
+                 COALESCE(x.sab, 0) AS sum_ab
+          FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+          LEFT JOIN x ON x.ta = ta.event_type
+                     AND x.tb = tb.event_type)
+    SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_days,
+           CAST(sum_a AS BIGINT) AS sum_a,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           CAST(sum_ab AS BIGINT) AS sum_ab,
+           CAST(sum_aa AS BIGINT) AS sum_aa,
+           CAST(sum_bb AS BIGINT) AS sum_bb,
+           CASE WHEN nd * sum_aa - sum_a * sum_a <= 0
+                  OR nd * sum_bb - sum_b * sum_b <= 0 THEN NULL
+                ELSE CAST(nd * sum_ab - sum_a * sum_b AS DOUBLE)
+                   / sqrt(CAST(nd * sum_aa - sum_a * sum_a AS DOUBLE)
+                        * CAST(nd * sum_bb - sum_b * sum_b AS DOUBLE))
+           END AS corr
+    FROM p"""
+
+
+# ---------------------------------------------------------------------------
+# S-mkv (round 5): Markov transition matrix of per-user event-type
+# sequences — the behavioral-model fit every clickstream pipeline
+# runs; a LAG + pair-count mirror, all integer.
+# ---------------------------------------------------------------------------
+
+def q_markov_transitions_events(sf_dir: str):
+    """Per-user ordered event-type bigrams ((ts, event_id) order,
+    transitions never cross users) counted into the global transition
+    matrix (prev_type, next_type, n_trans) — exact integers.
+
+    Scale shape: the mann_kendall skeleton — a hashed-user bucket
+    exchange (users never span buckets), one vectorized lexsort +
+    shifted-compare per bucket emitting (prev, next) partial counts,
+    then a tiny pair-key groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def transitions(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((eid, us, uid))
+        uid_s, codes_s = uid[order], codes[order]
+        same = np.zeros(len(uid_s), dtype=bool)
+        same[1:] = uid_s[1:] == uid_s[:-1]
+        prev = np.empty_like(codes_s)
+        prev[1:] = codes_s[:-1]
+        pv, cv = prev[same], codes_s[same]
+        n_dict = len(et.dictionary)
+        pair = pv * n_dict + cv
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            "prev_type": et.dictionary.take(
+                pa.array(upair // n_dict, pa.int64())),
+            "next_type": et.dictionary.take(
+                pa.array(upair % n_dict, pa.int64())),
+            "part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(transitions,
+                                        batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("part", alias_name="n_trans")))
+
+
+ORACLE_SQL_MARKOV = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type"""
+
+
+# ---------------------------------------------------------------------------
+# S-mad (round 5): median / MAD robust outlier screen per event type —
+# the robust sibling of z-score flagging (3σ → 3·MAD), all integer
+# cents with the repo's pinned quantile_disc lower-median pick.
+# ---------------------------------------------------------------------------
+
+def q_mad_outliers_events(sf_dir: str):
+    """Per event type: n, the discrete median of value cents
+    (k = ceil(n/2)-th smallest — DuckDB quantile_disc semantics), the
+    MAD (same rule over |cents − med|), and the robust outlier count
+    |cents − med| > 3·MAD. Exact integers end to end.
+
+    Scale shape: one hash(event_type) exchange, vectorized partition
+    + selection per type group (group size = n/n_types; a heavy-type
+    corpus would switch the selection to the mergeable-histogram
+    exact-quantile engine in stages/sketch.py)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(c, pa.int64())})
+
+    def mad(g: pa.Table) -> pa.Table:
+        c = np.sort(g["cents"].to_numpy(zero_copy_only=False))
+        n = len(c)
+        k = max(1, -(-n // 2))                      # ceil(n/2)
+        med = int(c[k - 1])
+        dev = np.sort(np.abs(c - med))
+        madv = int(dev[k - 1])
+        n_out = int((dev > 3 * madv).sum())
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array([0])),
+            "n": pa.array([n], pa.int64()),
+            "med_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([madv], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64())})
+
+    return (ds.map_batches(cents, batch_format="pyarrow")
+            .groupby("event_type").map_groups(mad,
+                                              batch_format="pyarrow"))
+
+
+ORACLE_SQL_MAD = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+          FROM c GROUP BY 1),
+    d AS (SELECT c.event_type, abs(c.cents - m.med) AS dev, m.n, m.med
+          FROM c JOIN m ON m.event_type = c.event_type),
+    md AS (SELECT event_type, CAST(quantile_disc(dev, 0.5) AS BIGINT)
+                    AS madv
+           FROM d GROUP BY 1)
+    SELECT d.event_type, d.n, d.med AS med_cents,
+           md.madv AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev > 3 * md.madv THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md ON md.event_type = d.event_type
+    GROUP BY d.event_type, d.n, d.med, md.madv"""
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -7138,6 +7409,9 @@ ORACLE_SQL["cusum_events"] = """
 # marching-squares isolines: the VALUES case table + integer lattice
 # mirror (constant defined next to q_isolines_events)
 ORACLE_SQL["isolines_events"] = ORACLE_SQL_ISOLINES
+ORACLE_SQL["type_correlation_events"] = ORACLE_SQL_TYPE_CORRELATION
+ORACLE_SQL["markov_transitions_events"] = ORACLE_SQL_MARKOV
+ORACLE_SQL["mad_outliers_events"] = ORACLE_SQL_MAD
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -14791,4 +15065,7 @@ QUERIES = {
     "kcore_knn_events": q_kcore_knn_events,
     "sw_align_pairs": q_sw_align_pairs,
     "isolines_events": q_isolines_events,
+    "type_correlation_events": q_type_correlation_events,
+    "markov_transitions_events": q_markov_transitions_events,
+    "mad_outliers_events": q_mad_outliers_events,
 }
