@@ -4586,6 +4586,93 @@ ORACLE_SQL_MAD = """
 
 
 # ---------------------------------------------------------------------------
+# K-hil (round 5): PMTiles Hilbert tile ids, SQL-certified — the
+# archive clustering order (stages/pmtiles.py::zxy_to_tileid, spec v3;
+# /root/reference/src/pmtiles.cpp:25-47 clusters by the same curve).
+# The per-bit rotation state machine is mirrored as a recursive CTE
+# carrying (cx, cy, k, d), so a hash match certifies every rotation/
+# flip/quadrant step of the curve on real tile coordinates at TWO
+# zooms (mixed-z ids exercise the per-row bit ranges).
+# ---------------------------------------------------------------------------
+
+def q_hilbert_tiles(sf_dir: str):
+    """Distinct event tiles on the 4096-lattice at z12 plus their z11
+    parents, each with its PMTiles Hilbert tile id — the key the
+    archive writer sorts by. One distinct exchange; the id itself is
+    vectorized numpy per batch (the rotation loop runs per BIT, not
+    per row)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.pmtiles import zxy_to_tileid
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = ((eid * 2654435761) % 360000) * 4096 // 360000
+        y = ((eid * 40503) % 170000) * 4096 // 170000
+        t12 = np.unique(np.stack([x, y], axis=1), axis=0)
+        t11 = np.unique(t12 // 2, axis=0)
+        z = np.concatenate([np.full(len(t12), 12, np.int64),
+                            np.full(len(t11), 11, np.int64)])
+        xs = np.concatenate([t12[:, 0], t11[:, 0]])
+        ys = np.concatenate([t12[:, 1], t11[:, 1]])
+        return pa.table({"z": pa.array(z, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64())})
+
+    def tid(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        t = zxy_to_tileid(z, x, y)
+        return pa.table({"z": batch["z"], "x": batch["x"],
+                         "y": batch["y"],
+                         "tileid": pa.array(t, pa.int64())})
+
+    return (ds.map_batches(tiles, batch_format="pyarrow")
+            .groupby(["z", "x", "y"]).aggregate(Count(alias_name="c"))
+            .map_batches(tid, batch_format="pyarrow")
+            .select_columns(["z", "x", "y", "tileid"]))
+
+
+ORACLE_SQL_HILBERT = """
+    WITH RECURSIVE e AS (
+      SELECT ((event_id * 2654435761) % 360000) * 4096 // 360000 AS x,
+             ((event_id * 40503) % 170000) * 4096 // 170000 AS y
+      FROM events),
+    t12 AS (SELECT DISTINCT CAST(12 AS BIGINT) AS z, x, y FROM e),
+    t11 AS (SELECT DISTINCT CAST(11 AS BIGINT) AS z,
+                   x // 2 AS x, y // 2 AS y FROM t12),
+    t AS (SELECT * FROM t12 UNION ALL SELECT * FROM t11),
+    r AS (
+      SELECT z, x, y, x AS cx, y AS cy,
+             CAST(z - 1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS d
+      FROM t
+      UNION ALL
+      SELECT z, x, y,
+        CASE WHEN (cy & (CAST(1 AS BIGINT) << k)) > 0 THEN cx
+             WHEN (cx & (CAST(1 AS BIGINT) << k)) > 0
+               THEN (CAST(1 AS BIGINT) << k) - 1 - cy
+             ELSE cy END,
+        CASE WHEN (cy & (CAST(1 AS BIGINT) << k)) > 0 THEN cy
+             WHEN (cx & (CAST(1 AS BIGINT) << k)) > 0
+               THEN (CAST(1 AS BIGINT) << k) - 1 - cx
+             ELSE cx END,
+        k - 1,
+        d + (CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)
+          * xor(3 * (CASE WHEN (cx & (CAST(1 AS BIGINT) << k)) > 0
+                          THEN 1 ELSE 0 END),
+                CASE WHEN (cy & (CAST(1 AS BIGINT) << k)) > 0
+                     THEN 1 ELSE 0 END)
+      FROM r WHERE k >= 0)
+    SELECT z, x, y,
+           ((CAST(1 AS BIGINT) << (2 * z)) - 1) // 3 + d AS tileid
+    FROM r WHERE k = -1"""
+
+
+# ---------------------------------------------------------------------------
 # Q42m: JSON property extraction + aggregation — the semi-structured
 # column path (events.props is a JSON string)
 # ---------------------------------------------------------------------------
@@ -7412,6 +7499,7 @@ ORACLE_SQL["isolines_events"] = ORACLE_SQL_ISOLINES
 ORACLE_SQL["type_correlation_events"] = ORACLE_SQL_TYPE_CORRELATION
 ORACLE_SQL["markov_transitions_events"] = ORACLE_SQL_MARKOV
 ORACLE_SQL["mad_outliers_events"] = ORACLE_SQL_MAD
+ORACLE_SQL["hilbert_tiles"] = ORACLE_SQL_HILBERT
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15068,4 +15156,5 @@ QUERIES = {
     "type_correlation_events": q_type_correlation_events,
     "markov_transitions_events": q_markov_transitions_events,
     "mad_outliers_events": q_mad_outliers_events,
+    "hilbert_tiles": q_hilbert_tiles,
 }
