@@ -3793,6 +3793,134 @@ def q_embedding_covariance(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E-jl (round 5): Johnson–Lindenstrauss random projection — the
+# dimensionality-reduction front door of every 100-TB embedding
+# pipeline (64 → 16 dims with a deterministic ±1 sign matrix). All
+# algebra is exact int64 (quantized vectors × sign matrix), so the
+# distance-preservation audit is hash-certifiable end to end.
+# ---------------------------------------------------------------------------
+
+_JL_D, _JL_K = 64, 16
+
+
+def _jl_signs() -> np.ndarray:
+    """Deterministic (64, 16) ±1 matrix from a small-integer hash —
+    identical closed form in the SQL oracle (int64-safe, no uint
+    wraparound semantics to mirror)."""
+    d = np.arange(_JL_D, dtype=np.int64)[:, None]
+    k = np.arange(_JL_K, dtype=np.int64)[None, :]
+    return np.where(((d * 2654435761 + k * 40503) % 1000003) % 2 == 0,
+                    1, -1).astype(np.int64)
+
+
+def q_jl_projection_embeddings(sf_dir: str, topk: int = 20):
+    """JL projection audit: quantized embeddings (×1024, staged so
+    both engines read identical integers) are projected with the
+    deterministic ±1 matrix, and the 20 nearest vectors to vec 0 by
+    ORIGINAL squared distance are reported with both distances plus
+    the distortion ratio (d2_proj/K)/d2_orig — the quantity the JL
+    lemma bounds. Distances and projections are exact int64; the one
+    float is the same two-node tree in both engines.
+
+    Scale shape: projection + distance are per-batch matmuls against
+    the broadcast 64×16 sign matrix and the single query row;
+    partial top-k per batch → one constant-key merge over
+    O(blocks·k) rows — corpus size never reaches the driver."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.dedup import _emb_matrix
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], _JL_D).astype(np.float64)
+        Q = np.rint(V * 1024.0).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qvec": pa.array(Q.tolist(), pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        "jl_projection")
+
+    ref = pq.read_table(staged, columns=["vec_id", "qvec"])
+    ref = ref.filter(pc.equal(ref["vec_id"], 0))
+    q0 = np.asarray(ref["qvec"].to_pylist()[0], dtype=np.int64)
+    R = _jl_signs()
+    p0 = q0 @ R
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = ids != 0
+        Q, ids = Q[m], ids[m]
+        d2o = ((Q - q0) ** 2).sum(axis=1)
+        d2p = ((Q @ R - p0) ** 2).sum(axis=1)
+        keep = np.lexsort((ids, d2o))[:topk]
+        return pa.table({
+            "neighbor_id": pa.array(ids[keep], pa.int64()),
+            "d2_orig": pa.array(d2o[keep], pa.int64()),
+            "d2_proj": pa.array(d2p[keep], pa.int64()),
+            "k": pa.array(np.zeros(len(keep), np.int64), pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        d2o = g["d2_orig"].to_numpy(zero_copy_only=False)
+        d2p = g["d2_proj"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ids, d2o))[:topk]
+        dist = np.where(
+            d2o[keep] > 0,
+            (d2p[keep].astype(np.float64) / float(_JL_K))
+            / d2o[keep].astype(np.float64), np.nan)
+        return pa.table({
+            "neighbor_id": pa.array(ids[keep], pa.int64()),
+            "d2_orig": pa.array(d2o[keep], pa.int64()),
+            "d2_proj": pa.array(d2p[keep], pa.int64()),
+            "distortion": pa.array(dist, pa.float64())})
+
+    return (rd.read_parquet(staged)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("k").map_groups(merge, batch_format="pyarrow"))
+
+
+ORACLE_SQL_JL = """
+    WITH q AS (
+      SELECT vec_id, qvec
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/jl_projection/*.parquet')),
+    u AS (SELECT vec_id, dd.i AS d, qvec[dd.i + 1] AS v
+          FROM q CROSS JOIN
+               (SELECT unnest(generate_series(0, 63)) AS i) dd),
+    q0 AS (SELECT d, v FROM u WHERE vec_id = 0),
+    dist AS (SELECT u.vec_id,
+                    SUM((u.v - q0.v) * (u.v - q0.v)) AS d2_orig
+             FROM u JOIN q0 ON q0.d = u.d
+             WHERE u.vec_id <> 0 GROUP BY 1),
+    r AS (SELECT dd.i AS d, kk.j AS k,
+                 CASE WHEN ((dd.i * 2654435761 + kk.j * 40503)
+                            % 1000003) % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) dd
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) kk),
+    p AS (SELECT u.vec_id, r.k, SUM(u.v * r.s) AS pv
+          FROM u JOIN r ON r.d = u.d GROUP BY 1, 2),
+    p0 AS (SELECT k, pv FROM p WHERE vec_id = 0),
+    pd AS (SELECT p.vec_id,
+                  SUM((p.pv - p0.pv) * (p.pv - p0.pv)) AS d2_proj
+           FROM p JOIN p0 ON p0.k = p.k
+           WHERE p.vec_id <> 0 GROUP BY 1),
+    top AS (SELECT d.vec_id AS neighbor_id, d.d2_orig, pd.d2_proj
+            FROM dist d JOIN pd ON pd.vec_id = d.vec_id
+            ORDER BY d.d2_orig, d.vec_id LIMIT 20)
+    SELECT neighbor_id, CAST(d2_orig AS BIGINT) AS d2_orig,
+           CAST(d2_proj AS BIGINT) AS d2_proj,
+           CASE WHEN d2_orig = 0 THEN NULL
+                ELSE (CAST(d2_proj AS DOUBLE) / 16.0)
+                   / CAST(d2_orig AS DOUBLE) END AS distortion
+    FROM top"""
+
+
+# ---------------------------------------------------------------------------
 # E-pow (round 5): fixed-point power iteration — dominant principal
 # direction of the embedding second-moment matrix (SQL-exact)
 # ---------------------------------------------------------------------------
@@ -7500,6 +7628,7 @@ ORACLE_SQL["type_correlation_events"] = ORACLE_SQL_TYPE_CORRELATION
 ORACLE_SQL["markov_transitions_events"] = ORACLE_SQL_MARKOV
 ORACLE_SQL["mad_outliers_events"] = ORACLE_SQL_MAD
 ORACLE_SQL["hilbert_tiles"] = ORACLE_SQL_HILBERT
+ORACLE_SQL["jl_projection_embeddings"] = ORACLE_SQL_JL
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15157,4 +15286,5 @@ QUERIES = {
     "markov_transitions_events": q_markov_transitions_events,
     "mad_outliers_events": q_mad_outliers_events,
     "hilbert_tiles": q_hilbert_tiles,
+    "jl_projection_embeddings": q_jl_projection_embeddings,
 }
