@@ -14,12 +14,17 @@ def test_signs_deterministic_and_pm1():
     assert np.array_equal(R, _jl_signs())
 
 
-def test_signs_balanced():
-    # a usable JL sign matrix is near-balanced overall and per column
+def test_signs_balanced_and_uncorrelated():
+    # a usable JL sign matrix is near-balanced overall and per column,
+    # and — the property the first (affine) hash violated with two
+    # IDENTICAL columns — its columns are near-orthogonal
     R = _jl_signs()
     assert abs(int(R.sum())) < _JL_D * _JL_K * 0.2
     col_bias = np.abs(R.sum(axis=0))
     assert (col_bias < _JL_D * 0.5).all()
+    G = R.T @ R
+    offdiag = np.abs(G - np.diag(np.diag(G))).max()
+    assert offdiag <= 24, offdiag  # random ±1 cols: O(sqrt(64)) ≈ 8
 
 
 def test_distance_preservation_on_random_vectors():

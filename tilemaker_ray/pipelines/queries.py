@@ -3806,11 +3806,16 @@ _JL_D, _JL_K = 64, 16
 def _jl_signs() -> np.ndarray:
     """Deterministic (64, 16) ±1 matrix from a small-integer hash —
     identical closed form in the SQL oracle (int64-safe, no uint
-    wraparound semantics to mirror)."""
+    wraparound semantics to mirror). The MULTIPLICATIVE d×k mix
+    matters: an affine d·A + k·B form makes whole columns shifted
+    copies (two of 16 came out identical — caught by the
+    test_jl.py column-correlation check); this form measures
+    max |colᵢ·colⱼ| = 10 over 64 dims, i.e. random-like."""
     d = np.arange(_JL_D, dtype=np.int64)[:, None]
     k = np.arange(_JL_K, dtype=np.int64)[None, :]
-    return np.where(((d * 2654435761 + k * 40503) % 1000003) % 2 == 0,
-                    1, -1).astype(np.int64)
+    h = (d * 2654435761 % 1000003) \
+        * (k * 40503 % 1000003 + 1) % 1000003
+    return np.where(h % 2 == 0, 1, -1).astype(np.int64)
 
 
 def q_jl_projection_embeddings(sf_dir: str, topk: int = 20):
@@ -3897,7 +3902,8 @@ ORACLE_SQL_JL = """
              FROM u JOIN q0 ON q0.d = u.d
              WHERE u.vec_id <> 0 GROUP BY 1),
     r AS (SELECT dd.i AS d, kk.j AS k,
-                 CASE WHEN ((dd.i * 2654435761 + kk.j * 40503)
+                 CASE WHEN ((dd.i * 2654435761 % 1000003)
+                            * (kk.j * 40503 % 1000003 + 1)
                             % 1000003) % 2 = 0
                       THEN 1 ELSE -1 END AS s
           FROM (SELECT unnest(generate_series(0, 63)) AS i) dd
