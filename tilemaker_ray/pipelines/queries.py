@@ -3927,6 +3927,123 @@ ORACLE_SQL_JL = """
 
 
 # ---------------------------------------------------------------------------
+# E-dq (round 5): per-dimension quantile statistics of the embedding
+# matrix — the robust-scaling / feature-health profile a 100-TB
+# embedding store computes before normalization. Rides the
+# grouped-quantiles engine keyed by DIMENSION.
+# ---------------------------------------------------------------------------
+
+def q_dim_quantiles_embeddings(sf_dir: str):
+    """p25/p50/p75 of every embedding dimension under the staged
+    ×1024 integer quantization (both engines read identical ints —
+    the covariance protocol). The unnest inflates rows 64× but each
+    (dim, v) row is 16 bytes and the grouped-quantiles engine moves
+    only bucketed histograms; the pinned quantile_disc rule
+    (k = max(1, ceil(p·n))) keeps the selection hash-exact."""
+    import ray.data as rd
+
+    from ..stages.dedup import _emb_matrix
+    from ..stages.sketch import grouped_quantiles
+
+    D = 64
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        V = _emb_matrix(batch["embedding"], D).astype(np.float64)
+        Q = np.rint(V * 1024.0).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "qvec": pa.array(Q.tolist(), pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    staged = _stage_for_oracle(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        "dim_quantiles")
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        Q = np.asarray(batch["qvec"].to_pylist(), dtype=np.int64)
+        n = len(Q)
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(D, dtype=np.int64), n),
+                            pa.int64()),
+            "v": pa.array(Q.ravel(), pa.int64())})
+
+    rows = rd.read_parquet(staged).map_batches(
+        unnest, batch_format="pyarrow")
+    return grouped_quantiles(rows, "dim", "v", [0.25, 0.5, 0.75])
+
+
+ORACLE_SQL_DIM_QUANTILES = """
+    WITH q AS (
+      SELECT qvec
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/dim_quantiles/*.parquet')),
+    u AS (SELECT dd.i AS dim, qvec[dd.i + 1] AS v
+          FROM q CROSS JOIN
+               (SELECT unnest(generate_series(0, 63)) AS i) dd)
+    SELECT dim, CAST(quantile_disc(v, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(v, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(v, 0.75) AS DOUBLE) AS p75
+    FROM u GROUP BY dim"""
+
+
+# ---------------------------------------------------------------------------
+# D-pri (round 5): deterministic priority sampling (Duffield–Lund–
+# Thorup shape with a hash in place of the uniform draw) — the
+# weighted subset-selection step of corpus curation, reproducible
+# across runs and cluster sizes because the priority is a pure integer
+# function of (doc_id, weight).
+# ---------------------------------------------------------------------------
+
+def q_priority_sample_docs(sf_dir: str, k: int = 100):
+    """Top-k documents by integer priority w·10⁹ // u, where w is the
+    document's char length (the token-budget proxy) and
+    u = (doc_id·2654435761) mod 1000003 + 1 stands in for the uniform
+    draw — heavier docs are proportionally likelier to surface, and
+    the whole computation is exact int64 in both engines.
+
+    Scale shape: per-batch priority + partial top-k, one constant-key
+    merge over O(blocks·k) rows (the JL/ANN merge skeleton)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = (ids * 2654435761) % 1000003 + 1
+        pri = w * 1_000_000_000 // u
+        keep = np.lexsort((ids, -pri))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "w": pa.array(w[keep], pa.int64()),
+            "u": pa.array(u[keep], pa.int64()),
+            "priority": pa.array(pri[keep], pa.int64()),
+            "kk": pa.array(np.zeros(len(keep), np.int64), pa.int64())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((
+            ids, -g["priority"].to_numpy(zero_copy_only=False)))[:k]
+        t = g.take(pa.array(keep))
+        return t.select(["doc_id", "w", "u", "priority"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("kk").map_groups(merge, batch_format="pyarrow"))
+
+
+ORACLE_SQL_PRIORITY_SAMPLE = """
+    WITH p AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+             (doc_id * 2654435761) % 1000003 + 1 AS u
+      FROM documents),
+    s AS (SELECT doc_id, w, u, w * 1000000000 // u AS priority
+          FROM p)
+    SELECT doc_id, w, CAST(u AS BIGINT) AS u,
+           CAST(priority AS BIGINT) AS priority
+    FROM s
+    QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
+
+
+# ---------------------------------------------------------------------------
 # E-pow (round 5): fixed-point power iteration — dominant principal
 # direction of the embedding second-moment matrix (SQL-exact)
 # ---------------------------------------------------------------------------
@@ -7635,6 +7752,8 @@ ORACLE_SQL["markov_transitions_events"] = ORACLE_SQL_MARKOV
 ORACLE_SQL["mad_outliers_events"] = ORACLE_SQL_MAD
 ORACLE_SQL["hilbert_tiles"] = ORACLE_SQL_HILBERT
 ORACLE_SQL["jl_projection_embeddings"] = ORACLE_SQL_JL
+ORACLE_SQL["dim_quantiles_embeddings"] = ORACLE_SQL_DIM_QUANTILES
+ORACLE_SQL["priority_sample_docs"] = ORACLE_SQL_PRIORITY_SAMPLE
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15293,4 +15412,6 @@ QUERIES = {
     "mad_outliers_events": q_mad_outliers_events,
     "hilbert_tiles": q_hilbert_tiles,
     "jl_projection_embeddings": q_jl_projection_embeddings,
+    "dim_quantiles_embeddings": q_dim_quantiles_embeddings,
+    "priority_sample_docs": q_priority_sample_docs,
 }
