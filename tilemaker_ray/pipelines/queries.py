@@ -4044,6 +4044,70 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
 
 
 # ---------------------------------------------------------------------------
+# K-qk (round 5): Bing quadkey encoding — the THIRD tile addressing
+# scheme beside z/x/y ids and Hilbert ids (geohash covers lat/lon
+# cells): one base-4 digit per zoom, digit_i = (x-bit) + 2·(y-bit),
+# so a parent's key is every child's string prefix. The SQL mirror is
+# 12 unrolled digit CASEs concatenated.
+# ---------------------------------------------------------------------------
+
+def q_quadkey_tiles(sf_dir: str):
+    """Distinct z12 event tiles with their quadkey strings plus the
+    derived z6 prefix — certifying both the digit interleave and the
+    prefix-containment property the quadkey scheme exists for. One
+    distinct exchange; digits are vectorized byte arithmetic."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    Z = 12
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = ((eid * 2654435761) % 360000) * 4096 // 360000
+        y = ((eid * 40503) % 170000) * 4096 // 170000
+        t = np.unique(np.stack([x, y], axis=1), axis=0)
+        return pa.table({"x": pa.array(t[:, 0], pa.int64()),
+                         "y": pa.array(t[:, 1], pa.int64())})
+
+    def quadkey(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        # digit per zoom level: bit (Z-i) of x and y, high bit first
+        digs = np.empty((len(x), Z), np.uint8)
+        for i in range(1, Z + 1):
+            digs[:, i - 1] = (((x >> (Z - i)) & 1)
+                              + 2 * ((y >> (Z - i)) & 1) + 0x30)
+        qk = [d.tobytes().decode("ascii") for d in digs]
+        return pa.table({
+            "x": batch["x"], "y": batch["y"],
+            "quadkey": pa.array(qk, pa.string()),
+            "quadkey_z6": pa.array([q[:6] for q in qk], pa.string())})
+
+    return (ds.map_batches(tiles, batch_format="pyarrow")
+            .groupby(["x", "y"]).aggregate(Count(alias_name="c"))
+            .map_batches(quadkey, batch_format="pyarrow")
+            .select_columns(["x", "y", "quadkey", "quadkey_z6"]))
+
+
+def _quadkey_digit_sql(i: int, z: int = 12) -> str:
+    return (f"CAST((x // {1 << (z - i)}) % 2"
+            f" + 2 * ((y // {1 << (z - i)}) % 2) AS VARCHAR)")
+
+
+ORACLE_SQL_QUADKEY = """
+    WITH e AS (
+      SELECT ((event_id * 2654435761) % 360000) * 4096 // 360000 AS x,
+             ((event_id * 40503) % 170000) * 4096 // 170000 AS y
+      FROM events),
+    t AS (SELECT DISTINCT x, y FROM e),
+    k AS (SELECT x, y, {digits} AS quadkey FROM t)
+    SELECT x, y, quadkey, substr(quadkey, 1, 6) AS quadkey_z6
+    FROM k""".format(digits=" || ".join(
+        _quadkey_digit_sql(i) for i in range(1, 13)))
+
+
+# ---------------------------------------------------------------------------
 # E-pow (round 5): fixed-point power iteration — dominant principal
 # direction of the embedding second-moment matrix (SQL-exact)
 # ---------------------------------------------------------------------------
@@ -7754,6 +7818,7 @@ ORACLE_SQL["hilbert_tiles"] = ORACLE_SQL_HILBERT
 ORACLE_SQL["jl_projection_embeddings"] = ORACLE_SQL_JL
 ORACLE_SQL["dim_quantiles_embeddings"] = ORACLE_SQL_DIM_QUANTILES
 ORACLE_SQL["priority_sample_docs"] = ORACLE_SQL_PRIORITY_SAMPLE
+ORACLE_SQL["quadkey_tiles"] = ORACLE_SQL_QUADKEY
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15414,4 +15479,5 @@ QUERIES = {
     "jl_projection_embeddings": q_jl_projection_embeddings,
     "dim_quantiles_embeddings": q_dim_quantiles_embeddings,
     "priority_sample_docs": q_priority_sample_docs,
+    "quadkey_tiles": q_quadkey_tiles,
 }
