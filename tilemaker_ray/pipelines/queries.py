@@ -4044,6 +4044,83 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
 
 
 # ---------------------------------------------------------------------------
+# W-ring (round 5): consistent-hash ring assignment — the sharding
+# primitive under every crawl frontier / distributed KV placement
+# decision (Karger et al.): 64 nodes × 8 virtual replicas on a 2²⁰
+# ring, each key owned by the first position clockwise. All integer,
+# so the placement (and its load histogram) is hash-certifiable.
+# ---------------------------------------------------------------------------
+
+_RING_M = 1 << 20
+_RING_NODES, _RING_REPL = 64, 8
+
+
+def q_hash_ring_customers(sf_dir: str):
+    """Place every customer key on the consistent-hash ring and
+    report the per-node load histogram — the balance check an
+    operator runs before trusting a ring layout. Position of replica
+    r of node n: (n·2654435761 + r·40503 + 7919) mod 2²⁰; key
+    position: (c_custkey·48271) mod 2²⁰; owner = minimal clockwise
+    distance, ties broken by (node, replica). Exact int64 end to end.
+
+    Scale shape: the 512 ring positions broadcast once; ownership is
+    one vectorized (batch × 512) argmin per batch; only per-node
+    partial counts move — a 10¹²-key frontier exchanges 64 rows per
+    block."""
+    from ray.data.aggregate import Sum
+
+    n = np.arange(_RING_NODES, dtype=np.int64)[:, None]
+    r = np.arange(_RING_REPL, dtype=np.int64)[None, :]
+    pos = ((n * 2654435761 + r * 40503 + 7919) % _RING_M).ravel()
+    node_of = np.repeat(np.arange(_RING_NODES, dtype=np.int64),
+                        _RING_REPL)
+    repl_of = np.tile(np.arange(_RING_REPL, dtype=np.int64),
+                      _RING_NODES)
+    # total-order rank: clockwise distance, then (node, replica)
+    rank_tail = node_of * _RING_REPL + repl_of
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kp = (k * 48271) % _RING_M
+        dist = (pos[None, :] - kp[:, None]) % _RING_M
+        owner = node_of[np.argmin(
+            dist * (_RING_NODES * _RING_REPL) + rank_tail[None, :],
+            axis=1)]
+        cnt = np.bincount(owner, minlength=_RING_NODES)
+        return pa.table({
+            "node": pa.array(np.arange(_RING_NODES, dtype=np.int64),
+                             pa.int64()),
+            "part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("part", alias_name="n_keys")))
+
+
+ORACLE_SQL_HASH_RING = """
+    WITH p AS (
+      SELECT nn.n AS node, rr.r AS repl,
+             (nn.n * 2654435761 + rr.r * 40503 + 7919) % 1048576
+               AS pos
+      FROM (SELECT unnest(generate_series(0, 63)) AS n) nn
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) rr),
+    k AS (SELECT c_custkey, (c_custkey * 48271) % 1048576 AS kp
+          FROM customer),
+    own AS (
+      SELECT k.c_custkey,
+             arg_min(p.node,
+                     ((p.pos - k.kp + 1048576) % 1048576) * 512
+                       + p.node * 8 + p.repl) AS node
+      FROM k CROSS JOIN p GROUP BY k.c_custkey)
+    SELECT n.node, CAST(COALESCE(c.n_keys, 0) AS BIGINT) AS n_keys
+    FROM (SELECT unnest(generate_series(0, 63)) AS node) n
+    LEFT JOIN (SELECT node, COUNT(*) AS n_keys
+               FROM own GROUP BY node) c ON c.node = n.node"""
+
+
+# ---------------------------------------------------------------------------
 # K-qk (round 5): Bing quadkey encoding — the THIRD tile addressing
 # scheme beside z/x/y ids and Hilbert ids (geohash covers lat/lon
 # cells): one base-4 digit per zoom, digit_i = (x-bit) + 2·(y-bit),
@@ -7819,6 +7896,7 @@ ORACLE_SQL["jl_projection_embeddings"] = ORACLE_SQL_JL
 ORACLE_SQL["dim_quantiles_embeddings"] = ORACLE_SQL_DIM_QUANTILES
 ORACLE_SQL["priority_sample_docs"] = ORACLE_SQL_PRIORITY_SAMPLE
 ORACLE_SQL["quadkey_tiles"] = ORACLE_SQL_QUADKEY
+ORACLE_SQL["hash_ring_customers"] = ORACLE_SQL_HASH_RING
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15480,4 +15558,5 @@ QUERIES = {
     "dim_quantiles_embeddings": q_dim_quantiles_embeddings,
     "priority_sample_docs": q_priority_sample_docs,
     "quadkey_tiles": q_quadkey_tiles,
+    "hash_ring_customers": q_hash_ring_customers,
 }
