@@ -4044,6 +4044,112 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
 
 
 # ---------------------------------------------------------------------------
+# S-sax (round 5): PAA + SAX symbolization of the per-type daily
+# series (Lin et al.) — the time-series-mining front door: fixed
+# 8-day Piecewise Aggregate windows (exact integer sums over the
+# densified grid), then a 3-letter alphabet cut at the per-type
+# tercile breakpoints (the pinned quantile_disc rule). The SAX word
+# is what motif/anomaly mining indexes at scale.
+# ---------------------------------------------------------------------------
+
+def q_sax_events(sf_dir: str, window: int = 8):
+    """Per event type: the SAX word of its daily-count series — PAA
+    segment sums over full 8-day windows of the global [lo, hi] day
+    span, each segment mapped to a/b/c by the type's own tercile
+    breakpoints (k = max(1, ceil(p·n)) discrete selection). Output:
+    (event_type, n_segs, q1, q2, sax_word) — all integers plus one
+    deterministic string.
+
+    Scale shape: the cusum skeleton — slim (type, day) count
+    partials, one exchange, a per-type fold bounded by the day span
+    (never by event count)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(days, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).aggregate(Sum("n"))
+              .map_batches(lambda b: pa.table({
+                  "event_type": b["event_type"], "day": b["day"],
+                  "n": pc.cast(b["sum(n)"], pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())
+    lo = int(counts.min("day"))
+    hi = int(counts.max("day"))
+    n_segs = (hi - lo + 1) // window
+
+    def sax(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        grid = np.zeros(hi - lo + 1, np.int64)
+        grid[day - lo] = n
+        segs = grid[:n_segs * window].reshape(n_segs, window) \
+            .sum(axis=1)
+        srt = np.sort(segs)
+        k1 = max(1, int(np.ceil((1.0 / 3.0) * n_segs)))
+        k2 = max(1, int(np.ceil((2.0 / 3.0) * n_segs)))
+        q1, q2 = int(srt[k1 - 1]), int(srt[k2 - 1])
+        word = "".join("a" if s <= q1 else ("b" if s <= q2 else "c")
+                       for s in segs.tolist())
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array([0])),
+            "n_segs": pa.array([n_segs], pa.int64()),
+            "q1": pa.array([q1], pa.int64()),
+            "q2": pa.array([q2], pa.int64()),
+            "sax_word": pa.array([word], pa.string())})
+
+    return counts.groupby("event_type").map_groups(
+        sax, batch_format="pyarrow")
+
+
+ORACLE_SQL_SAX = """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi,
+                 (MAX(day) - MIN(day) + 1) // 8 AS n_segs FROM c),
+    g AS (SELECT t.event_type, d.day
+          FROM (SELECT DISTINCT event_type FROM c) t
+          CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT lo FROM b), (SELECT hi FROM b))) AS day) d),
+    f AS (SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
+          FROM g LEFT JOIN c ON c.event_type = g.event_type
+                            AND c.day = g.day),
+    s AS (SELECT event_type,
+                 (day - (SELECT lo FROM b)) // 8 AS seg,
+                 CAST(SUM(n) AS BIGINT) AS seg_sum
+          FROM f
+          WHERE (day - (SELECT lo FROM b)) // 8 < (SELECT n_segs FROM b)
+          GROUP BY 1, 2),
+    q AS (SELECT event_type,
+                 CAST(quantile_disc(seg_sum, 1.0/3) AS BIGINT) AS q1,
+                 CAST(quantile_disc(seg_sum, 2.0/3) AS BIGINT) AS q2
+          FROM s GROUP BY 1)
+    SELECT s.event_type,
+           CAST((SELECT n_segs FROM b) AS BIGINT) AS n_segs,
+           q.q1, q.q2,
+           string_agg(CASE WHEN s.seg_sum <= q.q1 THEN 'a'
+                           WHEN s.seg_sum <= q.q2 THEN 'b'
+                           ELSE 'c' END, '' ORDER BY s.seg)
+             AS sax_word
+    FROM s JOIN q ON q.event_type = s.event_type
+    GROUP BY s.event_type, q.q1, q.q2"""
+
+
+# ---------------------------------------------------------------------------
 # W-ring (round 5): consistent-hash ring assignment — the sharding
 # primitive under every crawl frontier / distributed KV placement
 # decision (Karger et al.): 64 nodes × 8 virtual replicas on a 2²⁰
@@ -7897,6 +8003,7 @@ ORACLE_SQL["dim_quantiles_embeddings"] = ORACLE_SQL_DIM_QUANTILES
 ORACLE_SQL["priority_sample_docs"] = ORACLE_SQL_PRIORITY_SAMPLE
 ORACLE_SQL["quadkey_tiles"] = ORACLE_SQL_QUADKEY
 ORACLE_SQL["hash_ring_customers"] = ORACLE_SQL_HASH_RING
+ORACLE_SQL["sax_events"] = ORACLE_SQL_SAX
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15559,4 +15666,5 @@ QUERIES = {
     "priority_sample_docs": q_priority_sample_docs,
     "quadkey_tiles": q_quadkey_tiles,
     "hash_ring_customers": q_hash_ring_customers,
+    "sax_events": q_sax_events,
 }
