@@ -4205,6 +4205,92 @@ def q_hash_ring_customers(sf_dir: str):
             .groupby("node").aggregate(Sum("part", alias_name="n_keys")))
 
 
+def q_ring_rebalance_customers(sf_dir: str):
+    """THE consistent-hashing property, measured: add node 64 to the
+    64-node ring and report, per surviving node, how many keys it
+    held before, holds after, and how many of its keys MOVED —
+    minimal disruption means only keys adjacent to the new node's 8
+    positions move (~1/65 of the corpus), vs ~100% for modulo
+    sharding. Same integer hash family as hash_ring_customers.
+
+    Scale shape: both assignments happen in the SAME vectorized
+    argmin pass (513 positions broadcast); per-node partial triples
+    move, 65 rows per block."""
+    from ray.data.aggregate import Sum
+
+    NB = _RING_NODES + 1  # after adding one node
+    n = np.arange(NB, dtype=np.int64)[:, None]
+    r = np.arange(_RING_REPL, dtype=np.int64)[None, :]
+    pos = ((n * 2654435761 + r * 40503 + 7919) % _RING_M).ravel()
+    node_of = np.repeat(np.arange(NB, dtype=np.int64), _RING_REPL)
+    repl_of = np.tile(np.arange(_RING_REPL, dtype=np.int64), NB)
+    rank_tail = node_of * _RING_REPL + repl_of
+    old = node_of < _RING_NODES   # positions present BEFORE the add
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        kp = (k * 48271) % _RING_M
+        dist = (pos[None, :] - kp[:, None]) % _RING_M
+        rank = dist * (NB * _RING_REPL) + rank_tail[None, :]
+        own_new = node_of[np.argmin(rank, axis=1)]
+        rank_old = np.where(old[None, :], rank, np.iinfo(np.int64).max)
+        own_old = node_of[np.argmin(rank_old, axis=1)]
+        moved = own_new != own_old
+        cnt_before = np.bincount(own_old, minlength=NB)
+        cnt_after = np.bincount(own_new, minlength=NB)
+        cnt_moved = np.bincount(own_old[moved], minlength=NB)
+        nodes = np.arange(NB, dtype=np.int64)
+        return pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "pb": pa.array(cnt_before.astype(np.int64), pa.int64()),
+            "pa_": pa.array(cnt_after.astype(np.int64), pa.int64()),
+            "pm": pa.array(cnt_moved.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("pb", alias_name="n_before"),
+                       Sum("pa_", alias_name="n_after"),
+                       Sum("pm", alias_name="n_moved")))
+
+
+ORACLE_SQL_RING_REBALANCE = """
+    WITH p AS (
+      SELECT nn.n AS node, rr.r AS repl,
+             (nn.n * 2654435761 + rr.r * 40503 + 7919) % 1048576
+               AS pos
+      FROM (SELECT unnest(generate_series(0, 64)) AS n) nn
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) rr),
+    k AS (SELECT c_custkey, (c_custkey * 48271) % 1048576 AS kp
+          FROM customer),
+    own AS (
+      SELECT k.c_custkey,
+             arg_min(p.node,
+                     ((p.pos - k.kp + 1048576) % 1048576) * 520
+                       + p.node * 8 + p.repl) AS new_node,
+             arg_min(CASE WHEN p.node < 64 THEN p.node END,
+                     CASE WHEN p.node < 64 THEN
+                       ((p.pos - k.kp + 1048576) % 1048576) * 520
+                         + p.node * 8 + p.repl END) AS old_node
+      FROM k CROSS JOIN p GROUP BY k.c_custkey)
+    SELECT n.node,
+           CAST(COALESCE(SUM(CASE WHEN o.old_node = n.node
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_before,
+           CAST(COALESCE(SUM(CASE WHEN o.new_node = n.node
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_after,
+           CAST(COALESCE(SUM(CASE WHEN o.old_node = n.node
+                              AND o.new_node <> o.old_node
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_moved
+    FROM (SELECT unnest(generate_series(0, 64)) AS node) n
+    LEFT JOIN own o ON TRUE
+    GROUP BY n.node"""
+
+
 ORACLE_SQL_HASH_RING = """
     WITH p AS (
       SELECT nn.n AS node, rr.r AS repl,
@@ -8004,6 +8090,7 @@ ORACLE_SQL["priority_sample_docs"] = ORACLE_SQL_PRIORITY_SAMPLE
 ORACLE_SQL["quadkey_tiles"] = ORACLE_SQL_QUADKEY
 ORACLE_SQL["hash_ring_customers"] = ORACLE_SQL_HASH_RING
 ORACLE_SQL["sax_events"] = ORACLE_SQL_SAX
+ORACLE_SQL["ring_rebalance_customers"] = ORACLE_SQL_RING_REBALANCE
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15667,4 +15754,5 @@ QUERIES = {
     "quadkey_tiles": q_quadkey_tiles,
     "hash_ring_customers": q_hash_ring_customers,
     "sax_events": q_sax_events,
+    "ring_rebalance_customers": q_ring_rebalance_customers,
 }
