@@ -4044,6 +4044,125 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
 
 
 # ---------------------------------------------------------------------------
+# S-ab (round 5): two-proportion z drift test — the A/B-test /
+# distribution-shift screen between the first and second half of the
+# time range: did the high-value-event rate move? Counts are exact
+# integers; the z statistic is one mirrored pooled-variance tree.
+# ---------------------------------------------------------------------------
+
+def q_proportion_drift_events(sf_dir: str, thr_cents: int = 15000):
+    """Per event type: n/k (total / value-cents>15000) in each half
+    of the global day range (split at the integer midpoint), plus
+    the pooled two-proportion z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)) —
+    the identical double tree in both engines, NULL when degenerate.
+
+    Scale shape: pure combiner — per-batch (type, half, conv)
+    bincount partials, one tiny groupby-sum, a 5-row float finish."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    DAY_US = 86400 * 1_000_000
+    # split bound from a single-column scan (a metadata-cheap pass;
+    # at scale this is ds.min/max over one pruned column)
+    import pyarrow.parquet as pq
+    mm = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["ts"])
+    dall = mm["ts"].to_numpy(zero_copy_only=False).astype(
+        "datetime64[us]").astype(np.int64) // DAY_US
+    mid = (int(dall.min()) + int(dall.max())) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        cents = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        first = d <= mid
+        conv = cents > thr_cents
+        et = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nt = len(et.dictionary)
+        n1 = np.bincount(codes[first], minlength=nt)
+        k1 = np.bincount(codes[first & conv], minlength=nt)
+        n2 = np.bincount(codes[~first], minlength=nt)
+        k2 = np.bincount(codes[~first & conv], minlength=nt)
+        return pa.table({
+            "event_type": et.dictionary,
+            "pn1": pa.array(n1.astype(np.int64), pa.int64()),
+            "pk1": pa.array(k1.astype(np.int64), pa.int64()),
+            "pn2": pa.array(n2.astype(np.int64), pa.int64()),
+            "pk2": pa.array(k2.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("pn1", alias_name="n1"),
+                      Sum("pk1", alias_name="k1"),
+                      Sum("pn2", alias_name="n2"),
+                      Sum("pk2", alias_name="k2")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n1 = batch["n1"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        k1 = batch["k1"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n2 = batch["n2"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        k2 = batch["k2"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p1 = k1 / n1
+            p2 = k2 / n2
+            p = (k1 + k2) / (n1 + n2)
+            den = np.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+            z = (p1 - p2) / den
+        z = np.where((n1 > 0) & (n2 > 0) & (den > 0), z, np.nan)
+        return batch.append_column("z", pa.array(z, pa.float64(),
+                                                 from_pandas=True))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL_PROPORTION_DRIFT = """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+    c AS (SELECT event_type,
+                 CAST(SUM(CASE WHEN day <= (SELECT mid FROM b)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN day <= (SELECT mid FROM b)
+                           AND cents > 15000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+                 CAST(SUM(CASE WHEN day > (SELECT mid FROM b)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN day > (SELECT mid FROM b)
+                           AND cents > 15000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k2
+          FROM d GROUP BY event_type)
+    SELECT event_type, n1, k1, n2, k2,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                WHEN sqrt(((CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                     * (1.0 - ((CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE))
+                               / (CAST(n1 AS DOUBLE)
+                                  + CAST(n2 AS DOUBLE))))
+                     * (1.0 / CAST(n1 AS DOUBLE)
+                        + 1.0 / CAST(n2 AS DOUBLE))) = 0 THEN NULL
+                ELSE (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / sqrt(((CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                     * (1.0 - ((CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE))
+                               / (CAST(n1 AS DOUBLE)
+                                  + CAST(n2 AS DOUBLE))))
+                     * (1.0 / CAST(n1 AS DOUBLE)
+                        + 1.0 / CAST(n2 AS DOUBLE)))
+           END AS z
+    FROM c"""
+
+
+# ---------------------------------------------------------------------------
 # S-sax (round 5): PAA + SAX symbolization of the per-type daily
 # series (Lin et al.) — the time-series-mining front door: fixed
 # 8-day Piecewise Aggregate windows (exact integer sums over the
@@ -8091,6 +8210,7 @@ ORACLE_SQL["quadkey_tiles"] = ORACLE_SQL_QUADKEY
 ORACLE_SQL["hash_ring_customers"] = ORACLE_SQL_HASH_RING
 ORACLE_SQL["sax_events"] = ORACLE_SQL_SAX
 ORACLE_SQL["ring_rebalance_customers"] = ORACLE_SQL_RING_REBALANCE
+ORACLE_SQL["proportion_drift_events"] = ORACLE_SQL_PROPORTION_DRIFT
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15755,4 +15875,5 @@ QUERIES = {
     "hash_ring_customers": q_hash_ring_customers,
     "sax_events": q_sax_events,
     "ring_rebalance_customers": q_ring_rebalance_customers,
+    "proportion_drift_events": q_proportion_drift_events,
 }
