@@ -12652,6 +12652,89 @@ def q_link_reciprocity_sites(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_degree_dist_sites(sf_dir: str):
+    """Out-degree distribution of the site link graph with the exact
+    CCDF — the data behind the log-log power-law plot every web-graph
+    paper opens with (and the sanity check before trusting PageRank
+    damping). Per distinct out-degree: how many sites have it, and
+    how many have it or more.
+
+    Scale shape: the link_reciprocity skeleton — distributed
+    dictionary-encoded site ids, distinct directed edges via the
+    combiner + ONE groupby, per-src degree in a second slim groupby,
+    then per-batch degree-histogram partials fold into a
+    histogram-sized constant-key pass for the reverse cumulative
+    (rows = distinct degrees, never sites)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources import pages as _pages
+    from ..stages.pagerank import (page_links, resolve_dst_site,
+                                   site_universe)
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    site_ids, m = site_universe(links)
+    pairs = resolve_dst_site(links, site_ids, m,
+                             extra_cols=[("src", pa.string())],
+                             dedup=True)
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"src": b["src"], "dst": b["dst"]})
+        t = t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+        return t.group_by(["src", "dst"]).aggregate([]) \
+            .select(["src", "dst"])
+
+    edges = (pairs.map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda b: b.select(["src", "dst"]),
+                          batch_format="pyarrow"))
+    staged = _stage_for_oracle(edges, "degree_dist_sites")
+
+    deg = (rd.read_parquet(staged).groupby("src").count()
+           .map_batches(lambda b: pa.table({
+               "degree": pc.cast(b["count()"], pa.int64())}),
+               batch_format="pyarrow"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "degree": pa.array(ud, pa.int64()),
+            "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+            "k": pa.array(np.zeros(len(ud), np.int64), pa.int64())})
+
+    def ccdf(g: pa.Table) -> pa.Table:
+        d = g["degree"].to_numpy(zero_copy_only=False)
+        n_ = g["pn"].to_numpy(zero_copy_only=False)
+        order = np.argsort(-d)
+        d, n_ = d[order], n_[order]
+        return pa.table({
+            "degree": pa.array(d, pa.int64()),
+            "n_sites": pa.array(n_, pa.int64()),
+            "ccdf_sites": pa.array(np.cumsum(n_), pa.int64())})
+
+    return (deg.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["k", "degree"]).aggregate(Sum("pn", alias_name="pn"))
+            .groupby("k").map_groups(ccdf, batch_format="pyarrow"))
+
+
+ORACLE_SQL["degree_dist_sites"] = """
+    WITH e AS (SELECT DISTINCT src, dst FROM read_parquet(
+            '/tmp/tilemaker_ray_oracle/degree_dist_sites/*.parquet')),
+    d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM e GROUP BY src),
+    h AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_sites
+          FROM d GROUP BY degree)
+    SELECT degree, n_sites,
+           CAST(SUM(n_sites) OVER (ORDER BY degree DESC)
+                AS BIGINT) AS ccdf_sites
+    FROM h"""
+
+
 ORACLE_SQL["link_reciprocity_sites"] = """
     WITH e AS (SELECT DISTINCT src, dst FROM read_parquet(
             '/tmp/tilemaker_ray_oracle/link_reciprocity_sites/*.parquet'))
@@ -15876,4 +15959,5 @@ QUERIES = {
     "sax_events": q_sax_events,
     "ring_rebalance_customers": q_ring_rebalance_customers,
     "proportion_drift_events": q_proportion_drift_events,
+    "degree_dist_sites": q_degree_dist_sites,
 }
