@@ -4432,6 +4432,77 @@ ORACLE_SQL_HASH_RING = """
 
 
 # ---------------------------------------------------------------------------
+# K-mor (round 5): Morton (z-order) tile ids — THE packing the whole
+# engine keys its shuffle on (geo/tilemath.py: tile_id =
+# (z << 58) | morton(x, y); parent = child morton >> 2). Certifying
+# it in SQL (24 unrolled interleave terms) closes the space-filling-
+# curve family: geohash, Hilbert, quadkey, Morton — all hash-exact.
+# ---------------------------------------------------------------------------
+
+def q_morton_tiles(sf_dir: str):
+    """Distinct z12 event tiles with their Morton code, the packed
+    engine tile_id, and the PARENT z11 tile_id (the halving identity
+    low-zoom rollups rely on, /root/reference/src/tile_data.cpp:
+    169-174). One distinct exchange; encode is the production
+    bit-twiddle kernel."""
+    from ray.data.aggregate import Count
+
+    from ..geo import tilemath
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = ((eid * 2654435761) % 360000) * 4096 // 360000
+        y = ((eid * 40503) % 170000) * 4096 // 170000
+        t = np.unique(np.stack([x, y], axis=1), axis=0)
+        return pa.table({"x": pa.array(t[:, 0], pa.int64()),
+                         "y": pa.array(t[:, 1], pa.int64())})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        m = tilemath.morton_encode(x, y).astype(np.int64)
+        tid = tilemath.tile_id(12, x, y).astype(np.int64)
+        ptid = tilemath.tile_id(11, x // 2, y // 2).astype(np.int64)
+        return pa.table({
+            "x": batch["x"], "y": batch["y"],
+            "morton": pa.array(m, pa.int64()),
+            "tile_id": pa.array(tid, pa.int64()),
+            "parent_tile_id": pa.array(ptid, pa.int64())})
+
+    return (ds.map_batches(tiles, batch_format="pyarrow")
+            .groupby(["x", "y"]).aggregate(Count(alias_name="c"))
+            .map_batches(encode, batch_format="pyarrow")
+            .select_columns(["x", "y", "morton", "tile_id",
+                             "parent_tile_id"]))
+
+
+def _morton_sql(xcol: str, ycol: str, bits: int = 12) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+ORACLE_SQL_MORTON = """
+    WITH e AS (
+      SELECT ((event_id * 2654435761) % 360000) * 4096 // 360000 AS x,
+             ((event_id * 40503) % 170000) * 4096 // 170000 AS y
+      FROM events),
+    t AS (SELECT DISTINCT x, y FROM e)
+    SELECT x, y,
+           CAST({m} AS BIGINT) AS morton,
+           CAST(12 * 288230376151711744 + ({m}) AS BIGINT) AS tile_id,
+           CAST(11 * 288230376151711744 + ({mp}) AS BIGINT)
+             AS parent_tile_id
+    FROM t""".format(m=_morton_sql("x", "y"),
+                     mp=_morton_sql("(x // 2)", "(y // 2)", bits=11))
+
+
+# ---------------------------------------------------------------------------
 # K-qk (round 5): Bing quadkey encoding — the THIRD tile addressing
 # scheme beside z/x/y ids and Hilbert ids (geohash covers lat/lon
 # cells): one base-4 digit per zoom, digit_i = (x-bit) + 2·(y-bit),
@@ -8211,6 +8282,7 @@ ORACLE_SQL["hash_ring_customers"] = ORACLE_SQL_HASH_RING
 ORACLE_SQL["sax_events"] = ORACLE_SQL_SAX
 ORACLE_SQL["ring_rebalance_customers"] = ORACLE_SQL_RING_REBALANCE
 ORACLE_SQL["proportion_drift_events"] = ORACLE_SQL_PROPORTION_DRIFT
+ORACLE_SQL["morton_tiles"] = ORACLE_SQL_MORTON
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -15960,4 +16032,5 @@ QUERIES = {
     "ring_rebalance_customers": q_ring_rebalance_customers,
     "proportion_drift_events": q_proportion_drift_events,
     "degree_dist_sites": q_degree_dist_sites,
+    "morton_tiles": q_morton_tiles,
 }
