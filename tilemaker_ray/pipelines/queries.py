@@ -4044,6 +4044,122 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
 
 
 # ---------------------------------------------------------------------------
+# S-ent (round 5): per-user behavioral entropy — Shannon H of the
+# event-type distribution, the engagement-diversity feature. The ln
+# values ride as FIXED-POINT LITERALS shared by both engines (the
+# benford/NDCG literal-constant pattern, here as a generated lookup
+# table), so the statistic is a pure integer:
+#   h_scaled = n·LNFP[n] − Σᵢ nᵢ·LNFP[nᵢ]  (= n·10¹²·H exactly in
+# the common fixed-point rounding), with LNFP[k] = floor(10¹²·ln k).
+# ---------------------------------------------------------------------------
+
+_LNFP_MAX = 8192
+_LNFP = None
+
+
+def _lnfp_table() -> np.ndarray:
+    global _LNFP
+    if _LNFP is None:
+        k = np.arange(_LNFP_MAX, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            _LNFP = np.floor(1e12 * np.log(np.maximum(k, 1.0))) \
+                .astype(np.int64)
+    return _LNFP
+
+
+def q_entropy_users(sf_dir: str):
+    """Per user: total event count n and the scaled Shannon entropy
+    of their event-type mix (0 for single-type users, n·10¹²·ln 5 max
+    for a uniform 5-type mix). Loud ValueError if any user exceeds
+    the 8191-count literal table (a scale jump fails loud, never
+    wrong).
+
+    Scale shape: per-batch (user, type) count partials → one slim
+    groupby-sum → a hashed-user bucket fold (vectorized reduceat per
+    bucket, the mann_kendall skeleton)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"]})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "ni": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("ni", alias_name="ni")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"], "ni": b["ni"],
+                         "kbkt": pa.array(mix_bucket(u, 64),
+                                          pa.int64())})
+
+    def entropy(g: pa.Table) -> pa.Table:
+        lnfp = _lnfp_table()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ni = g["ni"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, ni = u[order], ni[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        n = np.add.reduceat(ni, starts)
+        if int(ni.max(initial=0)) >= _LNFP_MAX \
+                or int(n.max(initial=0)) >= _LNFP_MAX:
+            raise ValueError(
+                f"entropy_users: per-user count exceeds the "
+                f"{_LNFP_MAX - 1} literal-table bound — regenerate "
+                f"the LNFP table for this scale")
+        s1 = np.add.reduceat(ni * lnfp[ni], starts)
+        h = n * lnfp[n] - s1
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "h_scaled": pa.array(h, pa.int64())})
+
+    return (counts.map_batches(bucket, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(entropy,
+                                        batch_format="pyarrow"))
+
+
+def _lnfp_values_sql() -> str:
+    lnfp = _lnfp_table()
+    return ", ".join(f"({k}, {int(lnfp[k])})"
+                     for k in range(1, _LNFP_MAX))
+
+
+ORACLE_SQL_ENTROPY = None  # built lazily below (150 KB literal table)
+
+
+def _entropy_oracle_sql() -> str:
+    global ORACLE_SQL_ENTROPY
+    if ORACLE_SQL_ENTROPY is None:
+        ORACLE_SQL_ENTROPY = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(SUM(ni) AS BIGINT) AS n
+          FROM c GROUP BY 1),
+    l AS (SELECT * FROM (VALUES {vals}) v(k, lnfp)),
+    s AS (SELECT c.user_id, SUM(c.ni * l.lnfp) AS s1
+          FROM c JOIN l ON l.k = c.ni GROUP BY 1)
+    SELECT t.user_id, t.n,
+           CAST(t.n * l2.lnfp - s.s1 AS BIGINT) AS h_scaled
+    FROM t JOIN l l2 ON l2.k = t.n
+    JOIN s ON s.user_id = t.user_id""".format(vals=_lnfp_values_sql())
+    return ORACLE_SQL_ENTROPY
+
+
+# ---------------------------------------------------------------------------
 # S-ab (round 5): two-proportion z drift test — the A/B-test /
 # distribution-shift screen between the first and second half of the
 # time range: did the high-value-event rate move? Counts are exact
@@ -8283,6 +8399,7 @@ ORACLE_SQL["sax_events"] = ORACLE_SQL_SAX
 ORACLE_SQL["ring_rebalance_customers"] = ORACLE_SQL_RING_REBALANCE
 ORACLE_SQL["proportion_drift_events"] = ORACLE_SQL_PROPORTION_DRIFT
 ORACLE_SQL["morton_tiles"] = ORACLE_SQL_MORTON
+ORACLE_SQL["entropy_users"] = _entropy_oracle_sql()
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16033,4 +16150,5 @@ QUERIES = {
     "proportion_drift_events": q_proportion_drift_events,
     "degree_dist_sites": q_degree_dist_sites,
     "morton_tiles": q_morton_tiles,
+    "entropy_users": q_entropy_users,
 }
