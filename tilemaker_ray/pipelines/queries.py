@@ -4043,6 +4043,53 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_window_distribution_events(sf_dir: str):
+    """The distribution-window family over per-user event values:
+    NTILE(4) (front-loaded buckets, deterministic (cents, event_id)
+    order), PERCENT_RANK and CUME_DIST (tie detection on cents —
+    RANGE semantics), and the partition size — all from ONE global
+    sort exchange (stages/rank.py::window_distribution; the int/int
+    divisions are IEEE doubles, bit-identical to the oracle's window
+    functions). Closes the driver-certification gap for the stage
+    (previously pytest-only)."""
+    from ..stages.rank import window_distribution
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "cents": pa.array(c, pa.int64())})
+
+    out = window_distribution(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ["cents", "event_id"],
+        rank_keys=["cents"], ntile=4, ntile_col="tile4",
+        pct_col="pct", cume_col="cume", size_col="part_n")
+    return out.select_columns(["event_id", "user_id", "cents",
+                               "tile4", "pct", "cume", "part_n"])
+
+
+ORACLE_SQL_WINDOW_DISTRIBUTION = """
+    WITH c AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id, cents,
+           CAST(NTILE(4) OVER (PARTITION BY user_id
+                ORDER BY cents, event_id) AS BIGINT) AS tile4,
+           PERCENT_RANK() OVER (PARTITION BY user_id
+                ORDER BY cents) AS pct,
+           CUME_DIST() OVER (PARTITION BY user_id
+                ORDER BY cents) AS cume,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+             AS part_n
+    FROM c"""
+
+
 # ---------------------------------------------------------------------------
 # S-ent (round 5): per-user behavioral entropy — Shannon H of the
 # event-type distribution, the engagement-diversity feature. The ln
@@ -8400,6 +8447,7 @@ ORACLE_SQL["ring_rebalance_customers"] = ORACLE_SQL_RING_REBALANCE
 ORACLE_SQL["proportion_drift_events"] = ORACLE_SQL_PROPORTION_DRIFT
 ORACLE_SQL["morton_tiles"] = ORACLE_SQL_MORTON
 ORACLE_SQL["entropy_users"] = _entropy_oracle_sql()
+ORACLE_SQL["window_distribution_events"] = ORACLE_SQL_WINDOW_DISTRIBUTION
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16151,4 +16199,5 @@ QUERIES = {
     "degree_dist_sites": q_degree_dist_sites,
     "morton_tiles": q_morton_tiles,
     "entropy_users": q_entropy_users,
+    "window_distribution_events": q_window_distribution_events,
 }
