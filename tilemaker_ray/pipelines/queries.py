@@ -4043,6 +4043,104 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_holt_forecast_events(sf_dir: str):
+    """Holt double-exponential smoothing (level + trend) of the
+    per-type daily series with dyadic α = β = ½, ALL-INTEGER:
+    l_t = (x_t + l_{t−1} + b_{t−1}) // 2,
+    b_t = (b_{t−1} + (l_t − l_{t−1})) // 2, init l₀ = x₀,
+    b₀ = x₁ − x₀. Output per type: final level, final trend, and the
+    7-day-ahead forecast l + 7b. The coupled two-state recursion is
+    mirrored as a recursive CTE carrying (l, b) — the Hilbert
+    state-machine precedent applied to time series — so floor
+    divisions (also on negatives) agree exactly.
+
+    Scale shape: slim count partials → one exchange → per-type grid
+    walk bounded by the day span (the forecast_backtest family)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(days, batch_format="pyarrow")
+              .groupby(["event_type", "day"]).aggregate(Sum("n"))
+              .map_batches(lambda b: pa.table({
+                  "event_type": b["event_type"], "day": b["day"],
+                  "n": pc.cast(b["sum(n)"], pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())
+    lo = int(counts.min("day"))
+    hi = int(counts.max("day"))
+
+    def holt(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        grid = np.zeros(hi - lo + 1, np.int64)
+        grid[day - lo] = n
+        x = grid.tolist()
+        l_, b_ = x[0], x[1] - x[0]
+        for t in range(1, len(x)):
+            l_new = (x[t] + l_ + b_) // 2
+            b_ = (b_ + (l_new - l_)) // 2
+            l_ = l_new
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array([0])),
+            "level": pa.array([l_], pa.int64()),
+            "trend": pa.array([b_], pa.int64()),
+            "forecast7": pa.array([l_ + 7 * b_], pa.int64())})
+
+    return counts.groupby("event_type").map_groups(
+        holt, batch_format="pyarrow")
+
+
+ORACLE_SQL_HOLT = """
+    WITH RECURSIVE c AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+    g AS (SELECT t.event_type, d.day
+          FROM (SELECT DISTINCT event_type FROM c) t
+          CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT lo FROM b), (SELECT hi FROM b))) AS day) d),
+    f AS (SELECT g.event_type,
+                 g.day - (SELECT lo FROM b) AS idx,
+                 COALESCE(c.n, 0) AS x
+          FROM g LEFT JOIN c ON c.event_type = g.event_type
+                            AND c.day = g.day),
+    r AS (
+      SELECT f0.event_type, CAST(1 AS BIGINT) AS t,
+             f0.x AS l, f1.x - f0.x AS bb
+      FROM f f0 JOIN f f1 ON f1.event_type = f0.event_type
+                         AND f1.idx = 1
+      WHERE f0.idx = 0
+      UNION ALL
+      -- floor division by 2 (DuckDB // truncates toward zero on
+      -- negatives; Python floors): (v - (v & 1)) // 2 is exact
+      SELECT r.event_type, r.t + 1,
+             ((f.x + r.l + r.bb) - ((f.x + r.l + r.bb) & 1)) // 2,
+             ((r.bb + (((f.x + r.l + r.bb)
+                        - ((f.x + r.l + r.bb) & 1)) // 2 - r.l))
+              - ((r.bb + (((f.x + r.l + r.bb)
+                           - ((f.x + r.l + r.bb) & 1)) // 2 - r.l))
+                 & 1)) // 2
+      FROM r JOIN f ON f.event_type = r.event_type AND f.idx = r.t
+      WHERE r.t <= (SELECT hi - lo FROM b))
+    SELECT event_type, l AS level, bb AS trend,
+           CAST(l + 7 * bb AS BIGINT) AS forecast7
+    FROM r WHERE t = (SELECT hi - lo + 1 FROM b)"""
+
+
 def q_window_distribution_events(sf_dir: str):
     """The distribution-window family over per-user event values:
     NTILE(4) (front-loaded buckets, deterministic (cents, event_id)
@@ -8448,6 +8546,7 @@ ORACLE_SQL["proportion_drift_events"] = ORACLE_SQL_PROPORTION_DRIFT
 ORACLE_SQL["morton_tiles"] = ORACLE_SQL_MORTON
 ORACLE_SQL["entropy_users"] = _entropy_oracle_sql()
 ORACLE_SQL["window_distribution_events"] = ORACLE_SQL_WINDOW_DISTRIBUTION
+ORACLE_SQL["holt_forecast_events"] = ORACLE_SQL_HOLT
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16200,4 +16299,5 @@ QUERIES = {
     "morton_tiles": q_morton_tiles,
     "entropy_users": q_entropy_users,
     "window_distribution_events": q_window_distribution_events,
+    "holt_forecast_events": q_holt_forecast_events,
 }
