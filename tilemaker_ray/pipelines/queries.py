@@ -4043,6 +4043,98 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_dow_seasonality_events(sf_dir: str):
+    """Day-of-week traffic profile per event type with the χ²
+    uniformity contribution per cell — the seasonality screen a
+    crawl scheduler reads before spreading fetch load. DOW =
+    (epoch_day + 4) mod 7 (1970-01-01 was a Thursday; 0 = Monday).
+    Counts exact; expected = n/7 and the χ² term ride the identical
+    double tree in both engines.
+
+    Scale shape: pure combiner — per-batch (type, dow) bincounts,
+    one 35-row groupby-sum, a driver-free float finish."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        dow = (d + 4) % 7
+        et = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nt = len(et.dictionary)
+        cell = codes * 7 + dow
+        cnt = np.bincount(cell, minlength=nt * 7)
+        tt = np.repeat(np.arange(nt), 7)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(tt, pa.int64())),
+            "dow": pa.array(np.tile(np.arange(7, dtype=np.int64), nt),
+                            pa.int64()),
+            "pn": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "dow"])
+           .aggregate(Sum("pn", alias_name="n_events")))
+
+    # totals: second tiny aggregate joined back (35 + 5 rows)
+    import ray
+    tot = {r["event_type"]: r["n_total"] for r in
+           ds.map_batches(lambda b: pa.table({
+               "event_type": b["event_type"]}), batch_format="pyarrow")
+           .groupby("event_type").count()
+           .map_batches(lambda b: pa.table({
+               "event_type": b["event_type"],
+               "n_total": pc.cast(b["count()"], pa.int64())}),
+               batch_format="pyarrow").take_all()}
+    tot_ref = ray.put(tot)
+
+    def chi(batch: pa.Table) -> pa.Table:
+        t = ray.get(tot_ref)
+        n = batch["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ntot = np.asarray([t[e] for e in
+                           batch["event_type"].to_pylist()],
+                          dtype=np.float64)
+        exp = ntot / 7.0
+        chi2 = (n - exp) * (n - exp) / exp
+        return (batch
+                .append_column("expected", pa.array(exp, pa.float64()))
+                .append_column("chi2_term",
+                               pa.array(chi2, pa.float64())))
+
+    return agg.map_batches(chi, batch_format="pyarrow")
+
+
+ORACLE_SQL_DOW = """
+    WITH d AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+      FROM events),
+    c AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total
+          FROM d GROUP BY 1),
+    -- densified: every (type, dow) cell, zeros included (a zero cell
+    -- contributes chi2 = expected) — mirrors the Ray bincount
+    g AS (SELECT t.event_type, t.n_total, dd.dow,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+          FROM t CROSS JOIN
+               (SELECT unnest(generate_series(0, 6)) AS dow) dd
+          LEFT JOIN c ON c.event_type = t.event_type
+                     AND c.dow = dd.dow)
+    SELECT event_type, dow, n_events,
+           CAST(n_total AS DOUBLE) / 7.0 AS expected,
+           (CAST(n_events AS DOUBLE)
+              - CAST(n_total AS DOUBLE) / 7.0)
+           * (CAST(n_events AS DOUBLE)
+              - CAST(n_total AS DOUBLE) / 7.0)
+           / (CAST(n_total AS DOUBLE) / 7.0) AS chi2_term
+    FROM g"""
+
+
 def q_holt_forecast_events(sf_dir: str):
     """Holt double-exponential smoothing (level + trend) of the
     per-type daily series with dyadic α = β = ½, ALL-INTEGER:
@@ -8547,6 +8639,7 @@ ORACLE_SQL["morton_tiles"] = ORACLE_SQL_MORTON
 ORACLE_SQL["entropy_users"] = _entropy_oracle_sql()
 ORACLE_SQL["window_distribution_events"] = ORACLE_SQL_WINDOW_DISTRIBUTION
 ORACLE_SQL["holt_forecast_events"] = ORACLE_SQL_HOLT
+ORACLE_SQL["dow_seasonality_events"] = ORACLE_SQL_DOW
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16300,4 +16393,5 @@ QUERIES = {
     "entropy_users": q_entropy_users,
     "window_distribution_events": q_window_distribution_events,
     "holt_forecast_events": q_holt_forecast_events,
+    "dow_seasonality_events": q_dow_seasonality_events,
 }
