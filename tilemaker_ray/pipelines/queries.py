@@ -4043,6 +4043,171 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_acf_events(sf_dir: str, max_lag: int = 7):
+    """Autocorrelation function of the global daily event series at
+    lags 1..7 — the stationarity/periodicity screen before any
+    forecasting. Per lag: exact integer sufficient statistics of the
+    lag-Pearson (n_pairs, Σhead, Σtail, Σprod, Σhead², Σtail²) plus
+    r_k as the type_correlation mirrored double tree (NULL on a
+    degenerate window).
+
+    Scale shape: slim daily count partials → one exchange → a fold
+    bounded by the day span × 7 lags."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // DAY_US
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64()),
+                         "k": pa.array(np.zeros(len(ud), np.int64),
+                                       pa.int64())})
+
+    def acf(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        lo, hi = int(day.min()), int(day.max())
+        x = np.zeros(hi - lo + 1, np.int64)
+        x[day - lo] = n
+        rows = {c: [] for c in ("lag", "n_pairs", "sum_head",
+                                "sum_tail", "sum_prod", "shh", "stt",
+                                "r")}
+        for k in range(1, max_lag + 1):
+            a, b = x[:-k], x[k:]
+            np_ = len(a)
+            sh, st = int(a.sum()), int(b.sum())
+            sp = int((a * b).sum())
+            shh, stt = int((a * a).sum()), int((b * b).sum())
+            num = np_ * sp - sh * st
+            da = np_ * shh - sh * sh
+            db = np_ * stt - st * st
+            r = (float(num) / np.sqrt(float(da) * float(db))
+                 if da > 0 and db > 0 else None)
+            rows["lag"].append(k)
+            rows["n_pairs"].append(np_)
+            rows["sum_head"].append(sh)
+            rows["sum_tail"].append(st)
+            rows["sum_prod"].append(sp)
+            rows["shh"].append(shh)
+            rows["stt"].append(stt)
+            rows["r"].append(r)
+        return pa.table({
+            "lag": pa.array(rows["lag"], pa.int64()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "sum_head": pa.array(rows["sum_head"], pa.int64()),
+            "sum_tail": pa.array(rows["sum_tail"], pa.int64()),
+            "sum_prod": pa.array(rows["sum_prod"], pa.int64()),
+            "shh": pa.array(rows["shh"], pa.int64()),
+            "stt": pa.array(rows["stt"], pa.int64()),
+            "r": pa.array(rows["r"], pa.float64())})
+
+    return (ds.map_batches(days, batch_format="pyarrow")
+            .groupby(["k", "day"]).aggregate(Sum("n", alias_name="n"))
+            .groupby("k").map_groups(acf, batch_format="pyarrow"))
+
+
+ORACLE_SQL_ACF = """
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+    f AS (SELECT d.day - (SELECT lo FROM b) AS idx,
+                 COALESCE(c.n, 0) AS x
+          FROM (SELECT unnest(generate_series(
+                  (SELECT lo FROM b), (SELECT hi FROM b))) AS day) d
+          LEFT JOIN c ON c.day = d.day),
+    l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    p AS (SELECT l.lag,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(a.x) AS BIGINT) AS sum_head,
+                 CAST(SUM(bb.x) AS BIGINT) AS sum_tail,
+                 CAST(SUM(a.x * bb.x) AS BIGINT) AS sum_prod,
+                 CAST(SUM(a.x * a.x) AS BIGINT) AS shh,
+                 CAST(SUM(bb.x * bb.x) AS BIGINT) AS stt
+          FROM l JOIN f a ON TRUE
+                 JOIN f bb ON bb.idx = a.idx + l.lag
+          GROUP BY l.lag)
+    SELECT lag, n_pairs, sum_head, sum_tail, sum_prod, shh, stt,
+           CASE WHEN n_pairs * shh - sum_head * sum_head <= 0
+                  OR n_pairs * stt - sum_tail * sum_tail <= 0
+                THEN NULL
+                ELSE CAST(n_pairs * sum_prod - sum_head * sum_tail
+                          AS DOUBLE)
+                   / sqrt(CAST(n_pairs * shh - sum_head * sum_head
+                               AS DOUBLE)
+                        * CAST(n_pairs * stt - sum_tail * sum_tail
+                               AS DOUBLE))
+           END AS r
+    FROM p"""
+
+
+def q_kmv_distinct_users(sf_dir: str, k: int = 64):
+    """KMV (k-minimum-values) distinct sketch beside the HLL: keep
+    the k smallest distinct multiplicative hashes of user_id; the
+    estimator (k−1)·2⁶³/h_k is then a pure function of the sketch.
+    UNLIKE HLL, the whole sketch state IS hash-certifiable: the
+    oracle re-derives the k-minimum distinct hashes, the k-th value,
+    the estimate tree, and the exact distinct count side by side.
+
+    Scale shape: per-batch distinct + partial k-smallest (a mergeable
+    bottom-k sketch, O(blocks·k) rows to one constant-key fold); the
+    exact count is the usual two-level distinct groupby."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ((u.astype(np.uint64) * C) >> np.uint64(1)) \
+                .astype(np.int64)
+        h = np.unique(h)[:k]
+        return pa.table({"hv": pa.array(h, pa.int64()),
+                         "kk": pa.array(np.zeros(len(h), np.int64),
+                                        pa.int64())})
+
+    exact = ds.groupby("user_id").count().count()
+
+    def merge(g: pa.Table) -> pa.Table:
+        h = np.unique(g["hv"].to_numpy(zero_copy_only=False))[:k]
+        hk = int(h[-1])
+        kk = len(h)
+        est = (float(kk) - 1.0) * 9223372036854775808.0 / float(hk)
+        return pa.table({
+            "k": pa.array([kk], pa.int64()),
+            "kth_min_hash": pa.array([hk], pa.int64()),
+            "est_distinct": pa.array([est], pa.float64()),
+            "exact_distinct": pa.array([int(exact)], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("kk").map_groups(merge, batch_format="pyarrow"))
+
+
+ORACLE_SQL_KMV = """
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(((CAST(user_id AS HUGEINT) * 11400714819323198485)
+                   % 18446744073709551616) // 2 AS BIGINT) AS hv
+      FROM events),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+    m AS (SELECT CAST(MAX(hv) AS BIGINT) AS hk,
+                 CAST(COUNT(*) AS BIGINT) AS kk FROM k),
+    e AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd
+          FROM events)
+    SELECT m.kk AS k, m.hk AS kth_min_hash,
+           (CAST(m.kk AS DOUBLE) - 1.0) * 9223372036854775808.0
+             / CAST(m.hk AS DOUBLE) AS est_distinct,
+           e.nd AS exact_distinct
+    FROM m, e"""
+
+
 def q_dow_seasonality_events(sf_dir: str):
     """Day-of-week traffic profile per event type with the χ²
     uniformity contribution per cell — the seasonality screen a
@@ -8640,6 +8805,8 @@ ORACLE_SQL["entropy_users"] = _entropy_oracle_sql()
 ORACLE_SQL["window_distribution_events"] = ORACLE_SQL_WINDOW_DISTRIBUTION
 ORACLE_SQL["holt_forecast_events"] = ORACLE_SQL_HOLT
 ORACLE_SQL["dow_seasonality_events"] = ORACLE_SQL_DOW
+ORACLE_SQL["acf_events"] = ORACLE_SQL_ACF
+ORACLE_SQL["kmv_distinct_users"] = ORACLE_SQL_KMV
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16394,4 +16561,6 @@ QUERIES = {
     "window_distribution_events": q_window_distribution_events,
     "holt_forecast_events": q_holt_forecast_events,
     "dow_seasonality_events": q_dow_seasonality_events,
+    "acf_events": q_acf_events,
+    "kmv_distinct_users": q_kmv_distinct_users,
 }
