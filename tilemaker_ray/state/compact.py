@@ -96,3 +96,34 @@ def compact_dir(in_dir: str, out_dir: str,
         for g, o in todo:
             rows += _compact_one(g, o)
     return {"groups": len(groups), "skipped": skipped, "rows": rows}
+
+
+def main(argv=None):
+    """``python -m tilemaker_ray.state.compact IN OUT [--target-mb N]``
+    — owns its Ray session (guarded init, shutdown on exit) like the
+    other CLI entry points."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(prog="tilemaker_ray.state.compact")
+    p.add_argument("in_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--target-mb", type=int, default=64)
+    args = p.parse_args(argv)
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    try:
+        res = compact_dir(args.in_dir, args.out_dir,
+                          target_bytes=args.target_mb * 1024 * 1024)
+        print(json.dumps(res))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
