@@ -4043,6 +4043,99 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_speed_profile_users(sf_dir: str):
+    """Per-user movement-speed profile over the event track ((ts,
+    event_id) order, millidegree lattice coords): number of steps,
+    total L1 distance, total elapsed µs, the max per-step speed
+    floor(L1·86400·10⁶ / Δt) in millidegrees/day (exact integer), and
+    the average speed as one mirrored double division. Zero-Δt steps
+    (same-timestamp events) are excluded identically in both engines.
+
+    Scale shape: the mann_kendall skeleton — hashed-user bucket
+    exchange, vectorized lexsort + shifted diffs per bucket, per-user
+    reduceat fold."""
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    DAY_US = 86400 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "x": pa.array((eid * 2654435761) % 360000 - 180000,
+                          pa.int64()),
+            "y": pa.array((eid * 40503) % 170000 - 85000, pa.int64()),
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def speeds(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, x, y = uid[order], us[order], x[order], y[order]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        dist = np.zeros(len(uid), np.int64)
+        dt = np.zeros(len(uid), np.int64)
+        dist[1:] = np.abs(x[1:] - x[:-1]) + np.abs(y[1:] - y[:-1])
+        dt[1:] = us[1:] - us[:-1]
+        step = same & (dt > 0)
+        spd = np.zeros(len(uid), np.int64)
+        spd[step] = dist[step] * DAY_US // dt[step]
+        new = ~same
+        starts = np.flatnonzero(new)
+        n_steps = np.add.reduceat(step.astype(np.int64), starts)
+        tot_d = np.add.reduceat(np.where(step, dist, 0), starts)
+        tot_t = np.add.reduceat(np.where(step, dt, 0), starts)
+        max_s = np.maximum.reduceat(np.where(step, spd, 0), starts)
+        keep = n_steps > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = tot_d[keep].astype(np.float64) * float(DAY_US) \
+                / tot_t[keep].astype(np.float64)
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep], pa.int64()),
+            "n_steps": pa.array(n_steps[keep], pa.int64()),
+            "total_dist_mdeg": pa.array(tot_d[keep], pa.int64()),
+            "total_dt_us": pa.array(tot_t[keep], pa.int64()),
+            "max_speed": pa.array(max_s[keep], pa.int64()),
+            "avg_speed": pa.array(avg, pa.float64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(speeds, batch_format="pyarrow"))
+
+
+ORACLE_SQL_SPEED = """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             (event_id * 2654435761) % 360000 - 180000 AS x,
+             (event_id * 40503) % 170000 - 85000 AS y
+      FROM events),
+    s AS (
+      SELECT user_id,
+             us - lag(us) OVER w AS dt,
+             abs(x - lag(x) OVER w) + abs(y - lag(y) OVER w) AS dist
+      FROM p WINDOW w AS (PARTITION BY user_id
+                          ORDER BY us, event_id)),
+    st AS (SELECT user_id, dt, dist,
+                  dist * 86400000000 // dt AS spd
+           FROM s WHERE dt > 0)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(dist) AS BIGINT) AS total_dist_mdeg,
+           CAST(SUM(dt) AS BIGINT) AS total_dt_us,
+           CAST(MAX(spd) AS BIGINT) AS max_speed,
+           CAST(SUM(dist) AS DOUBLE) * 86400000000.0
+             / CAST(SUM(dt) AS DOUBLE) AS avg_speed
+    FROM st GROUP BY user_id"""
+
+
 def q_acf_events(sf_dir: str, max_lag: int = 7):
     """Autocorrelation function of the global daily event series at
     lags 1..7 — the stationarity/periodicity screen before any
@@ -8807,6 +8900,7 @@ ORACLE_SQL["holt_forecast_events"] = ORACLE_SQL_HOLT
 ORACLE_SQL["dow_seasonality_events"] = ORACLE_SQL_DOW
 ORACLE_SQL["acf_events"] = ORACLE_SQL_ACF
 ORACLE_SQL["kmv_distinct_users"] = ORACLE_SQL_KMV
+ORACLE_SQL["speed_profile_users"] = ORACLE_SQL_SPEED
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16563,4 +16657,5 @@ QUERIES = {
     "dow_seasonality_events": q_dow_seasonality_events,
     "acf_events": q_acf_events,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "speed_profile_users": q_speed_profile_users,
 }
