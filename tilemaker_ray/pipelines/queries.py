@@ -4043,6 +4043,117 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_topk_ties_events(sf_dir: str, k: int = 3):
+    """Tie-INCLUSIVE per-user top-k (RANK() ≤ 3 by cents desc) — the
+    semantics sibling of the ROW_NUMBER top-3 query: equal-value rows
+    at the boundary all survive, so group sizes vary. Certifies
+    stages/rank.py's RANK gap semantics end to end (rank detects ties
+    on cents while the sort stays deterministic on (cents,
+    event_id))."""
+    from ..stages.rank import partitioned_rank
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "cents": pa.array(c, pa.int64())})
+
+    ranked = partitioned_rank(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ["cents", "event_id"], descending=[True, False],
+        rank_col="rnk", rank_keys=["cents"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.less_equal(batch["rnk"], k)
+        return batch.filter(m).select(
+            ["user_id", "event_id", "cents", "rnk"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
+ORACLE_SQL_TOPK_TIES = """
+    WITH c AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT user_id, event_id, cents,
+           CAST(RANK() OVER (PARTITION BY user_id
+                ORDER BY cents DESC) AS BIGINT) AS rnk
+    FROM c QUALIFY rnk <= 3"""
+
+
+def q_modal_type_users(sf_dir: str):
+    """Per-user modal event type with a deterministic tie-break
+    (highest count, then lexicographically smallest type) plus the
+    mode's count and the user total — the categorical-mode aggregate
+    SQL expresses via a QUALIFY-ranked subquery.
+
+    Scale shape: per-batch (user, type) count partials → one slim
+    groupby-sum → hashed-user bucket argmax fold."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"]})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "ni": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("ni", alias_name="ni")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "kbkt", pa.array(mix_bucket(u, 64), pa.int64()))
+
+    def modal(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ni = g["ni"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        # per user: max count, tie → smallest type name; sort by
+        # (user, -count, type) and take each user's first row
+        order = np.lexsort((et, -ni, u))
+        u, ni, et = u[order], ni[order], et[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(ni, starts)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "modal_type": pa.array(et[starts].tolist(), pa.string()),
+            "modal_n": pa.array(ni[starts], pa.int64()),
+            "n_total": pa.array(tot, pa.int64())})
+
+    return (counts.map_batches(bucket, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(modal, batch_format="pyarrow"))
+
+
+ORACLE_SQL_MODAL = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(SUM(ni) AS BIGINT) AS n_total
+          FROM c GROUP BY 1)
+    SELECT c.user_id, c.event_type AS modal_type, c.ni AS modal_n,
+           t.n_total
+    FROM c JOIN t ON t.user_id = c.user_id
+    QUALIFY row_number() OVER (PARTITION BY c.user_id
+             ORDER BY c.ni DESC, c.event_type) = 1"""
+
+
 def q_speed_profile_users(sf_dir: str):
     """Per-user movement-speed profile over the event track ((ts,
     event_id) order, millidegree lattice coords): number of steps,
@@ -8901,6 +9012,8 @@ ORACLE_SQL["dow_seasonality_events"] = ORACLE_SQL_DOW
 ORACLE_SQL["acf_events"] = ORACLE_SQL_ACF
 ORACLE_SQL["kmv_distinct_users"] = ORACLE_SQL_KMV
 ORACLE_SQL["speed_profile_users"] = ORACLE_SQL_SPEED
+ORACLE_SQL["topk_ties_events"] = ORACLE_SQL_TOPK_TIES
+ORACLE_SQL["modal_type_users"] = ORACLE_SQL_MODAL
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16658,4 +16771,6 @@ QUERIES = {
     "acf_events": q_acf_events,
     "kmv_distinct_users": q_kmv_distinct_users,
     "speed_profile_users": q_speed_profile_users,
+    "topk_ties_events": q_topk_ties_events,
+    "modal_type_users": q_modal_type_users,
 }
