@@ -4043,6 +4043,135 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_hapax_docs(sf_dir: str):
+    """Vocabulary richness per document: token count, distinct
+    tokens, hapax legomena (tokens occurring exactly once IN the
+    doc), and the type-token ratio as one mirrored double division —
+    the classic lexical-diversity quality feature. Tokenization is
+    the pinned whitespace rule (pc.split_pattern ↔ string_split).
+
+    Scale shape: a PURE map — all statistics are doc-local, so the
+    stage fuses into the read with no exchange at all (the cheapest
+    possible 100-TB shape)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_tok = np.diff(offs)
+        flat = toks.flatten().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_ix = np.repeat(np.arange(len(n_tok), dtype=np.int64),
+                           n_tok)
+        # per (doc, word) counts via a packed sort
+        nv = np.int64(max(len(flat.dictionary), 1))
+        key = doc_ix * nv + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        kdoc = uk // nv
+        n_distinct = np.bincount(kdoc, minlength=len(n_tok))
+        n_hapax = np.bincount(kdoc[cnt == 1], minlength=len(n_tok))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(
+                n_tok > 0,
+                n_distinct.astype(np.float64)
+                / n_tok.astype(np.float64), np.nan)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_distinct.astype(np.int64),
+                                   pa.int64()),
+            "n_hapax": pa.array(n_hapax.astype(np.int64), pa.int64()),
+            "ttr": pa.array(ttr, pa.float64(), from_pandas=True)})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+ORACLE_SQL_HAPAX = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    c AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM w GROUP BY 1, 2),
+    a AS (SELECT doc_id,
+                 CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hapax
+          FROM c GROUP BY 1)
+    SELECT doc_id, n_tokens, n_distinct, n_hapax,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(n_distinct AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) END AS ttr
+    FROM a"""
+
+
+def q_word_freq_spectrum_docs(sf_dir: str):
+    """Corpus word frequency-of-frequencies (the Zipf spectrum /
+    Good-Turing input): for each corpus frequency f, how many
+    distinct words occur exactly f times, plus the exact CCDF — the
+    degree_dist pattern applied to the vocabulary.
+
+    Scale shape: per-batch distinct (word, count) partials → ONE
+    hash(word) exchange → spectrum histogram partials → a
+    histogram-sized reverse-cumulative fold (rows = distinct
+    frequencies, never words)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wcount(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(batch["text"], " ")) \
+            .combine_chunks().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(flat.dictionary))
+        return pa.table({
+            "word": flat.dictionary,
+            "pn": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    wc = (ds.map_batches(wcount, batch_format="pyarrow")
+          .groupby("word").aggregate(Sum("pn", alias_name="f")))
+
+    def spectrum_partial(b: pa.Table) -> pa.Table:
+        f = b["f"].to_numpy(zero_copy_only=False)
+        uf, cnt = np.unique(f, return_counts=True)
+        return pa.table({
+            "f": pa.array(uf, pa.int64()),
+            "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+            "k": pa.array(np.zeros(len(uf), np.int64), pa.int64())})
+
+    def ccdf(g: pa.Table) -> pa.Table:
+        f = g["f"].to_numpy(zero_copy_only=False)
+        n = g["pn"].to_numpy(zero_copy_only=False)
+        order = np.argsort(-f)
+        f, n = f[order], n[order]
+        return pa.table({
+            "f": pa.array(f, pa.int64()),
+            "n_words": pa.array(n, pa.int64()),
+            "ccdf_words": pa.array(np.cumsum(n), pa.int64())})
+
+    return (wc.map_batches(spectrum_partial, batch_format="pyarrow")
+            .groupby(["k", "f"]).aggregate(Sum("pn", alias_name="pn"))
+            .groupby("k").map_groups(ccdf, batch_format="pyarrow"))
+
+
+ORACLE_SQL_WORD_SPECTRUM = """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+          FROM w GROUP BY 1),
+    h AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_words
+          FROM c GROUP BY 1)
+    SELECT f, n_words,
+           CAST(SUM(n_words) OVER (ORDER BY f DESC) AS BIGINT)
+             AS ccdf_words
+    FROM h"""
+
+
 def q_topk_ties_events(sf_dir: str, k: int = 3):
     """Tie-INCLUSIVE per-user top-k (RANK() ≤ 3 by cents desc) — the
     semantics sibling of the ROW_NUMBER top-3 query: equal-value rows
@@ -9014,6 +9143,8 @@ ORACLE_SQL["kmv_distinct_users"] = ORACLE_SQL_KMV
 ORACLE_SQL["speed_profile_users"] = ORACLE_SQL_SPEED
 ORACLE_SQL["topk_ties_events"] = ORACLE_SQL_TOPK_TIES
 ORACLE_SQL["modal_type_users"] = ORACLE_SQL_MODAL
+ORACLE_SQL["hapax_docs"] = ORACLE_SQL_HAPAX
+ORACLE_SQL["word_freq_spectrum_docs"] = ORACLE_SQL_WORD_SPECTRUM
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16773,4 +16904,6 @@ QUERIES = {
     "speed_profile_users": q_speed_profile_users,
     "topk_ties_events": q_topk_ties_events,
     "modal_type_users": q_modal_type_users,
+    "hapax_docs": q_hapax_docs,
+    "word_freq_spectrum_docs": q_word_freq_spectrum_docs,
 }
