@@ -4043,6 +4043,170 @@ ORACLE_SQL_PRIORITY_SAMPLE = """
     QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 100"""
 
 
+def q_choropleth_tiles(sf_dir: str):
+    """Choropleth quantile-breaks classification of the z8 tile
+    density map — the cartographic binning step between aggregation
+    and styling: tiles are classed 1..5 by the p20/p40/p60/p80
+    breaks of the nonzero tile counts (the pinned quantile_disc
+    k = max(1, ceil(p·n)) rule), class = 1 + #breaks strictly below
+    the count.
+
+    Scale shape: per-batch tile bincount partials → one slim
+    exchange → a tile-count-bounded fold that derives breaks and
+    classes in one vectorized pass."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = ((eid * 2654435761) % 360000) * 256 // 360000
+        y = ((eid * 40503) % 170000) * 256 // 170000
+        cell = x * 256 + y
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "x": pa.array(uc // 256, pa.int64()),
+            "y": pa.array(uc % 256, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "k": pa.array(np.zeros(len(uc), np.int64), pa.int64())})
+
+    def classify(g: pa.Table) -> pa.Table:
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        srt = np.sort(n)
+        m = len(srt)
+        breaks = []
+        for p in (0.2, 0.4, 0.6, 0.8):
+            kk = max(1, int(np.ceil(p * m)))
+            breaks.append(int(srt[kk - 1]))
+        b = np.asarray(breaks, np.int64)
+        cls = 1 + (n[:, None] > b[None, :]).sum(axis=1)
+        return pa.table({
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "cls": pa.array(cls.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(tiles, batch_format="pyarrow")
+            .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda b: b.append_column(
+                "k", pa.array(np.zeros(b.num_rows, np.int64),
+                              pa.int64())), batch_format="pyarrow")
+            .groupby("k").map_groups(classify, batch_format="pyarrow"))
+
+
+ORACLE_SQL_CHOROPLETH = """
+    WITH e AS (
+      SELECT ((event_id * 2654435761) % 360000) * 256 // 360000 AS x,
+             ((event_id * 40503) % 170000) * 256 // 170000 AS y
+      FROM events),
+    c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+    b AS (SELECT CAST(quantile_disc(n, 0.2) AS BIGINT) AS b1,
+                 CAST(quantile_disc(n, 0.4) AS BIGINT) AS b2,
+                 CAST(quantile_disc(n, 0.6) AS BIGINT) AS b3,
+                 CAST(quantile_disc(n, 0.8) AS BIGINT) AS b4
+          FROM c)
+    SELECT c.x, c.y, c.n,
+           CAST(1 + (CASE WHEN c.n > b.b1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c.n > b.b2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c.n > b.b3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c.n > b.b4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cls
+    FROM c CROSS JOIN b"""
+
+
+def q_burstiness_users(sf_dir: str):
+    """Goh–Barabási burstiness index per user: B = (σ−μ)/(σ+μ) of
+    the positive inter-event times in SECONDS (µs gaps squared can
+    overflow int64 — at second resolution Σdt² ≤ span² ≈ 2·10¹⁵ is
+    provably safe; sub-second gaps count as ties and are excluded
+    identically) — −1 for perfectly regular, 0 for Poisson, →1 for
+    bursty (the scalar companion of the Kleinberg burst DP).
+    Sufficient statistics (n, Σdt, Σdt²) are exact int64; σ, μ and B
+    ride one mirrored double tree (users with <2 gaps dropped).
+
+    Scale shape: the speed_profile skeleton — hashed-user bucket
+    exchange, shifted diffs, per-user reduceat fold."""
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def burst(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us = uid[order], us[order]
+        sec = us // 1_000_000
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        dt = np.zeros(len(uid), np.int64)
+        dt[1:] = sec[1:] - sec[:-1]
+        step = same & (dt > 0)
+        starts = np.flatnonzero(~same)
+        n = np.add.reduceat(step.astype(np.int64), starts)
+        s = np.add.reduceat(np.where(step, dt, 0), starts)
+        s2 = np.add.reduceat(np.where(step, dt * dt, 0), starts)
+        keep = n >= 2
+        nf = n[keep].astype(np.float64)
+        sf = s[keep].astype(np.float64)
+        s2f = s2[keep].astype(np.float64)
+        mu = sf / nf
+        sig = np.sqrt((s2f - sf * sf / nf) / nf)
+        bb = (sig - mu) / (sig + mu)
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep], pa.int64()),
+            "n_gaps": pa.array(n[keep], pa.int64()),
+            "sum_dt": pa.array(s[keep], pa.int64()),
+            "sum_dt2": pa.array(s2[keep], pa.int64()),
+            "burstiness": pa.array(bb, pa.float64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(burst, batch_format="pyarrow"))
+
+
+ORACLE_SQL_BURSTINESS = """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events),
+    s AS (SELECT user_id,
+                 us // 1000000
+                   - lag(us // 1000000)
+                     OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS dt
+          FROM p),
+    g AS (SELECT user_id, dt FROM s WHERE dt > 0),
+    a AS (SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(dt) AS BIGINT) AS sum_dt,
+                 CAST(SUM(dt * dt) AS BIGINT) AS sum_dt2
+          FROM g GROUP BY 1)
+    SELECT user_id, n_gaps, sum_dt, sum_dt2,
+           (sqrt((CAST(sum_dt2 AS DOUBLE)
+                  - CAST(sum_dt AS DOUBLE) * CAST(sum_dt AS DOUBLE)
+                    / CAST(n_gaps AS DOUBLE))
+                 / CAST(n_gaps AS DOUBLE))
+            - CAST(sum_dt AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           / (sqrt((CAST(sum_dt2 AS DOUBLE)
+                    - CAST(sum_dt AS DOUBLE) * CAST(sum_dt AS DOUBLE)
+                      / CAST(n_gaps AS DOUBLE))
+                   / CAST(n_gaps AS DOUBLE))
+              + CAST(sum_dt AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             AS burstiness
+    FROM a WHERE n_gaps >= 2"""
+
+
 def q_hapax_docs(sf_dir: str):
     """Vocabulary richness per document: token count, distinct
     tokens, hapax legomena (tokens occurring exactly once IN the
@@ -9145,6 +9309,8 @@ ORACLE_SQL["topk_ties_events"] = ORACLE_SQL_TOPK_TIES
 ORACLE_SQL["modal_type_users"] = ORACLE_SQL_MODAL
 ORACLE_SQL["hapax_docs"] = ORACLE_SQL_HAPAX
 ORACLE_SQL["word_freq_spectrum_docs"] = ORACLE_SQL_WORD_SPECTRUM
+ORACLE_SQL["choropleth_tiles"] = ORACLE_SQL_CHOROPLETH
+ORACLE_SQL["burstiness_users"] = ORACLE_SQL_BURSTINESS
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -16906,4 +17072,6 @@ QUERIES = {
     "modal_type_users": q_modal_type_users,
     "hapax_docs": q_hapax_docs,
     "word_freq_spectrum_docs": q_word_freq_spectrum_docs,
+    "choropleth_tiles": q_choropleth_tiles,
+    "burstiness_users": q_burstiness_users,
 }
