@@ -4118,6 +4118,103 @@ ORACLE_SQL_CHOROPLETH = """
     FROM c CROSS JOIN b"""
 
 
+def q_heading_rose_events(sf_dir: str):
+    """Directional rose of movement steps: every consecutive per-user
+    step (speed_profile's track order) classed into one of 8 compass
+    octants by EXACT integer comparisons (sign dx, sign dy,
+    |dx| vs |dy| — no atan2 anywhere): E=0, NE=1, N=2, NW=3, W=4,
+    SW=5, S=6, SE=7; ties |dx| = |dy| go to the diagonal octant and
+    zero-move steps are dropped, identically in both engines. Output:
+    per octant, the step count — the mobility-pattern fingerprint.
+
+    Scale shape: per-bucket vectorized diffs → an 8-row partial per
+    bucket → one tiny groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import mix_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "x": pa.array((eid * 2654435761) % 360000 - 180000,
+                          pa.int64()),
+            "y": pa.array((eid * 40503) % 170000 - 85000, pa.int64()),
+            "kbkt": pa.array(mix_bucket(uid, 64), pa.int64())})
+
+    def rose(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        dx = np.zeros(len(uid), np.int64)
+        dy = np.zeros(len(uid), np.int64)
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        m = same & ((dx != 0) | (dy != 0))
+        dx, dy = dx[m], dy[m]
+        adx, ady = np.abs(dx), np.abs(dy)
+        # axis octants when the dominant axis strictly wins, diagonal
+        # octants otherwise (|dx| == |dy| ties included)
+        octant = np.where(
+            adx > ady,
+            np.where(dx > 0, 0, 4),                       # E / W
+            np.where(ady > adx,
+                     np.where(dy > 0, 2, 6),              # N / S
+                     np.where(dx > 0,
+                              np.where(dy > 0, 1, 7),     # NE / SE
+                              np.where(dy > 0, 3, 5))))   # NW / SW
+        cnt = np.bincount(octant, minlength=8)
+        return pa.table({
+            "octant": pa.array(np.arange(8, dtype=np.int64),
+                               pa.int64()),
+            "pn": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("kbkt").map_groups(rose, batch_format="pyarrow")
+            .groupby("octant").aggregate(Sum("pn", alias_name="n_steps")))
+
+
+ORACLE_SQL_HEADING_ROSE = """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             (event_id * 2654435761) % 360000 - 180000 AS x,
+             (event_id * 40503) % 170000 - 85000 AS y
+      FROM events),
+    s AS (SELECT user_id,
+                 x - lag(x) OVER w AS dx,
+                 y - lag(y) OVER w AS dy
+          FROM p WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us, event_id)),
+    m AS (SELECT dx, dy FROM s
+          WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)),
+    o AS (SELECT CASE
+            WHEN abs(dx) > abs(dy) THEN
+              CASE WHEN dx > 0 THEN 0 ELSE 4 END
+            WHEN abs(dy) > abs(dx) THEN
+              CASE WHEN dy > 0 THEN 2 ELSE 6 END
+            WHEN dx > 0 THEN CASE WHEN dy > 0 THEN 1 ELSE 7 END
+            ELSE CASE WHEN dy > 0 THEN 3 ELSE 5 END
+          END AS octant
+          FROM m)
+    SELECT oo.octant,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_steps
+    FROM (SELECT unnest(generate_series(0, 7)) AS octant) oo
+    LEFT JOIN (SELECT octant, COUNT(*) AS n FROM o GROUP BY 1) c
+      ON c.octant = oo.octant"""
+
+
 def q_burstiness_users(sf_dir: str):
     """Goh–Barabási burstiness index per user: B = (σ−μ)/(σ+μ) of
     the positive inter-event times in SECONDS (µs gaps squared can
@@ -9311,6 +9408,7 @@ ORACLE_SQL["hapax_docs"] = ORACLE_SQL_HAPAX
 ORACLE_SQL["word_freq_spectrum_docs"] = ORACLE_SQL_WORD_SPECTRUM
 ORACLE_SQL["choropleth_tiles"] = ORACLE_SQL_CHOROPLETH
 ORACLE_SQL["burstiness_users"] = ORACLE_SQL_BURSTINESS
+ORACLE_SQL["heading_rose_events"] = ORACLE_SQL_HEADING_ROSE
 
 # Convex hull over the staged per-block survivors (see
 # q_convex_hull_events): vertex = hull-edge test, ring order = slope
@@ -17074,4 +17172,5 @@ QUERIES = {
     "word_freq_spectrum_docs": q_word_freq_spectrum_docs,
     "choropleth_tiles": q_choropleth_tiles,
     "burstiness_users": q_burstiness_users,
+    "heading_rose_events": q_heading_rose_events,
 }
