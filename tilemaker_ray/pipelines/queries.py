@@ -14631,9 +14631,17 @@ def q_textrank_keywords(sf_dir: str, n_pairs: int = 2000,
     to its ``n_pairs`` strongest window-2 edges (the SQL-certified
     cooc machinery), ranked by the fixed-point integer PageRank
     engine (bit-exact, shard-count-invariant), top-``top`` words by
-    (rank_fp desc, word). Rows-only: iterative PageRank has no SQL
-    oracle; tests/test_textrank.py pins the whole composition
-    against a single-process recomputation.
+    (rank_fp desc, word).
+
+    SQL-certified via the staged keyword graph: the sparsified edge
+    table is staged and the oracle replays ALL TEN fixed-point
+    PageRank supersteps as unrolled CTEs — teleport
+    (d_den−d_num)·n·scale // (d_den·n), per-edge floor contribution
+    r·w // outdeg, per-node 17·Σ // 20 — every operand non-negative
+    int64, so DuckDB's truncating // equals the engine's floor. A
+    hash match certifies the entire iteration, not just the graph
+    (the power_iteration precedent applied to PageRank);
+    tests/test_textrank.py keeps the single-process pin.
 
     Scale shape: the pair sparsification IS the distributed top-k
     merge; the keyword graph is bounded by 2·n_pairs nodes, so the
@@ -14658,6 +14666,7 @@ def q_textrank_keywords(sf_dir: str, n_pairs: int = 2000,
 
     edges = pairs.map_batches(to_edges,
                               batch_format="pyarrow").materialize()
+    _stage_for_oracle(edges, "textrank_edges")
     import ray
     et = pa.concat_tables(
         [t for t in ray.get(list(edges.to_arrow_refs()))
@@ -14676,6 +14685,43 @@ def q_textrank_keywords(sf_dir: str, n_pairs: int = 2000,
         "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
         "word": pa.array(list(words[order]), pa.string()),
         "rank_fp": pa.array(rf[order], pa.int64())})
+
+
+def _textrank_oracle_sql(iters: int = 10, top: int = 20) -> str:
+    """Unrolled fixed-point PageRank mirror over the staged keyword
+    graph (see q_textrank_keywords). Each iteration is one
+    MATERIALIZED CTE: per-edge floor contributions joined to the
+    previous rank vector, 17·Σ // 20 damping + the teleport
+    constant."""
+    parts = ["""
+    WITH e AS (
+      SELECT src, dst, CAST(w AS BIGINT) AS w
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/textrank_edges/*.parquet')),
+    od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+           FROM e GROUP BY 1),
+    t AS (SELECT (3 * COUNT(DISTINCT src) * 1000000000)
+                   // (20 * COUNT(DISTINCT src)) AS tele FROM e),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, CAST(1000000000 AS BIGINT) AS r
+      FROM e)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    r{i} AS MATERIALIZED (
+      SELECT p.v,
+             (SELECT tele FROM t)
+               + 17 * COALESCE(s.acc, 0) // 20 AS r
+      FROM r{i - 1} p LEFT JOIN (
+        SELECT e.dst AS v,
+               CAST(SUM(p2.r * e.w // od.outdeg) AS BIGINT) AS acc
+        FROM e JOIN r{i - 1} p2 ON p2.v = e.src
+               JOIN od ON od.src = e.src
+        GROUP BY e.dst) s ON s.v = p.v)""")
+    parts.append(f"""
+    SELECT CAST(row_number() OVER (ORDER BY r DESC, v) AS BIGINT)
+             AS rank,
+           v AS word, CAST(r AS BIGINT) AS rank_fp
+    FROM r{iters} QUALIFY rank <= {top}""")
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -17174,3 +17220,7 @@ QUERIES = {
     "burstiness_users": q_burstiness_users,
     "heading_rose_events": q_heading_rose_events,
 }
+
+# registered here (end of module): the generator is defined beside
+# q_textrank_keywords, far below the main ORACLE_SQL block
+ORACLE_SQL["textrank_keywords"] = _textrank_oracle_sql()
