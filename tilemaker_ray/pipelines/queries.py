@@ -425,10 +425,18 @@ def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs over documents (rows-only check:
-    LSH is not SQL-expressible; exactness is pytest-verified against a
-    brute-force all-pairs Jaccard oracle on planted dups)."""
-    from ..stages.dedup import minhash_near_dups
+    """MinHash-LSH near-duplicate pairs over documents — SQL-certified
+    END TO END: the per-doc distinct shingle hashes are staged, and
+    the oracle replays the ENTIRE LSH pipeline in SQL — the 64
+    universal-hash permutation minima (mod-2⁶⁴ wraparound via
+    HUGEINT, the Mersenne 2⁶¹−1 reduction, seed-42 coefficient
+    literals), the 16 polynomial-XOR band folds (sign-converted
+    64-bit arithmetic), candidate pairs from band collisions, and
+    the exact-Jaccard ≥ 0.7 verify with the identical division tree.
+    A hash match certifies minhashing, banding, bucketing, pair
+    generation and verification — only the fnv1a shingle hashing
+    itself stays pytest-pinned (planted-dup brute oracle)."""
+    from ..stages.dedup import _shingle_hashes, minhash_near_dups
     import ray.data as rd
     # right-size read blocks: the pipeline has three sort-exchanges and
     # each pays per-block scheduling overhead — 64 tiny blocks of a
@@ -436,6 +444,26 @@ def q_minhash_near_dups(sf_dir: str):
     # target_max_block_size-bound and this override is a no-op-ish hint)
     ds = _read_compact(sf_dir, "documents",
                        columns=["doc_id", "text"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_id, out_sh = [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            sh = _shingle_hashes(t, 5).view(np.int64)
+            out_id.append(np.full(len(sh), ids[i], np.int64))
+            out_sh.append(sh)
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate(out_id) if out_id
+                else np.empty(0, np.int64), pa.int64()),
+            "sh": pa.array(
+                np.concatenate(out_sh) if out_sh
+                else np.empty(0, np.int64), pa.int64())})
+
+    _stage_for_oracle(ds.map_batches(shingle_rows,
+                                     batch_format="pyarrow"),
+                      "minhash_shingles")
     return minhash_near_dups(ds, threshold=0.7)
 
 
@@ -14738,6 +14766,106 @@ def _textrank_oracle_sql(iters: int = 10, top: int = 20) -> str:
     return "".join(parts)
 
 
+_U64 = 18446744073709551616
+_I64_HALF = 9223372036854775808
+
+
+def _minhash_oracle_sql(n_perm: int = 64, n_bands: int = 16,
+                        threshold: float = 0.7) -> str:
+    """Full MinHash-LSH mirror over the staged shingle hashes (see
+    q_minhash_near_dups): seed-42 coefficient literals, mod-2⁶⁴
+    universal hashing through HUGEINT, per-band polynomial-XOR folds
+    with explicit sign conversion, band-collision candidate pairs,
+    exact-Jaccard verify."""
+    from ..stages.dedup import MinHasher
+
+    h = MinHasher(n_perm, seed=42)
+    rows_per_band = n_perm // n_bands
+    M = (1 << 61) - 1
+    P = 1099511628211
+
+    seeds = ", ".join(f"({i}, {int(h.a[i])}, {int(h.b[i])})"
+                      for i in range(n_perm))
+    sig_cols = ",\n             ".join(
+        f"MIN(CASE WHEN i = {i} THEN v END) AS s{i}"
+        for i in range(n_perm))
+    band_union = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {xs} FROM sig".format(
+            b=bi, xs=", ".join(
+                f"s{bi * rows_per_band + c} AS x{c}"
+                for c in range(rows_per_band)))
+        for bi in range(n_bands))
+
+    def step(u_col: str, x_col: str) -> str:
+        # next_u = unsigned(xor(signed((u*P) mod 2^64), x))
+        mu = f"(({u_col} * {P}) % {_U64})"
+        ms = (f"CASE WHEN {mu} >= {_I64_HALF} "
+              f"THEN CAST({mu} - {_U64} AS BIGINT) "
+              f"ELSE CAST({mu} AS BIGINT) END")
+        xs = f"xor({ms}, {x_col})"
+        return (f"CASE WHEN {xs} < 0 "
+                f"THEN CAST({xs} AS HUGEINT) + {_U64} "
+                f"ELSE CAST({xs} AS HUGEINT) END")
+
+    fold_ctes = []
+    fold_ctes.append("""
+    f1 AS (SELECT doc_id, band, CAST(x0 AS HUGEINT) AS u,
+                  x1, x2, x3 FROM bx)""")
+    for c in range(1, rows_per_band):
+        rest = ", ".join(f"x{j}" for j in range(c + 1, rows_per_band))
+        rest = (", " + rest) if rest else ""
+        fold_ctes.append(f""",
+    f{c + 1} AS (SELECT doc_id, band, {step('u', f'x{c}')} AS u{rest}
+           FROM f{c})""")
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, sh
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/minhash_shingles/*.parquet')),
+    shu AS (
+      SELECT doc_id,
+             CASE WHEN sh < 0 THEN CAST(sh AS HUGEINT) + {_U64}
+                  ELSE CAST(sh AS HUGEINT) END AS s
+      FROM sh),
+    sd AS (SELECT * FROM (VALUES {seeds}) v(i, a, b)),
+    hv AS (
+      SELECT shu.doc_id, sd.i,
+             ((shu.s * sd.a) % {_U64} + sd.b) % {_U64} % {M} AS v
+      FROM shu CROSS JOIN sd),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hv GROUP BY doc_id),
+    bx AS (
+      {band_union}),{"".join(fold_ctes)},
+    bands AS (
+      SELECT doc_id, band,
+             CASE WHEN u >= {_I64_HALF}
+                  THEN CAST(u - {_U64} AS BIGINT)
+                  ELSE CAST(u AS BIGINT) END AS band_hash
+      FROM f{rows_per_band}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+              FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      GROUP BY 1, 2),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COALESCE(i.ni, 0) AS DOUBLE)
+               / (sa.nsh + sb.nsh - COALESCE(i.ni, 0)) AS jac
+      FROM cand c JOIN sizes sa ON sa.doc_id = c.doc_a
+                  JOIN sizes sb ON sb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+    SELECT doc_a, doc_b, jac FROM j WHERE jac >= {threshold}"""
+
+
 def _pagerank_sites_oracle_sql(prefix: str, rank_col: str,
                                iters: int = 10,
                                n_seeds: int | None = None) -> str:
@@ -17291,3 +17419,4 @@ ORACLE_SQL["pagerank_sites"] = _pagerank_sites_oracle_sql(
     "pagerank_sites", "rank")
 ORACLE_SQL["trustrank_sites"] = _pagerank_sites_oracle_sql(
     "trustrank_sites", "trust", n_seeds=5)
+ORACLE_SQL["minhash_near_dups"] = _minhash_oracle_sql()
