@@ -468,8 +468,43 @@ def q_minhash_near_dups(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
-    from ..stages.dedup import simhash_near_dups
+    """SimHash near-dup pairs — SQL-certified end to end: the per-doc
+    word hashes (with multiplicity — every occurrence votes) are
+    staged, and the oracle replays the whole pipeline — the 64
+    strict-majority bit votes (2·ones > n_words), signature
+    assembly, the four 16-bit pigeonhole band keys, band-collision
+    candidates, and the popcount(xor) ≤ 3 verify (DuckDB bit_count
+    on the signed bit pattern ≡ numpy's uint64 popcount). The doc
+    universe comes from the documents view, so zero-word docs keep
+    their all-zero signatures in both engines; only fnv1a word
+    hashing stays pytest-pinned."""
+    from ..stages.dedup import _word_hash, simhash_near_dups
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def word_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_id, out_wh = [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            ws = t.split()
+            if not ws:
+                continue
+            wh = np.fromiter((_word_hash(w) for w in ws),
+                             dtype=np.uint64,
+                             count=len(ws)).view(np.int64)
+            out_id.append(np.full(len(wh), ids[i], np.int64))
+            out_wh.append(wh)
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate(out_id) if out_id
+                else np.empty(0, np.int64), pa.int64()),
+            "wh": pa.array(
+                np.concatenate(out_wh) if out_wh
+                else np.empty(0, np.int64), pa.int64())})
+
+    _stage_for_oracle(ds.map_batches(word_rows,
+                                     batch_format="pyarrow"),
+                      "simhash_words")
     return simhash_near_dups(ds, max_hamming=3)
 
 
@@ -14866,6 +14901,61 @@ def _minhash_oracle_sql(n_perm: int = 64, n_bands: int = 16,
     SELECT doc_a, doc_b, jac FROM j WHERE jac >= {threshold}"""
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full SimHash mirror over the staged word hashes (see
+    q_simhash_near_dups): strict-majority bit votes, signature
+    assembly through HUGEINT, 16-bit band keys, popcount(xor)
+    verify."""
+    bit_terms = "SELECT unnest(generate_series(0, 63)) AS b"
+    band_terms = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"CAST((u // {1 << (16 * bi)}) % 65536 AS BIGINT) AS key "
+        f"FROM sig" for bi in range(4))
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN wh < 0 THEN CAST(wh AS HUGEINT) + {_U64}
+                  ELSE CAST(wh AS HUGEINT) END AS u
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/simhash_words/*.parquet')),
+    nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w GROUP BY 1),
+    ones AS (
+      SELECT w.doc_id, bb.b,
+             CAST(SUM((w.u // (CAST(1 AS HUGEINT) << bb.b)) % 2)
+                  AS BIGINT) AS k
+      FROM w CROSS JOIN ({bit_terms}) bb
+      GROUP BY 1, 2),
+    sigw AS (
+      SELECT o.doc_id,
+             SUM(CASE WHEN 2 * o.k > nw.n
+                      THEN CAST(1 AS HUGEINT) << o.b
+                      ELSE CAST(0 AS HUGEINT) END) AS u
+      FROM ones o JOIN nw ON nw.doc_id = o.doc_id
+      GROUP BY o.doc_id),
+    sig AS (
+      SELECT d.doc_id, COALESCE(sigw.u, CAST(0 AS HUGEINT)) AS u
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN sigw ON sigw.doc_id = d.doc_id),
+    sgn AS (
+      SELECT doc_id,
+             CASE WHEN u >= {_I64_HALF}
+                  THEN CAST(u - {_U64} AS BIGINT)
+                  ELSE CAST(u AS BIGINT) END AS s
+      FROM sig),
+    bands AS (
+      {band_terms}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+    FROM cand c JOIN sgn x ON x.doc_id = c.doc_a
+                JOIN sgn y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}"""
+
+
 def _pagerank_sites_oracle_sql(prefix: str, rank_col: str,
                                iters: int = 10,
                                n_seeds: int | None = None) -> str:
@@ -17420,3 +17510,4 @@ ORACLE_SQL["pagerank_sites"] = _pagerank_sites_oracle_sql(
 ORACLE_SQL["trustrank_sites"] = _pagerank_sites_oracle_sql(
     "trustrank_sites", "trust", n_seeds=5)
 ORACLE_SQL["minhash_near_dups"] = _minhash_oracle_sql()
+ORACLE_SQL["simhash_near_dups"] = _simhash_oracle_sql()
