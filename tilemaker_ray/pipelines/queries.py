@@ -424,6 +424,52 @@ def q_ann_top5(sf_dir: str, n_queries: int = 10, k: int = 5):
 # stages.textstats)
 # ---------------------------------------------------------------------------
 
+def _shingle_rows_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → exploded (doc_id, sh) distinct 5-shingle
+    fnv1a hashes — the staged input both the minhash pair oracle and
+    the keep oracle replay from."""
+    from ..stages.dedup import _shingle_hashes
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out_id, out_sh = [], []
+    for i, t in enumerate(batch["text"].to_pylist()):
+        sh = _shingle_hashes(t, 5).view(np.int64)
+        out_id.append(np.full(len(sh), ids[i], np.int64))
+        out_sh.append(sh)
+    return pa.table({
+        "doc_id": pa.array(
+            np.concatenate(out_id) if out_id
+            else np.empty(0, np.int64), pa.int64()),
+        "sh": pa.array(
+            np.concatenate(out_sh) if out_sh
+            else np.empty(0, np.int64), pa.int64())})
+
+
+def _word_rows_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → exploded (doc_id, wh) word hashes WITH
+    multiplicity (every occurrence votes) for the simhash oracles."""
+    from ..stages.dedup import _word_hash
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out_id, out_wh = [], []
+    for i, t in enumerate(batch["text"].to_pylist()):
+        ws = t.split()
+        if not ws:
+            continue
+        wh = np.fromiter((_word_hash(w) for w in ws),
+                         dtype=np.uint64,
+                         count=len(ws)).view(np.int64)
+        out_id.append(np.full(len(wh), ids[i], np.int64))
+        out_wh.append(wh)
+    return pa.table({
+        "doc_id": pa.array(
+            np.concatenate(out_id) if out_id
+            else np.empty(0, np.int64), pa.int64()),
+        "wh": pa.array(
+            np.concatenate(out_wh) if out_wh
+            else np.empty(0, np.int64), pa.int64())})
+
+
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-duplicate pairs over documents — SQL-certified
     END TO END: the per-doc distinct shingle hashes are staged, and
@@ -436,32 +482,14 @@ def q_minhash_near_dups(sf_dir: str):
     A hash match certifies minhashing, banding, bucketing, pair
     generation and verification — only the fnv1a shingle hashing
     itself stays pytest-pinned (planted-dup brute oracle)."""
-    from ..stages.dedup import _shingle_hashes, minhash_near_dups
-    import ray.data as rd
+    from ..stages.dedup import minhash_near_dups
     # right-size read blocks: the pipeline has three sort-exchanges and
     # each pays per-block scheduling overhead — 64 tiny blocks of a
     # small table cost 4x the wall time of 8 (at full scale blocks are
     # target_max_block_size-bound and this override is a no-op-ish hint)
     ds = _read_compact(sf_dir, "documents",
                        columns=["doc_id", "text"])
-
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        out_id, out_sh = [], []
-        for i, t in enumerate(batch["text"].to_pylist()):
-            sh = _shingle_hashes(t, 5).view(np.int64)
-            out_id.append(np.full(len(sh), ids[i], np.int64))
-            out_sh.append(sh)
-        return pa.table({
-            "doc_id": pa.array(
-                np.concatenate(out_id) if out_id
-                else np.empty(0, np.int64), pa.int64()),
-            "sh": pa.array(
-                np.concatenate(out_sh) if out_sh
-                else np.empty(0, np.int64), pa.int64())})
-
-    _stage_for_oracle(ds.map_batches(shingle_rows,
+    _stage_for_oracle(ds.map_batches(_shingle_rows_batch,
                                      batch_format="pyarrow"),
                       "minhash_shingles")
     return minhash_near_dups(ds, threshold=0.7)
@@ -478,31 +506,9 @@ def q_simhash_near_dups(sf_dir: str):
     universe comes from the documents view, so zero-word docs keep
     their all-zero signatures in both engines; only fnv1a word
     hashing stays pytest-pinned."""
-    from ..stages.dedup import _word_hash, simhash_near_dups
+    from ..stages.dedup import simhash_near_dups
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def word_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        out_id, out_wh = [], []
-        for i, t in enumerate(batch["text"].to_pylist()):
-            ws = t.split()
-            if not ws:
-                continue
-            wh = np.fromiter((_word_hash(w) for w in ws),
-                             dtype=np.uint64,
-                             count=len(ws)).view(np.int64)
-            out_id.append(np.full(len(wh), ids[i], np.int64))
-            out_wh.append(wh)
-        return pa.table({
-            "doc_id": pa.array(
-                np.concatenate(out_id) if out_id
-                else np.empty(0, np.int64), pa.int64()),
-            "wh": pa.array(
-                np.concatenate(out_wh) if out_wh
-                else np.empty(0, np.int64), pa.int64())})
-
-    _stage_for_oracle(ds.map_batches(word_rows,
+    _stage_for_oracle(ds.map_batches(_word_rows_batch,
                                      batch_format="pyarrow"),
                       "simhash_words")
     return simhash_near_dups(ds, max_hamming=3)
@@ -519,27 +525,37 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_simhash_dedup_keep(sf_dir: str):
-    """SimHash keep-one-per-component removal (rows-only; pytest
-    union-find oracle on the minhash twin covers the shared CC/anti
-    machinery, tests/test_dedup.py)."""
-    import ray.data as rd
-
+    """SimHash keep-one-per-component removal — SQL-certified END TO
+    END: the per-doc word hashes are staged and the oracle replays
+    the whole simhash pair pipeline (majority votes → band keys →
+    popcount verify, the simhash_near_dups mirror) PLUS the dedup
+    end-game — transitive-closure connected components over the pair
+    set (the components_customers recursive-CTE precedent) and the
+    keep-component-minimum anti-join. Only fnv1a word hashing stays
+    pytest-pinned."""
     from ..stages.dedup import simhash_dedup_keep
     ds = _read_compact(sf_dir, "documents",
                        columns=["doc_id", "text"])
+    _stage_for_oracle(ds.map_batches(_word_rows_batch,
+                                     batch_format="pyarrow"),
+                      "simhash_keep_words")
     return simhash_dedup_keep(ds, max_hamming=3)
 
 
 def q_minhash_dedup_keep(sf_dir: str):
     """Near-dup REMOVAL (keep smallest doc per duplicate component) —
-    the distributed anti-join end-game over the MinHash-LSH pairs
-    (rows-only: LSH not SQL-expressible; pytest brute-force oracle in
-    tests/test_dedup.py)."""
-    import ray.data as rd
-
+    SQL-certified END TO END: staged shingle hashes + the full
+    MinHash-LSH pair mirror (minhash_near_dups), then recursive-CTE
+    connected components over the confirmed pairs and the
+    keep-component-minimum anti-join — the distributed CC +
+    keep_one_per_component end-game certified against an independent
+    SQL derivation. Only fnv1a shingle hashing stays pytest-pinned."""
     from ..stages.dedup import minhash_dedup_keep
     ds = _read_compact(sf_dir, "documents",
                        columns=["doc_id", "text"])
+    _stage_for_oracle(ds.map_batches(_shingle_rows_batch,
+                                     batch_format="pyarrow"),
+                      "minhash_keep_shingles")
     return minhash_dedup_keep(ds, threshold=0.7)
 
 
@@ -14806,7 +14822,8 @@ _I64_HALF = 9223372036854775808
 
 
 def _minhash_oracle_sql(n_perm: int = 64, n_bands: int = 16,
-                        threshold: float = 0.7) -> str:
+                        threshold: float = 0.7,
+                        stage: str = "minhash_shingles") -> str:
     """Full MinHash-LSH mirror over the staged shingle hashes (see
     q_minhash_near_dups): seed-42 coefficient literals, mod-2⁶⁴
     universal hashing through HUGEINT, per-band polynomial-XOR folds
@@ -14856,7 +14873,7 @@ def _minhash_oracle_sql(n_perm: int = 64, n_bands: int = 16,
     return f"""
     WITH sh AS (
       SELECT doc_id, sh
-      FROM read_parquet('/tmp/tilemaker_ray_oracle/minhash_shingles/*.parquet')),
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/{stage}/*.parquet')),
     shu AS (
       SELECT doc_id,
              CASE WHEN sh < 0 THEN CAST(sh AS HUGEINT) + {_U64}
@@ -14901,7 +14918,8 @@ def _minhash_oracle_sql(n_perm: int = 64, n_bands: int = 16,
     SELECT doc_a, doc_b, jac FROM j WHERE jac >= {threshold}"""
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+def _simhash_oracle_sql(max_hamming: int = 3,
+                        stage: str = "simhash_words") -> str:
     """Full SimHash mirror over the staged word hashes (see
     q_simhash_near_dups): strict-majority bit votes, signature
     assembly through HUGEINT, 16-bit band keys, popcount(xor)
@@ -14916,7 +14934,7 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
       SELECT doc_id,
              CASE WHEN wh < 0 THEN CAST(wh AS HUGEINT) + {_U64}
                   ELSE CAST(wh AS HUGEINT) END AS u
-      FROM read_parquet('/tmp/tilemaker_ray_oracle/simhash_words/*.parquet')),
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/{stage}/*.parquet')),
     nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
            FROM w GROUP BY 1),
     ones AS (
@@ -17509,5 +17527,33 @@ ORACLE_SQL["pagerank_sites"] = _pagerank_sites_oracle_sql(
     "pagerank_sites", "rank")
 ORACLE_SQL["trustrank_sites"] = _pagerank_sites_oracle_sql(
     "trustrank_sites", "trust", n_seeds=5)
+def _keep_oracle_sql(pair_sql: str) -> str:
+    """Dedup END-GAME mirror shared by the minhash/simhash keep
+    oracles: near-dup pairs (the full LSH pipeline SQL) → undirected
+    edges → transitive-closure connected components (the
+    components_customers recursive-CTE precedent) → keep each doc
+    unless a smaller id shares its component — exactly
+    dedup.keep_one_per_component's comp-minimum rule."""
+    return f"""
+    WITH RECURSIVE
+      pr AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({pair_sql}
+        ) zq),
+      eu AS (SELECT doc_a AS u, doc_b AS v FROM pr
+             UNION SELECT doc_b, doc_a FROM pr),
+      reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM eu) nn(u)
+        UNION
+        SELECT eu.v, reach.r FROM eu JOIN reach ON reach.node = eu.u),
+      comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY 1)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    WHERE comp.comp IS NULL OR comp.comp = d.doc_id"""
+
+
 ORACLE_SQL["minhash_near_dups"] = _minhash_oracle_sql()
 ORACLE_SQL["simhash_near_dups"] = _simhash_oracle_sql()
+ORACLE_SQL["minhash_dedup_keep"] = _keep_oracle_sql(
+    _minhash_oracle_sql(stage="minhash_keep_shingles"))
+ORACLE_SQL["simhash_dedup_keep"] = _keep_oracle_sql(
+    _simhash_oracle_sql(stage="simhash_keep_words"))
