@@ -7552,8 +7552,10 @@ def q_image_phash_dups(sf_dir: str):
     duplicates: every image is re-emitted under media_id+10⁶ as a
     LOSSLESS PNG re-encode with a rotated scanline filter — identical
     pixels, hamming 0 — so each image must pair with its copy.
-    Rows-only (DCT/Huffman decode has no SQL analog); pytest pins the
-    pHash invariances and the pair recall."""
+    SQL-certified from the signature on: the per-image pHashes are
+    staged and the oracle replays banding, the oversized-bucket star
+    degradation, and the popcount verify (the simhash precedent);
+    only the PNG/JPEG decode + DCT stays pytest-pinned."""
     import pyarrow.parquet as _pq
 
     from ..stages.dedup import hamming64_near_dups
@@ -7593,6 +7595,7 @@ def q_image_phash_dups(sf_dir: str):
                                               batch_format="pyarrow")
     sigs = media.map_batches(image_phash_fn, batch_format="pyarrow",
                              batch_size=128)
+    _stage_for_oracle(sigs, "phash_sigs")
     return hamming64_near_dups(sigs, max_hamming=7,
                                id_col="media_id", sig_col="phash",
                                n_bands=8)
@@ -7605,7 +7608,9 @@ def q_audio_fp_dups(sf_dir: str):
     to volume scaling): decode WAV payloads, fingerprint, then the
     shared 8-band hamming LSH. Planted duplicates: every audio row is
     re-emitted at half volume under media_id+10⁶ and must pair with
-    its original. Rows-only; pytest pins the invariances."""
+    its original. SQL-certified from the fingerprint on (staged
+    sigs → banding + star degradation + popcount verify mirror);
+    only the WAV decode + spectral hash stays pytest-pinned."""
     import pyarrow.parquet as _pq
 
     from ..stages.dedup import hamming64_near_dups
@@ -7643,6 +7648,7 @@ def q_audio_fp_dups(sf_dir: str):
                                               batch_format="pyarrow")
     sigs = media.map_batches(audio_fingerprint_fn,
                              batch_format="pyarrow", batch_size=128)
+    _stage_for_oracle(sigs, "afp_sigs")
     return hamming64_near_dups(sigs, max_hamming=7,
                                id_col="media_id", sig_col="afp",
                                n_bands=8)
@@ -17527,6 +17533,48 @@ ORACLE_SQL["pagerank_sites"] = _pagerank_sites_oracle_sql(
     "pagerank_sites", "rank")
 ORACLE_SQL["trustrank_sites"] = _pagerank_sites_oracle_sql(
     "trustrank_sites", "trust", n_seeds=5)
+def _hamming_pairs_oracle_sql(stage: str, sig_col: str,
+                              n_bands: int = 8, max_hamming: int = 7,
+                              max_bucket: int = 500) -> str:
+    """Mirror of dedup.hamming64_near_dups over a staged 64-bit
+    signature table (media_id, sig): per-band byte keys, band-bucket
+    candidate pairs WITH the oversized-bucket star degradation (runs
+    larger than max_bucket emit only min-id × member pairs, exactly
+    bucket_pairs_from_runs' overflow="star"), popcount(xor) verify on
+    the signed bit patterns, distinct across bands."""
+    bits = 64 // n_bands
+    return f"""
+    WITH s AS (
+      SELECT media_id AS doc_id,
+             CASE WHEN {sig_col} < 0
+                  THEN CAST({sig_col} AS HUGEINT) + {_U64}
+                  ELSE CAST({sig_col} AS HUGEINT) END AS u,
+             {sig_col} AS sgn
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/{stage}/*.parquet')),
+    bands AS (
+      SELECT doc_id,
+             bb.b AS band,
+             CAST((u // (CAST(1 AS HUGEINT) << ({bits} * bb.b)))
+                  % {1 << bits} AS BIGINT) AS key,
+             sgn
+      FROM s CROSS JOIN
+           (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) bb),
+    bsz AS (SELECT band, key, COUNT(*) AS m, MIN(doc_id) AS mn
+            FROM bands GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+      JOIN bsz z ON z.band = a.band AND z.key = a.key
+      WHERE z.m <= {max_bucket} OR a.doc_id = z.mn)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.sgn, y.sgn)) AS BIGINT) AS hamming
+    FROM cand c JOIN s x ON x.doc_id = c.doc_a
+                JOIN s y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.sgn, y.sgn)) <= {max_hamming}"""
+
+
 def _keep_oracle_sql(pair_sql: str) -> str:
     """Dedup END-GAME mirror shared by the minhash/simhash keep
     oracles: near-dup pairs (the full LSH pipeline SQL) → undirected
@@ -17557,3 +17605,7 @@ ORACLE_SQL["minhash_dedup_keep"] = _keep_oracle_sql(
     _minhash_oracle_sql(stage="minhash_keep_shingles"))
 ORACLE_SQL["simhash_dedup_keep"] = _keep_oracle_sql(
     _simhash_oracle_sql(stage="simhash_keep_words"))
+ORACLE_SQL["image_phash_dups"] = _hamming_pairs_oracle_sql(
+    "phash_sigs", "phash")
+ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
+    "afp_sigs", "afp")
