@@ -6110,9 +6110,12 @@ def q_kcore_knn_events(sf_dir: str):
     clustering): est(v) starts at degree and converges to coreness
     through synchronous h-index rounds on the vertex-shard engine —
     monotone integer updates, so the result is bit-deterministic and
-    shard-invariant. Rows-only (iterative peeling is not
-    SQL-expressible); tests/test_kcore.py pins the engine against the
-    classic min-degree peeling oracle on random graphs at P=2/6."""
+    shard-invariant. SQL-certified end to end (no staging): the
+    oracle rebuilds the sampled points + exact 3-NN edges and unrolls
+    12 h-index rounds — monotonicity makes rounds past the fixpoint
+    no-ops, so the unroll is exact. tests/test_kcore.py additionally
+    pins the engine against the classic min-degree peeling oracle on
+    random graphs at P=2/6."""
     import ray.data as rd
     from ..stages.knn_graph import knn_graph
     from ..stages.pagerank import kcore_numbers
@@ -17575,6 +17578,57 @@ def _hamming_pairs_oracle_sql(stage: str, sig_col: str,
     WHERE bit_count(xor(x.sgn, y.sgn)) <= {max_hamming}"""
 
 
+def _kcore_oracle_sql(rounds: int = 12) -> str:
+    """Full-pipeline k-core mirror (no staging): the deterministic
+    sampled event points and exact 3-NN edges (the sssp_knn_events
+    formula), symmetrized + deduped, then ``rounds`` unrolled
+    synchronous h-index updates est' = min(est, h(neighbor ests)) —
+    monotone decreasing, so once the fixpoint (= coreness, Lü et al.
+    2016) is reached extra rounds are no-ops; the engine converges in
+    2 rounds on this graph family and 12 gives 6× headroom. The
+    h-index is COUNT(est_desc[rn] >= rn) — identical to the shard
+    engine's count_nonzero formulation."""
+    parts = ["""
+    WITH p AS (
+      SELECT e.event_id AS id, (((e.event_id * 2654435761) % 360000) / 1000.0 - 180.0) AS lon,
+             (((e.event_id * 40503) % 170000) / 1000.0 - 85.0) AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    ke AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    e AS MATERIALIZED (
+      SELECT src AS s, dst AS t FROM ke
+      UNION SELECT dst, src FROM ke),
+    h0 AS MATERIALIZED (
+      SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS est
+      FROM e GROUP BY 1)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    x{i} AS (
+      SELECT e.s AS v, h.est AS nest,
+             row_number() OVER (PARTITION BY e.s
+                                ORDER BY h.est DESC) AS rn
+      FROM e JOIN h{i - 1} h ON h.v = e.t),
+    h{i} AS MATERIALIZED (
+      SELECT p.v,
+             LEAST(p.est, CAST(COALESCE(SUM(
+               CASE WHEN x.nest >= x.rn THEN 1 ELSE 0 END), 0)
+               AS BIGINT)) AS est
+      FROM h{i - 1} p LEFT JOIN x{i} x ON x.v = p.v
+      GROUP BY p.v, p.est)""")
+    parts.append(f"""
+    SELECT v AS node, est AS core FROM h{rounds}""")
+    return "".join(parts)
+
+
 def _keep_oracle_sql(pair_sql: str) -> str:
     """Dedup END-GAME mirror shared by the minhash/simhash keep
     oracles: near-dup pairs (the full LSH pipeline SQL) → undirected
@@ -17609,3 +17663,4 @@ ORACLE_SQL["image_phash_dups"] = _hamming_pairs_oracle_sql(
     "phash_sigs", "phash")
 ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
     "afp_sigs", "afp")
+ORACLE_SQL["kcore_knn_events"] = _kcore_oracle_sql()
