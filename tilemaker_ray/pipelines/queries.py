@@ -3780,11 +3780,13 @@ def q_betweenness_knn_events(sf_dir: str):
     accumulation delta_fp(u) = Σ floor(sigma_u·(10⁶+delta_fp(w))/
     sigma_w) on a reversed-edge shard set. The per-edge floor makes
     delta a deterministic INTEGER — shard-layout- and order-invariant
-    (the PageRank fixed-point precedent) — so the driver's double-run
-    rows-only check pins the whole two-pass algorithm; the recursion
-    itself is certified bit-exactly by the single-process brute in
-    tests/test_betweenness.py (rows-only: the layered backward DP is
-    not SQL-expressible)."""
+    (the PageRank fixed-point precedent). SQL-certified end to end
+    (no staging): the oracle rebuilds the points + directed 3-NN
+    edges and unrolls BOTH passes level by level — forward sigma BFS
+    and the backward per-edge-floor accumulation; empty levels past
+    the deepest hop make the fixed unroll exact. The single-process
+    brute in tests/test_betweenness.py additionally pins the shard
+    engine."""
     import ray.data as rd
     from ..stages.knn_graph import knn_graph
     from ..stages.pagerank import betweenness_delta_fp
@@ -17629,6 +17631,71 @@ def _kcore_oracle_sql(rounds: int = 12) -> str:
     return "".join(parts)
 
 
+def _betweenness_oracle_sql(scale: int = 10**6,
+                            max_hops: int = 8) -> str:
+    """Full-pipeline single-source Brandes mirror (no staging): the
+    deterministic sampled points + exact directed 3-NN edges, source
+    = MIN(src), then BOTH passes unrolled level by level — forward
+    sigma BFS (hop = first-discovery level, sigma = Σ of hop−1
+    predecessors' sigmas) and the backward dependency accumulation
+    delta(u) = Σ_w floor(sigma_u·(scale + delta_w)/sigma_w) over
+    shortest-DAG successors w, one per-edge floor exactly like the
+    shard engine's integer contrib. Levels past the deepest reached
+    hop are empty CTEs, so the fixed unroll is exact."""
+    parts = ["""
+    WITH p AS (
+      SELECT e.event_id AS id, (((e.event_id * 2654435761) % 360000) / 1000.0 - 180.0) AS lon,
+             (((e.event_id * 40503) % 170000) / 1000.0 - 85.0) AS lat
+      FROM events e WHERE e.event_id % 20 = 0),
+    d AS (
+      SELECT a.id AS src, b.id AS dst,
+             (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM p a JOIN p b ON b.id <> a.id),
+    ke AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY d2, dst) AS rnk
+        FROM d) WHERE rnk <= 3),
+    l0 AS MATERIALIZED (
+      SELECT (SELECT MIN(src) FROM ke) AS v, CAST(1 AS BIGINT) AS sigma),
+    seen0 AS (SELECT v FROM l0)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""",
+    l{h} AS MATERIALIZED (
+      SELECT ke.dst AS v, CAST(SUM(u.sigma) AS BIGINT) AS sigma
+      FROM ke JOIN l{h - 1} u ON ke.src = u.v
+      WHERE ke.dst NOT IN (SELECT v FROM seen{h - 1})
+      GROUP BY 1),
+    seen{h} AS (SELECT v FROM seen{h - 1}
+                UNION ALL SELECT v FROM l{h})""")
+    # backward: dl{h} = (v, sigma, delta) for hop-h nodes
+    parts.append(f""",
+    dl{max_hops} AS MATERIALIZED (
+      SELECT v, sigma, CAST(0 AS BIGINT) AS delta FROM l{max_hops})""")
+    for h in range(max_hops - 1, -1, -1):
+        parts.append(f""",
+    c{h} AS (
+      SELECT u.v,
+             SUM(CAST(u.sigma AS HUGEINT) * ({scale} + w.delta)
+                 // w.sigma) AS delta
+      FROM l{h} u JOIN ke ON ke.src = u.v
+      JOIN dl{h + 1} w ON w.v = ke.dst
+      GROUP BY 1),
+    dl{h} AS MATERIALIZED (
+      SELECT l.v, l.sigma,
+             CAST(COALESCE(c.delta, 0) AS BIGINT) AS delta
+      FROM l{h} l LEFT JOIN c{h} c ON c.v = l.v)""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT v AS node, CAST({h} AS BIGINT) AS hop, sigma, "
+        f"delta AS delta_fp FROM dl{h}"
+        for h in range(0, max_hops + 1))
+    parts.append(f"""
+    {sel}""")
+    return "".join(parts)
+
+
 def _keep_oracle_sql(pair_sql: str) -> str:
     """Dedup END-GAME mirror shared by the minhash/simhash keep
     oracles: near-dup pairs (the full LSH pipeline SQL) → undirected
@@ -17664,3 +17731,4 @@ ORACLE_SQL["image_phash_dups"] = _hamming_pairs_oracle_sql(
 ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
     "afp_sigs", "afp")
 ORACLE_SQL["kcore_knn_events"] = _kcore_oracle_sql()
+ORACLE_SQL["betweenness_knn_events"] = _betweenness_oracle_sql()
