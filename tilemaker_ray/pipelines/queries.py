@@ -12611,8 +12611,14 @@ def q_burst_detect_events(sf_dir: str, num_buckets: int = 64):
     (floor(1e6·(λ·g − ln λ)) with λ from integer gap sums), ties
     prefer the base state — the optimal path is bit-stable and the
     pytest brute (an independent per-user scalar DP) must agree
-    exactly. No SQL oracle: Viterbi is not SQL-expressible (driver
-    records the rows-only check).
+    exactly. SQL-certified: the per-user integer cost params
+    (ln0/ln1/l0q/l1q — the only float step, floor(±1e6·ln λ)) are
+    staged, the gap sequence re-derives in SQL from the events view
+    (µs diffs, floor-seconds, clamp ≥1), and the oracle replays the
+    WHOLE Viterbi as a recursive CTE that carries burst counts
+    forward through the identical strict-< argmin decisions — the
+    forward-carried count equals the backtrack count because both
+    follow the same predecessor choices.
 
     Scale shape: ONE hash(user) exchange; in-bucket the DP runs
     vectorized ACROSS users (lane per user over padded gap columns —
@@ -12699,8 +12705,42 @@ def q_burst_detect_events(sf_dir: str, num_buckets: int = 64):
             "n_gaps": pa.array(nl, pa.int64()),
             "n_burst_gaps": pa.array(burst, pa.int64())})
 
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("b").map_groups(dp, batch_format="pyarrow"))
+    def params(g: pa.Table) -> pa.Table:
+        """Per-user integer cost params for the SQL oracle — the
+        SAME λ→micro-nat floats the DP derives (ints in, ints out:
+        λ = n/Σgaps is a deterministic function of integer sums)."""
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        out = {"user_id": [], "ln0": [], "ln1": [],
+               "l0q": [], "l1q": []}
+        for s, e in zip(starts, ends):
+            if e - s - 1 < 2:
+                continue
+            gseq = np.maximum(np.diff(ts[s:e]) // 1_000_000, 1)
+            lam0 = len(gseq) / float(gseq.sum())
+            lam1 = 2.0 * lam0
+            out["user_id"].append(int(u[s]))
+            out["ln0"].append(int(np.floor(-np.log(lam0) * 1e6)))
+            out["ln1"].append(int(np.floor(-np.log(lam1) * 1e6)))
+            out["l0q"].append(int(np.floor(lam0 * 1e6)))
+            out["l1q"].append(int(np.floor(lam1 * 1e6)))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+    _stage_for_oracle(
+        bucketed.groupby("b").map_groups(params,
+                                         batch_format="pyarrow"),
+        "burst_params")
+    return bucketed.groupby("b").map_groups(dp,
+                                            batch_format="pyarrow")
 
 
 def q_bipartite_cooc_events(sf_dir: str, num_buckets: int = 64):
@@ -17732,3 +17772,49 @@ ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
     "afp_sigs", "afp")
 ORACLE_SQL["kcore_knn_events"] = _kcore_oracle_sql()
 ORACLE_SQL["betweenness_knn_events"] = _betweenness_oracle_sql()
+
+# Kleinberg burst Viterbi: gaps re-derived from the events view
+# (µs diffs → floor seconds → clamp ≥1), integer cost params staged
+# (the only float step), the 2-state DP a recursive CTE that carries
+# burst counts through the SAME strict-< argmin decisions the engine
+# backtracks — forward-carried counts ≡ backtrack counts.
+ORACLE_SQL["burst_detect_events"] = """
+    WITH RECURSIVE
+    pr AS (SELECT * FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/burst_params/*.parquet')),
+    o AS (
+      SELECT user_id, epoch_us(ts) AS tu,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts) AS rn
+      FROM events),
+    g AS MATERIALIZED (
+      SELECT a.user_id, a.rn - 2 AS idx,
+             GREATEST((a.tu - b.tu) // 1000000, 1) AS gap
+      FROM o a JOIN o b ON b.user_id = a.user_id
+                       AND b.rn = a.rn - 1
+      JOIN pr ON pr.user_id = a.user_id),
+    ng AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps
+           FROM g GROUP BY 1),
+    dp(user_id, col, d0, d1, b0, b1) AS (
+      SELECT user_id, -1, CAST(0 AS BIGINT),
+             CAST(1152921504606846976 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM pr
+      UNION ALL
+      SELECT dp.user_id, dp.col + 1,
+             (CASE WHEN dp.d1 < dp.d0 THEN dp.d1 ELSE dp.d0 END)
+               + p.ln0 + p.l0q * g.gap,
+             (CASE WHEN dp.d0 + 4000000 < dp.d1
+                   THEN dp.d0 + 4000000 ELSE dp.d1 END)
+               + p.ln1 + p.l1q * g.gap,
+             CASE WHEN dp.d1 < dp.d0 THEN dp.b1 ELSE dp.b0 END,
+             (CASE WHEN dp.d0 + 4000000 < dp.d1
+                   THEN dp.b0 ELSE dp.b1 END) + 1
+      FROM dp
+      JOIN g ON g.user_id = dp.user_id AND g.idx = dp.col + 1
+      JOIN pr p ON p.user_id = dp.user_id)
+    SELECT dp.user_id, ng.n_gaps,
+           CAST(CASE WHEN dp.d1 < dp.d0 THEN dp.b1 ELSE dp.b0 END
+                AS BIGINT) AS n_burst_gaps
+    FROM dp JOIN ng ON ng.user_id = dp.user_id
+    WHERE dp.col = ng.n_gaps - 1"""
