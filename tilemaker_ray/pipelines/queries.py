@@ -11972,9 +11972,12 @@ def q_isotonic_calibration(sf_dir: str):
 
     Determinism: pooling compares rates by integer cross-
     multiplication; PAVA's result is unique, so any merge order
-    converges to the same blocks. No SQL oracle (PAVA is sequential
-    pooling, not SQL-expressible) — pytest pins against an
-    independent reference and the monotonicity/pooling invariants.
+    converges to the same blocks. SQL-certified via the max-min-mean
+    characterization (Barlow et al. 1972): fitted(k) =
+    max_{i≤k} min_{j≥k} mean(pos[i..j]) — O(support²) segment
+    averages + window min/max in the oracle, blocks = runs of equal
+    fitted values; pytest additionally pins an independent PAVA
+    reference and the monotonicity/pooling invariants.
 
     Scale shape: per-batch (score, n, sum_pos) partials → groupby
     bounded by the score SUPPORT → sorted blocks each run LOCAL PAVA
@@ -17772,6 +17775,55 @@ ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
     "afp_sigs", "afp")
 ORACLE_SQL["kcore_knn_events"] = _kcore_oracle_sql()
 ORACLE_SQL["betweenness_knn_events"] = _betweenness_oracle_sql()
+
+# Isotonic regression via the max-min-mean characterization:
+# PAVA's unique fit satisfies fitted(k) = max_{i<=k} min_{j>=k}
+# mean(pos[i..j]) (Barlow et al. 1972), which IS SQL-expressible —
+# O(G²) segment averages (G = score support, bounded), a suffix-min
+# window per i, a max per k, then blocks = runs of equal fitted
+# values. Rounding is monotone, so the double max-min lands exactly
+# on the double of the pooled block rate both engines share; the
+# block output itself is pure integers.
+ORACLE_SQL["isotonic_calibration"] = """
+    WITH s AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      FROM embeddings),
+    grp AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS sp,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY 1),
+    idx AS (SELECT score, sp, n,
+                   row_number() OVER (ORDER BY score) AS k
+            FROM grp),
+    cs AS (SELECT k, score, sp, n,
+                  SUM(sp) OVER (ORDER BY k) AS csp,
+                  SUM(n) OVER (ORDER BY k) AS cn
+           FROM idx),
+    pair AS (
+      SELECT i.k AS i, j.k AS j,
+             CAST(j.csp - COALESCE(i2.csp, 0) AS DOUBLE)
+               / (j.cn - COALESCE(i2.cn, 0)) AS avgv
+      FROM cs i JOIN cs j ON j.k >= i.k
+      LEFT JOIN cs i2 ON i2.k = i.k - 1),
+    pm AS (SELECT i, j,
+                  MIN(avgv) OVER (PARTITION BY i
+                                  ORDER BY j DESC) AS sufmin
+           FROM pair),
+    fit AS (SELECT j AS k, MAX(sufmin) AS fitted
+            FROM pm GROUP BY j),
+    fb AS (SELECT idx.k, idx.score, idx.sp, idx.n, f.fitted,
+                  CASE WHEN lag(f.fitted) OVER (ORDER BY idx.k)
+                            = f.fitted
+                       THEN 0 ELSE 1 END AS brk
+           FROM idx JOIN fit f ON f.k = idx.k),
+    bl AS (SELECT *, SUM(brk) OVER (ORDER BY k) AS blk FROM fb)
+    SELECT CAST(blk - 1 AS BIGINT) AS block_id,
+           MIN(score) AS score_lo, MAX(score) AS score_hi,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sp) AS BIGINT) AS sum_pos
+    FROM bl GROUP BY 1"""
+
 
 # Kleinberg burst Viterbi: gaps re-derived from the events view
 # (µs diffs → floor seconds → clamp ≥1), integer cost params staged
