@@ -2293,16 +2293,22 @@ def q_rank_weighted_sample(sf_dir: str):
     pages kept with probability ∝ their site's PageRank, via the
     all-integer deterministic rule in pagerank.rank_weighted_sample
     (splitmix64(page_idx) mod 2³² under a per-site fixed-point
-    threshold, mean keep rate 1/2). Rows-only; pytest pins the exact
-    kept set against a single-process reference. Uses the round-5
-    distributed-id PageRank front half; the per-site threshold table
-    broadcast is the documented #sites-bounded OUTPUT of the rank
-    operator (the accepted small-side pattern), not the id
-    assignment."""
+    threshold, mean keep rate 1/2). SQL-certified end to end: the
+    integer site graph stages (the pagerank_sites mirror replays the
+    full 10-iteration fixed point → rank_fp → thresholds) and the
+    page urls stage slim; the oracle re-parses site/page_idx with the
+    same RE2 pattern and replays splitmix64 through HUGEINT xor-shift
+    chains — a hash match certifies ranking, thresholding, hashing
+    and the keep rule. pytest additionally pins the kept set against
+    a single-process reference. Uses the round-5 distributed-id
+    PageRank front half; the per-site threshold table broadcast is
+    the documented #sites-bounded OUTPUT of the rank operator (the
+    accepted small-side pattern), not the id assignment."""
     import ray.data as rd
     from ..sources import pages as _pages
     from ..stages.pagerank import label_site_ids, rank_weighted_sample
-    ranks, site_ids, m = _pagerank_sites_indexed(sf_dir)
+    ranks, site_ids, m = _pagerank_sites_indexed(
+        sf_dir, stage_prefix="rws")
     labeled = label_site_ids(ranks, site_ids, id_col="node_i",
                              out_col="node",
                              extra_cols=[("rank_fp", pa.int64())])
@@ -2311,6 +2317,7 @@ def q_rank_weighted_sample(sf_dir: str):
     n = _pages.n_pages_for_sf_dir(sf_dir)
     ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
                          columns=["url"])
+    _stage_for_oracle(ds, "rws_pages")
     return rank_weighted_sample(ds, rank_tbl)
 
 
@@ -17775,6 +17782,67 @@ ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
     "afp_sigs", "afp")
 ORACLE_SQL["kcore_knn_events"] = _kcore_oracle_sql()
 ORACLE_SQL["betweenness_knn_events"] = _betweenness_oracle_sql()
+
+def _rws_oracle_sql() -> str:
+    """rank_weighted_sample mirror: the staged integer site graph
+    replays the full PageRank fixed point (prefix rws), per-site
+    thresholds min(2³², rank_fp·2³² // (2·10⁹)) in HUGEINT, pages
+    re-parsed with the same RE2 pattern, and splitmix64 replayed
+    through HUGEINT xor-shift chains; keep ⇔ low32(h) < thr."""
+    def xs(col: str, s: int) -> str:
+        # unsigned 64-bit  z ^ (z >> s)  via signed xor
+        a = (f"CASE WHEN {col} >= {_I64_HALF} "
+             f"THEN CAST({col} - {_U64} AS BIGINT) "
+             f"ELSE CAST({col} AS BIGINT) END")
+        b = f"CAST(({col} // {1 << s}) AS BIGINT)"
+        x = f"xor({a}, {b})"
+        return (f"CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_U64} "
+                f"ELSE CAST({x} AS HUGEINT) END")
+
+    def mulmod64(col: str, m: int) -> str:
+        # (col * m) mod 2^64 via 32-bit limbs — a full u64×u64
+        # product would overflow INT128
+        lo, hi = m & 0xFFFFFFFF, m >> 32
+        return (f"((({col} % 4294967296) * {lo} + "
+                f"((({col} % 4294967296) * {hi} + "
+                f"({col} // 4294967296) * {lo}) % 4294967296) "
+                f"* 4294967296) % {_U64})")
+
+    C1 = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+    rank_sql = _pagerank_sites_oracle_sql("rws", "rank")
+    return f"""
+    WITH rk AS MATERIALIZED (
+      SELECT node, rank_fp FROM ({rank_sql}
+      ) zrk),
+    thr AS (
+      SELECT node AS site,
+             LEAST(CAST(4294967296 AS HUGEINT),
+                   CAST(rank_fp AS HUGEINT) * 4294967296
+                     // 2000000000) AS thr
+      FROM rk),
+    pg AS (
+      SELECT url,
+             regexp_extract(url, '^(.*)/([0-9]+)$', 1) AS site,
+             CAST(regexp_extract(url, '^(.*)/([0-9]+)$', 2)
+                  AS HUGEINT) AS x
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/rws_pages/*.parquet')
+      WHERE regexp_matches(url, '^(.*)/([0-9]+)$')),
+    z0 AS (SELECT url, site, (x + {C1}) % {_U64} AS z FROM pg),
+    z1a AS (SELECT url, site, {xs('z', 30)} AS y FROM z0),
+    z1 AS (SELECT url, site, {mulmod64('y', M1)} AS z FROM z1a),
+    z2a AS (SELECT url, site, {xs('z', 27)} AS y FROM z1),
+    z2 AS (SELECT url, site, {mulmod64('y', M2)} AS z FROM z2a),
+    z3 AS (SELECT url, site, {xs('z', 31)} AS z FROM z2),
+    h AS (SELECT url, site, z % 4294967296 AS h32 FROM z3)
+    SELECT h.url, h.site
+    FROM h LEFT JOIN thr ON thr.site = h.site
+    WHERE h.h32 < COALESCE(thr.thr, 0)"""
+
+
+ORACLE_SQL["rank_weighted_sample"] = _rws_oracle_sql()
+
 
 # Isotonic regression via the max-min-mean characterization:
 # PAVA's unique fit satisfies fitted(k) = max_{i<=k} min_{j>=k}
