@@ -1943,9 +1943,12 @@ def q_raster_polygonize(sf_dir: str):
     over cell adjacency) + per-region outline tracing. Driver output
     is the per-region stats (the WKB outline is exercised by
     tests/test_raster_vector.py, where area(outline) == n_cells is
-    pinned); region ids are packed min cell keys — not SQL-expressible
-    (connected components), so rows-only with a pytest flood-fill
-    oracle."""
+    pinned); region ids are packed min cell keys. SQL-certified: the
+    oracle rebuilds the thresholded raster, labels 4-connected
+    components by recursive transitive closure, and derives the
+    perimeter from the union-of-unit-squares identity
+    4·n_cells − adjacent_ordered_pairs (holes included); the pytest
+    flood-fill oracle additionally pins the outline trace."""
     from ..stages.raster_vector import polygonize
     out = polygonize(_event_raster(sf_dir))
     return out.select_columns(["region", "n_cells", "perimeter",
@@ -17842,6 +17845,45 @@ def _rws_oracle_sql() -> str:
 
 
 ORACLE_SQL["rank_weighted_sample"] = _rws_oracle_sql()
+
+
+# Raster→vector region stats: the same thresholded z5 raster as
+# raster_boundary, 4-connected components via the recursive-closure
+# precedent (region = min packed (x<<32)|y key), and the union-of-
+# unit-squares identity perimeter = 4·n_cells − adjacent_ordered_pairs
+# (every shared edge removes one unit from two cells' contribution,
+# holes included — the traced outline sums outer ring + holes).
+ORACLE_SQL["raster_polygonize"] = """
+    WITH RECURSIVE pts AS (
+      SELECT CAST(least(greatest(floor(((((e.event_id * 2654435761) % 360000) / 1000.0 - 180.0) + 180.0) / 360.0 * 32), 0), 31) AS BIGINT) AS x,
+             CAST(least(greatest(floor((180.0 - degrees(ln(tan(radians((((e.event_id * 40503) % 170000) / 1000.0 - 85.0)) / 2.0 + pi() / 4.0)))) / 360.0 * 32), 0), 31) AS BIGINT) AS y
+      FROM events e),
+    cells AS (
+      SELECT x, y FROM pts GROUP BY x, y HAVING COUNT(*) >= 2),
+    ck AS (SELECT x, y, x * 4294967296 + y AS k FROM cells),
+    e AS (SELECT a.k AS u, b.k AS v
+          FROM ck a JOIN ck b
+            ON abs(a.x - b.x) + abs(a.y - b.y) = 1),
+    reach(node, r) AS (
+      SELECT k, k FROM ck
+      UNION
+      SELECT e.v, reach.r FROM e JOIN reach ON reach.node = e.u),
+    comp AS (SELECT node, MIN(r) AS region FROM reach GROUP BY 1),
+    lab AS (SELECT ck.x, ck.y, comp.region
+            FROM ck JOIN comp ON comp.node = ck.k),
+    adj AS (SELECT l.region, CAST(COUNT(*) AS BIGINT) AS a2
+            FROM lab l JOIN lab m
+              ON abs(l.x - m.x) + abs(l.y - m.y) = 1
+             AND l.region = m.region
+            GROUP BY 1)
+    SELECT l.region,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(4 * COUNT(*) - COALESCE(MIN(a.a2), 0) AS BIGINT)
+             AS perimeter,
+           MIN(l.x) AS min_x, MIN(l.y) AS min_y,
+           MAX(l.x) AS max_x, MAX(l.y) AS max_y
+    FROM lab l LEFT JOIN adj a ON a.region = l.region
+    GROUP BY 1"""
 
 
 # Isotonic regression via the max-min-mean characterization:
