@@ -11566,8 +11566,11 @@ def q_mst_customers(sf_dir: str, eps: float = 8.0,
     each Borůvka round = component labels from the SQL-certified CC
     engine over the forest so far + ONE broadcast of the label map +
     a per-batch min-edge partial fold (selected edges ≤ #components);
-    O(log n) rounds. Rows-only: MST selection is not SQL-expressible;
-    the brute is exact."""
+    O(log n) rounds. SQL-certified: under the (w, u, v) total order
+    the forest is UNIQUE, so the oracle's recursive Prim-with-restarts
+    (min crossing edge per round, reseed at the min unvisited node)
+    must agree edge-for-edge with Borůvka — and with the pytest
+    Kruskal brute."""
     import ray
 
     from ..stages.common import mix_bucket
@@ -17884,6 +17887,63 @@ ORACLE_SQL["raster_polygonize"] = """
            MAX(l.x) AS max_x, MAX(l.y) AS max_y
     FROM lab l LEFT JOIN adj a ON a.region = l.region
     GROUP BY 1"""
+
+
+# Minimum spanning forest: under the (w, u, v) total order all edge
+# keys are distinct, so the MSF is UNIQUE — the engine's Borůvka, the
+# pytest Kruskal, and this oracle's Prim-with-restarts must agree
+# edge-for-edge. The recursive CTE carries the full visited set each
+# round (rows re-emitted with rnd+1), picks the minimal crossing edge
+# by ORDER BY (w,u,v) LIMIT 1, and reseeds at the minimal unvisited
+# node when its component is exhausted; it stops when the edge-
+# endpoint universe is covered.
+ORACLE_SQL["mst_customers"] = """
+    WITH RECURSIVE
+    p AS (SELECT c.c_custkey AS id,
+                 (((c.c_custkey * 48271) % 360000) / 1000.0 - 180.0) AS x,
+                 (((c.c_custkey * 16807) % 170000) / 1000.0 - 85.0) AS y
+          FROM customer c),
+    ed AS MATERIALIZED (
+      SELECT a.id AS u, b.id AS v,
+             CAST(floor(((a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y))
+                        * 1000000000.0) AS BIGINT) AS w
+      FROM p a JOIN p b ON a.id < b.id
+       AND (a.x - b.x) * (a.x - b.x)
+         + (a.y - b.y) * (a.y - b.y) <= 64.0),
+    uni AS MATERIALIZED (
+      SELECT u AS n FROM ed UNION SELECT v FROM ed),
+    st(rnd, kind, a, b, w) AS (
+      SELECT 0, 0, (SELECT MIN(n) FROM uni),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT * FROM (
+        WITH cur AS (SELECT * FROM st),
+        vis AS (SELECT a AS n FROM cur WHERE kind = 0),
+        cross_e AS (
+          SELECT e.u, e.v, e.w,
+                 CASE WHEN e.u IN (SELECT n FROM vis)
+                      THEN e.v ELSE e.u END AS newn
+          FROM ed e
+          WHERE (e.u IN (SELECT n FROM vis))
+             <> (e.v IN (SELECT n FROM vis))),
+        best AS (SELECT * FROM cross_e ORDER BY w, u, v LIMIT 1),
+        nextn AS (SELECT MIN(n) AS n FROM uni
+                  WHERE n NOT IN (SELECT n FROM vis)),
+        more AS (SELECT COUNT(*) AS c FROM uni
+                 WHERE n NOT IN (SELECT n FROM vis))
+        SELECT cur.rnd + 1, cur.kind, cur.a, cur.b, cur.w
+        FROM cur, more WHERE more.c > 0
+        UNION ALL
+        SELECT (SELECT MAX(rnd) FROM cur) + 1, 0,
+               COALESCE((SELECT newn FROM best),
+                        (SELECT n FROM nextn)),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM more WHERE more.c > 0
+        UNION ALL
+        SELECT (SELECT MAX(rnd) FROM cur) + 1, 1, b2.u, b2.v, b2.w
+        FROM best b2, more WHERE more.c > 0) z)
+    SELECT DISTINCT a AS u, b AS v, w AS w_fp FROM st WHERE kind = 1"""
 
 
 # Isotonic regression via the max-min-mean characterization:
