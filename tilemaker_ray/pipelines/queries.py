@@ -3353,11 +3353,18 @@ def q_mapmatch_tracks(sf_dir: str):
     noisy walks along a road lattice, snapped back by an exact-integer
     Viterbi (emission d², transition BETA·|route−obs| manhattan). One
     summary row per user: points, matched, correct-vs-truth, total
-    snap error, and the integer path cost — bit-deterministic, so the
-    driver's double-run rows-only check pins the whole DP. The cost
-    model itself is certified by the exhaustive path-enumeration brute
-    oracle in tests/test_mapmatch.py (Viterbi DP is not
-    SQL-expressible — documented rows-only).
+    snap error, and the integer path cost — bit-deterministic.
+    SQL-certified: the observation tracks + truth stage (synth_track
+    is the pytest-pinned part), the lattice + candidate sets + snaps
+    rebuild in SQL (generate_series segments, 3×3 midpoint-cell
+    prefilter, clip snap, RADIUS² filter, sid-ordered candidate
+    ranks), and the oracle replays the whole Viterbi as a recursive
+    CTE that carries each state's PATH as a list through the
+    identical first-min argmin decisions — forward-carried paths ≡
+    backtracked paths. Every synth observation is within NOISE < RADIUS
+    of its true segment, so tracks are single-run and the final DP
+    cost IS the recomputed path cost. The exhaustive path-enumeration
+    brute in tests/test_mapmatch.py additionally pins the cost model.
 
     Scale shape: the road index builds ONCE PER ACTOR (__init__); user
     tracks are independent rows through an actor-pool map_batches — no
@@ -3376,6 +3383,24 @@ def q_mapmatch_tracks(sf_dir: str):
     users = (_read(sf_dir, "events", columns=["user_id"])
              .groupby("user_id").aggregate(Count(alias_name="n_ev"))
              .map_batches(panel, batch_format="pyarrow"))
+
+    def obs_rows(batch: pa.Table) -> pa.Table:
+        rows = {"user_id": [], "t": [], "ox": [], "oy": [],
+                "true_sid": []}
+        for uid in batch["user_id"].to_pylist():
+            steps = 10 + uid % 8
+            ox, oy, tsid = synth_track(int(uid), steps)
+            rows["user_id"].extend([int(uid)] * steps)
+            rows["t"].extend(range(steps))
+            rows["ox"].extend(int(v) for v in ox)
+            rows["oy"].extend(int(v) for v in oy)
+            rows["true_sid"].extend(int(v) for v in tsid)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    _stage_for_oracle(users.map_batches(obs_rows,
+                                        batch_format="pyarrow"),
+                      "mapmatch_obs")
 
     class Matcher:
         def __init__(self):
@@ -17887,6 +17912,107 @@ ORACLE_SQL["raster_polygonize"] = """
            MAX(l.x) AS max_x, MAX(l.y) AS max_y
     FROM lab l LEFT JOIN adj a ON a.region = l.region
     GROUP BY 1"""
+
+
+# HMM map matching: lattice + candidates + snaps rebuilt in SQL,
+# observations staged, the Viterbi a recursive CTE whose states carry
+# their PATH as a list through the identical first-min argmin
+# decisions (ORDER BY cost, prev-k ≡ numpy first-min over sid-sorted
+# candidates); single-run tracks (NOISE < RADIUS) make the final DP
+# cost the recomputed path cost.
+ORACLE_SQL["mapmatch_tracks"] = """
+    WITH RECURSIVE
+    seg AS (
+      SELECT 2 * ((j + 50) * 100 + (i + 50)) AS sid,
+             i * 1000 AS x1, j * 1000 AS y1,
+             (i + 1) * 1000 AS x2, j * 1000 AS y2
+      FROM (SELECT unnest(generate_series(-50, 50)) AS j) a,
+           (SELECT unnest(generate_series(-50, 49)) AS i) b
+      UNION ALL
+      SELECT 2 * ((i + 50) * 100 + (j + 50)) + 1 + 20200 AS sid,
+             i * 1000, j * 1000, i * 1000, (j + 1) * 1000
+      FROM (SELECT unnest(generate_series(-50, 50)) AS i) a,
+           (SELECT unnest(generate_series(-50, 49)) AS j) b),
+    segc AS MATERIALIZED (
+      SELECT sid, x1, y1, x2, y2,
+             CAST(floor(((x1 + x2) / 2.0) / 1000.0) AS BIGINT) AS cx,
+             CAST(floor(((y1 + y2) / 2.0) / 1000.0) AS BIGINT) AS cy
+      FROM seg),
+    ob AS MATERIALIZED (
+      SELECT user_id, t, ox, oy, true_sid,
+             CAST(floor(ox / 1000.0) AS BIGINT) AS cx,
+             CAST(floor(oy / 1000.0) AS BIGINT) AS cy
+      FROM read_parquet(
+        '/tmp/tilemaker_ray_oracle/mapmatch_obs/*.parquet')),
+    cr AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY user_id, t
+                                   ORDER BY sid) AS k
+      FROM (
+        SELECT o.user_id, o.t, s.sid,
+               GREATEST(s.x1, LEAST(o.ox, s.x2)) AS sx,
+               GREATEST(s.y1, LEAST(o.oy, s.y2)) AS sy,
+               (GREATEST(s.x1, LEAST(o.ox, s.x2)) - o.ox)
+                 * (GREATEST(s.x1, LEAST(o.ox, s.x2)) - o.ox)
+             + (GREATEST(s.y1, LEAST(o.oy, s.y2)) - o.oy)
+                 * (GREATEST(s.y1, LEAST(o.oy, s.y2)) - o.oy) AS d2
+        FROM ob o JOIN segc s
+          ON s.cx BETWEEN o.cx - 1 AND o.cx + 1
+         AND s.cy BETWEEN o.cy - 1 AND o.cy + 1) z
+      WHERE d2 <= 176400),
+    od AS (SELECT user_id, t,
+                  abs(ox - lag(ox) OVER w)
+                + abs(oy - lag(oy) OVER w) AS d1
+           FROM ob WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    nt AS (SELECT user_id, MAX(t) AS tmax FROM ob GROUP BY 1),
+    dp(user_id, t, k, cost, path) AS (
+      SELECT user_id, t, k, d2, [k] FROM cr WHERE t = 0
+      UNION ALL
+      SELECT z.user_id, z.t, z.k, z.cost, z.path FROM (
+        SELECT c.user_id, c.t, c.k,
+               s.cost
+                 + 50 * abs((abs(c.sx - p.sx) + abs(c.sy - p.sy))
+                            - od.d1)
+                 + c.d2 AS cost,
+               list_append(s.path, c.k) AS path,
+               row_number() OVER (
+                 PARTITION BY c.user_id, c.k
+                 ORDER BY s.cost
+                   + 50 * abs((abs(c.sx - p.sx) + abs(c.sy - p.sy))
+                              - od.d1),
+                   s.k) AS rn
+        FROM dp s
+        JOIN cr c ON c.user_id = s.user_id AND c.t = s.t + 1
+        JOIN cr p ON p.user_id = s.user_id AND p.t = s.t
+                 AND p.k = s.k
+        JOIN od ON od.user_id = c.user_id AND od.t = c.t) z
+      WHERE z.rn = 1),
+    fin AS (
+      SELECT dp.user_id, dp.cost, dp.path,
+             row_number() OVER (PARTITION BY dp.user_id
+                                ORDER BY dp.cost, dp.k) AS rn
+      FROM dp JOIN nt ON nt.user_id = dp.user_id
+                     AND dp.t = nt.tmax),
+    sel AS (SELECT user_id, cost, path FROM fin WHERE rn = 1),
+    px AS (
+      SELECT s.user_id, g.g AS t, list_extract(s.path, g.g + 1) AS k
+      FROM sel s,
+           (SELECT unnest(generate_series(0, 20)) AS g) g
+      WHERE g.g < len(s.path)),
+    stat AS (
+      SELECT p.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pts,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN c.sid = o.true_sid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             CAST(SUM(c.d2) AS BIGINT) AS sum_d2
+      FROM px p
+      JOIN cr c ON c.user_id = p.user_id AND c.t = p.t
+               AND c.k = p.k
+      JOIN ob o ON o.user_id = p.user_id AND o.t = p.t
+      GROUP BY 1)
+    SELECT st.user_id, st.n_pts, st.n_matched, st.n_correct,
+           st.sum_d2, CAST(sel.cost AS BIGINT) AS path_cost
+    FROM stat st JOIN sel ON sel.user_id = st.user_id"""
 
 
 # Minimum spanning forest: under the (w, u, v) total order all edge
