@@ -6188,8 +6188,13 @@ def q_sw_align_pairs(sf_dir: str):
     are exact). The pair list bounds the quadratic work by
     construction; involved docs broadcast once (ray.put — the
     accepted candidate-bounded small side), and scoring streams
-    through map_batches. Rows-only (DP); the kernel is pinned against
-    the cell-loop reference in tests/test_align.py."""
+    through map_batches. SQL-certified end to end (no staging): the
+    oracle re-derives the copy pairs and word sequences from the
+    documents view and replays the DP anti-diagonal by anti-diagonal
+    in a recursive CTE — one aggregated scan of the working table per
+    round, candidates spawned by row expansion, missing neighbors
+    COALESCEd to the zero border. The kernel stays pinned against the
+    cell-loop reference in tests/test_align.py."""
     import ray
     import ray.data as rd
     from ..stages.align import sw_score
@@ -17912,6 +17917,110 @@ ORACLE_SQL["raster_polygonize"] = """
            MAX(l.x) AS max_x, MAX(l.y) AS max_y
     FROM lab l LEFT JOIN adj a ON a.region = l.region
     GROUP BY 1"""
+
+
+# Smith–Waterman copy-pair verification: the candidate pairs are the
+# copy_pairs SQL (min_shared=5), and the local-alignment DP runs as a
+# recursive CTE over anti-diagonals — states carry (pair, diag, i, h)
+# with the newest diagonal tagged nu=1 and the previous nu=0, so up/
+# left read the nu=1 rows, diag reads nu=0, and candidates spawn only
+# from nu=1 via the two in-range moves (i, i+1). Missing neighbors
+# COALESCE to the zero border; MAX(h) over all emitted rows is the
+# score, floored at 0 like the kernel.
+ORACLE_SQL["sw_align_pairs"] = """
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2] || ' ' ||
+                    string_split(text, ' ')[i + 3] || ' ' ||
+                    string_split(text, ' ')[i + 4])) AS term
+      FROM documents),
+    sdt AS (SELECT DISTINCT doc_id, term FROM tok),
+    fdt AS (SELECT term FROM sdt GROUP BY term
+            HAVING COUNT(*) BETWEEN 2 AND 50),
+    prs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sdt a JOIN sdt b ON a.term = b.term
+                          AND a.doc_id < b.doc_id
+      WHERE a.term IN (SELECT term FROM fdt)
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 5),
+    ids AS (SELECT doc_a AS doc_id FROM prs
+            UNION SELECT doc_b FROM prs),
+    wd AS MATERIALIZED (
+      SELECT d.doc_id, g.g AS pos,
+             string_split(d.text, ' ')[g.g] AS w
+      FROM documents d JOIN ids ON ids.doc_id = d.doc_id,
+           (SELECT unnest(generate_series(1, 256)) AS g) g
+      WHERE g.g <= len(string_split(d.text, ' '))),
+    lens AS MATERIALIZED (
+      SELECT doc_id, MAX(pos) AS n FROM wd GROUP BY 1),
+    dp(a, b, d, i, h, nu) AS (
+      SELECT p.doc_a, p.doc_b, 2, 1,
+             GREATEST(0, CASE WHEN wa.w = wb.w THEN 2 ELSE -1 END),
+             1
+      FROM prs p
+      JOIN wd wa ON wa.doc_id = p.doc_a AND wa.pos = 1
+      JOIN wd wb ON wb.doc_id = p.doc_b AND wb.pos = 1
+      UNION ALL
+      SELECT * FROM (
+        -- ONE aggregated scan of the working table per round (s0
+        -- MATERIALIZED): pivot cur/prev diagonals per (pair, i),
+        -- expand each row to its two reachable candidate cells, and
+        -- regroup so every candidate sees up/left/diag without
+        -- further recursive-table references (multi-referencing the
+        -- recursive CTE re-evaluates it - exponential blowup).
+        WITH s0 AS MATERIALIZED (
+          SELECT a, b, i,
+                 MAX(CASE WHEN nu = 1 THEN h END) AS hc,
+                 MAX(CASE WHEN nu = 0 THEN h END) AS hp,
+                 MAX(CASE WHEN nu = 1 THEN d END) AS dd
+          FROM dp GROUP BY a, b, i),
+        s1 AS MATERIALIZED (
+          SELECT a, b, i, hc, hp,
+                 MAX(dd) OVER (PARTITION BY a, b) AS dD
+          FROM s0),
+        ex AS (
+          SELECT a, b, i AS ci, dD, hc AS av, NULL::BIGINT AS bv,
+                 NULL::BIGINT AS cv
+          FROM s1 WHERE hc IS NOT NULL
+          UNION ALL
+          SELECT a, b, i + 1, dD, NULL, hc, hp FROM s1),
+        cd AS (
+          SELECT e.a, e.b, e.ci, MAX(e.dD) AS dD,
+                 MAX(e.av) AS av, MAX(e.bv) AS bv, MAX(e.cv) AS cv
+          FROM ex e GROUP BY e.a, e.b, e.ci
+          HAVING MAX(e.av) IS NOT NULL OR MAX(e.bv) IS NOT NULL),
+        val AS (
+          SELECT cd.a, cd.b, cd.dD + 1 AS d, cd.ci AS i,
+                 GREATEST(0,
+                   COALESCE(cd.cv, 0)
+                     + CASE WHEN wa.w = wb.w THEN 2 ELSE -1 END,
+                   COALESCE(cd.av, 0) - 1,
+                   COALESCE(cd.bv, 0) - 1) AS h
+          FROM cd
+          JOIN lens la ON la.doc_id = cd.a
+          JOIN lens lb ON lb.doc_id = cd.b
+          JOIN wd wa ON wa.doc_id = cd.a AND wa.pos = cd.ci
+          JOIN wd wb ON wb.doc_id = cd.b
+                    AND wb.pos = cd.dD + 1 - cd.ci
+          WHERE cd.ci BETWEEN 1 AND la.n
+            AND (cd.dD + 1 - cd.ci) BETWEEN 1 AND lb.n)
+        SELECT a, b, d, i, h, 1 FROM val
+        UNION ALL
+        SELECT s.a, s.b, s.dD, s.i, s.hc, 0
+        FROM s1 s JOIN lens la ON la.doc_id = s.a
+                  JOIN lens lb ON lb.doc_id = s.b
+        WHERE s.hc IS NOT NULL AND s.dD < la.n + lb.n) z),
+    mx AS (SELECT a, b, MAX(h) AS sw FROM dp GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           CAST(COALESCE(mx.sw, 0) AS BIGINT) AS sw
+    FROM prs p LEFT JOIN mx ON mx.a = p.doc_a AND mx.b = p.doc_b"""
 
 
 # HMM map matching: lattice + candidates + snaps rebuilt in SQL,
