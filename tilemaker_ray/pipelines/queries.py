@@ -7581,9 +7581,13 @@ def q_dedup_spans_docs(sf_dir: str):
     data-cleaning op at k-gram granularity): every non-first
     occurrence of a duplicated 8-word span anywhere in the corpus is
     cut from its document. Two slim exchanges; doc text rides only
-    the rebuild exchange. Rows-only (global first-occurrence over
-    overlapping spans has no tractable SQL form); pytest pins the
-    distributed run against the single-process reference."""
+    the rebuild exchange. SQL-certified end to end (no staging): the
+    oracle keys on the k-gram STRINGS (the engine keys on 64-bit
+    rolling hashes of the same grams — identical semantics), keeps
+    the global first (doc_id, pos) occurrence per gram via a window,
+    expands covered positions, and rebuilds with an ordered
+    string_agg; pytest additionally pins the distributed run against
+    the single-process reference."""
     from ..stages.spandedup import dedup_spans
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_spans(ds, k=8)
@@ -17917,6 +17921,42 @@ ORACLE_SQL["raster_polygonize"] = """
            MAX(l.x) AS max_x, MAX(l.y) AS max_y
     FROM lab l LEFT JOIN adj a ON a.region = l.region
     GROUP BY 1"""
+
+
+# ExactSubstr span dedup: k-gram STRINGS are the dedup keys in SQL
+# (the Ray engine keys on 64-bit rolling hashes of the same grams —
+# identical semantics modulo astronomically-unlikely collisions), the
+# global first occurrence per gram survives via a (doc_id, pos)
+# window, covered word positions expand with generate_series(0, 7),
+# and the text rebuilds with an ordered string_agg over uncut words.
+ORACLE_SQL["dedup_spans_docs"] = """
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    wd AS (SELECT doc_id, g.g - 1 AS pos, w[g.g] AS word
+           FROM ws, (SELECT unnest(generate_series(1, 256)) AS g) g
+           WHERE g.g <= len(w)),
+    gr AS (SELECT doc_id, g.g - 1 AS pos,
+                  array_to_string(w[g.g:g.g + 7], ' ') AS gram
+           FROM ws, (SELECT unnest(generate_series(1, 256)) AS g) g
+           WHERE g.g + 7 <= len(w)),
+    fo AS (SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY gram
+                                     ORDER BY doc_id, pos) AS rn
+           FROM gr),
+    cut AS (SELECT doc_id, pos FROM fo WHERE rn > 1),
+    cov AS (SELECT DISTINCT c.doc_id, c.pos + o.o AS wpos
+            FROM cut c,
+                 (SELECT unnest(generate_series(0, 7)) AS o) o)
+    SELECT w.doc_id,
+           COALESCE(string_agg(
+             CASE WHEN cov.wpos IS NULL THEN w.word END,
+             ' ' ORDER BY w.pos), '') AS text,
+           CAST(SUM(CASE WHEN cov.wpos IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed_tokens
+    FROM wd w LEFT JOIN cov ON cov.doc_id = w.doc_id
+                           AND cov.wpos = w.pos
+    GROUP BY w.doc_id"""
 
 
 # Smith–Waterman copy-pair verification: the candidate pairs are the
