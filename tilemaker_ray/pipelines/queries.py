@@ -5932,14 +5932,30 @@ def q_unigram_token_count_docs(sf_dir: str):
     (stages/unigram.py: substring seed → 2 EM rounds of integer
     fixed-point Viterbi segmentation, vocabulary-level work only)
     then tokenize every document — per-doc token counts under the
-    learned vocab. Rows-only: iterative EM is not SQL-expressible;
-    the trainer is pinned bit-exactly against its single-process
-    reference under varying block layouts (tests/test_unigram.py),
-    the BPE-trainer precedent."""
-    from ..stages.unigram import train_unigram, unigram_tokenize_fn
+    learned vocab. SQL-certified from the vocabulary on: the trained
+    (piece, score_fp) table + unk score stage, and the oracle replays
+    the whole tokenizer — per-word max-score Viterbi segmentation as
+    an UNROLLED position DP (16 levels, words cap at 8 chars;
+    candidates per position are the ≤6-char suffix pieces, ties
+    prefer the longer piece exactly like the kernel) with
+    forward-carried piece counts, then the per-doc Σ count·n_pieces.
+    The trainer itself (iterative EM) stays pinned bit-exactly
+    against its single-process reference under varying block layouts
+    (tests/test_unigram.py), the BPE-trainer precedent."""
+    import ray.data as rd
+    from ..stages.unigram import (_score_fp, train_unigram,
+                                  unigram_tokenize_fn)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     vocab = train_unigram(ds, k=512, rounds=2)
+    total = sum(c for c, _ in vocab.values())
+    unk_fp = _score_fp(0, total, len(vocab))
+    vt = pa.table({
+        "piece": pa.array(list(vocab) + [""], pa.string()),
+        "score_fp": pa.array([s for _, s in vocab.values()]
+                             + [unk_fp], pa.int64()),
+        "is_unk": pa.array([0] * len(vocab) + [1], pa.int8())})
+    _stage_for_oracle(rd.from_arrow(vt), "unigram_vocab")
     return ds.map_batches(unigram_tokenize_fn(vocab),
                           batch_format="pyarrow", batch_size=256)
 
@@ -17921,6 +17937,76 @@ ORACLE_SQL["raster_polygonize"] = """
            MAX(l.x) AS max_x, MAX(l.y) AS max_y
     FROM lab l LEFT JOIN adj a ON a.region = l.region
     GROUP BY 1"""
+
+
+def _unigram_oracle_sql(max_pos: int = 16, maxlen: int = 6) -> str:
+    """Unigram-LM tokenizer mirror over the staged vocabulary: the
+    per-word max-score Viterbi segmentation unrolled position by
+    position (dp[i] = best over ln ≤ maxlen of dp[i−ln] + score,
+    ties to the longer piece — the kernel's exact update), piece
+    counts carried forward through the same decisions, then the
+    per-doc Σ word_count · n_pieces fold."""
+    stage = "/tmp/tilemaker_ray_oracle/unigram_vocab/*.parquet"
+    parts = [f"""
+    WITH vb AS MATERIALIZED (
+      SELECT piece, score_fp
+      FROM read_parquet('{stage}') WHERE is_unk = 0),
+    uk AS MATERIALIZED (
+      SELECT score_fp AS unk
+      FROM read_parquet('{stage}') WHERE is_unk = 1),
+    tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+    dc AS MATERIALIZED (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tokw WHERE word <> '' GROUP BY 1, 2),
+    wl AS MATERIALIZED (
+      SELECT word, len(word) AS wn
+      FROM (SELECT DISTINCT word FROM dc) z),
+    d0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS BIGINT) AS dp,
+             CAST(0 AS BIGINT) AS np
+      FROM wl)"""]
+    for i in range(1, max_pos + 1):
+        branches = []
+        for ln in range(1, min(maxlen, i) + 1):
+            if ln == 1:
+                sc = "COALESCE(v.score_fp, uk.unk)"
+                guard = ""
+            else:
+                sc = "v.score_fp"
+                guard = " AND v.piece IS NOT NULL"
+            branches.append(f"""
+        SELECT w.word, d.dp + {sc} AS cand, {ln} AS ln, d.np
+        FROM wl w
+        JOIN d{i - ln} d ON d.word = w.word
+        LEFT JOIN vb v ON v.piece = substr(w.word, {i - ln + 1}, {ln})
+        CROSS JOIN uk
+        WHERE w.wn >= {i}{guard}""")
+        u = "\n        UNION ALL".join(branches)
+        parts.append(f""",
+    c{i} AS (
+      SELECT z.word, z.cand, z.ln, z.np,
+             row_number() OVER (PARTITION BY z.word
+                                ORDER BY z.cand DESC, z.ln DESC)
+               AS rn
+      FROM ({u}) z),
+    d{i} AS MATERIALIZED (SELECT word, cand AS dp, np + 1 AS np
+             FROM c{i} WHERE rn = 1)""")
+    fin = "\n      UNION ALL ".join(
+        f"SELECT d.word, d.np FROM d{i} d "
+        f"JOIN wl w ON w.word = d.word AND w.wn = {i}"
+        for i in range(1, max_pos + 1))
+    parts.append(f""",
+    fin AS (
+      {fin})
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c * fin.np) AS BIGINT) AS n_tokens
+    FROM dc JOIN fin ON fin.word = dc.word
+    GROUP BY 1""")
+    return "".join(parts)
+
+
+ORACLE_SQL["unigram_token_count_docs"] = _unigram_oracle_sql()
 
 
 # ExactSubstr span dedup: k-gram STRINGS are the dedup keys in SQL
