@@ -860,11 +860,22 @@ def q_bpe_token_count_docs(sf_dir: str):
     single-process reference trainer, pinned in tests/test_bpe.py),
     then encode every document in map_batches with a per-worker
     word→length cache. Replaces the heuristic n_subword_est as the
-    production token-counting path; no SQL oracle (BPE training is
-    iterative and data-dependent), driver checks rows-only."""
+    production token-counting path. SQL-certified from the merge
+    table on: the learned (a, b, rank) list stages and the oracle
+    replays the ENCODER — 8 unrolled merge steps over per-word
+    symbol rows (min-rank pair per word, greedy left-to-right
+    non-overlap via run parity, re-numbered positions) and the
+    per-doc Σ count·n_symbols fold; the trainer itself stays pinned
+    bit-exactly in tests/test_bpe.py."""
+    import ray.data as rd
     from ..stages.bpe import bpe_tokenize_fn, train_bpe
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     merges = train_bpe(ds, n_merges=48)
+    mt = pa.table({
+        "a": pa.array([a for a, _, _ in merges], pa.int64()),
+        "b": pa.array([b for _, b, _ in merges], pa.int64()),
+        "rank": pa.array(list(range(len(merges))), pa.int64())})
+    _stage_for_oracle(rd.from_arrow(mt), "bpe_merges")
     return ds.map_batches(bpe_tokenize_fn(merges),
                           batch_format="pyarrow")
 
@@ -18007,6 +18018,82 @@ def _unigram_oracle_sql(max_pos: int = 16, maxlen: int = 6) -> str:
 
 
 ORACLE_SQL["unigram_token_count_docs"] = _unigram_oracle_sql()
+
+
+def _bpe_oracle_sql(steps: int = 8) -> str:
+    """BPE encoder mirror over the staged merge table: per distinct
+    word, ``steps`` unrolled rounds of encode_word — find the
+    min-rank adjacent pair, fire it greedy left-to-right (overlap
+    only possible when a = b; run parity picks the 1st, 3rd, …
+    match of each consecutive run), splice in new_id = 0x110000 +
+    rank, re-number positions. Words cap at 8 chars so ≤7 rounds
+    reach the fixpoint; extra rounds are no-ops. Every st{t} is
+    MATERIALIZED (the chained-DP inlining lesson)."""
+    stage = "/tmp/tilemaker_ray_oracle/bpe_merges/*.parquet"
+    parts = [f"""
+    WITH mg AS MATERIALIZED (
+      SELECT a, b, rank, 1114112 + rank AS new_id
+      FROM read_parquet('{stage}')),
+    tokw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+    dc AS MATERIALIZED (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tokw WHERE word <> '' GROUP BY 1, 2),
+    wl AS MATERIALIZED (
+      SELECT word FROM (SELECT DISTINCT word FROM dc) z),
+    st0 AS MATERIALIZED (
+      SELECT w.word, g.g AS pos,
+             CAST(unicode(substr(w.word, g.g, 1)) AS BIGINT) AS s
+      FROM wl w, (SELECT unnest(generate_series(1, 16)) AS g) g
+      WHERE g.g <= len(w.word))"""]
+    for t in range(steps):
+        parts.append(f""",
+    mr{t} AS (
+      SELECT x.word, MIN(mg.rank) AS r
+      FROM st{t} x JOIN st{t} y
+        ON y.word = x.word AND y.pos = x.pos + 1
+      JOIN mg ON mg.a = x.s AND mg.b = y.s
+      GROUP BY 1),
+    mt{t} AS (
+      SELECT x.word, x.pos, mg.new_id
+      FROM st{t} x JOIN st{t} y
+        ON y.word = x.word AND y.pos = x.pos + 1
+      JOIN mr{t} m ON m.word = x.word
+      JOIN mg ON mg.a = x.s AND mg.b = y.s AND mg.rank = m.r),
+    fr{t} AS (
+      SELECT word, pos, new_id FROM (
+        SELECT word, pos, new_id,
+               row_number() OVER (PARTITION BY word, pos - rn
+                                  ORDER BY pos) AS runi
+        FROM (
+          SELECT word, pos, new_id,
+                 row_number() OVER (PARTITION BY word
+                                    ORDER BY pos) AS rn
+          FROM mt{t}) zz) z
+      WHERE runi % 2 = 1),
+    st{t + 1} AS MATERIALIZED (
+      SELECT word,
+             row_number() OVER (PARTITION BY word
+                                ORDER BY pos) AS pos,
+             s
+      FROM (
+        SELECT x.word, x.pos,
+               COALESCE(f.new_id, x.s) AS s
+        FROM st{t} x
+        LEFT JOIN fr{t} f ON f.word = x.word AND f.pos = x.pos
+        LEFT JOIN fr{t} p ON p.word = x.word AND p.pos = x.pos - 1
+        WHERE p.pos IS NULL) q)""")
+    parts.append(f""",
+    wn AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM st{steps} GROUP BY 1)
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c * wn.n) AS BIGINT) AS n_bpe_tokens
+    FROM dc JOIN wn ON wn.word = dc.word
+    GROUP BY 1""")
+    return "".join(parts)
+
+
+ORACLE_SQL["bpe_token_count_docs"] = _bpe_oracle_sql()
 
 
 # ExactSubstr span dedup: k-gram STRINGS are the dedup keys in SQL
