@@ -1582,11 +1582,16 @@ def q_revenue_by_nation(sf_dir: str):
 
 
 def q_hll_distinct_users(sf_dir: str):
-    """HyperLogLog approximate COUNT(DISTINCT user_id) (rows-only:
-    approximate by design; the ±1.04/√m error bound and partition
-    invariance are pytest-verified). Mergeable 2^12-register blobs,
-    one per block, folded in a single merge task — the sketch pattern
-    for distinct counts at 10¹² rows where exact is another shuffle."""
+    """HyperLogLog approximate COUNT(DISTINCT user_id) — approximate
+    by design yet SQL-CERTIFIED bit-exactly: the registers are
+    deterministic maxes of splitmix64-derived ranks, so the oracle
+    replays hashing, register assignment, the exact-integer register
+    sum and the Flajolet estimate tree (linear-counting branch via a
+    generated m·ln(m/z) literal table). The ±1.04/√m error bound and
+    partition invariance stay pytest-verified. Mergeable
+    2^12-register blobs, one per block, folded in a single merge
+    task — the sketch pattern for distinct counts at 10¹² rows where
+    exact is another shuffle."""
     from ..stages.sketch import hll_count_distinct
     ds = _read(sf_dir, "events", columns=["user_id"])
     return hll_count_distinct(ds, "user_id", p=12)
@@ -3249,7 +3254,8 @@ def q_hll_users_by_type(sf_dir: str):
     """Per-event-type approximate distinct users via grouped
     HyperLogLog (sketch.hll_grouped_distinct): one register blob per
     (block, group) rides the only exchange — volume independent of
-    row count."""
+    row count. SQL-certified bit-exactly per group (the
+    hll_distinct_users register/estimate mirror, grouped)."""
     from ..stages.sketch import hll_grouped_distinct
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return hll_grouped_distinct(ds, "event_type", "user_id", p=12)
@@ -17850,34 +17856,56 @@ ORACLE_SQL["audio_fp_dups"] = _hamming_pairs_oracle_sql(
 ORACLE_SQL["kcore_knn_events"] = _kcore_oracle_sql()
 ORACLE_SQL["betweenness_knn_events"] = _betweenness_oracle_sql()
 
+def _sql_xs(col: str, s: int) -> str:
+    """SQL for unsigned-64 ``col ^ (col >> s)`` via signed xor."""
+    a = (f"CASE WHEN {col} >= {_I64_HALF} "
+         f"THEN CAST({col} - {_U64} AS BIGINT) "
+         f"ELSE CAST({col} AS BIGINT) END")
+    b = f"CAST(({col} // {1 << s}) AS BIGINT)"
+    x = f"xor({a}, {b})"
+    return (f"CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_U64} "
+            f"ELSE CAST({x} AS HUGEINT) END")
+
+
+def _sql_mulmod64(col: str, m: int) -> str:
+    """SQL for ``(col * m) mod 2^64`` via 32-bit limbs — a full
+    u64×u64 product would overflow INT128."""
+    lo, hi = m & 0xFFFFFFFF, m >> 32
+    return (f"((({col} % 4294967296) * {lo} + "
+            f"((({col} % 4294967296) * {hi} + "
+            f"({col} // 4294967296) * {lo}) % 4294967296) "
+            f"* 4294967296) % {_U64})")
+
+
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _sql_splitmix64_ctes(src_cte: str, id_expr: str,
+                         carry: str = "") -> str:
+    """CTE chain computing z = splitmix64(``id_expr``) of rows from
+    ``src_cte``; extra columns in ``carry`` ride along. The final CTE
+    is ``smz`` with columns (carry…, z)."""
+    c = f"{carry}, " if carry else ""
+    return f"""
+    sm0 AS (SELECT {c}({id_expr} + {_SM_C1}) % {_U64} AS z
+            FROM {src_cte}),
+    sm1 AS (SELECT {c}{_sql_mulmod64(_sql_xs('z', 30), _SM_M1)} AS z
+            FROM sm0),
+    sm2 AS (SELECT {c}{_sql_mulmod64(_sql_xs('z', 27), _SM_M2)} AS z
+            FROM sm1),
+    smz AS (SELECT {c}{_sql_xs('z', 31)} AS z FROM sm2)"""
+
+
 def _rws_oracle_sql() -> str:
     """rank_weighted_sample mirror: the staged integer site graph
     replays the full PageRank fixed point (prefix rws), per-site
     thresholds min(2³², rank_fp·2³² // (2·10⁹)) in HUGEINT, pages
     re-parsed with the same RE2 pattern, and splitmix64 replayed
     through HUGEINT xor-shift chains; keep ⇔ low32(h) < thr."""
-    def xs(col: str, s: int) -> str:
-        # unsigned 64-bit  z ^ (z >> s)  via signed xor
-        a = (f"CASE WHEN {col} >= {_I64_HALF} "
-             f"THEN CAST({col} - {_U64} AS BIGINT) "
-             f"ELSE CAST({col} AS BIGINT) END")
-        b = f"CAST(({col} // {1 << s}) AS BIGINT)"
-        x = f"xor({a}, {b})"
-        return (f"CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_U64} "
-                f"ELSE CAST({x} AS HUGEINT) END")
-
-    def mulmod64(col: str, m: int) -> str:
-        # (col * m) mod 2^64 via 32-bit limbs — a full u64×u64
-        # product would overflow INT128
-        lo, hi = m & 0xFFFFFFFF, m >> 32
-        return (f"((({col} % 4294967296) * {lo} + "
-                f"((({col} % 4294967296) * {hi} + "
-                f"({col} // 4294967296) * {lo}) % 4294967296) "
-                f"* 4294967296) % {_U64})")
-
-    C1 = 0x9E3779B97F4A7C15
-    M1 = 0xBF58476D1CE4E5B9
-    M2 = 0x94D049BB133111EB
+    xs, mulmod64 = _sql_xs, _sql_mulmod64
+    C1, M1, M2 = _SM_C1, _SM_M1, _SM_M2
     rank_sql = _pagerank_sites_oracle_sql("rws", "rank")
     return f"""
     WITH rk AS MATERIALIZED (
@@ -17909,6 +17937,63 @@ def _rws_oracle_sql() -> str:
 
 
 ORACLE_SQL["rank_weighted_sample"] = _rws_oracle_sql()
+
+
+def _hll_oracle_sql(grouped: bool) -> str:
+    """HyperLogLog mirror (p = 12): splitmix64 through the HUGEINT
+    xor-shift chain, register index/rho per row (the engine's exact
+    float-log2 rho including its clamp), MAX per register, the EXACT
+    integer register sum Σ 2^(53−r) over HUGEINT (absent registers
+    contribute 2^53 each — the engine's bit-deterministic estimator),
+    the Flajolet estimate as the identical float tree, and the
+    linear-counting branch via a GENERATED m·ln(m/z) literal table
+    (numpy evaluates the literals at SQL-build time, so both engines
+    consume identical doubles)."""
+    m, p = 4096, 12
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    lnt = ", ".join(f"({z}, {float(m * np.log(m / z))!r})"
+                    for z in range(1, m))
+    key = "event_type, " if grouped else ""
+    grp = "GROUP BY event_type" if grouped else ""
+    grp_idx = ("GROUP BY event_type, idx" if grouped
+               else "GROUP BY idx")
+    sm = _sql_splitmix64_ctes(
+        "ev", "uid", carry="event_type" if grouped else "")
+    return f"""
+    WITH ev AS (SELECT {key}CAST(user_id AS HUGEINT) AS uid
+                FROM events),{sm},
+    rr AS (
+      SELECT {key}z // 4503599627370496 AS idx,
+             CASE WHEN (z % 4503599627370496) = 0 THEN 53
+                  ELSE LEAST(GREATEST(63 - CAST(floor(log2(
+                         CAST((z % 4503599627370496) * 4096
+                              AS DOUBLE))) AS BIGINT), 0), 52) + 1
+             END AS rho
+      FROM smz),
+    regs AS (SELECT {key}idx, MAX(rho) AS r FROM rr {grp_idx}),
+    agg AS (SELECT {key}
+                   SUM(CAST(1 AS HUGEINT) << (53 - r)) AS nm,
+                   COUNT(*) AS npres
+            FROM regs {grp}),
+    lnt(z, v) AS (SELECT * FROM (VALUES {lnt})),
+    fin AS (
+      SELECT {key}
+             CAST({alpha!r} AS DOUBLE) * 4096 * 4096
+               / (CAST(nm + CAST(4096 - npres AS HUGEINT)
+                            * 9007199254740992
+                       AS DOUBLE) / 9007199254740992.0) AS est0,
+             4096 - npres AS zeros
+      FROM agg)
+    SELECT {key}
+           CASE WHEN est0 <= 10240.0 AND zeros > 0
+                THEN (SELECT v FROM lnt WHERE lnt.z = fin.zeros)
+                ELSE est0 END AS n_distinct_est,
+           CAST(12 AS BIGINT) AS p
+    FROM fin"""
+
+
+ORACLE_SQL["hll_distinct_users"] = _hll_oracle_sql(False)
+ORACLE_SQL["hll_users_by_type"] = _hll_oracle_sql(True)
 
 
 # Raster→vector region stats: the same thresholded z5 raster as

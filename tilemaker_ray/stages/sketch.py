@@ -188,12 +188,22 @@ def _hll_alpha(m: int) -> float:
 def hll_estimate(regs: np.ndarray, p: int) -> float:
     """Flajolet et al. estimator with small-range (linear counting)
     and 64-bit-hash large-range behavior (no 32-bit wraparound
-    correction needed)."""
+    correction needed).
+
+    The register sum Σ 2^(−reg) is computed EXACTLY as an integer
+    numerator over 2^S (S = max rho), then one correctly-rounded
+    int/int division — bit-identical under any summation order and
+    reproducible by the SQL oracle (a float np.sum over the register
+    array would round pairwise-summation-order-dependently)."""
     m = 1 << p
-    regs = regs.astype(np.float64)
-    est = _hll_alpha(m) * m * m / np.sum(2.0 ** (-regs))
+    S = 64 - p + 1                      # max rho
+    ri = regs.astype(np.int64)
+    counts = np.bincount(ri, minlength=S + 1)
+    num = sum(int(c) << (S - r)
+              for r, c in enumerate(counts.tolist()) if c)
+    est = _hll_alpha(m) * m * m / (num / (1 << S))
     if est <= 2.5 * m:
-        zeros = int(np.count_nonzero(regs == 0))
+        zeros = int(np.count_nonzero(ri == 0))
         if zeros:
             est = m * np.log(m / zeros)
     return float(est)
