@@ -7604,6 +7604,25 @@ def q_kmeans_clusters(sf_dir: str):
     return assign
 
 
+def q_kmeans_int_clusters(sf_dir: str):
+    """Integer-centroid Lloyd's (stages/cluster.py::kmeans_integer) —
+    the SQL-CERTIFIED trainer variant beside kmeans_clusters:
+    centroids stay int64 end to end (update = per-dimension
+    floor(sum/count)), assignment is exact integer squared L2 with
+    ties to the lowest cluster, so the WHOLE 8-iteration training
+    loop mirrors as unrolled SQL over the embeddings view — no
+    staging, quantization included (floor(f64(emb)·2²⁰ + 0.5)).
+    Early convergence breaks are mirror-safe: once centroids repeat,
+    further unrolled rounds are no-ops. Same distributed shape as
+    kmeans_fixed (per-batch k×dim int64 partial sums, driver folds
+    k×dim scalars per iteration)."""
+    from ..stages.cluster import kmeans_integer
+    ds = _read_compact(sf_dir, "embeddings",
+                       columns=["vec_id", "embedding"])
+    assign, _cent = kmeans_integer(ds, k=8, iters=8)
+    return assign
+
+
 # ---------------------------------------------------------------------------
 # Q44: exact spatial kNN self-join (kNN graph) — corpus × corpus, no
 # broadcast side (filter-and-refine with an exactness guarantee)
@@ -17652,6 +17671,7 @@ QUERIES = {
     "choropleth_tiles": q_choropleth_tiles,
     "burstiness_users": q_burstiness_users,
     "heading_rose_events": q_heading_rose_events,
+    "kmeans_int_clusters": q_kmeans_int_clusters,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -17994,6 +18014,70 @@ def _hll_oracle_sql(grouped: bool) -> str:
 
 ORACLE_SQL["hll_distinct_users"] = _hll_oracle_sql(False)
 ORACLE_SQL["hll_users_by_type"] = _hll_oracle_sql(True)
+
+
+def _kmeans_int_oracle_sql(k: int = 8, iters: int = 8,
+                           dim: int = 64) -> str:
+    """Full integer-Lloyd's mirror over the embeddings view (no
+    staging): quantization floor(f64(emb)·2²⁰ + 0.5), init = the k
+    lexicographically-first vectors, ``iters`` unrolled rounds of
+    exact-integer argmin assignment (ties → lowest cluster) and
+    floor(sum/count) centroid update (empty clusters carry over),
+    then the final assignment against the converged centroids. Every
+    a{t}/c{t} level is MATERIALIZED (the chained-DP inlining
+    lesson); floor(CAST(s AS DOUBLE)/n) is exact here because
+    |s| < 2⁵³ and s/n sits ≥ 1/n away from any wrong integer."""
+    parts = [f"""
+    WITH qm AS MATERIALIZED (
+      SELECT vec_id, g.g AS d,
+             CAST(floor(CAST(embedding[g.g] AS DOUBLE) * 1048576.0
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, {dim})) AS g) g),
+    seedids AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM embeddings ORDER BY vec_id LIMIT {k}),
+    c0 AS MATERIALIZED (
+      SELECT s.cluster, q.d, q.qv AS cv
+      FROM seedids s JOIN qm q ON q.vec_id = s.vec_id)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)),
+                          c.cluster) AS rn
+        FROM qm q JOIN c{t - 1} c ON c.d = q.d
+        GROUP BY q.vec_id, c.cluster) z
+      WHERE rn = 1),
+    s{t} AS (
+      SELECT a.cluster, q.d, SUM(q.qv) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN qm q ON q.vec_id = a.vec_id
+      GROUP BY 1, 2),
+    c{t} AS MATERIALIZED (
+      SELECT p.cluster, p.d,
+             CASE WHEN s.s IS NULL THEN p.cv
+                  ELSE CAST(floor(CAST(s.s AS DOUBLE) / s.n)
+                            AS BIGINT) END AS cv
+      FROM c{t - 1} p
+      LEFT JOIN s{t} s ON s.cluster = p.cluster AND s.d = p.d)""")
+    parts.append(f"""
+    SELECT vec_id, cluster FROM (
+      SELECT q.vec_id, c.cluster,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)),
+                        c.cluster) AS rn
+      FROM qm q JOIN c{iters} c ON c.d = q.d
+      GROUP BY q.vec_id, c.cluster) z
+    WHERE rn = 1""")
+    return "".join(parts)
+
+
+ORACLE_SQL["kmeans_int_clusters"] = _kmeans_int_oracle_sql()
 
 
 # Raster→vector region stats: the same thresholded z5 raster as

@@ -141,3 +141,112 @@ def kmeans_reference(vec_ids: np.ndarray, V: np.ndarray, k: int = 8,
             break
         cent = new
     return assign_clusters(Q, cent)
+
+
+# ---------------------------------------------------------------------------
+# Integer-centroid Lloyd's — the SQL-certifiable trainer variant
+# ---------------------------------------------------------------------------
+
+def _assign_int(Q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest INTEGER centroid per row by exact integer squared L2
+    (Σ(q−c)² in int64 — |q|,|c| ≤ ~2²¹ so 64·diff² < 2⁴⁹), ties →
+    lowest cluster index."""
+    # (n, k) distance matrix in int64 without materializing (n,k,d)
+    qq = np.sum(Q * Q, axis=1, keepdims=True)
+    cc = np.sum(cent * cent, axis=1)
+    d2 = qq - 2 * (Q @ cent.T) + cc
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def kmeans_integer(emb_ds, k: int = 8, iters: int = 8, dim: int = 64):
+    """Lloyd's with centroids kept in INTEGER fixed point end to end:
+    init = quantized vectors of the k smallest vec_ids, assignment by
+    exact integer squared distance (ties → lowest cluster), update =
+    per-dimension floor(sum / count) (empty clusters keep their
+    centroid). Every quantity is an int64, so the whole trainer — not
+    just the assignment — is bit-deterministic under any partitioning
+    AND expressible as unrolled SQL (floor-div mirrored as
+    floor(CAST(s AS DOUBLE)/c), exact while |s| ≪ 2⁵³ and the s/c gap
+    to an integer is ≥ 1/count ≫ ulp). Distributed shape =
+    kmeans_fixed: per-batch int64 partial sums (k×dim scalars per
+    block), driver folds k×dim ints per iteration. Returns
+    (assignments_ds with (vec_id, cluster), centroids int64)."""
+    import ray
+
+    def heads(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    seed = (emb_ds.map_batches(heads, batch_format="pyarrow")
+            .sort("vec_id").limit(k).to_arrow_refs())
+    seed_blocks = [b for b in (ray.get(r) for r in seed) if b.num_rows]
+    seed_t = pa.concat_tables(seed_blocks)
+    cent = quantize(_emb_matrix(seed_t["embedding"], dim))
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            Q = quantize(_emb_matrix(batch["embedding"], dim))
+            a = _assign_int(Q, c)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, Q)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k), pa.int64()),
+                "blob": pa.array([s.tobytes() for s in sums],
+                                 pa.binary()),
+                "count": pa.array(counts, pa.int64())})
+
+        parts = emb_ds.map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs()
+        blocks = [b for b in (ray.get(r) for r in parts) if b.num_rows]
+        pt = pa.concat_tables(blocks)
+        cl = pt["cluster"].to_numpy(zero_copy_only=False)
+        cnt = pt["count"].to_numpy(zero_copy_only=False)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for i in range(len(cl)):
+            sums[cl[i]] += np.frombuffer(pt["blob"][i].as_py(),
+                                         dtype=np.int64)
+            counts[cl[i]] += cnt[i]
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        if np.array_equal(new, cent):
+            break
+        cent = new
+
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        Q = quantize(_emb_matrix(batch["embedding"], dim))
+        a = _assign_int(Q, c)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(a, pa.int64())})
+
+    return (emb_ds.map_batches(assign, batch_format="pyarrow"), cent)
+
+
+def kmeans_integer_reference(vec_ids: np.ndarray, V: np.ndarray,
+                             k: int = 8, iters: int = 8):
+    """Single-process oracle for kmeans_integer — must match the
+    distributed trainer bit-exactly under any block layout."""
+    order = np.argsort(vec_ids)
+    Q = quantize(V)
+    cent = Q[order[:k]].copy()
+    for _ in range(iters):
+        a = _assign_int(Q, cent)
+        sums = np.zeros((k, Q.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, Q)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return _assign_int(Q, cent), cent
