@@ -7623,6 +7623,96 @@ def q_kmeans_int_clusters(sf_dir: str):
     return assign
 
 
+def _link_pair_counts(sf_dir: str, reverse: bool, stage: str,
+                      max_degree: int = 64, min_count: int = 2,
+                      num_buckets: int = 64):
+    """Shared engine for co-citation / bibliographic coupling over
+    the distributed-dictionary-encoded site link graph: distinct
+    integer edges bucketed by the expansion key (source for
+    co-citation, target for coupling), per-key triu pairs via the
+    shared LSH pairing kernel with a HARD degree cutoff (hub keys
+    above max_degree are dropped — the copy_pairs df_max semantics;
+    a 10⁸-host crawl caps its quadratic expansion the same way), then
+    one slim (a, b) groupby-sum with the min_count floor. The staged
+    integer edge table is what the oracle replays from."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources import pages as _pages
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import bucket_pairs_from_runs
+    from ..stages.pagerank import (page_links, resolve_links_indexed,
+                                   site_universe)
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    site_ids, m = site_universe(links)
+    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _stage_for_oracle(iedges, f"{stage}_edges")
+
+    key, val = ("t", "s") if reverse else ("s", "t")
+
+    def buck(b: pa.Table) -> pa.Table:
+        kk = b[key].cast(pa.int64())
+        return pa.table({
+            "k": kk,
+            "v": b[val].cast(pa.int64()),
+            "bkt": pa.array(
+                mix_bucket(kk.to_numpy(zero_copy_only=False),
+                           num_buckets), pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        t = bucket_pairs_from_runs(g, ["k"], "v",
+                                   max_bucket=max_degree,
+                                   overflow="drop")
+        if t.num_rows == 0:
+            return pa.table({"site_a": pa.array([], pa.int64()),
+                             "site_b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        # local (a, b) combiner before the global exchange
+        gg = t.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count")])
+        return pa.table({
+            "site_a": gg["doc_a"],
+            "site_b": gg["doc_b"],
+            "c": pc.cast(gg["doc_a_count"], pa.int64())})
+
+    agg = (iedges.map_batches(buck, batch_format="pyarrow")
+           .groupby("bkt").map_groups(pairs, batch_format="pyarrow")
+           .groupby(["site_a", "site_b"])
+           .aggregate(Sum("c", alias_name="n_common")))
+
+    def floor_(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n_common"], min_count))
+        return pa.table({"site_a": t["site_a"],
+                         "site_b": t["site_b"],
+                         "n_common": pc.cast(t["n_common"],
+                                             pa.int64())})
+
+    return agg.map_batches(floor_, batch_format="pyarrow")
+
+
+def q_cocitation_sites(sf_dir: str):
+    """Co-citation strength (Small 1973, the link-analysis classic
+    beside PageRank/HITS): site pairs cited together by ≥2 common
+    source sites on the integer link graph — the 'related pages'
+    signal of classic web IR. Hub sources above the degree cutoff
+    are dropped before the quadratic expansion (mirrored in SQL).
+    SQL-certified over the staged dictionary-encoded edge table."""
+    return _link_pair_counts(sf_dir, reverse=False, stage="cocit")
+
+
+def q_bibcoupling_sites(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963) — the co-citation dual:
+    site pairs that LINK TO ≥2 common targets (shared outbound
+    references ⇒ topical affinity). Same engine on the reversed
+    expansion key; SQL-certified over the staged edge table."""
+    return _link_pair_counts(sf_dir, reverse=True, stage="bibco")
+
+
 # ---------------------------------------------------------------------------
 # Q44: exact spatial kNN self-join (kNN graph) — corpus × corpus, no
 # broadcast side (filter-and-refine with an exactness guarantee)
@@ -17672,6 +17762,8 @@ QUERIES = {
     "burstiness_users": q_burstiness_users,
     "heading_rose_events": q_heading_rose_events,
     "kmeans_int_clusters": q_kmeans_int_clusters,
+    "cocitation_sites": q_cocitation_sites,
+    "bibcoupling_sites": q_bibcoupling_sites,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18078,6 +18170,33 @@ def _kmeans_int_oracle_sql(k: int = 8, iters: int = 8,
 
 
 ORACLE_SQL["kmeans_int_clusters"] = _kmeans_int_oracle_sql()
+
+
+def _link_pairs_oracle_sql(stage: str, reverse: bool,
+                           max_degree: int = 64,
+                           min_count: int = 2) -> str:
+    """Co-citation / bibliographic-coupling mirror over the staged
+    integer edge table: degree cutoff on the expansion key, triu
+    self-join on the shared key, count ≥ min_count."""
+    k, v = ("t", "s") if reverse else ("s", "t")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT CAST({k} AS BIGINT) AS k, CAST({v} AS BIGINT) AS v
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/{stage}_edges/*.parquet')),
+    deg AS (SELECT k, COUNT(*) AS d FROM e GROUP BY 1),
+    kp AS MATERIALIZED (
+      SELECT e.k, e.v FROM e JOIN deg ON deg.k = e.k
+      WHERE deg.d <= {max_degree})
+    SELECT x.v AS site_a, y.v AS site_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM kp x JOIN kp y ON y.k = x.k AND x.v < y.v
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}"""
+
+
+ORACLE_SQL["cocitation_sites"] = _link_pairs_oracle_sql(
+    "cocit", reverse=False)
+ORACLE_SQL["bibcoupling_sites"] = _link_pairs_oracle_sql(
+    "bibco", reverse=True)
 
 
 # Raster→vector region stats: the same thresholded z5 raster as
