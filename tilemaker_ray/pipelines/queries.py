@@ -7695,6 +7695,111 @@ def _link_pair_counts(sf_dir: str, reverse: bool, stage: str,
     return agg.map_batches(floor_, batch_format="pyarrow")
 
 
+def _aa_weight_fp(d: np.ndarray) -> np.ndarray:
+    """Adamic–Adar weight floor(10⁹ / ln d) per common-neighbor
+    degree d ≥ 2 — integer micro-units, so pair scores are exact
+    int64 sums; the oracle consumes the identical values as a
+    generated literal table."""
+    return np.floor(1e9 / np.log(d.astype(np.float64))).astype(
+        np.int64)
+
+
+def q_adamic_adar_sites(sf_dir: str):
+    """Adamic–Adar link prediction (2003) over the site co-citation
+    graph: score(a, b) = Σ_z floor(10⁹/ln deg(z)) over common source
+    sites z (rarer co-citers weigh more) — the classic
+    link-prediction feature beside raw co-citation counts. Degrees
+    are bounded by the hub cutoff, so the ln weights form a 63-entry
+    integer table both engines share literally; scores are exact
+    int64 sums. SQL-certified over the staged edge table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources import pages as _pages
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import bucket_pairs_from_runs
+    from ..stages.pagerank import (page_links, resolve_links_indexed,
+                                   site_universe)
+
+    max_degree, min_count = 64, 2
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    site_ids, m = site_universe(links)
+    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _stage_for_oracle(iedges, "aa_edges")
+
+    def buck(b: pa.Table) -> pa.Table:
+        kk = b["s"].cast(pa.int64())
+        return pa.table({
+            "k": kk,
+            "v": b["t"].cast(pa.int64()),
+            "bkt": pa.array(
+                mix_bucket(kk.to_numpy(zero_copy_only=False), 64),
+                pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        """Per-source triu pairs carrying the source's AA weight —
+        each source lives in ONE bucket, so its degree is the local
+        run length."""
+        empty = pa.table({"site_a": pa.array([], pa.int64()),
+                          "site_b": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "k" not in g.column_names:
+            return empty
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        brk = np.ones(len(k), dtype=bool)
+        brk[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(k)]])
+        oa, ob, ow = [], [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2 or d > 64:
+                continue
+            a, b = np.triu_indices(d, k=1)
+            oa.append(v[s + a])
+            ob.append(v[s + b])
+            ow.append(np.full(len(a),
+                              _aa_weight_fp(np.asarray([d]))[0],
+                              np.int64))
+        if not oa:
+            return empty
+        t = pa.table({"site_a": pa.array(np.concatenate(oa),
+                                         pa.int64()),
+                      "site_b": pa.array(np.concatenate(ob),
+                                         pa.int64()),
+                      "w": pa.array(np.concatenate(ow), pa.int64())})
+        gg = t.group_by(["site_a", "site_b"]).aggregate(
+            [("w", "sum"), ("w", "count")])
+        return pa.table({"site_a": gg["site_a"],
+                         "site_b": gg["site_b"],
+                         "w": pc.cast(gg["w_sum"], pa.int64()),
+                         "c": pc.cast(gg["w_count"], pa.int64())})
+
+    agg = (iedges.map_batches(buck, batch_format="pyarrow")
+           .groupby("bkt").map_groups(pairs, batch_format="pyarrow")
+           .groupby(["site_a", "site_b"])
+           .aggregate(Sum("w", alias_name="aa_fp"),
+                      Sum("c", alias_name="n_common")))
+
+    def floor_(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n_common"], min_count))
+        return pa.table({"site_a": t["site_a"],
+                         "site_b": t["site_b"],
+                         "n_common": pc.cast(t["n_common"],
+                                             pa.int64()),
+                         "aa_fp": pc.cast(t["aa_fp"], pa.int64())})
+
+    return agg.map_batches(floor_, batch_format="pyarrow")
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -17764,6 +17869,7 @@ QUERIES = {
     "kmeans_int_clusters": q_kmeans_int_clusters,
     "cocitation_sites": q_cocitation_sites,
     "bibcoupling_sites": q_bibcoupling_sites,
+    "adamic_adar_sites": q_adamic_adar_sites,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18197,6 +18303,35 @@ ORACLE_SQL["cocitation_sites"] = _link_pairs_oracle_sql(
     "cocit", reverse=False)
 ORACLE_SQL["bibcoupling_sites"] = _link_pairs_oracle_sql(
     "bibco", reverse=True)
+
+
+def _adamic_adar_oracle_sql(max_degree: int = 64,
+                            min_count: int = 2) -> str:
+    """Adamic–Adar mirror: the floor(10⁹/ln d) weights for the full
+    bounded degree range 2..max_degree as numpy-generated literals,
+    pair scores as exact integer sums."""
+    wts = ", ".join(
+        f"({d}, {int(_aa_weight_fp(np.asarray([d]))[0])})"
+        for d in range(2, max_degree + 1))
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT CAST(s AS BIGINT) AS k, CAST(t AS BIGINT) AS v
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/aa_edges/*.parquet')),
+    wt(d, w) AS (SELECT * FROM (VALUES {wts})),
+    deg AS (SELECT k, COUNT(*) AS d FROM e GROUP BY 1),
+    kp AS MATERIALIZED (
+      SELECT e.k, e.v, wt.w FROM e
+      JOIN deg ON deg.k = e.k
+      JOIN wt ON wt.d = deg.d
+      WHERE deg.d BETWEEN 2 AND {max_degree})
+    SELECT x.v AS site_a, y.v AS site_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(x.w) AS BIGINT) AS aa_fp
+    FROM kp x JOIN kp y ON y.k = x.k AND x.v < y.v
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}"""
+
+
+ORACLE_SQL["adamic_adar_sites"] = _adamic_adar_oracle_sql()
 
 
 # Raster→vector region stats: the same thresholded z5 raster as
