@@ -7800,6 +7800,158 @@ def q_adamic_adar_sites(sf_dir: str):
     return agg.map_batches(floor_, batch_format="pyarrow")
 
 
+def q_neighbor_jaccard_sites(sf_dir: str):
+    """Source-set Jaccard similarity of site pairs — the normalized
+    companion of raw co-citation: jac(a, b) = |S_a ∩ S_b| /
+    |S_a ∪ S_b| over the hub-filtered in-linker sets (sources with
+    out-degree ≤ 64). The union size comes from exact integer
+    in-degrees, so the single float is one mirrored division.
+    SQL-certified over the staged edge table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources import pages as _pages
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import bucket_pairs_from_runs
+    from ..stages.pagerank import (page_links, resolve_links_indexed,
+                                   site_universe)
+
+    max_degree, min_count, nb = 64, 2, 64
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    site_ids, m = site_universe(links)
+    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _stage_for_oracle(iedges, "njac_edges")
+
+    def buck(b: pa.Table) -> pa.Table:
+        kk = b["s"].cast(pa.int64())
+        return pa.table({
+            "k": kk,
+            "v": b["t"].cast(pa.int64()),
+            "bkt": pa.array(
+                mix_bucket(kk.to_numpy(zero_copy_only=False), nb),
+                pa.int64())})
+
+    def kept(g: pa.Table) -> pa.Table:
+        """Hub filter: each source lives in ONE bucket, so its
+        out-degree is the local run length."""
+        if g.num_rows == 0 or "k" not in g.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        brk = np.ones(len(k), dtype=bool)
+        brk[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(k)]])
+        keep = np.zeros(len(k), dtype=bool)
+        for s, e in zip(starts, ends):
+            if e - s <= max_degree:
+                keep[s:e] = True
+        return pa.table({"k": pa.array(k[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    ke = (iedges.map_batches(buck, batch_format="pyarrow")
+          .groupby("bkt").map_groups(kept, batch_format="pyarrow")
+          .materialize())
+
+    indeg = ke.groupby("v").count()
+
+    def rebuck(b: pa.Table) -> pa.Table:
+        kk = b["k"].to_numpy(zero_copy_only=False)
+        return b.append_column("bkt", pa.array(
+            mix_bucket(kk, nb), pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        t = bucket_pairs_from_runs(g, ["k"], "v",
+                                   max_bucket=max_degree,
+                                   overflow="drop")
+        if t.num_rows == 0:
+            return pa.table({"site_a": pa.array([], pa.int64()),
+                             "site_b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        gg = t.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count")])
+        return pa.table({
+            "site_a": gg["doc_a"],
+            "site_b": gg["doc_b"],
+            "c": pc.cast(gg["doc_a_count"], pa.int64())})
+
+    agg = (ke.map_batches(rebuck, batch_format="pyarrow")
+           .groupby("bkt").map_groups(pairs, batch_format="pyarrow")
+           .groupby(["site_a", "site_b"])
+           .aggregate(Sum("c", alias_name="n_common")))
+
+    # bucketed int→int joins: attach |S_a| then |S_b| (pair table is
+    # slim; the degree table is #sites-bounded but stays distributed)
+    def join_deg(pair_ds, col: str, out: str):
+        pair_schema = {c: pair_ds.schema().base_schema.field(c).type
+                       for c in pair_ds.schema().names}
+
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            i = b[col].to_numpy(zero_copy_only=False)
+            t = b.append_column("jbkt", pa.array(
+                mix_bucket(i, nb), pa.int64()))
+            t = t.append_column("_dv", pa.nulls(b.num_rows,
+                                                pa.int64()))
+            return t.append_column("_dd", pa.nulls(b.num_rows,
+                                                   pa.int64()))
+
+        def tag_deg(b: pa.Table) -> pa.Table:
+            i = b["v"].to_numpy(zero_copy_only=False)
+            cols = {c: pa.nulls(b.num_rows, pair_schema[c])
+                    for c in pair_schema}
+            cols["jbkt"] = pa.array(mix_bucket(i, nb), pa.int64())
+            cols["_dv"] = pa.array(i, pa.int64())
+            cols["_dd"] = pc.cast(b["count()"], pa.int64())
+            return pa.table(cols)
+
+        def fold(g: pa.Table) -> pa.Table:
+            isd = pc.is_valid(g["_dd"]).to_numpy(
+                zero_copy_only=False)
+            dv = g["_dv"].to_numpy(zero_copy_only=False)
+            dd = g["_dd"].to_numpy(zero_copy_only=False)
+            mp = dict(zip(dv[isd].tolist(), dd[isd].tolist()))
+            lt = g.filter(pa.array(~isd))
+            ids = lt[col].to_numpy(zero_copy_only=False)
+            degs = np.fromiter((mp[x] for x in ids.tolist()),
+                               dtype=np.int64, count=len(ids))
+            keep = [c for c in lt.column_names
+                    if c not in ("jbkt", "_dv", "_dd")]
+            return lt.select(keep).append_column(
+                out, pa.array(degs, pa.int64()))
+
+        return (pair_ds.map_batches(tag_pairs,
+                                    batch_format="pyarrow")
+                .union(indeg.map_batches(tag_deg,
+                                         batch_format="pyarrow"))
+                .groupby("jbkt").map_groups(fold,
+                                            batch_format="pyarrow"))
+
+    withda = join_deg(agg, "site_a", "da")
+    withdb = join_deg(withda, "site_b", "db")
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n_common"], min_count))
+        c = t["n_common"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        da = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = c.astype(np.float64) / (da + db - c)
+        return pa.table({
+            "site_a": t["site_a"].cast(pa.int64()),
+            "site_b": t["site_b"].cast(pa.int64()),
+            "n_common": pa.array(c, pa.int64()),
+            "jac": pa.array(jac, pa.float64())})
+
+    return withdb.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -17870,6 +18022,7 @@ QUERIES = {
     "cocitation_sites": q_cocitation_sites,
     "bibcoupling_sites": q_bibcoupling_sites,
     "adamic_adar_sites": q_adamic_adar_sites,
+    "neighbor_jaccard_sites": q_neighbor_jaccard_sites,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18332,6 +18485,29 @@ def _adamic_adar_oracle_sql(max_degree: int = 64,
 
 
 ORACLE_SQL["adamic_adar_sites"] = _adamic_adar_oracle_sql()
+
+# Source-set Jaccard: hub-filtered in-linker sets, integer degrees,
+# one mirrored division per pair.
+ORACLE_SQL["neighbor_jaccard_sites"] = """
+    WITH e AS MATERIALIZED (
+      SELECT CAST(s AS BIGINT) AS k, CAST(t AS BIGINT) AS v
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/njac_edges/*.parquet')),
+    deg AS (SELECT k, COUNT(*) AS d FROM e GROUP BY 1),
+    kp AS MATERIALIZED (
+      SELECT e.k, e.v FROM e JOIN deg ON deg.k = e.k
+      WHERE deg.d <= 64),
+    ind AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM kp GROUP BY 1),
+    pr AS (
+      SELECT x.v AS site_a, y.v AS site_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM kp x JOIN kp y ON y.k = x.k AND x.v < y.v
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT p.site_a, p.site_b, p.n_common,
+           CAST(p.n_common AS DOUBLE)
+             / (ia.d + ib.d - p.n_common) AS jac
+    FROM pr p JOIN ind ia ON ia.v = p.site_a
+              JOIN ind ib ON ib.v = p.site_b"""
 
 
 # Raster→vector region stats: the same thresholded z5 raster as
