@@ -7952,6 +7952,166 @@ def q_neighbor_jaccard_sites(sf_dir: str):
     return withdb.map_batches(finish, batch_format="pyarrow")
 
 
+def _attach_int(ds, map_ds, key_col: str, map_key: str,
+                map_val: str, out_col: str, default=None,
+                nb: int = 64):
+    """Generic distributed int→int attach: rows of ``ds`` gain
+    ``out_col`` = map_ds[map_val] looked up by ``key_col`` =
+    map_ds[map_key], through ONE bucketed union-groupby exchange
+    (no broadcast — both sides stay distributed). Missing keys take
+    ``default`` (required if any key can miss)."""
+    from ..stages.common import mix_bucket
+
+    schema = {c: ds.schema().base_schema.field(c).type
+              for c in ds.schema().names}
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        i = b[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = b.append_column("jbkt", pa.array(mix_bucket(i, nb),
+                                             pa.int64()))
+        t = t.append_column("_mk", pa.nulls(b.num_rows, pa.int64()))
+        return t.append_column("_mv", pa.nulls(b.num_rows,
+                                               pa.int64()))
+
+    def tag_map(b: pa.Table) -> pa.Table:
+        i = b[map_key].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {c: pa.nulls(b.num_rows, schema[c]) for c in schema}
+        cols["jbkt"] = pa.array(mix_bucket(i, nb), pa.int64())
+        cols["_mk"] = pa.array(i, pa.int64())
+        cols["_mv"] = pc.cast(b[map_val], pa.int64())
+        return pa.table(cols)
+
+    def fold(g: pa.Table) -> pa.Table:
+        ism = pc.is_valid(g["_mk"]).to_numpy(zero_copy_only=False)
+        mk = g["_mk"].to_numpy(zero_copy_only=False)
+        mv = g["_mv"].to_numpy(zero_copy_only=False)
+        mp = dict(zip(mk[ism].tolist(), mv[ism].tolist()))
+        lt = g.filter(pa.array(~ism))
+        ids = lt[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if default is None:
+            vals = np.fromiter((mp[x] for x in ids.tolist()),
+                               dtype=np.int64, count=len(ids))
+        else:
+            dflt = ids if default == "self" else None
+            vals = np.fromiter(
+                (mp.get(x, int(dflt[j]) if dflt is not None
+                        else int(default))
+                 for j, x in enumerate(ids.tolist())),
+                dtype=np.int64, count=len(ids))
+        keep = [c for c in lt.column_names
+                if c not in ("jbkt", "_mk", "_mv")]
+        return lt.select(keep).append_column(
+            out_col, pa.array(vals, pa.int64()))
+
+    return (ds.map_batches(tag_rows, batch_format="pyarrow")
+            .union(map_ds.map_batches(tag_map,
+                                      batch_format="pyarrow"))
+            .groupby("jbkt").map_groups(fold,
+                                        batch_format="pyarrow"))
+
+
+def q_salsa_sites(sf_dir: str):
+    """SALSA authority scores (Lempel & Moran 2000) via the CLOSED
+    FORM the ranking literature actually deploys: the authority
+    Markov chain's stationary distribution is, per connected
+    component C of the authority co-citation graph,
+    π(i) = (|C|/|A|) · (d_in(i)/Σ_{j∈C} d_in(j)) — so no power
+    iteration is needed, only in-degrees + connected components.
+    Reported as the exact integer
+    salsa_fp = (|C|·d_in·10¹²) // (|A|·Σ_C d_in) (HUGEINT-safe in
+    the oracle; the engine folds slim per-authority rows with Python
+    ints). Component edges come from the shared pairing kernel in
+    STAR mode — hub sources degrade to min-id stars, which preserves
+    exactly the connectivity SALSA needs while capping the quadratic
+    expansion (mirrored in SQL). SQL-certified over the staged edge
+    table: in-degrees, star pairs, transitive-closure components,
+    component mass and the integer score all replay."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import pages as _pages
+    from ..stages.common import mix_bucket
+    from ..stages.dedup import (bucket_pairs_from_runs,
+                                connected_components_min_label)
+    from ..stages.pagerank import (page_links, resolve_links_indexed,
+                                   site_universe)
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                         columns=["url"])
+    links = ds.map_batches(lambda b: page_links(b, 3),
+                           batch_format="pyarrow").materialize()
+    site_ids, m = site_universe(links)
+    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _stage_for_oracle(iedges, "salsa_edges")
+
+    indeg = (iedges.map_batches(
+        lambda b: pa.table({"v": b["t"].cast(pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("v").count().materialize())
+    n_auth_total = indeg.count()
+
+    def buck(b: pa.Table) -> pa.Table:
+        kk = b["s"].cast(pa.int64())
+        return pa.table({
+            "k": kk,
+            "v": b["t"].cast(pa.int64()),
+            "bkt": pa.array(
+                mix_bucket(kk.to_numpy(zero_copy_only=False), 64),
+                pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        t = bucket_pairs_from_runs(g, ["k"], "v", max_bucket=64,
+                                   overflow="star")
+        return t.select(["doc_a", "doc_b"]) if t.num_rows else \
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+
+    prs = (iedges.map_batches(buck, batch_format="pyarrow")
+           .groupby("bkt").map_groups(pairs, batch_format="pyarrow"))
+    comp = connected_components_min_label(prs)   # (doc_id, comp)
+
+    # authority rows: (node, d_in, comp) — isolated authorities are
+    # their own component
+    auth = _attach_int(
+        indeg.map_batches(
+            lambda b: pa.table({
+                "node": b["v"].cast(pa.int64()),
+                "d_in": pc.cast(b["count()"], pa.int64())}),
+            batch_format="pyarrow"),
+        comp, "node", "doc_id", "comp", "comp", default="self")
+
+    from ray.data.aggregate import Sum as _Sum
+    cstat = (auth.groupby("comp")
+             .aggregate(Count(alias_name="n_auth"),
+                        _Sum("d_in", alias_name="sumd"))
+             .materialize())
+
+    a2 = _attach_int(auth, cstat, "comp", "comp", "n_auth", "n_c")
+    a3 = _attach_int(a2, cstat, "comp", "comp", "sumd", "sumd_c")
+
+    def finish(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        d = b["d_in"].to_numpy(zero_copy_only=False)
+        ncp = b["n_c"].to_numpy(zero_copy_only=False)
+        sd = b["sumd_c"].to_numpy(zero_copy_only=False)
+        cp = b["comp"].to_numpy(zero_copy_only=False)
+        # Python ints: |C|·d·10¹² overflows int64 at web scale
+        fp = [int(ncp[i]) * int(d[i]) * 10**12
+              // (n_auth_total * int(sd[i]))
+              for i in range(len(node))]
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "d_in": pa.array(d, pa.int64()),
+            "comp": pa.array(cp, pa.int64()),
+            "salsa_fp": pa.array(fp, pa.int64())})
+
+    return a3.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -18023,6 +18183,7 @@ QUERIES = {
     "bibcoupling_sites": q_bibcoupling_sites,
     "adamic_adar_sites": q_adamic_adar_sites,
     "neighbor_jaccard_sites": q_neighbor_jaccard_sites,
+    "salsa_sites": q_salsa_sites,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18485,6 +18646,47 @@ def _adamic_adar_oracle_sql(max_degree: int = 64,
 
 
 ORACLE_SQL["adamic_adar_sites"] = _adamic_adar_oracle_sql()
+
+# SALSA closed form: in-degrees, star-degraded co-citation pairs,
+# transitive-closure components seeded from EVERY authority (isolated
+# authorities are their own component), per-component mass, and the
+# exact HUGEINT score (|C|·d_in·10¹²) // (|A|·Σ_C d_in).
+ORACLE_SQL["salsa_sites"] = """
+    WITH RECURSIVE
+    e AS MATERIALIZED (
+      SELECT CAST(s AS BIGINT) AS k, CAST(t AS BIGINT) AS v
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/salsa_edges/*.parquet')),
+    degs AS (SELECT k, COUNT(*) AS d, MIN(v) AS mn
+             FROM e GROUP BY 1),
+    prs AS MATERIALIZED (
+      SELECT x.v AS a, y.v AS b
+      FROM e x JOIN e y ON y.k = x.k AND x.v < y.v
+      JOIN degs dg ON dg.k = x.k
+      WHERE dg.d <= 64
+      UNION
+      SELECT LEAST(dg.mn, e.v), GREATEST(dg.mn, e.v)
+      FROM e JOIN degs dg ON dg.k = e.k
+      WHERE dg.d > 64 AND e.v <> dg.mn),
+    ind AS MATERIALIZED (
+      SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS d_in
+      FROM e GROUP BY 1),
+    eu AS (SELECT a AS u, b AS v FROM prs
+           UNION SELECT b, a FROM prs),
+    reach(node, r) AS (
+      SELECT node, node FROM ind
+      UNION
+      SELECT eu.v, reach.r FROM eu JOIN reach ON reach.node = eu.u),
+    cmp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY 1),
+    cs AS (SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_c,
+                  CAST(SUM(i.d_in) AS BIGINT) AS sumd
+           FROM cmp c JOIN ind i ON i.node = c.node GROUP BY 1),
+    na AS (SELECT CAST(COUNT(*) AS HUGEINT) AS a FROM ind)
+    SELECT i.node, i.d_in, c.comp,
+           CAST(CAST(s.n_c AS HUGEINT) * i.d_in * 1000000000000
+                // (na.a * s.sumd) AS BIGINT) AS salsa_fp
+    FROM ind i JOIN cmp c ON c.node = i.node
+    JOIN cs s ON s.comp = c.comp CROSS JOIN na"""
+
 
 # Source-set Jaccard: hub-filtered in-linker sets, integer degrees,
 # one mirrored division per pair.
