@@ -2248,31 +2248,48 @@ def q_pagerank_sites(sf_dir: str):
                                batch_format="pyarrow").sort("node")
 
 
+_SITE_GRAPH_CACHE: dict = {}
+
+
+def _site_graph(sf_dir: str):
+    """(links, site_ids, m, iedges) for the deterministic pages link
+    graph, built ONCE per pages size and memoized in-process: every
+    web-graph query (pagerank/trustrank/hits/salsa/cocitation/…)
+    used to rebuild the identical front half; the driver, sim and
+    bench run them all in one Ray session, so the materialized
+    Datasets are simply reused. m = distinct-site count."""
+    import ray.data as rd
+
+    from ..sources import pages as _pages
+    from ..stages.pagerank import (page_links, resolve_links_indexed,
+                                   site_universe)
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    got = _SITE_GRAPH_CACHE.get(n)
+    if got is None:
+        ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
+                             columns=["url"])
+        links = ds.map_batches(lambda b: page_links(b, 3),
+                               batch_format="pyarrow").materialize()
+        site_ids, m = site_universe(links)
+        iedges = resolve_links_indexed(links, site_ids,
+                                       m).materialize()
+        got = (links, site_ids, m, iedges)
+        _SITE_GRAPH_CACHE[n] = got
+    return got
+
+
 def _pagerank_sites_indexed(sf_dir: str, seeds=None,
                             stage_prefix: str | None = None):
     """Shared integer-id PageRank front half: (ranks Dataset
     (node_i, rank_fp), site_ids Dataset, m). ``seeds``: integer site
     ids whose teleport share is nonzero (TrustRank)."""
-    import ray.data as rd
-    from ..sources import pages as _pages
-    from ..stages.pagerank import (page_links, pagerank_indexed,
-                                   resolve_links_indexed,
-                                   site_universe)
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    # cached parquet (same deterministic rows as pages_dataset(n)) —
-    # the link graph needs only the url column
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
-    iedges = resolve_links_indexed(links, site_ids, m)
+    from ..stages.pagerank import pagerank_indexed
+    _links, site_ids, m, iedges = _site_graph(sf_dir)
     if stage_prefix is not None:
         # stage the integer edge table + id↔site dictionary so the
         # SQL oracle can replay the full fixed-point iteration (the
         # textrank certification applied to the SITE graph)
-        iedges = iedges.materialize()
-        site_ids = site_ids.materialize()
         _stage_for_oracle(iedges, f"{stage_prefix}_edges")
         _stage_for_oracle(site_ids, f"{stage_prefix}_ids")
     return (pagerank_indexed(iedges, m, iters=10, seeds=seeds),
@@ -7644,13 +7661,7 @@ def _link_pair_counts(sf_dir: str, reverse: bool, stage: str,
     from ..stages.pagerank import (page_links, resolve_links_indexed,
                                    site_universe)
 
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
-    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, f"{stage}_edges")
 
     key, val = ("t", "s") if reverse else ("s", "t")
@@ -7722,13 +7733,7 @@ def q_adamic_adar_sites(sf_dir: str):
                                    site_universe)
 
     max_degree, min_count = 64, 2
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
-    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, "aa_edges")
 
     def buck(b: pa.Table) -> pa.Table:
@@ -7817,13 +7822,7 @@ def q_neighbor_jaccard_sites(sf_dir: str):
                                    site_universe)
 
     max_degree, min_count, nb = 64, 2, 64
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
-    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, "njac_edges")
 
     def buck(b: pa.Table) -> pa.Table:
@@ -8039,13 +8038,7 @@ def q_salsa_sites(sf_dir: str):
     from ..stages.pagerank import (page_links, resolve_links_indexed,
                                    site_universe)
 
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
-    iedges = resolve_links_indexed(links, site_ids, m).materialize()
+    _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, "salsa_edges")
 
     indeg = (iedges.map_batches(
@@ -11760,12 +11753,7 @@ def q_hits_sites(sf_dir: str):
     from ..stages.pagerank import (bucketed_value_join, page_links,
                                    resolve_dst_site, site_universe)
 
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
+    links, site_ids, m, _iedges = _site_graph(sf_dir)
     pairs = resolve_dst_site(links, site_ids, m,
                              extra_cols=[("src", pa.string())],
                              dedup=True)
@@ -14530,12 +14518,7 @@ def q_link_reciprocity_sites(sf_dir: str):
     from ..stages.pagerank import (page_links, resolve_dst_site,
                                    site_universe)
 
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
+    links, site_ids, m, _iedges = _site_graph(sf_dir)
     pairs = resolve_dst_site(links, site_ids, m,
                              extra_cols=[("src", pa.string())],
                              dedup=True)
@@ -14623,12 +14606,7 @@ def q_degree_dist_sites(sf_dir: str):
     from ..stages.pagerank import (page_links, resolve_dst_site,
                                    site_universe)
 
-    n = _pages.n_pages_for_sf_dir(sf_dir)
-    ds = rd.read_parquet(_pages.ensure_pages_parquet(n),
-                         columns=["url"])
-    links = ds.map_batches(lambda b: page_links(b, 3),
-                           batch_format="pyarrow").materialize()
-    site_ids, m = site_universe(links)
+    links, site_ids, m, _iedges = _site_graph(sf_dir)
     pairs = resolve_dst_site(links, site_ids, m,
                              extra_cols=[("src", pa.string())],
                              dedup=True)
