@@ -8105,6 +8105,51 @@ def q_salsa_sites(sf_dir: str):
     return a3.map_batches(finish, batch_format="pyarrow")
 
 
+def q_place_tile_counts(sf_dir: str):
+    """THE north-rule tile-assignment certification, made SQL-exact:
+    per-base-tile (z14) counts of the flagship's point features,
+    re-derived by the oracle FROM THE RAW HTML — the staged pages
+    replay through DuckDB regexp extraction of the geo.position
+    metas, correctly-rounded float parsing, the literal
+    clamp→Mercator→floor tile tree (the raster-oracle formulas at
+    z14), and a (tile_x, tile_y) count. The Ray side runs the REAL
+    flagship front half (extract_features_batch → cell encoder), so
+    a hash match certifies that the production extract+encode chain
+    assigns every place feature to exactly the tile an independent
+    SQL derivation from the bytes says it belongs in."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..sources import pages as _pages
+    from .flagship import features_pipeline
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    path = _pages.ensure_pages_parquet(n)
+    _stage_for_oracle(rd.read_parquet(path, columns=["url", "html"]),
+                      "place_pages")
+    feats = features_pipeline(rd.read_parquet(path))
+
+    def only_points(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["kind"], 1))
+        return pa.table({
+            "tile_x": pc.cast(t["tile_x"], pa.int64()),
+            "tile_y": pc.cast(t["tile_y"], pa.int64())})
+
+    agg = (feats.map_batches(only_points, batch_format="pyarrow")
+           .groupby(["tile_x", "tile_y"])
+           .aggregate(Count(alias_name="n_features")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "zoom": pa.array(np.full(b.num_rows, 14, np.int64),
+                             pa.int64()),
+            "tile_x": b["tile_x"],
+            "tile_y": b["tile_y"],
+            "n_features": pc.cast(b["n_features"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -18162,6 +18207,7 @@ QUERIES = {
     "adamic_adar_sites": q_adamic_adar_sites,
     "neighbor_jaccard_sites": q_neighbor_jaccard_sites,
     "salsa_sites": q_salsa_sites,
+    "place_tile_counts": q_place_tile_counts,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18624,6 +18670,46 @@ def _adamic_adar_oracle_sql(max_degree: int = 64,
 
 
 ORACLE_SQL["adamic_adar_sites"] = _adamic_adar_oracle_sql()
+
+# Flagship point-tile assignment from the raw bytes: geo.position
+# metas via RE2, correctly-rounded float casts, the literal
+# clamp→Mercator→floor tile tree at z14 (the raster-oracle formulas),
+# count per tile.
+ORACLE_SQL["place_tile_counts"] = """
+    WITH pg AS (
+      SELECT url, decode(html) AS h
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/place_pages/*.parquet')),
+    mt AS (
+      SELECT url,
+             unnest(regexp_extract_all(h,
+               '<meta name="geo\\.position" content="(-?[\\d.]+);(-?[\\d.]+)">',
+               1)) AS lat_s,
+             unnest(regexp_extract_all(h,
+               '<meta name="geo\\.position" content="(-?[\\d.]+);(-?[\\d.]+)">',
+               2)) AS lon_s
+      FROM pg),
+    ll AS (SELECT CAST(lat_s AS DOUBLE) AS lat,
+                  CAST(lon_s AS DOUBLE) AS lon
+           FROM mt),
+    pr AS (
+      SELECT degrees(ln(tan(radians(
+               LEAST(GREATEST(lat, -85.0511287798066),
+                     85.0511287798066)) / 2.0 + pi() / 4.0)))
+               AS latp,
+             lon
+      FROM ll),
+    tl AS (
+      SELECT CAST(LEAST(GREATEST(floor(
+               (lon + 180.0) / 360.0 * 16384.0), 0), 16383)
+               AS BIGINT) AS tile_x,
+             CAST(LEAST(GREATEST(floor(
+               (180.0 - latp) / 360.0 * 16384.0), 0), 16383)
+               AS BIGINT) AS tile_y
+      FROM pr)
+    SELECT CAST(14 AS BIGINT) AS zoom, tile_x, tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_features
+    FROM tl GROUP BY 2, 3"""
+
 
 # SALSA closed form: in-degrees, star-degraded co-citation pairs,
 # transitive-closure components seeded from EVERY authority (isolated
