@@ -8150,6 +8150,47 @@ def q_place_tile_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_feature_tile_counts(sf_dir: str):
+    """place_tile_counts extended to ALL THREE feature kinds: per
+    (kind, z14 tile) counts with each feature at its representative
+    point (the point itself / a track's or footprint's FIRST vertex —
+    exactly what drives the flagship's cell encode). The oracle
+    re-derives every count from the staged HTML: one regexp family
+    per meta kind, first-vertex parsing for the coordinate lists,
+    then the same clamp→Mercator→floor tile tree. Certifies line and
+    polygon extraction + encode beside the point path."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..sources import pages as _pages
+    from .flagship import features_pipeline
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    path = _pages.ensure_pages_parquet(n)
+    _stage_for_oracle(rd.read_parquet(path, columns=["url", "html"]),
+                      "feature_pages")
+    feats = features_pipeline(rd.read_parquet(path))
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pc.cast(b["kind"], pa.int64()),
+            "tile_x": pc.cast(b["tile_x"], pa.int64()),
+            "tile_y": pc.cast(b["tile_y"], pa.int64())})
+
+    agg = (feats.map_batches(slim, batch_format="pyarrow")
+           .groupby(["kind", "tile_x", "tile_y"])
+           .aggregate(Count(alias_name="n_features")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": b["kind"],
+            "tile_x": b["tile_x"],
+            "tile_y": b["tile_y"],
+            "n_features": pc.cast(b["n_features"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -18208,6 +18249,7 @@ QUERIES = {
     "neighbor_jaccard_sites": q_neighbor_jaccard_sites,
     "salsa_sites": q_salsa_sites,
     "place_tile_counts": q_place_tile_counts,
+    "feature_tile_counts": q_feature_tile_counts,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18709,6 +18751,70 @@ ORACLE_SQL["place_tile_counts"] = """
     SELECT CAST(14 AS BIGINT) AS zoom, tile_x, tile_y,
            CAST(COUNT(*) AS BIGINT) AS n_features
     FROM tl GROUP BY 2, 3"""
+
+
+# All-kinds tile assignment: per meta family, representative vertex
+# (point itself / first track or footprint vertex), the same
+# Mercator floor tree, counts per (kind, tile).
+ORACLE_SQL["feature_tile_counts"] = """
+    WITH pg AS (
+      SELECT url, decode(html) AS h
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/feature_pages/*.parquet')),
+    pos AS (
+      SELECT 1 AS kind,
+             CAST(unnest(regexp_extract_all(h,
+               '<meta name="geo\\.position" content="(-?[\\d.]+);(-?[\\d.]+)">',
+               1)) AS DOUBLE) AS lat,
+             CAST(unnest(regexp_extract_all(h,
+               '<meta name="geo\\.position" content="(-?[\\d.]+);(-?[\\d.]+)">',
+               2)) AS DOUBLE) AS lon
+      FROM pg),
+    trk0 AS (
+      SELECT unnest(regexp_extract_all(h,
+               '<meta name="geo\\.track" content="([^"]+)">',
+               1)) AS content
+      FROM pg),
+    trk AS (
+      SELECT 2 AS kind,
+             CAST(regexp_extract(content,
+               '^(-?[\\d.]+),(-?[\\d.]+)', 1) AS DOUBLE) AS lat,
+             CAST(regexp_extract(content,
+               '^(-?[\\d.]+),(-?[\\d.]+)', 2) AS DOUBLE) AS lon
+      FROM trk0),
+    fpt0 AS (
+      SELECT unnest(regexp_extract_all(h,
+               '<meta name="geo\\.footprint" content="([^"]+)">',
+               1)) AS content
+      FROM pg),
+    fpt AS (
+      SELECT 3 AS kind,
+             CAST(regexp_extract(content,
+               '^(-?[\\d.]+),(-?[\\d.]+)', 1) AS DOUBLE) AS lat,
+             CAST(regexp_extract(content,
+               '^(-?[\\d.]+),(-?[\\d.]+)', 2) AS DOUBLE) AS lon
+      FROM fpt0),
+    ll AS (SELECT * FROM pos UNION ALL SELECT * FROM trk
+           UNION ALL SELECT * FROM fpt),
+    pr AS (
+      SELECT kind,
+             degrees(ln(tan(radians(
+               LEAST(GREATEST(lat, -85.0511287798066),
+                     85.0511287798066)) / 2.0 + pi() / 4.0)))
+               AS latp,
+             lon
+      FROM ll),
+    tl AS (
+      SELECT kind,
+             CAST(LEAST(GREATEST(floor(
+               (lon + 180.0) / 360.0 * 16384.0), 0), 16383)
+               AS BIGINT) AS tile_x,
+             CAST(LEAST(GREATEST(floor(
+               (180.0 - latp) / 360.0 * 16384.0), 0), 16383)
+               AS BIGINT) AS tile_y
+      FROM pr)
+    SELECT CAST(kind AS BIGINT) AS kind, tile_x, tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_features
+    FROM tl GROUP BY 1, 2, 3"""
 
 
 # SALSA closed form: in-degrees, star-degraded co-citation pairs,
