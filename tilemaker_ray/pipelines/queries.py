@@ -8191,6 +8191,46 @@ def q_feature_tile_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_place_admin_counts(sf_dir: str):
+    """The flagship PIP-TAG stage certified end to end from the raw
+    bytes: place features run the REAL joined pipeline (extract →
+    encode → hex-cover prefilter → exact ray-cast against the
+    broadcast admin diamonds) and the per-feature admin-membership
+    counts are histogrammed; the oracle re-derives the histogram
+    independently — points from the staged HTML, membership by the
+    diamond inequality |Δlon|/w + |Δlat|/h < 1 against the 50 city
+    literals (the fixture's boundary-avoidance posture makes the
+    ray-cast and the closed form agree, the pip_admin_events
+    precedent)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..sources import pages as _pages
+    from .flagship import joined_features_pipeline
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    path = _pages.ensure_pages_parquet(n)
+    _stage_for_oracle(rd.read_parquet(path, columns=["url", "html"]),
+                      "admin_pages")
+    feats = joined_features_pipeline(rd.read_parquet(path))
+
+    def slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["kind"], 1))
+        return pa.table({
+            "n_matches": pc.cast(t["n_matches"], pa.int64())})
+
+    agg = (feats.map_batches(slim, batch_format="pyarrow")
+           .groupby("n_matches")
+           .aggregate(Count(alias_name="n_features")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_matches": b["n_matches"],
+            "n_features": pc.cast(b["n_features"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -18250,6 +18290,7 @@ QUERIES = {
     "salsa_sites": q_salsa_sites,
     "place_tile_counts": q_place_tile_counts,
     "feature_tile_counts": q_feature_tile_counts,
+    "place_admin_counts": q_place_admin_counts,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18751,6 +18792,42 @@ ORACLE_SQL["place_tile_counts"] = """
     SELECT CAST(14 AS BIGINT) AS zoom, tile_x, tile_y,
            CAST(COUNT(*) AS BIGINT) AS n_features
     FROM tl GROUP BY 2, 3"""
+
+
+def _place_admin_oracle_sql() -> str:
+    """PIP-tag mirror: points from the staged HTML, membership by the
+    diamond inequality against the 50 city-center literals, histogram
+    of per-point match counts."""
+    from ..sources.pages import CITIES
+    cities = ", ".join(f"({lon!r}, {lat!r})" for _, lon, lat in CITIES)
+    return f"""
+    WITH pg AS (
+      SELECT decode(html) AS h
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/admin_pages/*.parquet')),
+    pts AS (
+      SELECT row_number() OVER () AS pid,
+             CAST(lat_s AS DOUBLE) AS lat,
+             CAST(lon_s AS DOUBLE) AS lon
+      FROM (
+        SELECT unnest(regexp_extract_all(h,
+                 '<meta name="geo\\.position" content="(-?[\\d.]+);(-?[\\d.]+)">',
+                 1)) AS lat_s,
+               unnest(regexp_extract_all(h,
+                 '<meta name="geo\\.position" content="(-?[\\d.]+);(-?[\\d.]+)">',
+                 2)) AS lon_s
+        FROM pg) z),
+    ct(cx, cy) AS (SELECT * FROM (VALUES {cities})),
+    m AS (
+      SELECT p.pid, CAST(COUNT(ct.cx) AS BIGINT) AS n_matches
+      FROM pts p LEFT JOIN ct
+        ON abs(p.lon - ct.cx) / 0.73 + abs(p.lat - ct.cy) / 0.53
+           < 1.0
+      GROUP BY p.pid)
+    SELECT n_matches, CAST(COUNT(*) AS BIGINT) AS n_features
+    FROM m GROUP BY 1"""
+
+
+ORACLE_SQL["place_admin_counts"] = _place_admin_oracle_sql()
 
 
 # All-kinds tile assignment: per meta family, representative vertex
