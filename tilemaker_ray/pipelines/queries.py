@@ -7641,28 +7641,31 @@ def q_kmeans_int_clusters(sf_dir: str):
 
 
 def _link_pair_counts(sf_dir: str, reverse: bool, stage: str,
-                      max_degree: int = 64, min_count: int = 2,
-                      num_buckets: int = 64):
+                      min_count: int = 2, num_buckets: int = 64,
+                      rel_num: int = 1, rel_den: int = 2):
     """Shared engine for co-citation / bibliographic coupling over
     the distributed-dictionary-encoded site link graph: distinct
     integer edges bucketed by the expansion key (source for
     co-citation, target for coupling), per-key triu pairs via the
     shared LSH pairing kernel with a HARD degree cutoff (hub keys
-    above max_degree are dropped — the copy_pairs df_max semantics;
-    a 10⁸-host crawl caps its quadratic expansion the same way), then
-    one slim (a, b) groupby-sum with the min_count floor. The staged
-    integer edge table is what the oracle replays from."""
+    above the cutoff are dropped — the copy_pairs df_max semantics),
+    then one slim (a, b) groupby-sum with the min_count floor.
+    Cutoff = max(64, m // 2): the absolute floor is the knob a
+    10⁸-host crawl's long-tail degrees need; the relative term keeps
+    a small DENSE universe (this fixture's near-complete site graph
+    at large SF, where every degree exceeds 64) from filtering to an
+    empty result. Edges AND the site dictionary stage so the oracle
+    derives the identical cutoff."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ..sources import pages as _pages
     from ..stages.common import mix_bucket
     from ..stages.dedup import bucket_pairs_from_runs
-    from ..stages.pagerank import (page_links, resolve_links_indexed,
-                                   site_universe)
 
     _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, f"{stage}_edges")
+    _stage_for_oracle(site_ids, f"{stage}_ids")
+    max_degree = max(64, m * rel_num // rel_den)
 
     key, val = ("t", "s") if reverse else ("s", "t")
 
@@ -7697,13 +7700,26 @@ def _link_pair_counts(sf_dir: str, reverse: bool, stage: str,
            .aggregate(Sum("c", alias_name="n_common")))
 
     def floor_(b: pa.Table) -> pa.Table:
+        # typed empty: a fully-filtered upstream (every key above the
+        # cutoff) yields zero-COLUMN blocks — keep the schema stable
+        if b.num_rows == 0 or "n_common" not in b.column_names:
+            return pa.table({"site_a": pa.array([], pa.int64()),
+                             "site_b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
         t = b.filter(pc.greater_equal(b["n_common"], min_count))
         return pa.table({"site_a": t["site_a"],
                          "site_b": t["site_b"],
                          "n_common": pc.cast(t["n_common"],
                                              pa.int64())})
 
-    return agg.map_batches(floor_, batch_format="pyarrow")
+    # typed-empty union seed: when the cutoff drops EVERY key the
+    # aggregate yields no blocks at all and the Dataset loses its
+    # schema — the seed anchors it (the repo's union-groupby pattern)
+    seed = rd.from_arrow(pa.table({
+        "site_a": pa.array([], pa.int64()),
+        "site_b": pa.array([], pa.int64()),
+        "n_common": pa.array([], pa.int64())}))
+    return seed.union(agg.map_batches(floor_, batch_format="pyarrow"))
 
 
 def _aa_weight_fp(d: np.ndarray) -> np.ndarray:
@@ -7732,9 +7748,14 @@ def q_adamic_adar_sites(sf_dir: str):
     from ..stages.pagerank import (page_links, resolve_links_indexed,
                                    site_universe)
 
-    max_degree, min_count = 64, 2
+    min_count = 2
     _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, "aa_edges")
+    _stage_for_oracle(site_ids, "aa_ids")
+    max_degree = max(64, m // 2)
+    if max_degree > 4096:
+        raise ValueError("adamic_adar oracle weight table covers "
+                         "degrees <= 4096; raise the literal bound")
 
     def buck(b: pa.Table) -> pa.Table:
         kk = b["s"].cast(pa.int64())
@@ -7766,7 +7787,7 @@ def q_adamic_adar_sites(sf_dir: str):
         oa, ob, ow = [], [], []
         for s, e in zip(starts, ends):
             d = e - s
-            if d < 2 or d > 64:
+            if d < 2 or d > max_degree:
                 continue
             a, b = np.triu_indices(d, k=1)
             oa.append(v[s + a])
@@ -7795,6 +7816,11 @@ def q_adamic_adar_sites(sf_dir: str):
                       Sum("c", alias_name="n_common")))
 
     def floor_(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_common" not in b.column_names:
+            return pa.table({"site_a": pa.array([], pa.int64()),
+                             "site_b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64()),
+                             "aa_fp": pa.array([], pa.int64())})
         t = b.filter(pc.greater_equal(b["n_common"], min_count))
         return pa.table({"site_a": t["site_a"],
                          "site_b": t["site_b"],
@@ -7802,7 +7828,12 @@ def q_adamic_adar_sites(sf_dir: str):
                                              pa.int64()),
                          "aa_fp": pc.cast(t["aa_fp"], pa.int64())})
 
-    return agg.map_batches(floor_, batch_format="pyarrow")
+    seed = rd.from_arrow(pa.table({
+        "site_a": pa.array([], pa.int64()),
+        "site_b": pa.array([], pa.int64()),
+        "n_common": pa.array([], pa.int64()),
+        "aa_fp": pa.array([], pa.int64())}))
+    return seed.union(agg.map_batches(floor_, batch_format="pyarrow"))
 
 
 def q_neighbor_jaccard_sites(sf_dir: str):
@@ -7821,9 +7852,11 @@ def q_neighbor_jaccard_sites(sf_dir: str):
     from ..stages.pagerank import (page_links, resolve_links_indexed,
                                    site_universe)
 
-    max_degree, min_count, nb = 64, 2, 64
+    min_count, nb = 2, 64
     _links, site_ids, m, iedges = _site_graph(sf_dir)
     _stage_for_oracle(iedges, "njac_edges")
+    _stage_for_oracle(site_ids, "njac_ids")
+    max_degree = max(64, m // 2)
 
     def buck(b: pa.Table) -> pa.Table:
         kk = b["s"].cast(pa.int64())
@@ -7888,9 +7921,9 @@ def q_neighbor_jaccard_sites(sf_dir: str):
 
     # bucketed int→int joins: attach |S_a| then |S_b| (pair table is
     # slim; the degree table is #sites-bounded but stays distributed)
-    def join_deg(pair_ds, col: str, out: str):
-        pair_schema = {c: pair_ds.schema().base_schema.field(c).type
-                       for c in pair_ds.schema().names}
+    def join_deg(pair_ds, col: str, out: str, pair_schema: dict):
+        # schema passed explicitly: Dataset.schema() triggers
+        # execution and returns None when the probe yields no rows
 
         def tag_pairs(b: pa.Table) -> pa.Table:
             i = b[col].to_numpy(zero_copy_only=False)
@@ -7932,10 +7965,18 @@ def q_neighbor_jaccard_sites(sf_dir: str):
                 .groupby("jbkt").map_groups(fold,
                                             batch_format="pyarrow"))
 
-    withda = join_deg(agg, "site_a", "da")
-    withdb = join_deg(withda, "site_b", "db")
+    base_schema = {"site_a": pa.int64(), "site_b": pa.int64(),
+                   "n_common": pa.int64()}
+    withda = join_deg(agg, "site_a", "da", base_schema)
+    withdb = join_deg(withda, "site_b", "db",
+                      dict(base_schema, da=pa.int64()))
 
     def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_common" not in b.column_names:
+            return pa.table({"site_a": pa.array([], pa.int64()),
+                             "site_b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64()),
+                             "jac": pa.array([], pa.float64())})
         t = b.filter(pc.greater_equal(b["n_common"], min_count))
         c = t["n_common"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -7948,21 +7989,31 @@ def q_neighbor_jaccard_sites(sf_dir: str):
             "n_common": pa.array(c, pa.int64()),
             "jac": pa.array(jac, pa.float64())})
 
-    return withdb.map_batches(finish, batch_format="pyarrow")
+    seed = rd.from_arrow(pa.table({
+        "site_a": pa.array([], pa.int64()),
+        "site_b": pa.array([], pa.int64()),
+        "n_common": pa.array([], pa.int64()),
+        "jac": pa.array([], pa.float64())}))
+    return seed.union(withdb.map_batches(finish,
+                                         batch_format="pyarrow"))
 
 
 def _attach_int(ds, map_ds, key_col: str, map_key: str,
                 map_val: str, out_col: str, default=None,
-                nb: int = 64):
+                nb: int = 64, schema: dict | None = None):
     """Generic distributed int→int attach: rows of ``ds`` gain
     ``out_col`` = map_ds[map_val] looked up by ``key_col`` =
     map_ds[map_key], through ONE bucketed union-groupby exchange
     (no broadcast — both sides stay distributed). Missing keys take
-    ``default`` (required if any key can miss)."""
+    ``default`` (required if any key can miss). Pass ``schema``
+    ({col: pa type}) explicitly when it is statically known —
+    ``ds.schema()`` triggers execution and returns None on plans
+    whose probe yields no rows."""
     from ..stages.common import mix_bucket
 
-    schema = {c: ds.schema().base_schema.field(c).type
-              for c in ds.schema().names}
+    if schema is None:
+        schema = {c: ds.schema().base_schema.field(c).type
+                  for c in ds.schema().names}
 
     def tag_rows(b: pa.Table) -> pa.Table:
         i = b[key_col].to_numpy(zero_copy_only=False) \
@@ -8075,7 +8126,8 @@ def q_salsa_sites(sf_dir: str):
                 "node": b["v"].cast(pa.int64()),
                 "d_in": pc.cast(b["count()"], pa.int64())}),
             batch_format="pyarrow"),
-        comp, "node", "doc_id", "comp", "comp", default="self")
+        comp, "node", "doc_id", "comp", "comp", default="self",
+        schema={"node": pa.int64(), "d_in": pa.int64()})
 
     from ray.data.aggregate import Sum as _Sum
     cstat = (auth.groupby("comp")
@@ -8083,8 +8135,12 @@ def q_salsa_sites(sf_dir: str):
                         _Sum("d_in", alias_name="sumd"))
              .materialize())
 
-    a2 = _attach_int(auth, cstat, "comp", "comp", "n_auth", "n_c")
-    a3 = _attach_int(a2, cstat, "comp", "comp", "sumd", "sumd_c")
+    a2 = _attach_int(auth, cstat, "comp", "comp", "n_auth", "n_c",
+                     schema={"node": pa.int64(), "d_in": pa.int64(),
+                             "comp": pa.int64()})
+    a3 = _attach_int(a2, cstat, "comp", "comp", "sumd", "sumd_c",
+                     schema={"node": pa.int64(), "d_in": pa.int64(),
+                             "comp": pa.int64(), "n_c": pa.int64()})
 
     def finish(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy(zero_copy_only=False)
@@ -8245,8 +8301,13 @@ def q_bibcoupling_sites(sf_dir: str):
     """Bibliographic coupling (Kessler 1963) — the co-citation dual:
     site pairs that LINK TO ≥2 common targets (shared outbound
     references ⇒ topical affinity). Same engine on the reversed
-    expansion key; SQL-certified over the staged edge table."""
-    return _link_pair_counts(sf_dir, reverse=True, stage="bibco")
+    expansion key with a HIGHER band ceiling (3m/4): the fixture's
+    target in-degrees concentrate at links/m by the universe
+    projection, so the coupling band needs more headroom than the
+    source band to stay non-degenerate at large SF. SQL-certified
+    over the staged edge table."""
+    return _link_pair_counts(sf_dir, reverse=True, stage="bibco",
+                             rel_num=3, rel_den=4)
 
 
 # ---------------------------------------------------------------------------
@@ -18700,20 +18761,24 @@ ORACLE_SQL["kmeans_int_clusters"] = _kmeans_int_oracle_sql()
 
 
 def _link_pairs_oracle_sql(stage: str, reverse: bool,
-                           max_degree: int = 64,
-                           min_count: int = 2) -> str:
+                           min_count: int = 2, rel_num: int = 1,
+                           rel_den: int = 2) -> str:
     """Co-citation / bibliographic-coupling mirror over the staged
-    integer edge table: degree cutoff on the expansion key, triu
-    self-join on the shared key, count ≥ min_count."""
+    integer edge table: the adaptive max(64, m//2) degree cutoff
+    derived from the staged site dictionary, triu self-join on the
+    shared key, count ≥ min_count."""
     k, v = ("t", "s") if reverse else ("s", "t")
     return f"""
     WITH e AS MATERIALIZED (
       SELECT CAST({k} AS BIGINT) AS k, CAST({v} AS BIGINT) AS v
       FROM read_parquet('/tmp/tilemaker_ray_oracle/{stage}_edges/*.parquet')),
+    co AS (SELECT GREATEST(64, COUNT(*) * {rel_num} // {rel_den})
+             AS cutoff
+           FROM read_parquet('/tmp/tilemaker_ray_oracle/{stage}_ids/*.parquet')),
     deg AS (SELECT k, COUNT(*) AS d FROM e GROUP BY 1),
     kp AS MATERIALIZED (
       SELECT e.k, e.v FROM e JOIN deg ON deg.k = e.k
-      WHERE deg.d <= {max_degree})
+      CROSS JOIN co WHERE deg.d <= co.cutoff)
     SELECT x.v AS site_a, y.v AS site_b,
            CAST(COUNT(*) AS BIGINT) AS n_common
     FROM kp x JOIN kp y ON y.k = x.k AND x.v < y.v
@@ -18723,28 +18788,33 @@ def _link_pairs_oracle_sql(stage: str, reverse: bool,
 ORACLE_SQL["cocitation_sites"] = _link_pairs_oracle_sql(
     "cocit", reverse=False)
 ORACLE_SQL["bibcoupling_sites"] = _link_pairs_oracle_sql(
-    "bibco", reverse=True)
+    "bibco", reverse=True, rel_num=3, rel_den=4)
 
 
-def _adamic_adar_oracle_sql(max_degree: int = 64,
+def _adamic_adar_oracle_sql(table_max: int = 4096,
                             min_count: int = 2) -> str:
-    """Adamic–Adar mirror: the floor(10⁹/ln d) weights for the full
-    bounded degree range 2..max_degree as numpy-generated literals,
-    pair scores as exact integer sums."""
+    """Adamic–Adar mirror: the floor(10⁹/ln d) weights for degrees
+    2..table_max as numpy-generated literals (covers any cutoff the
+    adaptive max(64, m//2) rule can produce at oracle scales), the
+    cutoff itself derived from the staged site dictionary, pair
+    scores as exact integer sums."""
     wts = ", ".join(
         f"({d}, {int(_aa_weight_fp(np.asarray([d]))[0])})"
-        for d in range(2, max_degree + 1))
+        for d in range(2, table_max + 1))
     return f"""
     WITH e AS MATERIALIZED (
       SELECT CAST(s AS BIGINT) AS k, CAST(t AS BIGINT) AS v
       FROM read_parquet('/tmp/tilemaker_ray_oracle/aa_edges/*.parquet')),
+    co AS (SELECT GREATEST(64, COUNT(*) // 2) AS cutoff
+           FROM read_parquet('/tmp/tilemaker_ray_oracle/aa_ids/*.parquet')),
     wt(d, w) AS (SELECT * FROM (VALUES {wts})),
     deg AS (SELECT k, COUNT(*) AS d FROM e GROUP BY 1),
     kp AS MATERIALIZED (
       SELECT e.k, e.v, wt.w FROM e
       JOIN deg ON deg.k = e.k
       JOIN wt ON wt.d = deg.d
-      WHERE deg.d BETWEEN 2 AND {max_degree})
+      CROSS JOIN co
+      WHERE deg.d BETWEEN 2 AND co.cutoff)
     SELECT x.v AS site_a, y.v AS site_b,
            CAST(COUNT(*) AS BIGINT) AS n_common,
            CAST(SUM(x.w) AS BIGINT) AS aa_fp
@@ -18941,10 +19011,12 @@ ORACLE_SQL["neighbor_jaccard_sites"] = """
     WITH e AS MATERIALIZED (
       SELECT CAST(s AS BIGINT) AS k, CAST(t AS BIGINT) AS v
       FROM read_parquet('/tmp/tilemaker_ray_oracle/njac_edges/*.parquet')),
+    co AS (SELECT GREATEST(64, COUNT(*) // 2) AS cutoff
+           FROM read_parquet('/tmp/tilemaker_ray_oracle/njac_ids/*.parquet')),
     deg AS (SELECT k, COUNT(*) AS d FROM e GROUP BY 1),
     kp AS MATERIALIZED (
       SELECT e.k, e.v FROM e JOIN deg ON deg.k = e.k
-      WHERE deg.d <= 64),
+      CROSS JOIN co WHERE deg.d <= co.cutoff),
     ind AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
             FROM kp GROUP BY 1),
     pr AS (
