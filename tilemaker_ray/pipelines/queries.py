@@ -8287,6 +8287,65 @@ def q_place_admin_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_track_supercover_tiles(sf_dir: str, z: int = 10):
+    """The SUPERCOVER fan-out kernel certified in SQL — the last
+    geometry-kernel family without an oracle: every track feature's
+    distinct z10 supercover tile count (geo/raster.py
+    Amanatides–Woo per segment, deduped per feature), re-derived by
+    the oracle from the staged HTML — vertices parsed from the
+    geo.track metas, fractional Mercator tile coords via the literal
+    float trees, and the DDA replayed step by step in a recursive
+    CTE carrying (tx, ty, t_max_x, t_max_y): identical IEEE
+    initializations and accumulations ⇒ identical branch decisions
+    ⇒ identical visited-cell sequences, including the clip-per-step
+    and max-Manhattan-steps guards."""
+    import ray.data as rd
+
+    from ..geo import tilemath as tm
+    from ..geo import wkb as _wkb
+    from ..geo.raster import line_tiles
+    from ..sources import pages as _pages
+    from .flagship import features_pipeline
+
+    n = _pages.n_pages_for_sf_dir(sf_dir)
+    path = _pages.ensure_pages_parquet(n)
+    _stage_for_oracle(rd.read_parquet(path, columns=["url", "html"]),
+                      "sct_pages")
+    feats = features_pipeline(rd.read_parquet(path))
+
+    def slim(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["kind"], 2))
+        return pa.table({"url": t["url"],
+                         "feature_seq": t["feature_seq"],
+                         "geom_wkb": t["geom_wkb"]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        order = np.argsort(
+            g["feature_seq"].to_numpy(zero_copy_only=False),
+            kind="stable")
+        urls = g["url"].to_pylist()
+        wkbs = g["geom_wkb"].to_pylist()
+        out = {"url": [], "trk_idx": [], "n_vertices": [],
+               "n_tiles": []}
+        for k, i in enumerate(order):
+            gt, coords = _wkb.parse_wkb(wkbs[i])
+            fx = tm.lon2tilex_f(coords[:, 0], z)
+            fy = tm.lat2tiley_f(coords[:, 1], z)
+            tiles = line_tiles(np.stack([fx, fy], axis=1), z)
+            out["url"].append(urls[i])
+            out["trk_idx"].append(k + 1)
+            out["n_vertices"].append(len(coords))
+            out["n_tiles"].append(len(tiles))
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "trk_idx": pa.array(out["trk_idx"], pa.int64()),
+            "n_vertices": pa.array(out["n_vertices"], pa.int64()),
+            "n_tiles": pa.array(out["n_tiles"], pa.int64())})
+
+    return (feats.map_batches(slim, batch_format="pyarrow")
+            .groupby("url").map_groups(fold, batch_format="pyarrow"))
+
+
 def q_cocitation_sites(sf_dir: str):
     """Co-citation strength (Small 1973, the link-analysis classic
     beside PageRank/HITS): site pairs cited together by ≥2 common
@@ -18352,6 +18411,7 @@ QUERIES = {
     "place_tile_counts": q_place_tile_counts,
     "feature_tile_counts": q_feature_tile_counts,
     "place_admin_counts": q_place_admin_counts,
+    "track_supercover_tiles": q_track_supercover_tiles,
 }
 
 # registered here (end of module): the generators are defined beside
@@ -18823,6 +18883,116 @@ def _adamic_adar_oracle_sql(table_max: int = 4096,
 
 
 ORACLE_SQL["adamic_adar_sites"] = _adamic_adar_oracle_sql()
+
+# Supercover DDA mirror: vertices from the geo.track metas,
+# fractional Mercator tile coords via the literal float trees, the
+# Amanatides–Woo walk replayed in a recursive CTE — identical IEEE
+# initializations and t_max accumulations give identical branch
+# decisions, clip-per-step and the Manhattan step guard included.
+ORACLE_SQL["track_supercover_tiles"] = """
+    WITH RECURSIVE
+    pg AS (
+      SELECT url, decode(html) AS h
+      FROM read_parquet('/tmp/tilemaker_ray_oracle/sct_pages/*.parquet')),
+    tr0 AS (
+      SELECT url, g.g AS mi,
+             regexp_extract_all(h,
+               '<meta name="geo\\.track" content="([^"]+)">',
+               1)[g.g] AS content
+      FROM pg, (SELECT unnest(generate_series(1, 16)) AS g) g
+      WHERE g.g <= len(regexp_extract_all(h,
+               '<meta name="geo\\.track" content="([^"]+)">', 1))),
+    trf AS (SELECT url, mi, content,
+                   len(string_split(content, ' ')) AS nvert
+            FROM tr0),
+    trk AS MATERIALIZED (
+      SELECT url, content, nvert,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY mi) AS trk_idx
+      FROM trf WHERE nvert >= 2),
+    vx AS MATERIALIZED (
+      SELECT t.url, t.trk_idx, g.g AS v, t.nvert,
+             CAST(string_split(
+               string_split(t.content, ' ')[g.g], ',')[2]
+               AS DOUBLE) AS lon,
+             CAST(string_split(
+               string_split(t.content, ' ')[g.g], ',')[1]
+               AS DOUBLE) AS lat
+      FROM trk t, (SELECT unnest(generate_series(1, 64)) AS g) g
+      WHERE g.g <= t.nvert),
+    ft AS MATERIALIZED (
+      SELECT url, trk_idx, v,
+             (lon + 180.0) / 360.0 * 1024.0 AS fx,
+             (180.0 - degrees(ln(tan(radians(
+                LEAST(GREATEST(lat, -85.0511287798066),
+                      85.0511287798066)) / 2.0 + pi() / 4.0))))
+               / 360.0 * 1024.0 AS fy
+      FROM vx),
+    sg AS MATERIALIZED (
+      SELECT a.url, a.trk_idx, a.v AS seg,
+             a.fx AS x0, a.fy AS y0, b.fx AS x1, b.fy AS y1
+      FROM ft a JOIN ft b ON b.url = a.url
+                         AND b.trk_idx = a.trk_idx
+                         AND b.v = a.v + 1),
+    sp AS MATERIALIZED (
+      SELECT url, trk_idx, seg,
+             CAST(LEAST(GREATEST(floor(x0), 0), 1023)
+                  AS BIGINT) AS tx,
+             CAST(LEAST(GREATEST(floor(y0), 0), 1023)
+                  AS BIGINT) AS ty,
+             CAST(LEAST(GREATEST(floor(x1), 0), 1023)
+                  AS BIGINT) AS tx1,
+             CAST(LEAST(GREATEST(floor(y1), 0), 1023)
+                  AS BIGINT) AS ty1,
+             x1 - x0 AS dx, y1 - y0 AS dy, x0, y0
+      FROM sg),
+    s2 AS MATERIALIZED (
+      SELECT url, trk_idx, seg, tx, ty, tx1, ty1,
+             CASE WHEN dx > 0 THEN 1 ELSE -1 END AS sx,
+             CASE WHEN dy > 0 THEN 1 ELSE -1 END AS sy,
+             CASE WHEN dx <> 0
+                  THEN ((tx + CASE WHEN dx > 0 THEN 1 ELSE 0 END)
+                        - x0) / dx
+                  ELSE CAST('infinity' AS DOUBLE) END AS tmx,
+             CASE WHEN dy <> 0
+                  THEN ((ty + CASE WHEN dy > 0 THEN 1 ELSE 0 END)
+                        - y0) / dy
+                  ELSE CAST('infinity' AS DOUBLE) END AS tmy,
+             CASE WHEN dx <> 0 THEN abs(1.0 / dx)
+                  ELSE CAST('infinity' AS DOUBLE) END AS tdx,
+             CASE WHEN dy <> 0 THEN abs(1.0 / dy)
+                  ELSE CAST('infinity' AS DOUBLE) END AS tdy,
+             abs(tx1 - tx) + abs(ty1 - ty) + 2 AS lft
+      FROM sp),
+    dda(url, trk_idx, seg, tx, ty, tx1, ty1, sx, sy,
+        tmx, tmy, tdx, tdy, lft) AS (
+      SELECT url, trk_idx, seg, tx, ty, tx1, ty1, sx, sy,
+             tmx, tmy, tdx, tdy, lft
+      FROM s2
+      UNION ALL
+      SELECT url, trk_idx, seg,
+             CASE WHEN tmx < tmy
+                  THEN LEAST(GREATEST(tx + sx, 0), 1023)
+                  ELSE tx END,
+             CASE WHEN tmx < tmy THEN ty
+                  ELSE LEAST(GREATEST(ty + sy, 0), 1023) END,
+             tx1, ty1, sx, sy,
+             CASE WHEN tmx < tmy THEN tmx + tdx ELSE tmx END,
+             CASE WHEN tmx < tmy THEN tmy ELSE tmy + tdy END,
+             tdx, tdy, lft - 1
+      FROM dda
+      WHERE NOT (tx = tx1 AND ty = ty1) AND lft > 0),
+    vis AS (SELECT DISTINCT url, trk_idx,
+                   tx * 1024 + ty AS cell
+            FROM dda),
+    nt AS (SELECT url, trk_idx,
+                  CAST(COUNT(*) AS BIGINT) AS n_tiles
+           FROM vis GROUP BY 1, 2)
+    SELECT t.url, t.trk_idx,
+           CAST(t.nvert AS BIGINT) AS n_vertices, nt.n_tiles
+    FROM trk t JOIN nt ON nt.url = t.url
+                      AND nt.trk_idx = t.trk_idx"""
+
 
 # Flagship point-tile assignment from the raw bytes: geo.position
 # metas via RE2, correctly-rounded float casts, the literal
